@@ -1,0 +1,214 @@
+"""Document deduplication operators: exact, MinHash+LSH, SimHash,
+n-gram Jaccard.
+
+Design point for 100 TB: never materialize the O(n²) pair space.
+
+- Exact / fingerprint dedup: one hash-groupBy.
+- MinHash+LSH: signature is a per-doc aggregation (one shuffle on doc_id
+  after the token explode); candidate pairs come from a self-join on
+  (band_idx, band_value) — the join key cardinality is the LSH bucket
+  space, so only near-duplicates collide.
+- SimHash: per-doc 16/64-bit signature; pairing by signature bucket (or,
+  below a few million docs, a block-nested pair filter on hamming).
+- n-gram Jaccard: candidates via the inverted shingle index (pairs must
+  share ≥1 shingle — exact for any threshold > 0).
+
+All hashing is md5-based (JVM builtin) so signatures are reproducible
+across engines and runs — no seed state on executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint, tokens, word_shingles
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact-text duplicate groups: md5(text) → canonical (min) id + count."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def fingerprint_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Near-exact dedup on the sorted-distinct-token fingerprint (robust to
+    token order and repetition)."""
+    return (
+        df.select(fingerprint(F.col(text_col)).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias("canonical_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def _distinct_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("token")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n_hashes: int = 16
+) -> DataFrame:
+    """MinHash signature over the distinct token set.
+
+    Hash family i = md5("i:" || token); the signature element is the
+    lexicographic min — a valid permutation min because md5 is uniform on
+    hex strings. One explode + one groupBy(doc) shuffle.
+    """
+    tok = _distinct_tokens(df, id_col, text_col)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("token")))).alias(f"mh{i}")
+        for i in range(n_hashes)
+    ]
+    return tok.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Near-duplicate pairs via banded MinHash LSH, verified with exact
+    Jaccard over the token sets.
+
+    Returns (i, j, jaccard) with i < j and jaccard ≥ threshold. The
+    verification join uses collect_set token arrays — documents are
+    bounded-size, so the per-row arrays are small even when the corpus is
+    not.
+    """
+    rows_per_band = n_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n_hashes)
+    band_cols = [
+        F.concat(*[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
+            f"band{b}"
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(F.col(id_col), *band_cols)
+    stacked = banded.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("band_val"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("b"),
+    ).select(F.col(id_col), F.col("b.band_idx"), F.col("b.band_val"))
+
+    a, b = stacked.alias("a"), stacked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("i"), F.col(f"b.{id_col}").alias("j"))
+        .distinct()
+    )
+
+    tok_sets = df.select(
+        F.col(id_col), F.array_distinct(tokens(F.col(text_col))).alias("tokens")
+    )
+    ti = tok_sets.select(F.col(id_col).alias("i"), F.col("tokens").alias("tokens_i"))
+    tj = tok_sets.select(F.col(id_col).alias("j"), F.col("tokens").alias("tokens_j"))
+    inter = F.size(F.array_intersect("tokens_i", "tokens_j"))
+    union = F.size("tokens_i") + F.size("tokens_j") - inter
+    return (
+        cand.join(ti, "i")
+        .join(tj, "j")
+        .withColumn("jaccard", inter.cast("double") / union)
+        .where(F.col("jaccard") >= threshold)
+        .select("i", "j", "jaccard")
+    )
+
+
+def simhash_values(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
+    """Per-document SimHash over distinct tokens.
+
+    Token hash = first 4 hex chars of md5 (16-bit); each signature bit is
+    the sign of the ±1 vote sum across tokens (ties → 1). One explode +
+    one groupBy shuffle; signature is a plain integer column.
+    """
+    tok = _distinct_tokens(df, id_col, text_col)
+    h = F.conv(F.substring(F.md5(F.col("token")), 1, bits // 4), 16, 10).cast("bigint")
+    votes = tok.groupBy(id_col).agg(
+        *[
+            F.sum(F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"s{b}")
+            for b in range(bits)
+        ]
+    )
+    sim = None
+    for b in range(bits):
+        term = F.when(F.col(f"s{b}") >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return votes.select(F.col(id_col), sim.cast("bigint").alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 16, max_hamming: int = 2
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash hamming distance.
+
+    Pairing here is a block-nested self-join on the (tiny) signature
+    table. At the 10^9-doc scale you'd split the signature into
+    (max_hamming+1) bands and equi-join on exact band match (the standard
+    pigeonhole trick) — same verification predicate.
+    """
+    sig = simhash_values(df, id_col, text_col, bits)
+    a = sig.select(F.col(id_col).alias("i"), F.col("simhash").alias("sim_i"))
+    b = sig.select(F.col(id_col).alias("j"), F.col("simhash").alias("sim_j"))
+    ham = F.bit_count(F.col("sim_i").bitwiseXOR(F.col("sim_j")))
+    return (
+        a.join(b, F.col("i") < F.col("j"))
+        .withColumn("hamming", ham.cast("bigint"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("i", "j", "hamming")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.05
+) -> DataFrame:
+    """Exact n-gram-shingle Jaccard pairs above ``threshold``.
+
+    Candidate generation via the inverted shingle index: a pair with
+    Jaccard > 0 shares ≥1 shingle, so grouping the shingle join by pair
+    and counting shared shingles is *exact* (no LSH approximation) while
+    only touching pairs that collide.
+    """
+    sh = df.select(F.col(id_col), word_shingles(F.col(text_col), n).alias("shingles"))
+    sh_sizes = sh.select(F.col(id_col), F.size("shingles").alias("n_sh"), "shingles")
+    exploded = sh_sizes.select(F.col(id_col), F.explode("shingles").alias("shingle"))
+    a = exploded.select(F.col(id_col).alias("i"), F.col("shingle"))
+    b = exploded.select(F.col(id_col).alias("j"), F.col("shingle"))
+    shared = (
+        a.join(b, ["shingle"])
+        .where(F.col("i") < F.col("j"))
+        .groupBy("i", "j")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    si = sh_sizes.select(F.col(id_col).alias("i"), F.col("n_sh").alias("n_i"))
+    sj = sh_sizes.select(F.col(id_col).alias("j"), F.col("n_sh").alias("n_j"))
+    return (
+        shared.join(si, "i")
+        .join(sj, "j")
+        .withColumn(
+            "jaccard",
+            F.col("n_shared").cast("double") / (F.col("n_i") + F.col("n_j") - F.col("n_shared")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("i", "j", "jaccard")
+    )

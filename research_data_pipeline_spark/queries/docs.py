@@ -1,0 +1,360 @@
+"""Training-data pipeline queries over ``documents`` and ``embeddings``.
+
+Dedup (exact / fingerprint / MinHash-LSH / SimHash / n-gram Jaccard),
+similarity search (brute-force + LSH ANN), and text analysis (lang-ID,
+quality, token stats, fingerprinting) — the operator set a 100 TB
+LLM-data pipeline needs, each with an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..operators import similarity as sim
+from ..operators import text_dedup as dd
+from ..registry import REGISTRY
+from ..tables import load
+
+# --- shared SQL fragments for the oracles ---------------------------------
+_TOKS = "string_split(text, ' ')"
+_DTOKS = f"list_distinct({_TOKS})"
+
+
+def _marker_count_sql(words: list[str]) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter({_TOKS}, x -> x IN ({lst})))"
+
+
+# ---------------------------------------------------------------------------
+@REGISTRY.add(
+    "d01_token_stats",
+    f"""
+    SELECT doc_id,
+           CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+           CAST(len({_DTOKS}) AS BIGINT) AS n_distinct_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 ]')) AS BIGINT)
+               AS n_bpe_ish_tokens,
+           (LENGTH(text) - (len({_TOKS}) - 1)) * 1.0 / len({_TOKS}) AS mean_token_len
+    FROM documents
+    """,
+    "text",
+)
+def d01_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace + BPE-ish regex (SURVEY north-star text ops)."""
+    d = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        T.token_count(t).alias("n_tokens"),
+        F.size(F.array_distinct(T.tokens(t))).cast("bigint").alias("n_distinct_tokens"),
+        T.bpe_ish_token_count(t).alias("n_bpe_ish_tokens"),
+        T.mean_token_len(t).alias("mean_token_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+_lang_score_cols = ",\n           ".join(
+    f"CAST({_marker_count_sql(words)} AS BIGINT) AS score_{lang}"
+    for lang, words in sorted(T.LANG_MARKERS.items())
+)
+_langs_sorted = sorted(T.LANG_MARKERS)
+_argmax_sql = "CASE"
+_best = f"{_marker_count_sql(T.LANG_MARKERS[_langs_sorted[0]])}"
+# build nested greatest-with-first-tie-break: lang wins only on strict >
+_argmax_sql = f"'{_langs_sorted[0]}'"
+_best_expr = _marker_count_sql(T.LANG_MARKERS[_langs_sorted[0]])
+for _lang in _langs_sorted[1:]:
+    _score = _marker_count_sql(T.LANG_MARKERS[_lang])
+    _argmax_sql = f"CASE WHEN {_score} > {_best_expr} THEN '{_lang}' ELSE {_argmax_sql} END"
+    _best_expr = f"greatest({_score}, {_best_expr})"
+
+
+@REGISTRY.add(
+    "d02_lang_id",
+    f"""
+    SELECT doc_id, lang AS lang_declared,
+           {_lang_score_cols},
+           {_argmax_sql} AS lang_pred
+    FROM documents
+    """,
+    "text",
+)
+def d02_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID with deterministic tie-break."""
+    d = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    scores = T.lang_scores(t)
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("lang_declared"),
+        *[scores[lang].alias(f"score_{lang}") for lang in sorted(scores)],
+        T.lang_id(t).alias("lang_pred"),
+    )
+
+
+# ---------------------------------------------------------------------------
+_STOP_LST = ", ".join(f"'{w}'" for w in T.STOPWORDS)
+
+
+@REGISTRY.add(
+    "d03_quality_score",
+    f"""
+    SELECT doc_id,
+           least(1.0, len({_TOKS}) / 100.0) * 0.4
+           + len({_DTOKS}) * 1.0 / len({_TOKS}) * 0.3
+           + least(1.0, ((LENGTH(text) - (len({_TOKS}) - 1)) * 1.0 / len({_TOKS})) / 8.0) * 0.2
+           + least(1.0, len(list_filter({_TOKS}, x -> x IN ({_STOP_LST}))) / 5.0) * 0.1
+               AS quality
+    FROM documents
+    """,
+    "text",
+)
+def d03_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheap deterministic quality heuristic (pre-model filter)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", T.quality_score(F.col("text")).alias("quality"))
+
+
+# ---------------------------------------------------------------------------
+@REGISTRY.add(
+    "d04_fingerprint_dedup",
+    f"""
+    SELECT md5(array_to_string(list_sort({_DTOKS}), ' ')) AS fingerprint,
+           CAST(MIN(doc_id) AS BIGINT) AS canonical_id,
+           CAST(COUNT(*) AS BIGINT) AS n_dups
+    FROM documents
+    GROUP BY 1
+    """,
+    "dedup",
+)
+def d04_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint (sorted-distinct-token) duplicate groups."""
+    d = load(spark, sf_dir, "documents")
+    return dd.fingerprint_dedup_groups(d, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+@REGISTRY.add(
+    "d05_exact_dedup",
+    """
+    SELECT md5(text) AS text_hash,
+           CAST(MIN(doc_id) AS BIGINT) AS canonical_id,
+           CAST(COUNT(*) AS BIGINT) AS n_dups
+    FROM documents GROUP BY 1
+    """,
+    "dedup",
+)
+def d05_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-hash duplicate groups (hash-groupBy, the 100 TB workhorse)."""
+    d = load(spark, sf_dir, "documents")
+    return dd.exact_dedup_groups(d, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+_N_HASHES, _BANDS, _MH_THRESHOLD = 16, 4, 0.9
+_mh_cols = ",\n           ".join(
+    f"min(md5('{i}:' || token)) AS mh{i}" for i in range(_N_HASHES)
+)
+_rpb = _N_HASHES // _BANDS
+_band_selects = "\n        UNION ALL ".join(
+    "SELECT doc_id, {b} AS band_idx, {concat} AS band_val FROM mh".format(
+        b=b, concat="||".join(f"mh{b * _rpb + r}" for r in range(_rpb))
+    )
+    for b in range(_BANDS)
+)
+
+_MINHASH_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, {_DTOKS} AS tokens FROM documents
+    ), tok AS (
+        SELECT doc_id, unnest(tokens) AS token FROM toks
+    ), mh AS (
+        SELECT doc_id, {_mh_cols}
+        FROM tok GROUP BY doc_id
+    ), bands AS (
+        {_band_selects}
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+    )
+    SELECT c.i, c.j,
+           len(list_intersect(ta.tokens, tb.tokens)) * 1.0
+             / (len(ta.tokens) + len(tb.tokens) - len(list_intersect(ta.tokens, tb.tokens)))
+               AS jaccard
+    FROM cand c
+    JOIN toks ta ON ta.doc_id = c.i
+    JOIN toks tb ON tb.doc_id = c.j
+    WHERE len(list_intersect(ta.tokens, tb.tokens)) * 1.0
+            / (len(ta.tokens) + len(tb.tokens) - len(list_intersect(ta.tokens, tb.tokens)))
+          >= {_MH_THRESHOLD}
+"""
+
+
+@REGISTRY.add("d06_minhash_lsh", _MINHASH_ORACLE, "dedup", "lsh")
+def d06_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash({_N_HASHES} perms) + {_BANDS}-band LSH candidates, verified
+    with exact token-set Jaccard ≥ 0.9."""
+    d = load(spark, sf_dir, "documents")
+    return dd.minhash_lsh_pairs(
+        d, "doc_id", "text", n_hashes=_N_HASHES, bands=_BANDS, threshold=_MH_THRESHOLD
+    )
+
+
+# ---------------------------------------------------------------------------
+_SIM_BITS, _SIM_MAXHAM = 16, 2
+_HEXC = "ascii(substring(md5(token), {p}, 1)) - CASE WHEN substring(md5(token), {p}, 1) <= '9' THEN 48 ELSE 87 END"
+_h_expr = "((({c1}) * 16 + ({c2})) * 16 + ({c3})) * 16 + ({c4})".format(
+    c1=_HEXC.format(p=1), c2=_HEXC.format(p=2), c3=_HEXC.format(p=3), c4=_HEXC.format(p=4)
+)
+_vote_cols = ",\n           ".join(
+    f"SUM(((h >> {b}) & 1) * 2 - 1) AS s{b}" for b in range(_SIM_BITS)
+)
+_sim_expr = " + ".join(
+    f"CASE WHEN s{b} >= 0 THEN {1 << b} ELSE 0 END" for b in range(_SIM_BITS)
+)
+
+_SIMHASH_ORACLE = f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_DTOKS}) AS token FROM documents
+    ), hashed AS (
+        SELECT doc_id, CAST({_h_expr} AS BIGINT) AS h FROM tok
+    ), votes AS (
+        SELECT doc_id, {_vote_cols} FROM hashed GROUP BY doc_id
+    ), sig AS (
+        SELECT doc_id, CAST({_sim_expr} AS BIGINT) AS simhash FROM votes
+    )
+    SELECT a.doc_id AS i, b.doc_id AS j,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SIM_MAXHAM}
+"""
+
+
+@REGISTRY.add("d07_simhash_pairs", _SIMHASH_ORACLE, "dedup", "simhash")
+def d07_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash near-duplicate pairs (hamming ≤ 2)."""
+    d = load(spark, sf_dir, "documents")
+    return dd.simhash_pairs(d, "doc_id", "text", bits=_SIM_BITS, max_hamming=_SIM_MAXHAM)
+
+
+# ---------------------------------------------------------------------------
+_NGRAM_N, _NGRAM_T = 3, 0.05
+_SHINGLES = (
+    f"list_distinct(list_transform(range(1, len({_TOKS}) - {_NGRAM_N - 2}), "
+    f"i -> array_to_string(({_TOKS})[i:i+{_NGRAM_N - 1}], ' ')))"
+)
+
+_NGRAM_ORACLE = f"""
+    WITH sh AS (
+        SELECT doc_id, {_SHINGLES} AS shingles FROM documents
+        WHERE len({_TOKS}) >= {_NGRAM_N}
+    ), sizes AS (
+        SELECT doc_id, len(shingles) AS n_sh FROM sh
+    ), ex AS (
+        SELECT doc_id, unnest(shingles) AS shingle FROM sh
+    ), shared AS (
+        SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS n_shared
+        FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT s.i, s.j,
+           s.n_shared * 1.0 / (si.n_sh + sj.n_sh - s.n_shared) AS jaccard
+    FROM shared s
+    JOIN sizes si ON si.doc_id = s.i
+    JOIN sizes sj ON sj.doc_id = s.j
+    WHERE s.n_shared * 1.0 / (si.n_sh + sj.n_sh - s.n_shared) >= {_NGRAM_T}
+"""
+
+
+@REGISTRY.add("d08_ngram_jaccard", _NGRAM_ORACLE, "dedup", "ngram")
+def d08_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-word-shingle Jaccard pairs via the inverted shingle index."""
+    d = load(spark, sf_dir, "documents")
+    return dd.ngram_jaccard_pairs(d, "doc_id", "text", n=_NGRAM_N, threshold=_NGRAM_T)
+
+
+# ---------------------------------------------------------------------------
+_COS_T = 0.4
+_DOT = "list_sum(list_transform(list_zip({a}, {b}), x -> x[1]*x[2]))"
+_E_CTE = (
+    "SELECT vec_id, embedding::DOUBLE[] AS v, "
+    f"sqrt({_DOT.format(a='embedding::DOUBLE[]', b='embedding::DOUBLE[]')}) AS norm "
+    "FROM embeddings"
+)
+
+_COS_PAIRS_ORACLE = f"""
+    WITH e AS ({_E_CTE})
+    SELECT a.vec_id AS i, b.vec_id AS j,
+           {_DOT.format(a='a.v', b='b.v')} / (a.norm * b.norm) AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE {_DOT.format(a='a.v', b='b.v')} / (a.norm * b.norm) >= {_COS_T}
+"""
+
+
+@REGISTRY.add("d09_embedding_near_dups", _COS_PAIRS_ORACLE, "dedup", "embedding")
+def d09_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine ≥ 0.4).
+
+    Dot products are double left-folds — bit-identical across engines, so
+    the threshold cut is exact."""
+    e = load(spark, sf_dir, "embeddings")
+    return sim.cosine_pairs(e, "vec_id", "embedding", threshold=_COS_T)
+
+
+# ---------------------------------------------------------------------------
+_ANN_K = 5
+_ANN_ORACLE = f"""
+    WITH e AS ({_E_CTE}),
+    pairs AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               {_DOT.format(a='a.v', b='b.v')} / (a.norm * b.norm) AS cosine
+        FROM e a JOIN e b ON a.vec_id <> b.vec_id
+    ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        FROM pairs
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine
+    FROM ranked WHERE rank <= {_ANN_K}
+"""
+
+
+@REGISTRY.add("d10_ann_topk", _ANN_ORACLE, "similarity", "ann")
+def d10_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors per vector (brute-force baseline)."""
+    e = load(spark, sf_dir, "embeddings")
+    return sim.ann_topk_bruteforce(e, "vec_id", "embedding", k=_ANN_K)
+
+
+# ---------------------------------------------------------------------------
+_LSH_K, _LSH_PLANES = 3, 8
+_bucket_sql = " + ".join(
+    f"CASE WHEN v[{d + 1}] >= 0 THEN {1 << d} ELSE 0 END" for d in range(_LSH_PLANES)
+)
+_ANN_LSH_ORACLE = f"""
+    WITH e AS (
+        SELECT vec_id, v, norm, CAST({_bucket_sql} AS BIGINT) AS bucket
+        FROM ({_E_CTE})
+    ), pairs AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, a.bucket,
+               {_DOT.format(a='a.v', b='b.v')} / (a.norm * b.norm) AS cosine
+        FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        FROM pairs
+    )
+    SELECT query_id, neighbor_id, bucket, CAST(rank AS BIGINT) AS rank, cosine
+    FROM ranked WHERE rank <= {_LSH_K}
+"""
+
+
+@REGISTRY.add("d11_ann_lsh", _ANN_LSH_ORACLE, "similarity", "ann", "lsh")
+def d11_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed ANN (the scale path: bucket hash-join, no n²)."""
+    e = load(spark, sf_dir, "embeddings")
+    return sim.ann_topk_lsh(e, "vec_id", "embedding", k=_LSH_K, n_planes=_LSH_PLANES)

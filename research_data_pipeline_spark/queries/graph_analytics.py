@@ -1,0 +1,131 @@
+"""Graph query surface (SURVEY §2.8) expressed over the TPC-H tables.
+
+The reference's Cypher queries are all ≤2-hop pattern matches
+(/root/reference/README.md:290-333); each compiles to joins over
+vertex/edge DataFrames. Here the same shapes run on the test star schema
+(suppliers/orders/customers as the property graph).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..graph.build import co_occurrence_edges, vertices_from
+from ..registry import REGISTRY
+from ..tables import load
+
+
+@REGISTRY.add(
+    "g01_label_counts",
+    """
+    SELECT label, CAST(cnt AS BIGINT) AS cnt FROM (
+        SELECT 'customer' AS label, COUNT(*) AS cnt FROM customer
+        UNION ALL SELECT 'supplier', COUNT(*) FROM supplier
+        UNION ALL SELECT 'part', COUNT(*) FROM part
+        UNION ALL SELECT 'nation', COUNT(*) FROM nation
+    )
+    """,
+    "graph",
+)
+def g01_label_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Node count by label (SURVEY G1; research_pipeline_dag.py:265-275)."""
+    v = vertices_from(
+        {
+            "customer": (load(spark, sf_dir, "customer"), "c_custkey"),
+            "supplier": (load(spark, sf_dir, "supplier"), "s_suppkey"),
+            "part": (load(spark, sf_dir, "part"), "p_partkey"),
+            "nation": (load(spark, sf_dir, "nation"), "n_nationkey"),
+        }
+    )
+    return v.groupBy("label").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@REGISTRY.add(
+    "g02_ego_cosuppliers",
+    """
+    SELECT a.l_suppkey AS src, b.l_suppkey AS dst,
+           CAST(COUNT(DISTINCT a.l_orderkey) AS BIGINT) AS n_shared_orders
+    FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) a
+    JOIN (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) b
+      ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+    WHERE a.l_suppkey = 1 OR b.l_suppkey = 1
+    GROUP BY a.l_suppkey, b.l_suppkey
+    """,
+    "graph",
+)
+def g02_ego_cosuppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hop undirected ego network (SURVEY G3; README.md:296-311).
+
+    Filter-before-aggregate: the ego predicate prunes the co-occurrence
+    join output before the edge-weight aggregation.
+    """
+    l = load(spark, sf_dir, "lineitem")
+    pairs = l.select("l_orderkey", "l_suppkey").distinct()
+    a, b = pairs.alias("a"), pairs.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") != F.col("b.l_suppkey")),
+        )
+        .where((F.col("a.l_suppkey") == 1) | (F.col("b.l_suppkey") == 1))
+        .groupBy(F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst"))
+        .agg(F.countDistinct("a.l_orderkey").alias("n_shared_orders"))
+    )
+
+
+@REGISTRY.add(
+    "g03_high_volume_reach",
+    """
+    SELECT s.s_suppkey, s.s_name,
+           CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_customers
+    FROM supplier s
+    JOIN lineitem l ON l.l_suppkey = s.s_suppkey AND l.l_quantity > 45
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY s.s_suppkey, s.s_name
+    """,
+    "graph",
+)
+def g03_high_volume_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge traversal with node+edge predicates (SURVEY G4/G5;
+    README.md:319-333): supplier -[supplies qty>45]-> order -> customer."""
+    s = load(spark, sf_dir, "supplier")
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    return (
+        l.where(F.col("l_quantity") > 45)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.countDistinct("o_custkey").alias("n_customers"))
+    )
+
+
+@REGISTRY.add(
+    "g04_edge_counts",
+    """
+    SELECT rel, CAST(cnt AS BIGINT) AS cnt FROM (
+        SELECT 'PLACED' AS rel, COUNT(*) AS cnt FROM orders
+        UNION ALL
+        SELECT 'SUPPLIES', COUNT(*) FROM (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem)
+    )
+    """,
+    "graph",
+)
+def g04_edge_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge count by relationship type (SURVEY G2;
+    research_pipeline_dag.py:277-282)."""
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem")
+    placed = o.select(F.lit("PLACED").alias("rel")).groupBy("rel").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    supplies = (
+        l.select("l_suppkey", "l_partkey")
+        .distinct()
+        .select(F.lit("SUPPLIES").alias("rel"))
+        .groupBy("rel")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return placed.unionByName(supplies)

@@ -1,0 +1,684 @@
+"""Relational operator suite over the TPC-H-ish test tables.
+
+Each query exercises one (or a cluster of) operators from SURVEY.md §2 —
+the capability inventory of the reference pipeline — re-expressed as
+declarative Spark plans so Catalyst handles pushdown/pruning/join
+selection. Reference citations in each docstring point at the behavior
+being reproduced (file:line in /root/reference).
+
+Scale notes are inline: every query here is a shape that survives a
+1000-executor 100 TB run — broadcast for dims, partial aggregation before
+shuffle, no driver-side loops (the single driver-side ``count()`` used for
+computed-k top-k is a scalar, reference W3 semantics require it).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..registry import REGISTRY
+from ..tables import epoch_us, load
+
+D = "decimal(12,4)"  # exact for 2-decimal money/qty data, product-safe ≤38 digits
+
+
+def _dec(c) -> F.Column:
+    c = F.col(c) if isinstance(c, str) else c
+    return c.cast(D)
+
+
+# ---------------------------------------------------------------------------
+# A1/A2/A3 group aggregations — reference final_tables.py:125-158, README Q3
+# ---------------------------------------------------------------------------
+@REGISTRY.add(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+                    * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))) AS DOUBLE)
+               AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+                    * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))
+                    * (CAST(1 AS DECIMAL(12,4)) + CAST(l_tax AS DECIMAL(12,4)))) AS DOUBLE)
+               AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    "agg",
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped multi-aggregate scan (SURVEY A1-A3; final_tables.py:153-154).
+
+    Scale: partial aggregation map-side, 2-key groupBy → tiny shuffle;
+    decimal sums are associative so results are retry-stable.
+    """
+    l = load(spark, sf_dir, "lineitem")
+    one = F.lit(1).cast(D)
+    disc_price = _dec("l_extendedprice") * (one - _dec("l_discount"))
+    return (
+        l.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(disc_price * (one + _dec("l_tax"))).cast("double").alias("sum_charge"),
+            (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(_dec("l_extendedprice")).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J3 multi-way join chain — reference README.md:204-206,238-239 (DWH Q2-Q4)
+# ---------------------------------------------------------------------------
+@REGISTRY.add(
+    "q02_revenue_by_nation",
+    """
+    SELECT n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,4))
+                    * (CAST(1 AS DECIMAL(12,4)) - CAST(l.l_discount AS DECIMAL(12,4)))) AS DOUBLE)
+               AS revenue,
+           CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY n.n_name
+    """,
+    "join",
+)
+def q02_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3+-way inner join chain (SURVEY J3) with dimension broadcast.
+
+    Scale: nation/region/customer are dims → broadcast (no shuffle of the
+    fact); the only shuffle is the final 1-key aggregation. countDistinct
+    forces an expand, kept after the joins where rows are already pruned.
+    """
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    one = F.lit(1).cast(D)
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(_dec("l_extendedprice") * (one - _dec("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6 mode()-with-tiebreak — reference README.md:199,208 (Postgres mode())
+# ---------------------------------------------------------------------------
+@REGISTRY.add(
+    "q03_mode_priority",
+    """
+    WITH counted AS (
+        SELECT o_custkey, o_orderpriority, COUNT(*) AS cnt
+        FROM orders GROUP BY o_custkey, o_orderpriority
+    ), ranked AS (
+        SELECT o_custkey, o_orderpriority, cnt,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY cnt DESC, o_orderpriority ASC) AS rn
+        FROM counted
+    )
+    SELECT o_custkey, o_orderpriority AS mode_priority, CAST(cnt AS BIGINT) AS n_orders
+    FROM ranked WHERE rn = 1
+    """,
+    "agg",
+    "window",
+)
+def q03_mode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group mode with deterministic tie-break (SURVEY A6).
+
+    Postgres ``mode() WITHIN GROUP (ORDER BY x)`` breaks count-ties by the
+    ORDER BY (README.md:199); Spark has no mode-with-tiebreak builtin, so
+    this is the canonical rewrite: count per (group, value) then
+    row_number over (count DESC, value ASC).
+    """
+    o = load(spark, sf_dir, "orders")
+    counted = o.groupBy("o_custkey", "o_orderpriority").agg(F.count(F.lit(1)).alias("cnt"))
+    w = W.partitionBy("o_custkey").orderBy(F.col("cnt").desc(), F.col("o_orderpriority").asc())
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("cnt").alias("n_orders"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J4/W5 greatest-per-group keeping ties — reference README.md:209-220
+# ---------------------------------------------------------------------------
+@REGISTRY.add(
+    "q04_top_order_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rk
+        FROM orders
+    ) WHERE rk = 1
+    """,
+    "window",
+)
+def q04_top_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greatest-per-group via rank(), keeping ALL ties (SURVEY J4).
+
+    The reference expresses this as a null-rejecting self LEFT JOIN
+    (README.md:209-220), whose semantics keep every tied row — hence
+    rank()==1 (not row_number) is the faithful window rewrite.
+    """
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc())
+    return (
+        o.withColumn("rk", F.rank().over(w))
+        .where(F.col("rk") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A8 h-index — reference augmentations.py:125-148, final_tables.py:146,158
+# ---------------------------------------------------------------------------
+@REGISTRY.add(
+    "q05_part_hindex",
+    """
+    WITH ranked AS (
+        SELECT l_partkey, l_quantity,
+               ROW_NUMBER() OVER (PARTITION BY l_partkey
+                                  ORDER BY l_quantity DESC, l_orderkey, l_linenumber) AS rn
+        FROM lineitem
+    )
+    SELECT l_partkey,
+           CAST(COALESCE(MAX(CASE WHEN l_quantity >= rn THEN rn END), 0) AS BIGINT) AS hindex
+    FROM ranked GROUP BY l_partkey
+    """,
+    "window",
+    "custom-agg",
+)
+def q05_part_hindex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """h-index as a pure window+agg plan (SURVEY A8).
+
+    The reference computes an author's h-index with a per-author Python
+    binary search over sorted citation counts (augmentations.py:125-148)
+    inside an O(authors × authorship) driver loop (final_tables.py:143-158).
+    Spark-first: row_number over quantity DESC within the group, then
+    h = max(rn where metric ≥ rn) — one shuffle, no UDF, works unchanged
+    on 10^9 groups. Here: per-part h-index over line quantities.
+    """
+    from ..operators.hindex import hindex
+
+    l = load(spark, sf_dir, "lineitem")
+    return hindex(
+        l,
+        group_cols=["l_partkey"],
+        metric=F.col("l_quantity"),
+        tiebreak=[F.col("l_orderkey"), F.col("l_linenumber")],
+    ).select("l_partkey", "hindex")
+
+
+# ---------------------------------------------------------------------------
+# A9 pandas int-truncated average rank — reference final_tables.py:161-164
+# ---------------------------------------------------------------------------
+@REGISTRY.add(
+    "q06_customer_order_rank",
+    """
+    WITH counts AS (
+        SELECT o_custkey, COUNT(*) AS total_orders FROM orders GROUP BY o_custkey
+    ), ranked AS (
+        SELECT o_custkey, total_orders,
+               RANK() OVER (ORDER BY total_orders DESC) AS min_rank,
+               COUNT(*) OVER (PARTITION BY total_orders) AS ties
+        FROM counts
+    )
+    SELECT o_custkey, CAST(total_orders AS BIGINT) AS total_orders,
+           CAST(FLOOR((2 * min_rank + ties - 1) / 2.0) AS BIGINT) AS rank_pandas
+    FROM ranked
+    """,
+    "window",
+    "parity",
+)
+def q06_customer_order_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas ``rank(ascending=False).astype(int)`` parity (SURVEY A9).
+
+    pandas assigns ties the *average* rank then the reference truncates to
+    int (final_tables.py:161-164): avg = min_rank + (ties-1)/2, truncated
+    → floor((2·min_rank + ties − 1)/2). Spark's rank()/dense_rank() alone
+    can't reproduce this; combining rank() with a tie-count window does.
+    """
+    from ..operators.ranks import pandas_int_rank
+
+    o = load(spark, sf_dir, "orders")
+    counts = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("total_orders"))
+    return pandas_int_rank(counts, metric="total_orders", out_col="rank_pandas").select(
+        "o_custkey", "total_orders", "rank_pandas"
+    )
+
+
+# ---------------------------------------------------------------------------
+# P6/P7 semi/anti joins — reference final_tables.py:100,116 / raw_to_tables.py:180-187
+# ---------------------------------------------------------------------------
+@REGISTRY.add(
+    "q07_semi_anti_customers",
+    """
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+      AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+    """,
+    "join",
+)
+def q07_semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery → left_semi, NOT-IN → left_anti (SURVEY P6/P7).
+
+    The reference's ``isin(other_df[col])`` consistency filters
+    (final_tables.py:100,116) and NaN-author exclusions
+    (raw_to_tables.py:180-187) are exactly semi/anti joins — hash-join
+    shapes that scale, unlike a broadcast ``isin`` literal list.
+    """
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    open_keys = o.where(F.col("o_orderstatus") == "O").select("o_custkey")
+    f_keys = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    return (
+        c.join(open_keys, c.c_custkey == open_keys.o_custkey, "left_semi")
+        .join(f_keys, c.c_custkey == f_keys.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J6 + A5 self-join two-hop distinct — reference final_tables.py:148-150
+# ---------------------------------------------------------------------------
+@REGISTRY.add(
+    "q08_cosupplier_count",
+    """
+    SELECT a.l_suppkey AS s_suppkey,
+           CAST(COUNT(DISTINCT b.l_suppkey) AS BIGINT) AS n_cosuppliers
+    FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) a
+    JOIN (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) b
+      ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+    GROUP BY a.l_suppkey
+    """,
+    "join",
+    "graph",
+)
+def q08_cosupplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-hop distinct count via fact self-join (SURVEY J6 + A5).
+
+    Mirrors the reference's unique-coauthor stat (final_tables.py:148-150:
+    authors on my articles, minus me). Dedup *before* the self-join keeps
+    the join input minimal — at scale this is the difference between
+    joining |edges| and joining |edges|·multiplicity rows.
+    """
+    l = load(spark, sf_dir, "lineitem")
+    pairs = l.select("l_orderkey", "l_suppkey").distinct()
+    a = pairs.alias("a")
+    b = pairs.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") != F.col("b.l_suppkey")),
+        )
+        .groupBy(F.col("a.l_suppkey").alias("s_suppkey"))
+        .agg(F.countDistinct(F.col("b.l_suppkey")).alias("n_cosuppliers"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# E3/F6 split + explode — reference raw_to_tables.py:94,132
+# ---------------------------------------------------------------------------
+@REGISTRY.add(
+    "q09_part_name_tokens",
+    """
+    SELECT t.word AS word, CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(12,4))) AS DOUBLE) AS total_price
+    FROM part, UNNEST(string_split(p_name, ' ')) AS t(word)
+    GROUP BY t.word
+    """,
+    "explode",
+)
+def q09_part_name_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split + explode + re-aggregate (SURVEY E3/F6; raw_to_tables.py:132).
+
+    Same shape as the reference's space-delimited ``categories`` →
+    article_category fan-out.
+    """
+    p = load(spark, sf_dir, "part")
+    return (
+        p.select(F.explode(F.split(F.col("p_name"), " ")).alias("word"), "p_retailprice")
+        .groupBy("word")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum(_dec("p_retailprice")).cast("double").alias("total_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# W1/W2 running aggregate window — SURVEY §2.5 extension surface
+# ---------------------------------------------------------------------------
+@REGISTRY.add(
+    "q10_running_revenue",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS running_spend
+    FROM orders
+    """,
+    "window",
+)
+def q10_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-customer spend (frame-spec window, SURVEY W6 extension).
+
+    Decimal accumulation keeps the prefix sums exact → deterministic
+    across partitionings.
+    """
+    o = load(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(_dec("o_totalprice")).over(w).cast("double").alias("running_spend"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W3 computed-k top-k — reference README.md:188 (LIMIT 0.01% of COUNT(*))
+# ---------------------------------------------------------------------------
+@REGISTRY.add(
+    "q11_top_pct_customers",
+    """
+    WITH k AS (SELECT CAST(FLOOR(COUNT(*) * 0.005) AS BIGINT) AS k FROM customer),
+    ranked AS (
+        SELECT c_custkey, c_name, c_acctbal,
+               ROW_NUMBER() OVER (ORDER BY c_acctbal DESC, c_custkey) AS rn
+        FROM customer
+    )
+    SELECT c_custkey, c_name, c_acctbal FROM ranked, k WHERE rn <= k.k
+    """,
+    "topk",
+)
+def q11_top_pct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k with *computed* k (SURVEY W3; README.md:188).
+
+    Every reference DWH query limits to the top 0.01% of a driver-computed
+    COUNT(*). Spark's LIMIT needs a literal → two-phase: scalar count on
+    the driver, then orderBy + limit, which Spark executes as a
+    TakeOrderedAndProject (no global sort materialization).
+    """
+    c = load(spark, sf_dir, "customer")
+    k = int(c.count() * 0.005)
+    return (
+        c.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+        .limit(k)
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+
+
+# ---------------------------------------------------------------------------
+# F2-F13 scalar string functions — reference raw_to_tables.py:97-113
+# ---------------------------------------------------------------------------
+@REGISTRY.add(
+    "q12_string_normalize",
+    """
+    SELECT c_custkey,
+           TRIM(REGEXP_REPLACE(LOWER(c_name), '[^a-z0-9]', '', 'g')) AS norm_name,
+           SUBSTRING(c_mktsegment, 1, 1) AS seg_initial,
+           CONCAT(TRIM(REGEXP_REPLACE(LOWER(c_name), '[^a-z0-9]', '', 'g')),
+                  SUBSTRING(c_mktsegment, 1, 1)) AS derived_id,
+           STRING_SPLIT(c_name, '#')[1] AS name_prefix,
+           CAST(LENGTH(c_name) AS BIGINT) AS name_len
+    FROM customer
+    WHERE LENGTH(c_name) > 10
+    """,
+    "scalar",
+)
+def q12_string_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string pipeline (SURVEY F2-F9, P4).
+
+    Mirrors the reference's author_id construction: strip punctuation,
+    lower, first-initial concat (raw_to_tables.py:104-113) and the
+    title-length filter (raw_to_tables.py:66). All JVM-side builtins —
+    whole-stage-codegen keeps this in one pass over the scan.
+    """
+    c = load(spark, sf_dir, "customer")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("c_name")), "[^a-z0-9]", ""))
+    return (
+        c.where(F.length("c_name") > 10)
+        .select(
+            "c_custkey",
+            norm.alias("norm_name"),
+            F.substring("c_mktsegment", 1, 1).alias("seg_initial"),
+            F.concat(norm, F.substring("c_mktsegment", 1, 1)).alias("derived_id"),
+            F.split(F.col("c_name"), "#").getItem(0).alias("name_prefix"),
+            F.length("c_name").cast("bigint").alias("name_len"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# E1 deterministic dedup — reference raw_to_tables.py:58 (keep='first')
+# ---------------------------------------------------------------------------
+@REGISTRY.add(
+    "q13_first_order_per_customer",
+    """
+    SELECT o_custkey, o_orderkey AS first_orderkey,
+           epoch_us(o_orderdate) AS first_orderdate_us, o_totalprice AS first_totalprice
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey) AS rn
+        FROM orders
+    ) WHERE rn = 1
+    """,
+    "dedup",
+)
+def q13_first_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic keep-first dedup (SURVEY E1).
+
+    pandas ``drop_duplicates(keep='first')`` (raw_to_tables.py:58) depends
+    on row order, which Spark does not guarantee — the scalable equivalent
+    pins an explicit order with row_number. ``deterministic_dedup`` is the
+    library operator.
+    """
+    from ..operators.dedup_relational import deterministic_dedup
+
+    o = load(spark, sf_dir, "orders")
+    return deterministic_dedup(
+        o, keys=["o_custkey"], order_by=[F.col("o_orderdate"), F.col("o_orderkey")]
+    ).select(
+        "o_custkey",
+        F.col("o_orderkey").alias("first_orderkey"),
+        epoch_us("o_orderdate").alias("first_orderdate_us"),
+        F.col("o_totalprice").alias("first_totalprice"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# E5 set operations — SURVEY §2.6 extension surface
+# ---------------------------------------------------------------------------
+@REGISTRY.add(
+    "q14_set_ops",
+    """
+    SELECT c_custkey FROM (
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        UNION
+        SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+    )
+    INTERSECT
+    SELECT o_custkey FROM orders
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    "setop",
+)
+def q14_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT (SURVEY E5)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    building = c.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    rich = c.where(F.col("c_acctbal") > 5000).select("c_custkey")
+    with_orders = o.select(F.col("o_custkey").alias("c_custkey"))
+    f_orders = o.where(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return building.union(rich).distinct().intersect(with_orders).exceptAll(f_orders).distinct()
+
+
+# ---------------------------------------------------------------------------
+# A11 rollup — SURVEY §2.4 extension surface
+# ---------------------------------------------------------------------------
+@REGISTRY.add(
+    "q15_rollup_revenue",
+    """
+    SELECT r.r_name, n.n_name,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,4))) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+    "agg",
+)
+def q15_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup totals (SURVEY A11)."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# G7 co-occurrence edges with multiplicity — reference research_pipeline_dag.py:353-357
+# ---------------------------------------------------------------------------
+@REGISTRY.add(
+    "q16_cosupplier_edges",
+    """
+    SELECT a.l_suppkey AS src, b.l_suppkey AS dst,
+           CAST(COUNT(DISTINCT a.l_orderkey) AS BIGINT) AS n_shared_orders
+    FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) a
+    JOIN (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) b
+      ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+    GROUP BY a.l_suppkey, b.l_suppkey
+    """,
+    "graph",
+)
+def q16_cosupplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-occurrence edge derivation, both directions (SURVEY J6/G7).
+
+    The reference's COAUTHORS Cypher CREATE emits both directions and one
+    edge per shared article (research_pipeline_dag.py:353-357); here the
+    multiplicity is carried as an explicit weight column — the scalable
+    representation of a multi-edge.
+    """
+    from ..graph.build import co_occurrence_edges
+
+    l = load(spark, sf_dir, "lineitem")
+    return co_occurrence_edges(l, item_col="l_orderkey", actor_col="l_suppkey").select(
+        "src", "dst", "n_shared_orders"
+    )
+
+
+# ---------------------------------------------------------------------------
+# A4 exact median / percentiles — reference final_tables.py:155 (np.median)
+# ---------------------------------------------------------------------------
+@REGISTRY.add(
+    "q17_segment_price_stats",
+    """
+    SELECT c.c_mktsegment,
+           MEDIAN(o.o_totalprice) AS median_price,
+           MIN(o.o_totalprice) AS min_price,
+           MAX(o.o_totalprice) AS max_price,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    "agg",
+)
+def q17_segment_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact group median (SURVEY A4; np.median at final_tables.py:155).
+
+    ``median`` is exact (interpolating) in both engines; at 100 TB one
+    would switch to ``percentile_approx`` — exposed by the same operator
+    with approx=True — but reference parity needs the exact statistic.
+    """
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.median("o_totalprice").alias("median_price"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot — SURVEY §2.6 reshaping extension
+# ---------------------------------------------------------------------------
+@REGISTRY.add(
+    "q18_user_event_pivot",
+    """
+    SELECT user_id,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view
+    FROM events GROUP BY user_id
+    """,
+    "reshape",
+)
+def q18_user_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with pinned value list (deterministic columns at any scale)."""
+    e = load(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    piv = e.groupBy("user_id").pivot("event_type", types).count()
+    return piv.select(
+        "user_id", *[F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(t) for t in types]
+    )

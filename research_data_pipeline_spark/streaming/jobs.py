@@ -1,0 +1,109 @@
+"""Structured Streaming forms of the engine's event-time operators.
+
+The reference is yearly batch only (research_pipeline_dag.py:406-407);
+streaming is the engine's extension surface (SURVEY §2.9). Batch and
+streaming variants share the same aggregation logic so they provably
+agree — e02 in queries/events.py checks the streaming result against the
+same DuckDB oracle as the batch query.
+
+Local tests drive file sources synchronously with
+``processAllAvailable()``; on a cluster the same plans run against Kafka
+with watermark-bounded state.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+D = "decimal(12,4)"
+
+
+def tumbling_agg(df: DataFrame, window: str = "5 minutes") -> DataFrame:
+    """Shared batch/streaming tumbling aggregation (exact decimal sums)."""
+    return (
+        df.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(D)).cast("double").alias("total_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def watermarked_tumbling_agg(df: DataFrame, window: str = "5 minutes", late: str = "10 minutes") -> DataFrame:
+    """Streaming variant with bounded state: late rows beyond the
+    watermark are dropped, windows finalize and leave state."""
+    return tumbling_agg(df.withWatermark("ts", late), window)
+
+
+def run_tumbling_stream_to_batch(spark: SparkSession, events_path: str) -> DataFrame:
+    """Run the tumbling aggregation as a real streaming query over the
+    parquet file and return the drained result as a batch DataFrame.
+
+    Complete output mode → the in-memory table holds every window once the
+    source is exhausted, making the result comparable to the batch oracle.
+    """
+    from ..session import apply_runtime_confs
+    from ..tables import normalize_nanos
+
+    apply_runtime_confs(spark)
+    schema = spark.read.parquet(events_path).schema
+    # the streaming file source requires a directory; stage the single
+    # parquet file into one (a real deployment points at a landing dir)
+    src_dir = tempfile.mkdtemp(prefix="rdp_stream_src_")
+    staged = os.path.join(src_dir, os.path.basename(events_path))
+    try:
+        os.symlink(events_path, staged)
+    except OSError:
+        shutil.copyfile(events_path, staged)
+    stream = normalize_nanos(spark.readStream.schema(schema).parquet(src_dir))
+    name = f"tumbling_{uuid.uuid4().hex[:8]}"
+    q = (
+        tumbling_agg(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="rdp_stream_ckpt_"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # materialize before stopping the query (memory sink is session-scoped)
+        out = spark.table(name).cache()
+        out.count()
+    finally:
+        q.stop()
+    return out
+
+
+def streaming_dedup(df: DataFrame, keys: list[str], late: str = "10 minutes") -> DataFrame:
+    """Stateful exact dedup on a stream: watermark bounds the dedup state
+    (reference's ON CONFLICT DO NOTHING idempotency, streaming form)."""
+    return df.withWatermark("ts", late).dropDuplicates(keys)
+
+
+def sliding_agg(df: DataFrame, window: str = "10 minutes", slide: str = "5 minutes",
+                late: str = "10 minutes") -> DataFrame:
+    """Sliding-window counts (streaming or batch input)."""
+    src = df.withWatermark("ts", late) if df.isStreaming else df
+    return (
+        src.groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            F.unix_micros(F.col("w.end")).alias("window_end_us"),
+            "event_type",
+            "n_events",
+        )
+    )

@@ -1,0 +1,51 @@
+"""Test-data table access (see TESTDATA.md).
+
+All ``queries()`` callables load through here so the session is aligned
+(UTC, AQE) regardless of who constructed it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .session import apply_runtime_confs
+
+TPCH_TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return normalize_nanos(df)
+
+
+def epoch_us(c) -> F.Column:
+    """Epoch microseconds of a timestamp column, NTZ-tolerant.
+
+    Parquet TIMESTAMP(isAdjustedToUTC=false) arrives as TIMESTAMP_NTZ; with
+    the session pinned to UTC the cast is a no-op re-tag, matching DuckDB's
+    naive-as-UTC ``epoch_us``.
+    """
+    c = F.col(c) if isinstance(c, str) else c
+    return F.unix_micros(c.cast("timestamp"))
+
+
+def normalize_nanos(df: DataFrame) -> DataFrame:
+    """Nanosecond parquet timestamps arrive as long (see session.py);
+    truncate to micros — the same conversion DuckDB applies."""
+    for f in df.schema.fields:
+        if f.name == "ts" and f.dataType.simpleString() == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df

@@ -1,0 +1,46 @@
+"""DuckDB-oracle differential harness mirroring the driver's compare:
+row-count + schema (column names) + order-insensitive exact values."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+
+from research_data_pipeline_spark.tables import TPCH_TABLES
+
+
+def duckdb_run(sql: str, sf_dir: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    try:
+        for t in TPCH_TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+            )
+        return con.execute(sql).fetchdf()
+    finally:
+        con.close()
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+def assert_parity(spark_df, oracle_sql: str, sf_dir: str, name: str = "?") -> None:
+    got = spark_df.toPandas()
+    exp = duckdb_run(oracle_sql, sf_dir)
+    assert sorted(got.columns) == sorted(exp.columns), (
+        f"{name}: columns differ: spark={sorted(got.columns)} oracle={sorted(exp.columns)}"
+    )
+    assert len(got) == len(exp), f"{name}: row count {len(got)} != oracle {len(exp)}"
+    g, e = _canon(got), _canon(exp)
+    for col in g.columns:
+        gs, es = g[col], e[col]
+        if pd.api.types.is_datetime64_any_dtype(es) or pd.api.types.is_datetime64_any_dtype(gs):
+            gs = pd.to_datetime(gs).astype("datetime64[us]")
+            es = pd.to_datetime(es).astype("datetime64[us]")
+        pd.testing.assert_series_equal(
+            gs, es, check_dtype=False, check_exact=True, check_names=False,
+            obj=f"{name}.{col}",
+        )
