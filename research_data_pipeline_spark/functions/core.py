@@ -1,0 +1,75 @@
+"""Core scalar functions needing custom code (SURVEY §2.7).
+
+Only ``unaccent`` needs Python (a Pandas UDF — Arrow-batched, not
+row-at-a-time); everything else in the reference's cleaning pipeline maps
+to JVM builtins and lives inline in the transforms.
+"""
+
+from __future__ import annotations
+
+import unicodedata
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+try:  # the reference uses unidecode (raw_to_tables.py:104-105)
+    from unidecode import unidecode as _unidecode
+
+    _HAVE_UNIDECODE = True
+except ImportError:  # stdlib fallback; see divergence note below
+    _HAVE_UNIDECODE = False
+
+
+def _ascii_fold(s: str) -> str:
+    if _HAVE_UNIDECODE:
+        return _unidecode(s)
+    # NFKD + drop combining marks. Divergence from unidecode: characters
+    # with no compatibility decomposition (ø, ß, đ …) are dropped rather
+    # than transliterated. The downstream [^a-zA-Z0-9] strip
+    # (raw_to_tables.py:108-110) removes them in both cases, so author-id
+    # construction agrees except for names consisting solely of such
+    # characters.
+    return unicodedata.normalize("NFKD", s).encode("ascii", "ignore").decode("ascii")
+
+
+@F.pandas_udf(T.StringType())
+def unaccent(s: pd.Series) -> pd.Series:
+    """Unicode→ASCII transliteration (F1; raw_to_tables.py:104-105)."""
+    return s.map(lambda x: _ascii_fold(x) if isinstance(x, str) else x)
+
+
+def strip_non_alnum(c: Column) -> Column:
+    """``str.replace('[^a-zA-Z0-9]','').strip()`` (raw_to_tables.py:108-110)."""
+    return F.trim(F.regexp_replace(c, "[^a-zA-Z0-9]", ""))
+
+
+def strip_punct(c: Column) -> Column:
+    """``str.replace('[,.;-]','')`` (raw_to_tables.py:106)."""
+    return F.regexp_replace(c, "[,.;-]", "")
+
+
+def author_id_expr(last: Column, first: Column) -> Column:
+    """author_id = cleaned last name + first initial
+    (raw_to_tables.py:113).
+
+    pandas ``str[0]`` of an empty string yields NaN, so an empty cleaned
+    first name must produce NULL (not just the last name) — the NaN later
+    drives row removal (raw_to_tables.py:178-181).
+    """
+    return F.when(
+        (F.length(first) > 0) & last.isNotNull(),
+        F.concat(last, F.substring(first, 1, 1)),
+    )
+
+
+def year_from_date_string(c: Column) -> Column:
+    """Split-on-'-' year extraction (F6/F9; raw_to_tables.py:152) —
+    string-split parity rather than date parsing."""
+    return F.split(c, "-").getItem(0).cast("int")
+
+
+def pct_string(c: Column) -> Column:
+    """Postgres ``TO_CHAR(x,'fm99%')`` parity (F11; README.md:198)."""
+    return F.concat(c.cast("int").cast("string"), F.lit("%"))

@@ -1,0 +1,51 @@
+"""Sinks (SURVEY S3, S7, S8, S10).
+
+The reference loads Postgres with row-at-a-time INSERT ... ON CONFLICT DO
+NOTHING (sql_queries.py:98-138, research_pipeline_dag.py:126-140). The
+Spark-native equivalent is dedupe-before-write + bulk ``df.write`` —
+idempotency moves from the database constraint to the plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+
+
+def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, sep: str = ",") -> None:
+    """CSV write for reference parity (S3; raw_to_tables.py:201-206)."""
+    df.write.mode("overwrite").option("header", True).option("sep", sep).csv(path)
+
+
+def write_jdbc_idempotent(
+    df: DataFrame,
+    url: str,
+    table: str,
+    keys: list[str],
+    order_by: list[Column],
+    mode: str = "append",
+    properties: dict | None = None,
+) -> None:
+    """JDBC sink with ON-CONFLICT-DO-NOTHING parity (S7): deterministic
+    dedup on the key set before a bulk write. The write itself is
+    vectorized batches per partition — replacing the reference's ~100k
+    single-row INSERTs with |partitions| round-trip streams.
+    """
+    from ..operators.dedup_relational import deterministic_dedup
+
+    deduped = deterministic_dedup(df, keys=keys, order_by=order_by)
+    deduped.write.jdbc(url=url, table=table, mode=mode, properties=properties or {})
+
+
+def graph_sink(vertices: DataFrame, edges: DataFrame, base_path: str) -> None:
+    """Graph sink (S8): the Neo4j MERGE batching loop
+    (neo4j_queries.py:39-123) becomes two partitioned parquet datasets;
+    MERGE idempotency = dropDuplicates on the id/key columns."""
+    write_parquet(vertices.dropDuplicates(["id", "label"]), f"{base_path}/vertices")
+    write_parquet(edges.dropDuplicates(), f"{base_path}/edges")

@@ -20,6 +20,11 @@ RUNTIME_CONFS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # let AQE re-partition below cached plans too — without this a
+    # .cache() anywhere pins the static shuffle partition count and a
+    # foreign session's 200-partition default drowns small stages in
+    # task overhead
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
     # the events table carries TIMESTAMP(NANOS) parquet, which Spark refuses
     # natively; read as long and truncate to micros in tables.load (matches
     # DuckDB's nanos→micros truncation).
