@@ -4,8 +4,22 @@ The reference stores author ranks computed by pandas
 ``rank(ascending=0).astype(int)`` (/root/reference/dags/scripts/
 final_tables.py:161-164): ties get the *average* rank, then truncation.
 Spark's rank()/dense_rank() cannot reproduce that directly; combining
-rank() (= min rank of the tie group) with a tie-count window gives
-floor(min_rank + (ties-1)/2) exactly.
+min-rank with a tie-count gives floor(min_rank + (ties-1)/2) exactly.
+
+Scale design — two-phase global rank:
+
+A naive ``rank().over(Window.orderBy(...))`` moves EVERY row into one
+partition (WindowExec warns about it), which is a non-starter at fact
+scale. Both ranks here instead:
+
+1. aggregate to one row per distinct metric value (map-side combine,
+   one small shuffle),
+2. run the cumulative window over the *distinct values only* (tiny:
+   bounded by cardinality of the metric, not row count),
+3. hash-join the (value → rank) map back onto the input.
+
+Rank depends only on the metric value, so this is exact, and the single-
+partition stage now touches |distinct values| rows instead of |rows|.
 """
 
 from __future__ import annotations
@@ -13,6 +27,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
+
+
+def _value_ranks(df: DataFrame, metric: str, ascending: bool) -> DataFrame:
+    """One row per distinct metric value with its min rank and tie count."""
+    order = F.col(metric).asc() if ascending else F.col(metric).desc()
+    hist = df.groupBy(metric).agg(F.count(F.lit(1)).alias("_ties"))
+    w_before = W.orderBy(order).rowsBetween(W.unboundedPreceding, -1)
+    return hist.withColumn(
+        "_min_rank", F.coalesce(F.sum("_ties").over(w_before), F.lit(0)) + 1
+    )
 
 
 def pandas_int_rank(
@@ -23,27 +47,24 @@ def pandas_int_rank(
 ) -> DataFrame:
     """pandas average-rank truncated to int, descending by default.
 
-    Note the global window: fine for dimension-sized inputs (the reference
-    ranks 29k authors). For fact-scale ranking switch to a two-phase
-    range-partitioned rank (orderBy + zipWithIndex-equivalent via
-    ``row_number`` inside range partitions) — the reference semantics only
-    ever rank an aggregated (small) table.
+    avg rank of a tie group = min_rank + (ties-1)/2; int() truncates →
+    floor((2·min_rank + ties − 1)/2).
     """
-    order = F.col(metric).asc() if ascending else F.col(metric).desc()
-    w_rank = W.orderBy(order)
-    w_ties = W.partitionBy(metric)
-    return (
-        df.withColumn("_min_rank", F.rank().over(w_rank))
-        .withColumn("_ties", F.count(F.lit(1)).over(w_ties))
-        .withColumn(
-            out_col,
-            F.floor((2 * F.col("_min_rank") + F.col("_ties") - 1) / 2.0).cast("bigint"),
-        )
-        .drop("_min_rank", "_ties")
+    ranks = _value_ranks(df, metric, ascending).select(
+        metric,
+        F.floor((2 * F.col("_min_rank") + F.col("_ties") - 1) / 2.0)
+        .cast("bigint")
+        .alias(out_col),
     )
+    return df.join(ranks, on=metric)
 
 
-def spark_rank(df: DataFrame, metric: str, out_col: str = "rank", ascending: bool = False) -> DataFrame:
-    """Plain SQL rank() (ties share min rank) — the idiomatic non-parity rank."""
-    order = F.col(metric).asc() if ascending else F.col(metric).desc()
-    return df.withColumn(out_col, F.rank().over(W.orderBy(order)).cast("bigint"))
+def spark_rank(
+    df: DataFrame, metric: str, out_col: str = "rank", ascending: bool = False
+) -> DataFrame:
+    """Plain SQL rank() (ties share min rank) — the idiomatic rank, same
+    two-phase plan."""
+    ranks = _value_ranks(df, metric, ascending).select(
+        metric, F.col("_min_rank").cast("bigint").alias(out_col)
+    )
+    return df.join(ranks, on=metric)

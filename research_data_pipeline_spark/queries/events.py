@@ -120,3 +120,127 @@ def e03_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).select("user_id", F.col("session_id").cast("bigint").alias("session_id"),
              "session_start_us", "n_events", "duration_s")
+
+
+# ---------------------------------------------------------------------------
+# Sliding windows — SURVEY §2.9 extension (streaming/jobs.py:sliding_agg)
+# ---------------------------------------------------------------------------
+@REGISTRY.add(
+    "e04_sliding_counts",
+    """
+    WITH buckets AS (
+        SELECT event_type,
+               unnest([time_bucket(INTERVAL '5 minutes', ts),
+                       time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes'])
+                   AS w_start
+        FROM events
+    )
+    SELECT epoch_us(w_start) AS window_start_us,
+           epoch_us(w_start + INTERVAL '10 minutes') AS window_end_us,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM buckets GROUP BY w_start, event_type
+    """,
+    "events",
+    "window-agg",
+)
+def e04_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute windows sliding by 5 (each event lands in exactly two
+    windows). Same ``sliding_agg`` runs unchanged on a stream with a
+    watermark bounding state."""
+    from ..streaming.jobs import sliding_agg
+
+    return sliding_agg(load(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# JSON property extraction — engine extension (events.props is JSON text)
+# ---------------------------------------------------------------------------
+@REGISTRY.add(
+    "e05_json_props",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+    FROM events GROUP BY event_type
+    """,
+    "events",
+    "json",
+)
+def e05_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON column extraction + aggregation.
+
+    ``get_json_object`` stays JVM-side; at scale, promote hot JSON fields
+    to typed columns at ingest (``from_json`` with an explicit schema)."""
+    e = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouped-map Pandas UDF — SURVEY §2.9 UDF surface (iterative per-group fold)
+# ---------------------------------------------------------------------------
+@REGISTRY.add(
+    "e06_ewma_user_value",
+    """
+    SELECT user_id,
+           list_reduce(list(value ORDER BY ts, event_id),
+                       (acc, x) -> 0.7 * acc + 0.3 * x) AS ewma,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY user_id
+    """,
+    "events",
+    "pandas-udf",
+)
+def e06_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA via ``applyInPandas`` (SURVEY §2.9 UDF surface).
+
+    An order-dependent left fold SQL aggregates can't express — the shape
+    used for per-entity iterative state (the reference's per-author Python
+    loops, final_tables.py:143-158, done right: one shuffle, Arrow
+    batches, no driver loop). Left-fold in float64 matches DuckDB's
+    list_reduce bit-exactly.
+    """
+    import pandas as pd
+
+    e = load(spark, sf_dir, "events")
+
+    def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        vals = pdf["value"].to_numpy()
+        acc = float(vals[0])
+        for x in vals[1:]:
+            acc = 0.7 * acc + 0.3 * float(x)
+        return pd.DataFrame(
+            {"user_id": [pdf["user_id"].iloc[0]], "ewma": [acc], "n_events": [len(vals)]}
+        )
+
+    return (
+        e.select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandas(ewma, schema="user_id bigint, ewma double, n_events bigint")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming stateful dedup — streaming/jobs.py:streaming_dedup
+# ---------------------------------------------------------------------------
+@REGISTRY.add(
+    "e07_streaming_dedup",
+    "SELECT DISTINCT event_id FROM events",
+    "events",
+    "streaming",
+    "dedup",
+)
+def e07_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup executed as a streaming query (dropDuplicates state),
+    drained to a batch result — the ON CONFLICT DO NOTHING idempotency of
+    the reference's sink (sql_queries.py:98-138), streaming form."""
+    from ..streaming.jobs import run_dedup_stream_to_batch
+
+    return run_dedup_stream_to_batch(spark, f"{sf_dir}/events.parquet", keys=["event_id"])

@@ -682,3 +682,280 @@ def q18_user_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return piv.select(
         "user_id", *[F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(t) for t in types]
     )
+
+
+# ---------------------------------------------------------------------------
+# F14 date functions — idiomatic variant of the reference's split-year
+# (raw_to_tables.py:152); full date arithmetic is engine extension surface
+# ---------------------------------------------------------------------------
+@REGISTRY.add(
+    "q19_order_date_parts",
+    """
+    SELECT o_orderkey,
+           CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+           CAST(EXTRACT(QUARTER FROM o_orderdate) AS INT) AS o_quarter,
+           CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS o_month,
+           CAST(EXTRACT(DOW FROM o_orderdate) + 1 AS INT) AS o_dow,
+           epoch_us(date_trunc('month', o_orderdate)) AS month_start_us,
+           CAST(date_diff('day', o_orderdate, TIMESTAMP '1999-01-01 00:00:00') AS INT)
+               AS days_to_1999
+    FROM orders
+    """,
+    "scalar",
+    "date",
+)
+def q19_order_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-part extraction + truncation + day arithmetic (SURVEY F14).
+
+    The reference extracts year by string split (raw_to_tables.py:152);
+    the engine's idiomatic path is typed date functions — all JVM
+    builtins, fused into the scan by whole-stage codegen.
+    """
+    o = load(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).alias("o_year"),
+        F.quarter(d).alias("o_quarter"),
+        F.month(d).alias("o_month"),
+        F.dayofweek(d).alias("o_dow"),
+        epoch_us(F.date_trunc("month", d)).alias("month_start_us"),
+        F.datediff(F.lit("1999-01-01").cast("date"), d.cast("date")).alias("days_to_1999"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F11 formatted percent + conditional aggregation — reference README.md:198
+# ---------------------------------------------------------------------------
+@REGISTRY.add(
+    "q20_urgent_share_by_nation",
+    """
+    SELECT n.n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(*) FILTER (WHERE o.o_orderpriority = '1-URGENT') AS BIGINT)
+               AS n_urgent,
+           printf('%d%%', CAST(FLOOR(
+               COUNT(*) FILTER (WHERE o.o_orderpriority = '1-URGENT') * 100.0 / COUNT(*)
+           ) AS BIGINT)) AS urgent_pct
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    "scalar",
+    "format",
+)
+def q20_urgent_share_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional count + TO_CHAR-style percent formatting (SURVEY F11;
+    README.md:198 ``TO_CHAR(x,'fm99%')``)."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    urgent = F.count(F.when(F.col("o_orderpriority") == "1-URGENT", 1))
+    total = F.count(F.lit(1))
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            total.alias("n_orders"),
+            urgent.alias("n_urgent"),
+            F.format_string(
+                "%d%%", F.floor(urgent * 100.0 / total).cast("bigint")
+            ).alias("urgent_pct"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J5 dual-key lookup with fallback — reference augmentations.py:105-113
+# ---------------------------------------------------------------------------
+@REGISTRY.add(
+    "q21_dualkey_nation_lookup",
+    """
+    WITH print_idx AS (
+        SELECT n_nationkey, n_name FROM nation WHERE n_regionkey < 3
+    )
+    SELECT s.s_suppkey,
+           COALESCE(p.n_name, e.n_name) AS nation_name,
+           CASE WHEN p.n_name IS NOT NULL THEN 'print' ELSE 'electronic' END
+               AS match_source
+    FROM supplier s
+    LEFT JOIN print_idx p ON s.s_nationkey = p.n_nationkey
+    LEFT JOIN nation e ON s.s_nationkey = e.n_nationkey
+    """,
+    "join",
+)
+def q21_dualkey_nation_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-index lookup with fallback index + coalesce (SURVEY J5).
+
+    The reference matches journal ISSNs against a print index first and an
+    electronic index as fallback (augmentations.py:105-113). Two broadcast
+    left joins + COALESCE is the scalable generalization — no driver-side
+    membership dicts.
+    """
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    p = n.where(F.col("n_regionkey") < 3).select(
+        F.col("n_nationkey").alias("p_key"), F.col("n_name").alias("p_name")
+    )
+    e = n.select(F.col("n_nationkey").alias("e_key"), F.col("n_name").alias("e_name"))
+    return (
+        s.join(F.broadcast(p), s.s_nationkey == p.p_key, "left")
+        .join(F.broadcast(e), s.s_nationkey == e.e_key, "left")
+        .select(
+            "s_suppkey",
+            F.coalesce("p_name", "e_name").alias("nation_name"),
+            F.when(F.col("p_name").isNotNull(), "print")
+            .otherwise("electronic")
+            .alias("match_source"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# G6 collect + unwind — reference analytical_queries.ipynb cells 57-59
+# ---------------------------------------------------------------------------
+@REGISTRY.add(
+    "q22_collect_unwind_priorities",
+    """
+    WITH collected AS (
+        SELECT o_custkey,
+               list_sort(list_distinct(list(o_orderpriority))) AS prios
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey,
+           array_to_string(prios, ',') AS priorities,
+           CAST(len(prios) AS BIGINT) AS n_distinct_priorities
+    FROM collected
+    """,
+    "reshape",
+    "graph",
+)
+def q22_collect_unwind_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect → sort → stringify per group (SURVEY G6 collect/UNWIND;
+    analytical_queries.ipynb cells 57-59).
+
+    ``collect_set`` + ``array_sort`` keeps the array deterministic under
+    any partitioning — the invariant that makes collect usable at scale.
+    """
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.array_sort(F.collect_set("o_orderpriority")).alias("prios"))
+        .select(
+            "o_custkey",
+            F.array_join("prios", ",").alias("priorities"),
+            F.size("prios").cast("bigint").alias("n_distinct_priorities"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# E4 posexplode — SURVEY §2.6 (order-preserving explode)
+# ---------------------------------------------------------------------------
+@REGISTRY.add(
+    "q23_part_name_positions",
+    """
+    SELECT p_partkey, CAST(i - 1 AS INT) AS pos,
+           string_split(p_name, ' ')[i] AS word
+    FROM part, UNNEST(generate_series(1, len(string_split(p_name, ' ')))) AS t(i)
+    """,
+    "explode",
+)
+def q23_part_name_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional explode (SURVEY E4) — source order retained as a column,
+    the deterministic replacement for pandas implicit row order."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey", F.posexplode(F.split(F.col("p_name"), " ")).alias("pos", "word")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A11 cube — SURVEY §2.4 extension surface
+# ---------------------------------------------------------------------------
+@REGISTRY.add(
+    "q24_cube_revenue",
+    """
+    SELECT COALESCE(c.c_mktsegment, 'ALL') AS segment,
+           COALESCE(o.o_orderstatus, 'ALL') AS status,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,4))) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY CUBE (c.c_mktsegment, o.o_orderstatus)
+    """,
+    "agg",
+)
+def q24_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full cube over two dimensions (SURVEY A11). Grouping keys are
+    non-null in the data, so COALESCE labels the subtotal rows."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .cube("c_mktsegment", "o_orderstatus")
+        .agg(
+            F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            F.coalesce("c_mktsegment", F.lit("ALL")).alias("segment"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "revenue",
+            "n_orders",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# P3/P8 regex predicate + null inspection — reference raw_to_tables.py:62-63
+# ---------------------------------------------------------------------------
+@REGISTRY.add(
+    "q25_regex_part_filter",
+    """
+    SELECT p_partkey, p_name, p_type
+    FROM part
+    WHERE regexp_matches(p_type, 'BRASS|COPPER')
+      AND NOT regexp_matches(p_name, 'gree.')
+      AND p_name IS NOT NULL
+    """,
+    "filter",
+)
+def q25_regex_part_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex-contains include + exclude predicates (SURVEY P3, P2/P8).
+
+    Mirrors the reference's ``contains('cs.')`` / ``~contains('physics')``
+    pair (raw_to_tables.py:62-63) including the unescaped-dot wildcard
+    semantics ('gree.' matches 'green' + any char). rlike pushes into the
+    scan predicate."""
+    p = load(spark, sf_dir, "part")
+    return (
+        p.where(
+            F.col("p_type").rlike("BRASS|COPPER")
+            & ~F.col("p_name").rlike("gree.")
+            & F.col("p_name").isNotNull()
+        )
+        .select("p_partkey", "p_name", "p_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# W4 ntile buckets — SURVEY §2.5 extension surface
+# ---------------------------------------------------------------------------
+@REGISTRY.add(
+    "q26_acctbal_quartiles",
+    """
+    SELECT c_custkey, c_mktsegment,
+           CAST(NTILE(4) OVER (PARTITION BY c_mktsegment
+                               ORDER BY c_acctbal DESC, c_custkey) AS INT) AS quartile
+    FROM customer
+    """,
+    "window",
+)
+def q26_acctbal_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment ntile quartiles — partitioned window (no global sort),
+    deterministic tie-break on the key."""
+    c = load(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return c.select("c_custkey", "c_mktsegment", F.ntile(4).over(w).alias("quartile"))

@@ -25,6 +25,11 @@ RUNTIME_CONFS = {
     # foreign session's 200-partition default drowns small stages in
     # task overhead
     "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
+    # AQE coalesces batch shuffles, but streaming state-store partitioning
+    # is fixed at query start from this conf (no AQE) — a foreign session's
+    # 200-partition default means 200 state stores on a 32-core box. Size
+    # to local parallelism; a real cluster sets this to ~2-3x total cores.
+    "spark.sql.shuffle.partitions": str(os.cpu_count() or 32),
     # the events table carries TIMESTAMP(NANOS) parquet, which Spark refuses
     # natively; read as long and truncate to micros in tables.load (matches
     # DuckDB's nanos→micros truncation).

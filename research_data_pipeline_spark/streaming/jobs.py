@@ -47,13 +47,10 @@ def watermarked_tumbling_agg(df: DataFrame, window: str = "5 minutes", late: str
     return tumbling_agg(df.withWatermark("ts", late), window)
 
 
-def run_tumbling_stream_to_batch(spark: SparkSession, events_path: str) -> DataFrame:
-    """Run the tumbling aggregation as a real streaming query over the
-    parquet file and return the drained result as a batch DataFrame.
-
-    Complete output mode → the in-memory table holds every window once the
-    source is exhausted, making the result comparable to the batch oracle.
-    """
+def _run_stream_to_batch(spark: SparkSession, events_path: str, transform,
+                         output_mode: str) -> DataFrame:
+    """Run ``transform(stream_df)`` as a real streaming query over the
+    parquet file and return the drained result as a batch DataFrame."""
     from ..session import apply_runtime_confs
     from ..tables import normalize_nanos
 
@@ -68,10 +65,10 @@ def run_tumbling_stream_to_batch(spark: SparkSession, events_path: str) -> DataF
     except OSError:
         shutil.copyfile(events_path, staged)
     stream = normalize_nanos(spark.readStream.schema(schema).parquet(src_dir))
-    name = f"tumbling_{uuid.uuid4().hex[:8]}"
+    name = f"stream_{uuid.uuid4().hex[:8]}"
     q = (
-        tumbling_agg(stream)
-        .writeStream.outputMode("complete")
+        transform(stream)
+        .writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(name)
         .option("checkpointLocation", tempfile.mkdtemp(prefix="rdp_stream_ckpt_"))
@@ -85,6 +82,22 @@ def run_tumbling_stream_to_batch(spark: SparkSession, events_path: str) -> DataF
     finally:
         q.stop()
     return out
+
+
+def run_tumbling_stream_to_batch(spark: SparkSession, events_path: str) -> DataFrame:
+    """Tumbling aggregation as a streaming query; complete output mode →
+    the in-memory table holds every window once the source is exhausted,
+    making the result comparable to the batch oracle."""
+    return _run_stream_to_batch(spark, events_path, tumbling_agg, "complete")
+
+
+def run_dedup_stream_to_batch(spark: SparkSession, events_path: str,
+                              keys: list[str]) -> DataFrame:
+    """``dropDuplicates`` state over a stream, drained to batch. Append
+    mode: each key's first arrival is emitted exactly once."""
+    return _run_stream_to_batch(
+        spark, events_path, lambda s: s.dropDuplicates(keys).select(*keys), "append"
+    )
 
 
 def streaming_dedup(df: DataFrame, keys: list[str], late: str = "10 minutes") -> DataFrame:
