@@ -1,0 +1,129 @@
+"""Multimodal column queries (m01–m04).
+
+The blobs are synthesized deterministically from ``documents`` (see
+multimodal/synth.py), so every byte-level mapInPandas operator is checked
+against a DuckDB oracle that re-derives the same bytes from md5 hex —
+an independent implementation path end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..multimodal import media_table, ops
+from ..multimodal.synth import MEDIA_CTE, md5_byte_sql
+from ..registry import REGISTRY
+from ..tables import load
+
+_BYTE = md5_byte_sql("text", "i")
+
+# distinct bytes of each blob (positions 1..16 of md5; the payload repeats
+# them r times)
+_BYTES_CTE = f"""
+    bytes AS (
+        SELECT doc_id, i, {_BYTE} AS b
+        FROM media, UNNEST(generate_series(1, 16)) AS t(i)
+    )
+"""
+
+
+@REGISTRY.add(
+    "m01_media_metadata",
+    f"""
+    WITH media AS ({MEDIA_CTE})
+    SELECT doc_id, kind, n_bytes,
+           substring(md5(text), 1, 8) AS magic,
+           width, height, sample_rate, n_frames
+    FROM media
+    """,
+    "multimodal",
+)
+def m01_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload + typed metadata columns (ingest shape).
+
+    Metadata and the blob prefix come from JVM builtins (length/substring/
+    hex over binary) — no Python in the plan; a filter on ``kind`` or
+    ``width`` would prune at the Parquet scan without touching bytes.
+    """
+    m = media_table(load(spark, sf_dir, "documents"))
+    return m.select(
+        "doc_id",
+        "kind",
+        F.length("payload").cast("bigint").alias("n_bytes"),
+        F.lower(F.hex(F.expr("substring(payload, 1, 4)"))).alias("magic"),
+        "width",
+        "height",
+        "sample_rate",
+        "n_frames",
+    )
+
+
+@REGISTRY.add(
+    "m02_media_decode_stats",
+    f"""
+    WITH media AS ({MEDIA_CTE}), {_BYTES_CTE}
+    SELECT m.doc_id, m.kind, m.n_bytes,
+           AVG(b.b) AS mean_byte,
+           CAST(MAX(b.b) AS BIGINT) AS max_byte,
+           CAST(SUM(b.b) * m.r AS BIGINT) AS byte_sum
+    FROM media m JOIN bytes b ON b.doc_id = m.doc_id
+    GROUP BY m.doc_id, m.kind, m.n_bytes, m.r
+    """,
+    "multimodal",
+    "pandas-udf",
+)
+def m02_media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fake-decode every blob in one Arrow-batched mapInPandas pass
+    (byte count / mean / max / checksum), oracle-checked byte-for-byte."""
+    m = media_table(load(spark, sf_dir, "documents"))
+    return ops.decode_stats(m)
+
+
+@REGISTRY.add(
+    "m03_frame_sample",
+    f"""
+    WITH media AS ({MEDIA_CTE}),
+    frames AS (
+        SELECT doc_id, text, n_bytes, unnest(generate_series(0, n_frames - 1)) AS idx,
+               n_bytes // n_frames AS frame_len
+        FROM media WHERE kind = 'video'
+    )
+    SELECT doc_id, CAST(idx AS BIGINT) AS frame_idx,
+           CAST(idx * frame_len AS BIGINT) AS offset,
+           CAST(frame_len AS BIGINT) AS frame_len,
+           CAST({md5_byte_sql("text", "(idx * frame_len) % 16 + 1")} AS BIGINT)
+               AS first_byte
+    FROM frames WHERE idx % 2 = 0
+    """,
+    "multimodal",
+    "pandas-udf",
+)
+def m03_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling: metadata filter prunes to kind='video'
+    BEFORE the UDF, payload split into n_frames, every 2nd frame kept."""
+    m = media_table(load(spark, sf_dir, "documents"))
+    return ops.sample_frames(m, every=2)
+
+
+@REGISTRY.add(
+    "m04_byte_histogram",
+    f"""
+    WITH media AS ({MEDIA_CTE}), {_BYTES_CTE}
+    SELECT doc_id,
+           SUM(CASE WHEN b < 64 THEN 1 ELSE 0 END) / 16.0 AS h0,
+           SUM(CASE WHEN b >= 64 AND b < 128 THEN 1 ELSE 0 END) / 16.0 AS h1,
+           SUM(CASE WHEN b >= 128 AND b < 192 THEN 1 ELSE 0 END) / 16.0 AS h2,
+           SUM(CASE WHEN b >= 192 THEN 1 ELSE 0 END) / 16.0 AS h3
+    FROM bytes GROUP BY doc_id
+    """,
+    "multimodal",
+    "pandas-udf",
+    "features",
+)
+def m04_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction (normalized byte histogram — the embedding-model
+    stand-in) via mapInPandas; fraction over the repeated payload equals
+    the oracle's fraction over the 16 distinct bytes exactly."""
+    m = media_table(load(spark, sf_dir, "documents"))
+    return ops.byte_histogram_features(m, bins=4)
