@@ -168,19 +168,19 @@ def minhash_lsh_pairs(
     ).select(F.col(id_col), F.col("b.band_idx"), F.col("b.band_val"))
 
     a, b = stacked.alias("a"), stacked.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(F.col(f"a.{id_col}").alias("i"), F.col(f"b.{id_col}").alias("j"))
-        .distinct()
-    )
+    cand = a.join(
+        b,
+        (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.band_val") == F.col("b.band_val"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(F.col(f"a.{id_col}").alias("i"), F.col(f"b.{id_col}").alias("j"))
 
     encoded = token_bitmasks(df, id_col, text_col)
     if encoded is not None:
+        # duplicate candidates (pairs colliding in several bands) flow
+        # straight into the broadcast-join verification — no shuffle — and
+        # the dedup runs on the tiny surviving set instead of the full
+        # candidate stream
         masks, n_words = encoded
         mi = masks.select(
             F.col(id_col).alias("i"), F.col("n_tokens").alias("n_i"), F.col("mask").alias("m_i")
@@ -189,7 +189,7 @@ def minhash_lsh_pairs(
             F.col(id_col).alias("j"), F.col("n_tokens").alias("n_j"), F.col("mask").alias("m_j")
         )
         inter = _mask_intersection_size(F.col("m_i"), F.col("m_j"), n_words)
-        verified = (
+        return (
             cand.join(F.broadcast(mi), "i")
             .join(F.broadcast(mj), "j")
             .withColumn("_inter", inter)
@@ -197,19 +197,27 @@ def minhash_lsh_pairs(
                 "jaccard",
                 F.col("_inter").cast("double") / (F.col("n_i") + F.col("n_j") - F.col("_inter")),
             )
+            .where(F.col("jaccard") >= threshold)
+            .select("i", "j", "jaccard")
+            .distinct()
         )
-    else:  # open vocabulary: ship token arrays to the candidate pairs
-        tok_sets = df.select(
-            F.col(id_col), F.array_distinct(tokens(F.col(text_col))).alias("tokens")
-        )
-        ti = tok_sets.select(F.col(id_col).alias("i"), F.col("tokens").alias("tokens_i"))
-        tj = tok_sets.select(F.col(id_col).alias("j"), F.col("tokens").alias("tokens_j"))
-        inter = F.size(F.array_intersect("tokens_i", "tokens_j"))
-        union = F.size("tokens_i") + F.size("tokens_j") - inter
-        verified = (
-            cand.join(ti, "i").join(tj, "j").withColumn("jaccard", inter.cast("double") / union)
-        )
-    return verified.where(F.col("jaccard") >= threshold).select("i", "j", "jaccard")
+    # open vocabulary: dedup candidates first (array intersection per row
+    # is expensive), then ship token arrays to the distinct pairs
+    cand = cand.distinct()
+    tok_sets = df.select(
+        F.col(id_col), F.array_distinct(tokens(F.col(text_col))).alias("tokens")
+    )
+    ti = tok_sets.select(F.col(id_col).alias("i"), F.col("tokens").alias("tokens_i"))
+    tj = tok_sets.select(F.col(id_col).alias("j"), F.col("tokens").alias("tokens_j"))
+    inter = F.size(F.array_intersect("tokens_i", "tokens_j"))
+    union = F.size("tokens_i") + F.size("tokens_j") - inter
+    return (
+        cand.join(ti, "i")
+        .join(tj, "j")
+        .withColumn("jaccard", inter.cast("double") / union)
+        .where(F.col("jaccard") >= threshold)
+        .select("i", "j", "jaccard")
+    )
 
 
 def simhash_values(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
@@ -267,7 +275,10 @@ def ngram_jaccard_pairs(
     only touching pairs that collide.
     """
     sh = df.select(F.col(id_col), word_shingles(F.col(text_col), n).alias("shingles"))
-    sh_sizes = sh.select(F.col(id_col), F.size("shingles").alias("n_sh"), "shingles")
+    # the shingle construction is the expensive scan (interpreted slice
+    # per position); without a cache it would run 4x — once per join
+    # branch. One cached copy is O(postings), far smaller than the text.
+    sh_sizes = sh.select(F.col(id_col), F.size("shingles").alias("n_sh"), "shingles").cache()
     # join on a 64-bit shingle hash, not the shingle text: far less shuffle
     # volume and cheaper equality; a 2⁻⁶⁴ hash merge is the only deviation
     exploded = sh_sizes.select(F.col(id_col), F.explode("shingles").alias("sh_text")).select(
