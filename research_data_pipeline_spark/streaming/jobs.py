@@ -120,3 +120,58 @@ def sliding_agg(df: DataFrame, window: str = "10 minutes", slide: str = "5 minut
             "n_events",
         )
     )
+
+
+def stateful_user_stats(stream: DataFrame) -> DataFrame:
+    """Custom stateful per-user aggregation via ``applyInPandasWithState``
+    — the arbitrary-state operator (running event count + max value kept
+    in GroupState across micro-batches, update-mode emission).
+
+    Built-in windowed aggs cover sums/counts; this is the surface for
+    logic they can't express (per-entity model state, CEP-ish rules).
+    State is partitioned by user — scales with the state store, bounded
+    by a TTL/timeout in production.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("max_value", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("mx", DoubleType())]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n, mx = state.get if state.exists else (0, float("-inf"))
+        for pdf in pdfs:
+            n += len(pdf)
+            if len(pdf):
+                mx = max(mx, float(pdf["value"].max()))
+        state.update((n, mx))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "max_value": [mx]}
+        )
+
+    return (
+        stream.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
+def run_stateful_stats_to_batch(spark: SparkSession, events_path: str) -> DataFrame:
+    """Drain the stateful operator over the file source. The single-file
+    source forms one micro-batch, so the update-mode emission equals the
+    final per-user aggregate (oracle-checkable)."""
+    return _run_stream_to_batch(spark, events_path, stateful_user_stats, "update")
