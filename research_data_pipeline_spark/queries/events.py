@@ -285,3 +285,128 @@ def e08_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.jobs import run_stateful_stats_to_batch
 
     return run_stateful_stats_to_batch(spark, f"{sf_dir}/events.parquet")
+
+
+# ---------------------------------------------------------------------------
+# As-of join — operators/temporal.py (DuckDB has native ASOF JOIN to check)
+# ---------------------------------------------------------------------------
+@REGISTRY.add(
+    "e09_asof_purchase_attribution",
+    """
+    WITH v AS (
+        SELECT user_id, ts, MAX(event_id) AS view_id
+        FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+    ), p AS (
+        SELECT user_id, event_id AS purchase_id, ts FROM events
+        WHERE event_type = 'purchase'
+    )
+    SELECT p.purchase_id, p.user_id, epoch_us(p.ts) AS purchase_ts_us,
+           v.view_id,
+           epoch_us(v.ts) AS view_ts_us,
+           (epoch_us(p.ts) - epoch_us(v.ts)) / 1000000.0 AS gap_s
+    FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
+    """,
+    "events",
+    "asof",
+)
+def e09_asof_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase attributed to the user's latest view at
+    or before it. Union-and-carry implementation — one shuffle on the
+    key, no pair space (operators/temporal.py:asof_join)."""
+    from ..operators.temporal import asof_join
+    from ..tables import epoch_us
+
+    e = load(spark, sf_dir, "events")
+    views = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_id"))
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts"
+    )
+    joined = asof_join(purchases, views, key="user_id", left_ts="ts", right_ts="ts")
+    return joined.select(
+        "purchase_id",
+        "user_id",
+        epoch_us("ts").alias("purchase_ts_us"),
+        "view_id",
+        epoch_us("asof_ts").alias("view_ts_us"),
+        ((F.unix_micros(F.col("ts").cast("timestamp"))
+          - F.unix_micros(F.col("asof_ts").cast("timestamp"))) / 1_000_000.0).alias("gap_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bounded range self-join — operators/temporal.py (bucketed, no BNLJ)
+# ---------------------------------------------------------------------------
+@REGISTRY.add(
+    "e10_event_bursts",
+    """
+    SELECT a.user_id, a.event_id AS i, b.event_id AS j,
+           (epoch_us(b.ts) - epoch_us(a.ts)) / 1000000.0 AS gap_s
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id AND a.event_id < b.event_id
+     AND abs(epoch_us(b.ts) - epoch_us(a.ts)) <= 14400000000
+    """,
+    "events",
+    "range-join",
+)
+def e10_event_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same-user event pairs within 4 hours — gap-width time bucketing
+    turns the range predicate into a hash-join key
+    (operators/temporal.py:range_self_join)."""
+    from ..operators.temporal import range_self_join
+
+    e = load(spark, sf_dir, "events")
+    return range_self_join(e, key="user_id", ts="ts", id_col="event_id", max_gap_s=14400)
+
+
+# ---------------------------------------------------------------------------
+# Hypertable-style multi-granularity rollup (one pass, exploded buckets)
+# ---------------------------------------------------------------------------
+@REGISTRY.add(
+    "e11_multigrain_rollup",
+    """
+    SELECT '5min' AS grain, epoch_us(time_bucket(INTERVAL '5 minutes', ts)) AS bucket_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 2
+    UNION ALL
+    SELECT 'hour', epoch_us(date_trunc('hour', ts)),
+           CAST(COUNT(*) AS BIGINT), CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE)
+    FROM events GROUP BY 2
+    UNION ALL
+    SELECT 'day', epoch_us(date_trunc('day', ts)),
+           CAST(COUNT(*) AS BIGINT), CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE)
+    FROM events GROUP BY 2
+    """,
+    "events",
+    "rollup",
+)
+def e11_multigrain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate-style rollup at 3 granularities in ONE scan:
+    each event explodes to its (grain, bucket) coordinates, then a single
+    groupBy aggregates all grains together (vs 3 separate scans)."""
+    e = load(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    five_min = F.timestamp_micros((us / 300_000_000).cast("bigint") * 300_000_000)
+    grains = F.array(
+        F.struct(F.lit("5min").alias("grain"), five_min.alias("bucket")),
+        F.struct(F.lit("hour").alias("grain"), F.date_trunc("hour", "ts").alias("bucket")),
+        F.struct(F.lit("day").alias("grain"), F.date_trunc("day", "ts").alias("bucket")),
+    )
+    return (
+        e.select(F.explode(grains).alias("g"), "value")
+        .groupBy(F.col("g.grain").alias("grain"), F.col("g.bucket").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(D)).cast("double").alias("total_value"),
+        )
+        .select(
+            "grain",
+            F.unix_micros("bucket").alias("bucket_us"),
+            "n_events",
+            "total_value",
+        )
+    )

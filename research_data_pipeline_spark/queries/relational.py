@@ -959,3 +959,50 @@ def q26_acctbal_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
     w = W.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
     return c.select("c_custkey", "c_mktsegment", F.ntile(4).over(w).alias("quartile"))
+
+
+# ---------------------------------------------------------------------------
+# Data profiling — quality surface (quality.py checks, as a queryable op)
+# ---------------------------------------------------------------------------
+@REGISTRY.add(
+    "q27_profile_customer",
+    """
+    SELECT 'c_name' AS column_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT(c_name) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT c_name) AS BIGINT) AS n_distinct
+    FROM customer
+    UNION ALL
+    SELECT 'c_mktsegment', COUNT(*), COUNT(*) - COUNT(c_mktsegment),
+           COUNT(DISTINCT c_mktsegment) FROM customer
+    UNION ALL
+    SELECT 'c_nationkey', COUNT(*), COUNT(*) - COUNT(c_nationkey),
+           COUNT(DISTINCT c_nationkey) FROM customer
+    UNION ALL
+    SELECT 'c_acctbal', COUNT(*), COUNT(*) - COUNT(c_acctbal),
+           COUNT(DISTINCT c_acctbal) FROM customer
+    """,
+    "quality",
+    "profile",
+)
+def q27_profile_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (row/null/distinct counts) in ONE scan: all
+    measures aggregate together, then ``stack`` pivots to one row per
+    column — vs the oracle's four scans. The shape data-quality
+    monitoring needs at 100 TB (single pass, no per-column jobs)."""
+    c = load(spark, sf_dir, "customer")
+    cols = ["c_name", "c_mktsegment", "c_nationkey", "c_acctbal"]
+    agg = c.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[F.count(col).alias(f"nn_{col}") for col in cols],
+        *[F.countDistinct(col).alias(f"nd_{col}") for col in cols],
+    )
+    stack_args = ", ".join(f"'{col}', nn_{col}, nd_{col}" for col in cols)
+    return agg.select(
+        "n_rows",
+        F.expr(f"stack({len(cols)}, {stack_args}) AS (column_name, _nn, _nd)"),
+    ).select(
+        "column_name",
+        "n_rows",
+        (F.col("n_rows") - F.col("_nn")).alias("n_nulls"),
+        F.col("_nd").alias("n_distinct"),
+    )
