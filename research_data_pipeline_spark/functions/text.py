@@ -106,3 +106,37 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     starts = F.sequence(F.lit(1), F.size(t) - (n - 1))
     sh = F.array_distinct(F.transform(starts, lambda i: F.array_join(F.slice(t, i, n), " ")))
     return F.when(F.size(t) >= n, sh).otherwise(F.array().cast("array<string>"))
+
+
+# --- PII scrubbing (training-data hygiene) ---------------------------------
+# Patterns kept in the portable subset shared by Java regex (Spark) and
+# RE2 (DuckDB): no backrefs, no lookaround.
+EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+URL_RE = r"https?://[^\s]+"
+PHONE_RE = r"\+?[0-9][0-9()\-. ]{6,}[0-9]"
+
+
+def mask_emails(c: Column, token: str = "<EMAIL>") -> Column:
+    return F.regexp_replace(c, EMAIL_RE, token)
+
+
+def mask_urls(c: Column, token: str = "<URL>") -> Column:
+    return F.regexp_replace(c, URL_RE, token)
+
+
+def mask_phones(c: Column, token: str = "<PHONE>") -> Column:
+    return F.regexp_replace(c, PHONE_RE, token)
+
+
+def scrub_pii(c: Column) -> Column:
+    """Mask URLs, then emails, then phone numbers (order matters: URLs can
+    contain @ and digits)."""
+    return mask_phones(mask_emails(mask_urls(c)))
+
+
+def pii_counts(c: Column) -> dict[str, Column]:
+    return {
+        "n_emails": F.regexp_count(c, F.lit(EMAIL_RE)).cast("bigint"),
+        "n_urls": F.regexp_count(c, F.lit(URL_RE)).cast("bigint"),
+        "n_phones": F.regexp_count(c, F.lit(PHONE_RE)).cast("bigint"),
+    }

@@ -358,3 +358,46 @@ def d11_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH bucketed ANN (the scale path: bucket hash-join, no n²)."""
     e = load(spark, sf_dir, "embeddings")
     return sim.ann_topk_lsh(e, "vec_id", "embedding", k=_LSH_K, n_planes=_LSH_PLANES)
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing — training-data hygiene (functions/text.py maskers)
+# ---------------------------------------------------------------------------
+_PII_SRC = (
+    "text || ' contact user' || doc_id || '@example.com or visit "
+    "https://ex.com/d' || doc_id || ' call +1-555-000-' || doc_id"
+)
+_EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+_URL_RE = r"https?://[^\s]+"
+_PHONE_RE = r"\+?[0-9][0-9()\-. ]{6,}[0-9]"
+
+
+@REGISTRY.add(
+    "d12_pii_scrub",
+    f"""
+    WITH src AS (SELECT doc_id, {_PII_SRC} AS raw FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(raw, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(raw, '{_URL_RE}')) AS BIGINT) AS n_urls,
+           md5(regexp_replace(regexp_replace(regexp_replace(raw,
+               '{_URL_RE}', '<URL>', 'g'),
+               '{_EMAIL_RE}', '<EMAIL>', 'g'),
+               '{_PHONE_RE}', '<PHONE>', 'g')) AS scrubbed_md5
+    FROM src
+    """,
+    "text",
+    "pii",
+)
+def d12_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII masking (URLs → emails → phones) + detection counts; documents
+    get deterministic synthetic PII appended so the scrub is exercised.
+    All JVM regexp builtins — one codegen pass over the scan."""
+    d = load(spark, sf_dir, "documents")
+    raw = F.expr(_PII_SRC)
+    counts = T.pii_counts(raw)
+    return d.select(
+        "doc_id",
+        counts["n_emails"].alias("n_emails"),
+        counts["n_urls"].alias("n_urls"),
+        F.md5(T.scrub_pii(raw)).alias("scrubbed_md5"),
+    )
