@@ -1,0 +1,105 @@
+"""Sampling / sketch queries over ``orders`` — the approximate-statistics
+surface a 100 TB pipeline needs (operators/sketches.py).
+
+s01/s02 are exact-oracle-checked (the md5 sampler and the exact
+heavy-hitter pass are deterministic and SQL-expressible); s03/s04 are
+genuinely approximate (HLL++, Greenwald-Khanna) so they register without
+an oracle — the driver records a rows-only check for those.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import REGISTRY
+from ..tables import load
+
+_BUCKETS = 1_000_000
+_FRACTION = 0.2
+_CUT = int(_FRACTION * _BUCKETS)
+_SUPPORT = 0.05
+
+
+def md5_bucket(c) -> "F.Column":
+    """First 32 md5 bits of the id as an integer bucket — identical in
+    Spark (conv base16) and DuckDB ('0x'-prefixed cast), unlike xxhash64
+    (Spark-only) or hash() (engine-specific)."""
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("bigint")
+
+
+@REGISTRY.add(
+    "s01_hash_sample",
+    f"""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::UBIGINT
+          % {_BUCKETS} < {_CUT}
+    """,
+    "sketch",
+    "sampling",
+)
+def s01_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 20% sample by id-hash bucket. Unlike ``df.sample``
+    (per-partition seeded RNG — row set changes under repartitioning),
+    the same rows survive retries and re-runs: the reproducible way to
+    cut a training subset. Pure codegen filter on the scan, no shuffle."""
+    o = load(spark, sf_dir, "orders")
+    return o.where(md5_bucket(F.col("o_orderkey")) % _BUCKETS < _CUT).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+@REGISTRY.add(
+    "s02_heavy_hitters",
+    f"""
+    SELECT o_orderpriority AS value, COUNT(*) AS cnt
+    FROM orders
+    GROUP BY o_orderpriority
+    HAVING COUNT(*) >= {_SUPPORT} * (SELECT COUNT(*) FROM orders)
+    """,
+    "sketch",
+)
+def s02_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters: values with frequency >= support·n. Two
+    map-side-combined aggregations + a broadcast of one scalar — the
+    exact counterpart of ``sketches.heavy_hitters`` (freqItems), used
+    when the group-key cardinality is bounded."""
+    o = load(spark, sf_dir, "orders")
+    total = o.agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        o.groupBy(F.col("o_orderpriority").alias("value"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .join(F.broadcast(total))
+        .where(F.col("cnt") >= F.lit(_SUPPORT) * F.col("_n"))
+        .drop("_n")
+    )
+
+
+@REGISTRY.add("s03_approx_distinct", None, "sketch", "approx")
+def s03_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct customers per priority (rsd 2%). No oracle:
+    DuckDB's approx_count_distinct is a different HLL implementation, so
+    only a rows-only check applies; test_sketches.py bounds the error vs
+    the exact count."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.col("o_orderpriority").alias("value"))
+        .agg(F.approx_count_distinct("o_custkey", 0.02).alias("approx_custkeys"))
+    )
+
+
+@REGISTRY.add("s04_approx_quantiles", None, "sketch", "approx")
+def s04_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenwald-Khanna price quantiles per priority — fixed sketch state
+    per group vs an exact sort. No oracle (algorithm-specific results);
+    error bound is tested in test_sketches.py."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.col("o_orderpriority").alias("value"))
+        .agg(
+            F.percentile_approx(
+                "o_totalprice", [0.25, 0.5, 0.75], 10_000
+            ).alias("price_quartiles")
+        )
+    )

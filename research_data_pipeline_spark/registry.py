@@ -61,6 +61,6 @@ REGISTRY = Registry()
 
 def all_specs() -> dict[str, QuerySpec]:
     # import side-effect registration
-    from .queries import docs, events, graph_analytics, media, relational  # noqa: F401
+    from .queries import docs, events, graph_analytics, media, relational, sampling  # noqa: F401
 
     return REGISTRY.specs()
