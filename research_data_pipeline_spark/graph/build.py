@@ -31,7 +31,11 @@ def co_occurrence_edges(
     either endpoint).
 
     Dedup of (item, actor) happens before the self-join so join input is
-    minimal; the join shuffles on ``item_col`` once.
+    minimal; the join shuffles on ``item_col`` once (the identical
+    distinct subplan on both sides collapses to one ReusedExchange).
+    After that dedup each (src, dst) pair occurs at most once per item,
+    so the weight is a plain ``count`` — COUNT(DISTINCT item) would give
+    the same number while paying an extra expand + shuffle.
     """
     pairs = df.select(item_col, actor_col).distinct()
     a = pairs.alias("a")
@@ -46,7 +50,7 @@ def co_occurrence_edges(
             F.col(f"a.{actor_col}").alias("src"),
             F.col(f"b.{actor_col}").alias("dst"),
         )
-        .agg(F.countDistinct(F.col(f"a.{item_col}")).alias(weight_col))
+        .agg(F.count(F.lit(1)).alias(weight_col))
     )
 
 

@@ -114,6 +114,64 @@ def token_bitmasks(df: DataFrame, id_col: str, text_col: str,
     return masks, n_words
 
 
+def _dictionary_minhash_table(
+    df: DataFrame, id_col: str, text_col: str, n_hashes: int, max_vocab: int = 4096
+) -> tuple[DataFrame, int] | None:
+    """Fused per-document (minhash signature, token bitmask) table for
+    dictionary-sized vocabularies, or None above ``max_vocab``.
+
+    The n_hashes md5 hash families are computed once per DISTINCT token on
+    the (tiny) broadcast vocabulary side instead of once per token
+    instance — identical min-hash values, but the md5 count drops from
+    O(instances × n_hashes) to O(vocab × n_hashes). Signature mins and
+    bitmask words then come out of ONE groupBy(doc) shuffle instead of the
+    two that separate ``minhash_signatures`` + ``token_bitmasks`` passes
+    would pay.
+    """
+    from pyspark.sql import Window as W
+
+    # the explode is the expensive text scan; it feeds both the vocab
+    # probe (an eager count) and the encode join, so cache it
+    tok = _distinct_tokens(df, id_col, text_col).cache()
+    vocab = tok.select("token").distinct()
+    n_vocab = vocab.count()  # driver scalar, bounded by max_vocab probe
+    if n_vocab > max_vocab:
+        tok.unpersist()
+        return None
+    n_words = (n_vocab + 63) // 64
+    vocab_enc = vocab.select(
+        "token",
+        (F.row_number().over(W.orderBy("token")) - 1).alias("tid"),
+        *[
+            F.md5(F.concat(F.lit(f"{i}:"), F.col("token"))).alias(f"h{i}")
+            for i in range(n_hashes)
+        ],
+    )
+    with_tid = tok.join(F.broadcast(vocab_enc), "token")
+    sig_aggs = [F.min(F.col(f"h{i}")).alias(f"mh{i}") for i in range(n_hashes)]
+    word_aggs = [
+        F.bit_or(
+            F.when(
+                (F.col("tid") / 64).cast("int") == w,
+                F.expr("shiftleft(cast(1 as bigint), cast(tid % 64 as int))"),
+            ).otherwise(0)
+        ).alias(f"w{w}")
+        for w in range(n_words)
+    ]
+    combined = (
+        with_tid.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_tokens"), *sig_aggs, *word_aggs)
+        .select(
+            id_col,
+            "n_tokens",
+            *[F.col(f"mh{i}") for i in range(n_hashes)],
+            F.array(*[F.col(f"w{w}") for w in range(n_words)]).alias("mask"),
+        )
+        .cache()  # read 3x: bands, i-side lookup, j-side lookup
+    )
+    return combined, n_words
+
+
 def _mask_intersection_size(ma, mb, n_words: int) -> F.Column:
     # unrolled at plan time: plain codegen expressions, no interpreted
     # higher-order functions in the per-pair hot path
@@ -147,7 +205,13 @@ def minhash_lsh_pairs(
     candidate is verified with exact Jaccard — the output is unchanged.
     """
     rows_per_band = n_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n_hashes)
+    encoded = _dictionary_minhash_table(df, id_col, text_col, n_hashes)
+    combined, n_words = encoded if encoded is not None else (None, 0)
+    sig = (
+        combined.select(id_col, *[f"mh{i}" for i in range(n_hashes)])
+        if combined is not None
+        else minhash_signatures(df, id_col, text_col, n_hashes)
+    )
     band_cols = [
         F.xxhash64(
             *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
@@ -175,13 +239,12 @@ def minhash_lsh_pairs(
         & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
     ).select(F.col(f"a.{id_col}").alias("i"), F.col(f"b.{id_col}").alias("j"))
 
-    encoded = token_bitmasks(df, id_col, text_col)
-    if encoded is not None:
+    if combined is not None:
         # duplicate candidates (pairs colliding in several bands) flow
         # straight into the broadcast-join verification — no shuffle — and
         # the dedup runs on the tiny surviving set instead of the full
         # candidate stream
-        masks, n_words = encoded
+        masks = combined
         mi = masks.select(
             F.col(id_col).alias("i"), F.col("n_tokens").alias("n_i"), F.col("mask").alias("m_i")
         )
