@@ -225,6 +225,148 @@ def _ann_topk_join(df: DataFrame, id_col: str, vec_col: str, k: int = 5) -> Data
     )
 
 
+def ann_topk_ivf(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 3,
+    n_cells: int = 16,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: vectors are assigned to the
+    nearest of ``n_cells`` centroids; each query scans only its ``nprobe``
+    nearest cells.
+
+    Centroids here are deterministic seeds (the vectors with id <
+    n_cells) so the whole index is reproducible and oracle-checkable; a
+    production build would refine them with Lloyd iterations — the plan
+    shape (broadcast centroids → one assignment pass → cell hash-join) is
+    unchanged. Assignment is one Arrow-batched pass against the broadcast
+    centroid matrix; candidate generation is a hash join on the cell id —
+    per-query work drops from O(n) to O(n·nprobe/n_cells). Ties in
+    centroid distance break toward the smaller centroid id, matching the
+    oracle's ROW_NUMBER order. Cosines keep the dimension-ordered
+    left-fold, so ranks agree bit-exactly across engines.
+    """
+    import pandas as pd
+
+    crows = sorted(
+        df.where(F.col(id_col) < n_cells).select(id_col, vec_col).collect(),
+        key=lambda r: r[0],
+    )
+    cids = np.fromiter((r[0] for r in crows), dtype=np.int64, count=len(crows))
+    C = np.array([r[1] for r in crows], dtype=np.float64)
+    cacc = C[:, 0] * C[:, 0]
+    for kk in range(1, C.shape[1]):
+        cacc = cacc + C[:, kk] * C[:, kk]
+    bc = df.sparkSession.sparkContext.broadcast((cids, C, np.sqrt(cacc)))
+
+    def assign(batches):
+        ids_c, M, cn = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            acc = A[:, 0] * A[:, 0]
+            for kk in range(1, A.shape[1]):
+                acc = acc + A[:, kk] * A[:, kk]
+            norms = np.sqrt(acc)
+            S = _cosine_block(A, M) / np.outer(norms, cn)
+            out = []
+            for r in range(len(pdf)):
+                order = np.lexsort((ids_c, -S[r]))  # ccos desc, cid asc
+                out.append(
+                    (
+                        int(pdf[id_col].iloc[r]),
+                        list(map(float, A[r])),
+                        float(norms[r]),
+                        int(ids_c[order[0]]),
+                        [int(ids_c[o]) for o in order[:nprobe]],
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=[id_col, "_v", "norm", "cell", "probes"]
+            )
+
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    schema = f"{id_col} bigint, _v array<double>, norm double, cell bigint, probes array<bigint>"
+    assigned = (
+        df.select(id_col, vec_col).repartition(n_parts).mapInPandas(assign, schema=schema)
+    ).cache()  # read twice: query side and member side
+
+    if df.count() <= MAX_BROADCAST_VECTORS:
+        return _ivf_broadcast_topk(assigned, id_col, k)
+
+    q = assigned.select(
+        F.col(id_col).alias("query_id"), F.col("_v").alias("va"),
+        F.col("norm").alias("na"), F.explode("probes").alias("cell"),
+    )
+    m = assigned.select(
+        F.col(id_col).alias("neighbor_id"), F.col("_v").alias("vb"),
+        F.col("norm").alias("nb"), F.col("cell"),
+    )
+    cos = _dot_kernel(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        q.join(m, ["cell"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "cell",
+            F.col("rank").cast("bigint").alias("rank"), "cosine",
+        )
+    )
+
+
+def _ivf_broadcast_topk(assigned: DataFrame, id_col: str, k: int) -> DataFrame:
+    """Broadcast-index IVF scoring: the (id, vector, norm, cell) table is
+    broadcast once and each partition scores its queries against only the
+    members of their probed cells — no per-pair vector shipping, no n²
+    rows. Same left-fold cosine sequence as the join path, so results are
+    identical; used below ``MAX_BROADCAST_VECTORS``."""
+    import pandas as pd
+
+    rows = assigned.select(id_col, "_v", "norm", "cell").collect()
+    ids = np.fromiter((r[0] for r in rows), dtype=np.int64, count=len(rows))
+    M = np.array([r[1] for r in rows], dtype=np.float64)
+    norms = np.fromiter((r[2] for r in rows), dtype=np.float64, count=len(rows))
+    cells = np.fromiter((r[3] for r in rows), dtype=np.int64, count=len(rows))
+    cell_idx = {int(c): np.nonzero(cells == c)[0] for c in np.unique(cells)}
+    bc = assigned.sparkSession.sparkContext.broadcast((ids, M, norms, cells, cell_idx))
+
+    def run(batches):
+        ids_all, Mm, nn, cc, cidx = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = {"query_id": [], "neighbor_id": [], "cell": [], "rank": [], "cosine": []}
+            for r in range(len(pdf)):
+                qid = int(pdf[id_col].iloc[r])
+                qv = np.asarray(list(pdf["_v"].iloc[r]), dtype=np.float64)
+                qn = float(pdf["norm"].iloc[r])
+                cand = np.concatenate(
+                    [cidx.get(int(c), np.empty(0, dtype=np.int64)) for c in pdf["probes"].iloc[r]]
+                )
+                cand = cand[ids_all[cand] != qid]
+                if len(cand) == 0:
+                    continue
+                S = _cosine_block(qv[None, :], Mm[cand])[0] / (qn * nn[cand])
+                order = np.lexsort((ids_all[cand], -S))[:k]
+                out["query_id"].extend([qid] * len(order))
+                out["neighbor_id"].extend(ids_all[cand][order])
+                out["cell"].extend(cc[cand][order])
+                out["rank"].extend(range(1, len(order) + 1))
+                out["cosine"].extend(S[order])
+            yield pd.DataFrame(out)
+
+    return assigned.mapInPandas(
+        run,
+        schema="query_id bigint, neighbor_id bigint, cell bigint, rank bigint, cosine double",
+    )
+
+
 def sign_lsh_bucket(vec: Column, n_planes: int = 8) -> Column:
     """Axis-aligned sign-LSH bucket id: bit d = sign(vec[d]) ≥ 0.
 

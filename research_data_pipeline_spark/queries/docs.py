@@ -361,6 +361,50 @@ def d11_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+_IVF_K, _IVF_CELLS, _IVF_NPROBE = 3, 16, 2
+_ANN_IVF_ORACLE = f"""
+    WITH e AS ({_E_CTE}),
+    cents AS (SELECT vec_id AS cid, v AS cv, norm AS cn FROM e WHERE vec_id < {_IVF_CELLS}),
+    scored AS (
+        SELECT e.vec_id, c.cid, {_DOT.format(a='e.v', b='c.cv')} / (e.norm * c.cn) AS ccos
+        FROM e CROSS JOIN cents c
+    ),
+    pr AS (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn
+        FROM scored
+    ),
+    assign AS (SELECT vec_id, cid AS cell FROM pr WHERE rn = 1),
+    probes AS (SELECT vec_id, cid AS cell FROM pr WHERE rn <= {_IVF_NPROBE}),
+    pairs AS (
+        SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id, a.cell,
+               {_DOT.format(a='q.v', b='m.v')} / (q.norm * m.norm) AS cosine
+        FROM probes p
+        JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.vec_id
+        JOIN e q ON q.vec_id = p.vec_id
+        JOIN e m ON m.vec_id = a.vec_id
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        FROM pairs
+    )
+    SELECT query_id, neighbor_id, cell, CAST(rank AS BIGINT) AS rank, cosine
+    FROM ranked WHERE rank <= {_IVF_K}
+"""
+
+
+@REGISTRY.add("d13_ann_ivf", _ANN_IVF_ORACLE, "similarity", "ann", "ivf")
+def d13_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-partitioned ANN: nearest-of-16 deterministic seed centroids,
+    2-cell probe lists, exact cosine rank within probed cells."""
+    e = load(spark, sf_dir, "embeddings")
+    return sim.ann_topk_ivf(
+        e, "vec_id", "embedding", k=_IVF_K, n_cells=_IVF_CELLS, nprobe=_IVF_NPROBE
+    )
+
+
+# ---------------------------------------------------------------------------
 # PII scrubbing — training-data hygiene (functions/text.py maskers)
 # ---------------------------------------------------------------------------
 _PII_SRC = (
