@@ -47,6 +47,31 @@ def read_csv_tolerant(
     return reader.csv(path)
 
 
+def read_orc(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
+    """ORC scan — columnar like parquet (predicate pushdown, column
+    pruning, vectorized read all apply); the schema argument prunes the
+    read schema up front instead of after the scan."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    """Avro scan (row-oriented interchange format). The spark-avro module
+    is a separate JVM artifact; raise a clear error when this deployment
+    doesn't ship it rather than an opaque ClassNotFoundException."""
+    try:
+        return spark.read.format("avro").load(path)
+    except Exception as ex:  # pragma: no cover - depends on deployment jars
+        if "avro" in str(ex).lower() or "DATA_SOURCE_NOT_FOUND" in str(ex):
+            raise NotImplementedError(
+                "spark-avro is not on the classpath; submit with "
+                "--packages org.apache.spark:spark-avro_2.13:<spark-version>"
+            ) from ex
+        raise
+
+
 def read_excel_dim(spark: SparkSession, path: str, sheet: int | str = 0) -> DataFrame:
     """Excel workbook → DataFrame (S4; augmentations.py:66,82).
 

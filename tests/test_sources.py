@@ -1,0 +1,39 @@
+"""Columnar/interchange source readers (ORC, Avro gating)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from research_data_pipeline_spark.io import sources
+
+
+def test_orc_roundtrip(spark, sf_dir, tmp_path):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    dest = str(tmp_path / "orders_orc")
+    orders.write.orc(dest)
+    back = sources.read_orc(spark, dest)
+    assert back.count() == orders.count()
+    a = orders.agg(F.sum("o_orderkey")).collect()[0][0]
+    b = back.agg(F.sum("o_orderkey")).collect()[0][0]
+    assert a == b
+
+
+def test_orc_schema_prunes_read(spark, sf_dir, tmp_path):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    dest = str(tmp_path / "orders_orc2")
+    orders.write.orc(dest)
+    pruned = sources.read_orc(spark, dest, orders.select("o_orderkey").schema)
+    assert pruned.columns == ["o_orderkey"]
+
+
+def test_avro_reader_gated(spark, sf_dir, tmp_path):
+    # this deployment may or may not ship spark-avro; either a clean
+    # NotImplementedError or a working read is acceptable — an opaque
+    # ClassNotFoundException is not
+    try:
+        sources.read_avro(spark, str(tmp_path / "nonexistent.avro"))
+    except NotImplementedError:
+        pass
+    except Exception as ex:
+        assert "Path does not exist" in str(ex) or "PATH_NOT_FOUND" in str(ex)
