@@ -41,3 +41,13 @@ def n_exchanges(df: DataFrame) -> int:
     """Count Exchange operators in the physical plan (test/diagnostic)."""
     plan = df._jdf.queryExecution().executedPlan().toString()
     return plan.count("Exchange")
+
+
+def formatted_plan(df: DataFrame) -> str:
+    """The ``explain("formatted")`` text as a string (test/diagnostic):
+    shows PushedFilters, ReadSchema, join strategies, codegen spans."""
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )

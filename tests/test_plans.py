@@ -1,0 +1,53 @@
+"""Physical-plan assertions: the scale claims (pushdown, pruning,
+broadcast, codegen) hold in the plans Catalyst actually produces —
+regressions here mean a 100 TB scan reads columns or rows it shouldn't.
+"""
+
+from __future__ import annotations
+
+import re
+
+from research_data_pipeline_spark.io.layout import formatted_plan
+from research_data_pipeline_spark.registry import all_specs
+
+SPECS = all_specs()
+
+
+def _plan(spark, sf_dir, name):
+    return formatted_plan(SPECS[name].fn(spark, sf_dir))
+
+
+def _read_schemas(plan: str) -> list[str]:
+    return re.findall(r"ReadSchema: struct<([^>]*)", plan)
+
+
+def test_q01_filter_pushed_to_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q01_pricing_summary")
+    assert "LessThanOrEqual(l_shipdate" in plan  # reaches PushedFilters
+
+
+def test_q01_column_pruning(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q01_pricing_summary")
+    [schema] = _read_schemas(plan)
+    # lineitem has 16 columns; the summary needs 7
+    assert len(schema.split(",")) <= 8, schema
+
+
+def test_q02_dims_broadcast_not_shuffled(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q02_revenue_by_nation")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # every scan is column-pruned: the widest table read needs < 4 cols
+    for schema in _read_schemas(plan):
+        assert len(schema.split(",")) <= 4, schema
+
+
+def test_relational_queries_have_no_python_in_plan(spark, sf_dir):
+    # the whole q* suite must stay JVM-side: no row-at-a-time Python
+    # (BatchEvalPython) and no Arrow fallback (ArrowEvalPython) either —
+    # those nodes break whole-stage codegen and pay serialization per row
+    for name in sorted(SPECS):
+        if not name.startswith("q"):
+            continue
+        plan = _plan(spark, sf_dir, name)
+        assert "EvalPython" not in plan, name
