@@ -31,6 +31,15 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return normalize_nanos(df)
 
 
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so ad-hoc ``spark.sql`` works
+    against the same normalized schemas the DataFrame queries see — the
+    SQL-first entry point for users coming from the reference's
+    Postgres/DuckDB workflow."""
+    for name in TPCH_TABLES:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
 def epoch_us(c) -> F.Column:
     """Epoch microseconds of a timestamp column, NTZ-tolerant.
 

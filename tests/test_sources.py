@@ -37,3 +37,17 @@ def test_avro_reader_gated(spark, sf_dir, tmp_path):
         pass
     except Exception as ex:
         assert "Path does not exist" in str(ex) or "PATH_NOT_FOUND" in str(ex)
+
+
+def test_register_views_sql_surface(spark, sf_dir):
+    from research_data_pipeline_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    out = spark.sql(
+        """
+        SELECT n.n_name, COUNT(*) AS n_customers
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name ORDER BY n_customers DESC, n.n_name LIMIT 3
+        """
+    ).collect()
+    assert len(out) == 3 and out[0]["n_customers"] >= out[-1]["n_customers"]
