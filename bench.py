@@ -28,8 +28,12 @@ def main() -> int:
     from research_data_pipeline_spark.session import get_spark
 
     spark = get_spark(app="rdp-bench")
-    # JVM + parquet-footer warmup so per-query numbers measure the plans
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    # JVM + parquet-footer warmup on every input so per-query numbers
+    # measure the plans, not first-touch file-index/codegen startup
+    from research_data_pipeline_spark.tables import TPCH_TABLES
+
+    for t in TPCH_TABLES:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
 
     timings: dict[str, float] = {}
     for name, spec in sorted(all_specs().items()):

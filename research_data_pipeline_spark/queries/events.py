@@ -410,3 +410,40 @@ def e11_multigrain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+_US_PER_HOUR = 3_600_000_000
+
+_GAPFILL_ORACLE = f"""
+    WITH e AS (
+        SELECT user_id, epoch_us(ts) // {_US_PER_HOUR} AS hour FROM events
+    ),
+    counts AS (SELECT user_id, hour, COUNT(*) AS n FROM e GROUP BY 1, 2),
+    spans AS (SELECT user_id, MIN(hour) AS h0, MAX(hour) AS h1 FROM e GROUP BY 1),
+    hours AS (SELECT user_id, unnest(generate_series(h0, h1)) AS hour FROM spans)
+    SELECT h.user_id, h.hour, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
+    FROM hours h LEFT JOIN counts c USING (user_id, hour)
+"""
+
+
+@REGISTRY.add("e12_gapfill_hourly", _GAPFILL_ORACLE, "events", "resample")
+def e12_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user hourly resample with zero-filled gaps (time-series
+    regularization): each user's own [first, last] hour range is densified
+    via ``sequence`` + ``explode`` — the dense grid is generated, not
+    joined against a calendar table, so the plan stays two groupBys and
+    one left join, all keyed on user_id (a single shuffle key family)."""
+    from ..tables import epoch_us
+
+    e = load(spark, sf_dir, "events").select(
+        "user_id", (epoch_us("ts") / _US_PER_HOUR).cast("bigint").alias("hour")
+    )
+    counts = e.groupBy("user_id", "hour").agg(F.count(F.lit(1)).alias("n"))
+    spans = e.groupBy("user_id").agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+    hours = spans.select(
+        "user_id", F.explode(F.sequence("h0", "h1")).alias("hour")
+    )
+    return hours.join(counts, ["user_id", "hour"], "left").select(
+        "user_id", "hour", F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events")
+    )
