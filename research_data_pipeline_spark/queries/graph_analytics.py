@@ -129,3 +129,49 @@ def g04_edge_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     return placed.unionByName(supplies)
+
+
+# ---------------------------------------------------------------------------
+_CC_MIN_SHARED = 36
+
+_CC_ORACLE = f"""
+    WITH RECURSIVE
+    pairs AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    e AS (
+        SELECT a.l_suppkey AS src, b.l_suppkey AS dst
+        FROM pairs a JOIN pairs b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= {_CC_MIN_SHARED}
+    ),
+    walk(node, label) AS (
+        SELECT s_suppkey, s_suppkey FROM supplier
+        UNION
+        SELECT e.dst, w.label FROM walk w JOIN e ON e.src = w.node
+        WHERE w.label < e.dst
+    )
+    SELECT node, MIN(label) AS component FROM walk GROUP BY node
+"""
+
+
+@REGISTRY.add("g05_connected_components", _CC_ORACLE, "graph", "iterative")
+def g05_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the strong co-supplier graph (pairs with
+    >= {_CC_MIN_SHARED} shared orders): iterative min-label propagation vs
+    DuckDB's recursive-CTE reachability — two entirely different fixpoint
+    mechanisms, identical labels.
+
+    The label-pruned recursion (w.label < e.dst) is safe as an oracle:
+    the component minimum is smaller than every other member, so its
+    label passes the guard on every hop of any path.
+    """
+    from ..graph.build import connected_components, co_occurrence_edges
+
+    l = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    edges = co_occurrence_edges(l, item_col="l_orderkey", actor_col="l_suppkey").where(
+        F.col("n_shared_orders") >= _CC_MIN_SHARED
+    )
+    return (
+        connected_components(s.select("s_suppkey"), edges, id_col="s_suppkey")
+        .select(F.col("node"), F.col("label").alias("component"))
+    )
