@@ -18,6 +18,23 @@ def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = Non
     w.parquet(path)
 
 
+def write_partitions_incremental(
+    df: DataFrame, path: str, partition_by: list[str]
+) -> None:
+    """Overwrite ONLY the partitions present in ``df`` (dynamic partition
+    overwrite) — the incremental daily-load pattern. A static overwrite
+    would wipe the whole dataset to land one day's data; dynamic mode
+    replaces just the touched directories, so backfilling one partition
+    of a 100 TB table rewrites gigabytes, not the table.
+    """
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )
+
+
 def write_csv(df: DataFrame, path: str, sep: str = ",") -> None:
     """CSV write for reference parity (S3; raw_to_tables.py:201-206)."""
     df.write.mode("overwrite").option("header", True).option("sep", sep).csv(path)

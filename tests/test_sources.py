@@ -51,3 +51,30 @@ def test_register_views_sql_surface(spark, sf_dir):
         """
     ).collect()
     assert len(out) == 3 and out[0]["n_customers"] >= out[-1]["n_customers"]
+
+
+def test_dynamic_partition_overwrite_touches_only_written_partitions(
+    spark, sf_dir, tmp_path
+):
+    from pyspark.sql import functions as F
+
+    from research_data_pipeline_spark.io.sinks import write_partitions_incremental
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").withColumn(
+        "prio", F.col("o_orderpriority")
+    )
+    dest = str(tmp_path / "orders_part")
+    write_partitions_incremental(orders, dest, ["prio"])
+    total_before = spark.read.parquet(dest).count()
+
+    one_prio = orders.select("prio").orderBy("prio").first()["prio"]
+    patch = orders.where(F.col("prio") == one_prio).limit(10)
+    write_partitions_incremental(patch, dest, ["prio"])
+
+    after = spark.read.parquet(dest)
+    # the patched partition shrank to 10 rows; every other partition is intact
+    assert after.where(F.col("prio") == one_prio).count() == 10
+    assert (
+        after.where(F.col("prio") != one_prio).count()
+        == total_before - orders.where(F.col("prio") == one_prio).count()
+    )
