@@ -68,3 +68,43 @@ def spark_rank(
         metric, F.col("_min_rank").cast("bigint").alias(out_col)
     )
     return df.join(ranks, on=metric)
+
+
+def scalable_prefix_sum(
+    df: DataFrame, order_col: str, value_col: str, out: str = "running_total",
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Exact global running total of ``value_col`` in ``order_col`` order,
+    without a global single-partition window.
+
+    Same scale shape as the two-phase ranks above: range-partition on the
+    order column (global order across partitions, local order within),
+    cumulative-sum inside each partition, then add each partition's
+    starting offset — the per-partition totals are a |partitions|-sized
+    driver list, not data. The single-partition stage a naive
+    ``Window.orderBy`` would create never exists.
+    """
+    n_parts = n_parts or df.sparkSession.sparkContext.defaultParallelism
+    part = df.repartitionByRange(n_parts, F.col(order_col)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w = (
+        W.partitionBy("_pid")
+        .orderBy(order_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    local = part.withColumn("_local", F.sum(value_col).over(w)).localCheckpoint()
+    totals = {
+        r["_pid"]: r["_tot"]
+        for r in local.groupBy("_pid").agg(F.sum(value_col).alias("_tot")).collect()
+    }
+    offsets, run = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = run
+        run += totals[pid] or 0
+    omap = F.create_map(
+        *[lit for pid, off in offsets.items() for lit in (F.lit(pid), F.lit(off))]
+    )
+    return local.withColumn(
+        out, F.col("_local") + F.coalesce(omap[F.col("_pid")], F.lit(0))
+    ).drop("_pid", "_local")

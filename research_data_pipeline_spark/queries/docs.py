@@ -445,3 +445,47 @@ def d12_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts["n_urls"].alias("n_urls"),
         F.md5(T.scrub_pii(raw)).alias("scrubbed_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+_PACK_BUDGET = 512
+
+_PACK_ORACLE = f"""
+    WITH t AS (
+        SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens FROM documents
+    ),
+    c AS (
+        SELECT doc_id, n_tokens,
+               SUM(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+        FROM t
+    )
+    SELECT doc_id, n_tokens, running,
+           (running - n_tokens) // {_PACK_BUDGET} AS shard_id
+    FROM c
+"""
+
+
+@REGISTRY.add("d14_pack_context_windows", _PACK_ORACLE, "text", "packing")
+def d14_pack_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into ~{_PACK_BUDGET}-token training shards by global
+    running token count (streaming concatenation order = doc_id, which
+    must be unique — ties would make any engine's prefix sum ambiguous).
+
+    The prefix sum is the two-phase ``scalable_prefix_sum`` — range
+    partition + local cumsum + offset join — so no single-partition
+    global window exists in the plan; a shard is then just the integer
+    quotient of the shard-start offset.
+    """
+    from ..operators.ranks import scalable_prefix_sum
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens")
+    )
+    c = scalable_prefix_sum(d, "doc_id", "n_tokens", out="running")
+    return c.select(
+        "doc_id",
+        "n_tokens",
+        "running",
+        F.expr(f"(running - n_tokens) div {_PACK_BUDGET}").alias("shard_id"),
+    )

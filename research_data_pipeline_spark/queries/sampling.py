@@ -103,3 +103,41 @@ def s04_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("price_quartiles")
         )
     )
+
+
+_STRATA = {
+    "1-URGENT": 0.50,
+    "2-HIGH": 0.25,
+    "3-MEDIUM": 0.10,
+    "4-NOT SPECIFIED": 0.05,
+    "5-LOW": 0.02,
+}
+_CASE_SQL = "CASE o_orderpriority " + " ".join(
+    f"WHEN '{k}' THEN {int(v * _BUCKETS)}" for k, v in _STRATA.items()
+) + " ELSE 0 END"
+
+
+@REGISTRY.add(
+    "s05_stratified_sample",
+    f"""
+    SELECT o_orderkey, o_orderpriority, o_totalprice
+    FROM orders
+    WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::UBIGINT
+          % {_BUCKETS} < {_CASE_SQL}
+    """,
+    "sketch",
+    "sampling",
+)
+def s05_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: per-class keep fractions (rebalance
+    skewed classes when cutting a training subset). Same md5-bucket
+    mechanics as s01, so membership is stable under retries AND consistent
+    across the strata — a row's bucket never changes, only the per-class
+    cut. Pure codegen filter, no shuffle, no RNG."""
+    o = load(spark, sf_dir, "orders")
+    cut = F.lit(0)
+    for k, v in _STRATA.items():
+        cut = F.when(F.col("o_orderpriority") == k, F.lit(int(v * _BUCKETS))).otherwise(cut)
+    return o.where(md5_bucket(F.col("o_orderkey")) % _BUCKETS < cut).select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
