@@ -447,3 +447,58 @@ def e12_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hours.join(counts, ["user_id", "hour"], "left").select(
         "user_id", "hour", F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events")
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming session windows: new session when the gap >= 30 min — exactly
+# Spark's session_window merge rule (events merge iff diff < gap), so the
+# batch oracle reproduces the streaming state machine
+_SESSIONS_ORACLE = """
+    WITH marked AS (
+        SELECT user_id, ts,
+               CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                      OR epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                         >= 1800000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+    ), numbered AS (
+        SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM marked
+    )
+    SELECT user_id, epoch_us(MIN(ts)) AS session_start_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 1000000.0 AS duration_s
+    FROM numbered GROUP BY user_id, session_id
+"""
+
+
+@REGISTRY.add("e13_streaming_sessions", _SESSIONS_ORACLE, "events", "streaming")
+def e13_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-window aggregation as a real append-mode streaming query
+    (native ``session_window`` state merging + watermark-flush sentinel);
+    checked against the batch gap-scan oracle."""
+    from ..streaming.jobs import run_session_stream_to_batch
+
+    return run_session_stream_to_batch(spark, f"{sf_dir}/events.parquet")
+
+
+# ---------------------------------------------------------------------------
+_SSJOIN_ORACLE = """
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(12,4))) AS DOUBLE) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+"""
+
+
+@REGISTRY.add("e14_stream_static_join", _SSJOIN_ORACLE, "events", "streaming")
+def e14_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the event stream hash-joins a broadcast
+    customer dimension inside each micro-batch, then aggregates by
+    segment (complete mode → totals equal the batch join)."""
+    from ..streaming.jobs import run_stream_static_join_to_batch
+
+    dim = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return run_stream_static_join_to_batch(spark, f"{sf_dir}/events.parquet", dim)

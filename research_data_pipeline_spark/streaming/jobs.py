@@ -48,9 +48,15 @@ def watermarked_tumbling_agg(df: DataFrame, window: str = "5 minutes", late: str
 
 
 def _run_stream_to_batch(spark: SparkSession, events_path: str, transform,
-                         output_mode: str) -> DataFrame:
+                         output_mode: str, sentinel: DataFrame | None = None) -> DataFrame:
     """Run ``transform(stream_df)`` as a real streaming query over the
-    parquet file and return the drained result as a batch DataFrame."""
+    parquet file and return the drained result as a batch DataFrame.
+
+    ``sentinel`` rows (if given) are staged as a second source file: their
+    event time advances the watermark past every real session/window so
+    append-mode state flushes deterministically on drain. Callers filter
+    the sentinel keys back out.
+    """
     from ..session import apply_runtime_confs
     from ..tables import normalize_nanos
 
@@ -64,6 +70,8 @@ def _run_stream_to_batch(spark: SparkSession, events_path: str, transform,
         os.symlink(events_path, staged)
     except OSError:
         shutil.copyfile(events_path, staged)
+    if sentinel is not None:
+        sentinel.write.mode("append").parquet(src_dir)
     stream = normalize_nanos(spark.readStream.schema(schema).parquet(src_dir))
     name = f"stream_{uuid.uuid4().hex[:8]}"
     q = (
@@ -175,3 +183,85 @@ def run_stateful_stats_to_batch(spark: SparkSession, events_path: str) -> DataFr
     source forms one micro-batch, so the update-mode emission equals the
     final per-user aggregate (oracle-checkable)."""
     return _run_stream_to_batch(spark, events_path, stateful_user_stats, "update")
+
+
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def session_agg(df: DataFrame) -> DataFrame:
+    """Native session windows (30-min gap): state merges adjacent events
+    per user; a session closes when the watermark passes last_ts + gap.
+    ``w.end`` is defined as last event time + gap, so the in-session
+    duration is ``end - gap - start`` — no second scan for max(ts)."""
+    return (
+        df.withWatermark("ts", "0 seconds")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros("w.start").alias("session_start_us"),
+            "n_events",
+            ((F.unix_micros("w.end") - SESSION_GAP_US - F.unix_micros("w.start"))
+             / 1_000_000.0).alias("duration_s"),
+        )
+    )
+
+
+def _sentinel_row(spark: SparkSession, events_path: str, margin_s: int) -> DataFrame:
+    """One schema-identical row with user_id = -1 and event time
+    ``margin_s`` past the corpus max — staged after the real file so the
+    0-second watermark sweeps past every real session's end and append
+    mode flushes all state on drain."""
+    from pyspark.sql.types import LongType
+
+    raw = spark.read.parquet(events_path)
+    mx = raw.agg(F.max("ts")).collect()[0][0]
+    if isinstance(raw.schema["ts"].dataType, LongType):  # nanos-as-long file
+        ts_lit = F.lit(int(mx) + margin_s * 1_000_000_000).cast("bigint")
+    else:
+        import datetime as dt
+
+        ts_lit = F.lit(mx + dt.timedelta(seconds=margin_s))
+    return raw.limit(1).withColumn("ts", ts_lit).withColumn(
+        "user_id", F.lit(-1).cast(raw.schema["user_id"].dataType)
+    )
+
+
+def run_session_stream_to_batch(spark: SparkSession, events_path: str) -> DataFrame:
+    """Session-window aggregation as a real append-mode streaming query.
+
+    Append mode only emits sessions the watermark has closed — without
+    help, each user's LAST session would stay in state forever on a
+    drained source. The sentinel row advances event time past every
+    session end, flushing them; its own (user_id = -1) session is
+    filtered back out.
+    """
+    out = _run_stream_to_batch(
+        spark,
+        events_path,
+        session_agg,
+        "append",
+        sentinel=_sentinel_row(spark, events_path, margin_s=2 * 3600),
+    )
+    return out.where(F.col("user_id") >= 0)
+
+
+def run_stream_static_join_to_batch(
+    spark: SparkSession, events_path: str, dim: DataFrame
+) -> DataFrame:
+    """Stream-static enrichment join + aggregation: each micro-batch
+    hash-joins against the (broadcast) static dimension — the streaming
+    form of the reference's augmentation joins. Complete output mode so
+    the drained totals equal the batch result."""
+
+    def transform(s: DataFrame) -> DataFrame:
+        return (
+            s.join(F.broadcast(dim), s["user_id"] == dim["c_custkey"])
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast(D)).cast("double").alias("total_value"),
+            )
+        )
+
+    return _run_stream_to_batch(spark, events_path, transform, "complete")
