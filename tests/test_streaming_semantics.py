@@ -1,0 +1,58 @@
+"""Watermark semantics: late rows below the watermark are dropped from
+streaming aggregations — the state-bounding behavior the 100 TB posture
+relies on, verified end-to-end with an actual two-batch streaming run.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import tempfile
+import uuid
+
+from pyspark.sql import functions as F
+
+
+def _write_events(spark, path, rows):
+    spark.createDataFrame(
+        [(i, ts, 1) for i, ts in enumerate(rows)], "event_id int, ts timestamp, n int"
+    ).coalesce(1).write.mode("append").parquet(path)
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    src = str(tmp_path / "src")
+    # batch 1: two on-time events advance the watermark to 12:59
+    _write_events(spark, src, [t0, t0 + dt.timedelta(hours=1)])
+
+    name = f"wm_{uuid.uuid4().hex[:8]}"
+    stream = spark.readStream.schema("event_id int, ts timestamp, n int").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    agg = (
+        stream.withWatermark("ts", "1 minute")
+        .groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("start"), "n")
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="wm_ckpt_"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: one event far below the watermark (12:00 window already
+        # finalized and emitted) and one new on-time event
+        _write_events(
+            spark, src, [t0 + dt.timedelta(minutes=1), t0 + dt.timedelta(hours=2)]
+        )
+        q.processAllAvailable()
+        rows = {r["start"]: r["n"] for r in spark.table(name).collect()}
+    finally:
+        q.stop()
+
+    # the 12:00 window was emitted with ONLY the on-time event; the late
+    # arrival (12:01, below the 12:59 watermark) was dropped, not merged
+    assert rows[t0] == 1
