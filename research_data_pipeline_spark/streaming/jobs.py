@@ -265,3 +265,42 @@ def run_stream_static_join_to_batch(
         )
 
     return _run_stream_to_batch(spark, events_path, transform, "complete")
+
+
+def run_stream_to_partitioned_parquet(
+    spark: SparkSession, events_path: str, dest: str
+) -> None:
+    """Drain the event stream into date-partitioned parquet via
+    ``foreachBatch`` + dynamic partition overwrite: a replayed micro-batch
+    rewrites exactly the partitions it already wrote (idempotent retry),
+    and downstream readers prune on the date directory — the
+    streaming-to-lake landing pattern.
+    """
+    from ..io.sinks import write_partitions_incremental
+    from ..session import apply_runtime_confs
+    from ..tables import normalize_nanos
+
+    apply_runtime_confs(spark)
+    schema = spark.read.parquet(events_path).schema
+    src_dir = tempfile.mkdtemp(prefix="rdp_stream_src_")
+    staged = os.path.join(src_dir, os.path.basename(events_path))
+    try:
+        os.symlink(events_path, staged)
+    except OSError:
+        shutil.copyfile(events_path, staged)
+    stream = normalize_nanos(spark.readStream.schema(schema).parquet(src_dir))
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        write_partitions_incremental(
+            batch_df.withColumn("event_date", F.to_date("ts")), dest, ["event_date"]
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="rdp_stream_ckpt_"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

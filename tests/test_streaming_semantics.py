@@ -56,3 +56,22 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     # the 12:00 window was emitted with ONLY the on-time event; the late
     # arrival (12:01, below the 12:59 watermark) was dropped, not merged
     assert rows[t0] == 1
+
+
+def test_stream_lands_in_date_partitions(spark, sf_dir, tmp_path):
+    import os
+
+    from research_data_pipeline_spark.streaming.jobs import (
+        run_stream_to_partitioned_parquet,
+    )
+
+    dest = str(tmp_path / "landing")
+    run_stream_to_partitioned_parquet(spark, f"{sf_dir}/events.parquet", dest)
+    back = spark.read.parquet(dest)
+    from research_data_pipeline_spark.tables import load
+
+    assert back.count() == load(spark, sf_dir, "events").count()
+    assert any(d.startswith("event_date=") for d in os.listdir(dest))
+    # date filters prune at the directory level
+    one_day = back.where(F.col("event_date") == back.select("event_date").first()[0])
+    assert one_day.count() > 0
