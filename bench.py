@@ -45,6 +45,9 @@ def main() -> int:
         except Exception as ex:  # a failing query must not hide the rest
             timings[name] = -1.0
             print(f"bench: {name} failed: {ex}", file=sys.stderr)
+        # isolation: a query's own caches count inside its timing; they must
+        # not linger to pressure the heap of every query after it
+        spark.catalog.clearCache()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(
