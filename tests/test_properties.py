@@ -106,3 +106,62 @@ def test_range_self_join_matches_bruteforce(spark, rows, gap):
             ):
                 want.add((a["k"], a["id"], b["id"]))
     assert got == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    n=st.integers(1, 9),
+    edge_pairs=st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 8)), min_size=0, max_size=12
+    ),
+)
+def test_connected_components_matches_union_find(spark, n, edge_pairs):
+    from research_data_pipeline_spark.graph.build import connected_components
+
+    edge_pairs = [(a, b) for a, b in edge_pairs if a < n and b < n and a != b]
+    vertices = spark.createDataFrame([(i,) for i in range(n)], "node bigint")
+    both = [(a, b) for a, b in edge_pairs] + [(b, a) for a, b in edge_pairs]
+    edges = (
+        spark.createDataFrame(both, "src bigint, dst bigint")
+        if both
+        else spark.createDataFrame([], "src bigint, dst bigint")
+    )
+    got = {
+        r["node"]: r["label"]
+        for r in connected_components(vertices, edges, id_col="node").collect()
+    }
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {i: min(j for j in range(n) if find(j) == find(i)) for i in range(n)}
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    vals=st.lists(st.integers(-50, 50), min_size=1, max_size=30),
+    n_parts=st.integers(1, 5),
+)
+def test_scalable_prefix_sum_matches_cumsum(spark, vals, n_parts):
+    from research_data_pipeline_spark.operators.ranks import scalable_prefix_sum
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "k bigint, v bigint"
+    )
+    got = (
+        scalable_prefix_sum(df, "k", "v", out="run", n_parts=n_parts)
+        .orderBy("k")
+        .collect()
+    )
+    want = pd.Series(vals).cumsum().tolist()
+    assert [r["run"] for r in got] == want
