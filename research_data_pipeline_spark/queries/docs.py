@@ -489,3 +489,60 @@ def d14_pack_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "running",
         F.expr(f"(running - n_tokens) div {_PACK_BUDGET}").alias("shard_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+_RARE_K = 20
+
+_RARE_BIGRAM_ORACLE = f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    bg AS (
+        SELECT doc_id,
+               unnest(list_transform(list_zip(toks[1:len(toks)-1], toks[2:len(toks)]),
+                      x -> x[1] || ' ' || x[2])) AS bigram
+        FROM t WHERE len(toks) >= 2
+    ),
+    c AS (SELECT bigram, COUNT(*) AS n FROM bg GROUP BY 1),
+    r AS (
+        SELECT bg.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(COUNT(*) FILTER (c.n <= {_RARE_K}) AS BIGINT) AS n_rare_bigrams
+        FROM bg JOIN c USING (bigram) GROUP BY 1
+    )
+    SELECT d.doc_id,
+           COALESCE(r.n_bigrams, 0) AS n_bigrams,
+           COALESCE(r.n_rare_bigrams, 0) AS n_rare_bigrams
+    FROM documents d LEFT JOIN r ON r.doc_id = d.doc_id
+"""
+
+
+@REGISTRY.add("d15_rare_bigrams", _RARE_BIGRAM_ORACLE, "text", "quality")
+def d15_rare_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-based LM quality signal: per-document bigrams whose corpus
+    frequency is <= {_RARE_K} (unusual word transitions flag noisy or
+    machine-mangled text). Integer counts end to end — no log-prob float
+    sums whose accumulation order an engine could disagree on. One
+    explode + two hash aggregations + one (bigram-keyed) join."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    bg = d.where(n >= 2).select("doc_id", F.explode(bigrams).alias("bigram"))
+    c = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
+    r = (
+        bg.join(c, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.count(F.when(F.col("n") <= _RARE_K, 1)).alias("n_rare_bigrams"),
+        )
+    )
+    return d.select("doc_id").join(r, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        F.coalesce("n_rare_bigrams", F.lit(0)).alias("n_rare_bigrams"),
+    )
