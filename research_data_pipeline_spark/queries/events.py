@@ -502,3 +502,66 @@ def e14_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     dim = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     return run_stream_static_join_to_batch(spark, f"{sf_dir}/events.parquet", dim)
+
+
+# ---------------------------------------------------------------------------
+_FUNNEL_ORACLE = """
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS tv FROM events WHERE event_type = 'view' GROUP BY 1
+    ), c AS (
+        SELECT e.user_id, MIN(e.ts) AS tc
+        FROM events e JOIN v ON v.user_id = e.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.tv GROUP BY 1
+    ), p AS (
+        SELECT e.user_id, MIN(e.ts) AS tp
+        FROM events e JOIN c ON c.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.tc GROUP BY 1
+    )
+    SELECT v.user_id,
+           CAST(CASE WHEN p.tp IS NOT NULL THEN 3
+                     WHEN c.tc IS NOT NULL THEN 2 ELSE 1 END AS BIGINT) AS stage,
+           epoch_us(v.tv) AS view_us, epoch_us(c.tc) AS click_us, epoch_us(p.tp) AS purchase_us
+    FROM v LEFT JOIN c ON c.user_id = v.user_id LEFT JOIN p ON p.user_id = v.user_id
+"""
+
+
+@REGISTRY.add("e15_funnel", _FUNNEL_ORACLE, "events", "funnel")
+def e15_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view -> click -> purchase funnel: each stage's timestamp is
+    the first qualifying event strictly after the previous stage. Three
+    conditional min-aggregations and two left joins, all shuffling on
+    user_id — co-partitioned end to end, so AQE plans one exchange
+    family, not three."""
+    from ..tables import epoch_us
+
+    e = load(spark, sf_dir, "events")
+    v = e.where(F.col("event_type") == "view").groupBy("user_id").agg(F.min("ts").alias("tv"))
+    c = (
+        e.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("tv"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tc"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("tc"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            F.when(F.col("tp").isNotNull(), 3)
+            .when(F.col("tc").isNotNull(), 2)
+            .otherwise(1)
+            .cast("bigint")
+            .alias("stage"),
+            epoch_us("tv").alias("view_us"),
+            epoch_us("tc").alias("click_us"),
+            epoch_us("tp").alias("purchase_us"),
+        )
+    )

@@ -127,3 +127,38 @@ def m04_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle's fraction over the 16 distinct bytes exactly."""
     m = media_table(load(spark, sf_dir, "documents"))
     return ops.byte_histogram_features(m, bins=4)
+
+
+# ---------------------------------------------------------------------------
+_SHARD_BYTES = 4096
+
+_SHARD_ORACLE = f"""
+    WITH media AS ({MEDIA_CTE}),
+    c AS (
+        SELECT doc_id, kind, n_bytes,
+               SUM(n_bytes) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+        FROM media
+    )
+    SELECT doc_id, kind, n_bytes, running,
+           (running - n_bytes) // {_SHARD_BYTES} AS shard_id
+    FROM c
+"""
+
+
+@REGISTRY.add("m05_shard_packing", _SHARD_ORACLE, "multimodal", "packing")
+def m05_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack media blobs into ~{_SHARD_BYTES}-byte archive shards by global
+    running byte count — the WebDataset/tar-shard layout step, via the
+    same two-phase ``scalable_prefix_sum`` as d14 (no single-partition
+    window; byte sizes come from ``length(payload)``, no decode)."""
+    from ..operators.ranks import scalable_prefix_sum
+
+    m = media_table(load(spark, sf_dir, "documents")).select(
+        "doc_id", "kind", F.length("payload").cast("bigint").alias("n_bytes")
+    )
+    c = scalable_prefix_sum(m, "doc_id", "n_bytes", out="running")
+    return c.select(
+        "doc_id", "kind", "n_bytes", "running",
+        F.expr(f"(running - n_bytes) div {_SHARD_BYTES}").alias("shard_id"),
+    )

@@ -141,3 +141,36 @@ def s05_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.where(md5_bucket(F.col("o_orderkey")) % _BUCKETS < cut).select(
         "o_orderkey", "o_orderpriority", "o_totalprice"
     )
+
+
+_TRAIN_CUT, _VAL_CUT = int(0.8 * _BUCKETS), int(0.9 * _BUCKETS)
+
+
+@REGISTRY.add(
+    "s06_train_test_split",
+    f"""
+    SELECT o_orderkey,
+           CASE WHEN b < {_TRAIN_CUT} THEN 'train'
+                WHEN b < {_VAL_CUT} THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+        SELECT o_orderkey,
+               ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::UBIGINT
+               % {_BUCKETS} AS b
+        FROM orders
+    )
+    """,
+    "sketch",
+    "sampling",
+)
+def s06_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by id-hash bucket:
+    the three sets are disjoint, exhaustive, and stable across runs and
+    engines — no RNG, no state file, no leakage when the table grows
+    (a row's split never changes because its bucket never does)."""
+    o = load(spark, sf_dir, "orders")
+    b = md5_bucket(F.col("o_orderkey")) % _BUCKETS
+    return o.select(
+        "o_orderkey",
+        F.when(b < _TRAIN_CUT, "train").when(b < _VAL_CUT, "val").otherwise("test").alias("split"),
+    )
