@@ -565,3 +565,45 @@ def e15_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             epoch_us("tp").alias("purchase_us"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+_COHORT_ORACLE = """
+    WITH first_seen AS (
+        SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week FROM events GROUP BY 1
+    ),
+    activity AS (
+        SELECT DISTINCT e.user_id, f.cohort_week, date_trunc('week', e.ts) AS active_week
+        FROM events e JOIN first_seen f ON f.user_id = e.user_id
+    )
+    SELECT epoch_us(cohort_week) AS cohort_week_us,
+           CAST(date_diff('week', cohort_week, active_week) AS BIGINT) AS weeks_since,
+           CAST(COUNT(*) AS BIGINT) AS n_active_users
+    FROM activity
+    GROUP BY 1, 2
+"""
+
+
+@REGISTRY.add("e16_cohort_retention", _COHORT_ORACLE, "events", "cohort")
+def e16_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-seen week, counted
+    in each subsequent active week. Two aggregations and one join, all
+    keyed on user_id, then a small (cohort x week) rollup — the fact
+    table is touched twice, never cross-joined."""
+    from ..tables import epoch_us
+
+    e = load(spark, sf_dir, "events")
+    first = e.groupBy("user_id").agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+    activity = (
+        e.join(first, "user_id")
+        .select("user_id", "cohort_week", F.date_trunc("week", "ts").alias("active_week"))
+        .distinct()
+    )
+    weeks_since = (
+        (F.unix_micros("active_week") - F.unix_micros("cohort_week"))
+        / (7 * 24 * 3600 * 1_000_000)
+    ).cast("bigint")
+    return activity.groupBy(
+        epoch_us("cohort_week").alias("cohort_week_us"),
+        weeks_since.alias("weeks_since"),
+    ).agg(F.count(F.lit(1)).alias("n_active_users"))
