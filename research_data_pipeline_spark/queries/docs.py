@@ -546,3 +546,33 @@ def d15_rare_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
         F.coalesce("n_rare_bigrams", F.lit(0)).alias("n_rare_bigrams"),
     )
+
+
+# ---------------------------------------------------------------------------
+_ZIPF_ORACLE = f"""
+    WITH tok AS (
+        SELECT unnest({_TOKS}) AS token FROM documents
+    ),
+    counts AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY 1)
+    SELECT token, n, CAST(RANK() OVER (ORDER BY n DESC) AS BIGINT) AS rank
+    FROM counts
+"""
+
+
+@REGISTRY.add("d16_token_zipf", _ZIPF_ORACLE, "text", "rank")
+def d16_token_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token frequency table with Zipf rank. The rank is the
+    two-phase formulation (rank over DISTINCT counts, joined back), so
+    the single-partition window touches |distinct frequencies| rows —
+    at 100 TB that's thousands, not billions."""
+    from ..operators.ranks import spark_rank
+
+    d = load(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return spark_rank(counts, "n", out_col="rank", ascending=False).select(
+        "token", "n", "rank"
+    )

@@ -1006,3 +1006,39 @@ def q27_profile_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_rows") - F.col("_nn")).alias("n_nulls"),
         F.col("_nd").alias("n_distinct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A4 extension: exact interpolated quartiles per group (q17 proved the
+# interpolation formula matches DuckDB for the median; this pins p25/p75)
+@REGISTRY.add(
+    "q28_segment_quartiles",
+    """
+    SELECT c.c_mktsegment,
+           quantile_cont(o.o_totalprice, 0.25) AS p25,
+           quantile_cont(o.o_totalprice, 0.50) AS p50,
+           quantile_cont(o.o_totalprice, 0.75) AS p75
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY 1
+    """,
+    "agg",
+    "percentile",
+)
+def q28_segment_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated quartiles per market segment
+    (``percentile`` = sort-based exact, vs approx s04)."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    q = F.percentile("o_totalprice", F.lit([0.25, 0.50, 0.75]))
+    return (
+        o.join(F.broadcast(c.select("c_custkey", "c_mktsegment")),
+               o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(q.alias("_q"))
+        .select(
+            "c_mktsegment",
+            F.element_at("_q", 1).alias("p25"),
+            F.element_at("_q", 2).alias("p50"),
+            F.element_at("_q", 3).alias("p75"),
+        )
+    )
