@@ -24,7 +24,7 @@ _TUMBLING_ORACLE = """
 SELECT epoch_us(time_bucket(INTERVAL '5 minutes', ts)) AS window_start_us,
        event_type,
        CAST(COUNT(*) AS BIGINT) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS total_value
+       CAST(CAST(SUM(CAST(value AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS total_value
 FROM events
 GROUP BY 1, 2
 """
@@ -370,15 +370,15 @@ def e10_event_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT '5min' AS grain, epoch_us(time_bucket(INTERVAL '5 minutes', ts)) AS bucket_us,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS total_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS total_value
     FROM events GROUP BY 2
     UNION ALL
     SELECT 'hour', epoch_us(date_trunc('hour', ts)),
-           CAST(COUNT(*) AS BIGINT), CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE)
+           CAST(COUNT(*) AS BIGINT), CAST(CAST(SUM(CAST(value AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE)
     FROM events GROUP BY 2
     UNION ALL
     SELECT 'day', epoch_us(date_trunc('day', ts)),
-           CAST(COUNT(*) AS BIGINT), CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE)
+           CAST(COUNT(*) AS BIGINT), CAST(CAST(SUM(CAST(value AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE)
     FROM events GROUP BY 2
     """,
     "events",
@@ -487,7 +487,7 @@ def e13_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SSJOIN_ORACLE = """
     SELECT c.c_mktsegment,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(SUM(CAST(e.value AS DECIMAL(12,4))) AS DOUBLE) AS total_value
+           CAST(CAST(SUM(CAST(e.value AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS total_value
     FROM events e JOIN customer c ON e.user_id = c.c_custkey
     GROUP BY 1
 """

@@ -36,17 +36,17 @@ def _dec(c) -> F.Column:
     "q01_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
-                    * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))) AS DOUBLE)
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+                    * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))) AS VARCHAR) AS DOUBLE)
                AS sum_disc_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
                     * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))
-                    * (CAST(1 AS DECIMAL(12,4)) + CAST(l_tax AS DECIMAL(12,4)))) AS DOUBLE)
+                    * (CAST(1 AS DECIMAL(12,4)) + CAST(l_tax AS DECIMAL(12,4)))) AS VARCHAR) AS DOUBLE)
                AS sum_charge,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_price,
            CAST(COUNT(*) AS BIGINT) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -85,8 +85,8 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q02_revenue_by_nation",
     """
     SELECT n.n_name,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,4))
-                    * (CAST(1 AS DECIMAL(12,4)) - CAST(l.l_discount AS DECIMAL(12,4)))) AS DOUBLE)
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,4))
+                    * (CAST(1 AS DECIMAL(12,4)) - CAST(l.l_discount AS DECIMAL(12,4)))) AS VARCHAR) AS DOUBLE)
                AS revenue,
            CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders
     FROM lineitem l
@@ -356,7 +356,7 @@ def q08_cosupplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q09_part_name_tokens",
     """
     SELECT t.word AS word, CAST(COUNT(*) AS BIGINT) AS n_parts,
-           CAST(SUM(CAST(p_retailprice AS DECIMAL(12,4))) AS DOUBLE) AS total_price
+           CAST(CAST(SUM(CAST(p_retailprice AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS total_price
     FROM part, UNNEST(string_split(p_name, ' ')) AS t(word)
     GROUP BY t.word
     """,
@@ -386,9 +386,9 @@ def q09_part_name_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_running_revenue",
     """
     SELECT o_custkey, o_orderkey,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4)))
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4)))
                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE)
                AS running_spend
     FROM orders
     """,
@@ -562,7 +562,7 @@ def q14_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q15_rollup_revenue",
     """
     SELECT r.r_name, n.n_name,
-           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,4))) AS DOUBLE) AS revenue,
+           CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS revenue,
            CAST(COUNT(*) AS BIGINT) AS n_orders
     FROM orders o
     JOIN customer c ON o.o_custkey = c.c_custkey
@@ -880,7 +880,7 @@ def q23_part_name_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT COALESCE(c.c_mktsegment, 'ALL') AS segment,
            COALESCE(o.o_orderstatus, 'ALL') AS status,
-           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,4))) AS DOUBLE) AS revenue,
+           CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS revenue,
            CAST(COUNT(*) AS BIGINT) AS n_orders
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     GROUP BY CUBE (c.c_mktsegment, o.o_orderstatus)
