@@ -1,10 +1,16 @@
 #!/usr/bin/env python
 """Benchmark runner: executes every registered query at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+local[$SPARK_GRAFT_CPUS] and prints ONE COMPACT JSON line:
 
   {"metric": "...", "value": total_sec, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": 0.1}
+   "queries": {<worst-5 only>}, "n_queries": N, "n_failed": 0, "sf": 0.1}
+
+The line is kept small (a few hundred bytes) because the driver captures
+only a stdout tail — round 1's full 76-entry per-query map overflowed it
+and the head of the line (metric/value) was cut off, leaving
+BENCH_r01.json unparseable. The full per-query map goes to
+bench_full.json next to this script instead.
 
 Each query is forced through a noop sink so the full plan executes
 (a bare count() would let Catalyst prune most of the work).
@@ -50,20 +56,32 @@ def main() -> int:
         spark.catalog.clearCache()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    failed = sorted(n for n, t in timings.items() if t < 0)
+    worst5 = dict(
+        sorted(
+            ((n, t) for n, t in timings.items() if t >= 0),
+            key=lambda kv: -kv[1],
+        )[:5]
+    )
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json")
+    with open(full_path, "w") as f:
+        json.dump({"total_sec": total, "sf": sf, "failed": failed, "queries": timings}, f, indent=1)
     print(
         json.dumps(
             {
-                "metric": "total wall-clock of the full registered query suite "
-                "(noop sink, excludes session startup)",
+                "metric": "full-suite wall-clock (noop sink)",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": worst5,
+                "n_queries": len(timings),
+                "n_failed": len(failed),
                 "sf": sf,
-            }
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()
-    return 0
+    return 1 if failed else 0
 
 
 if __name__ == "__main__":

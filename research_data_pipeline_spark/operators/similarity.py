@@ -62,8 +62,13 @@ def with_norm(df: DataFrame, vec_col: str, out: str = "norm") -> DataFrame:
 
 
 # above this row count the vector matrix no longer broadcasts; brute force
-# falls back to the pair-join kernel (and at real scale you use LSH/IVF)
+# falls back to the block-partitioned matrix join (and at real scale you
+# use LSH/IVF, which cut the candidate space instead of tiling it)
 MAX_BROADCAST_VECTORS = 200_000
+
+# rows per block in the blocked matrix join: a 2048×2048 cosine tile is
+# 32 MB of doubles — well inside an executor task's memory at any scale
+BLOCK_ROWS = 2048
 
 
 def _broadcast_matrix(df: DataFrame, id_col: str, vec_col: str):
@@ -89,7 +94,12 @@ def _cosine_block(A: np.ndarray, M: np.ndarray) -> np.ndarray:
 
 
 def cosine_pairs(
-    df: DataFrame, id_col: str, vec_col: str, threshold: float
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    n: int | None = None,
+    max_broadcast: int = MAX_BROADCAST_VECTORS,
 ) -> DataFrame:
     """All (i<j) pairs with cosine ≥ threshold — the embedding near-dup
     primitive.
@@ -97,13 +107,20 @@ def cosine_pairs(
     Block-broadcast brute force: the (small-side) vector matrix is
     broadcast once; each partition's batch computes an m×n cosine block in
     numpy and emits only the surviving pairs — no O(n²) join rows, no
-    per-pair vector shipping. Falls back to the pair-join kernel above
-    ``MAX_BROADCAST_VECTORS``; at real corpus scale use LSH bucketing
-    (``ann_topk_lsh``) or IVF."""
+    per-pair vector shipping. Above ``max_broadcast`` it switches to the
+    block-partitioned matrix join (``_cosine_pairs_blocked``): still exact,
+    but tiled over hash joins — no cartesian/nested-loop path exists at any
+    n. At real corpus scale prefer LSH bucketing (``ann_topk_lsh``) or IVF,
+    which cut the candidate space instead of tiling it.
+
+    ``n`` is an optional known row count; pass it to skip the guard's
+    count job."""
     import pandas as pd  # local: keep module import light
 
-    if df.count() > MAX_BROADCAST_VECTORS:
-        return _cosine_pairs_join(df, id_col, vec_col, threshold)
+    if n is None:
+        n = df.count()
+    if n > max_broadcast:
+        return _cosine_pairs_blocked(df, id_col, vec_col, threshold)
     sc = df.sparkSession.sparkContext
     bc = sc.broadcast(_broadcast_matrix(df, id_col, vec_col))
 
@@ -133,34 +150,121 @@ def cosine_pairs(
     )
 
 
-def _cosine_pairs_join(
-    df: DataFrame, id_col: str, vec_col: str, threshold: float
-) -> DataFrame:
-    """Pair-join formulation (no broadcast assumption): correctness
-    fallback when the matrix exceeds broadcast size."""
-    e = with_norm(df, vec_col).select(F.col(id_col), F.col("_v"), F.col("norm"))
-    a = e.select(F.col(id_col).alias("i"), F.col("_v").alias("va"), F.col("norm").alias("na"))
-    b = e.select(F.col(id_col).alias("j"), F.col("_v").alias("vb"), F.col("norm").alias("nb"))
-    cos = _dot_kernel(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-    return (
-        a.join(b, F.col("i") < F.col("j"))
-        .withColumn("cosine", cos)
-        .where(F.col("cosine") >= threshold)
-        .select("i", "j", "cosine")
+def _block_assign(df: DataFrame, id_col: str, vec_col: str, nb: int) -> DataFrame:
+    """(id, vector, block) with an even deterministic hash blocking."""
+    return df.select(
+        F.col(id_col).alias("_id"),
+        _as_double(F.col(vec_col)).alias("_v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(nb)).cast("bigint").alias("_blk"),
     )
 
 
-def ann_topk_bruteforce(df: DataFrame, id_col: str, vec_col: str, k: int = 5) -> DataFrame:
+def _block_pairs_df(spark, nb: int, symmetric: bool):
+    """Tiny driver-side (bi, bj) tile list: bi ≤ bj for symmetric pair
+    enumeration (each unordered block pair once), full grid for query ×
+    candidate tiling."""
+    pairs = [
+        (bi, bj)
+        for bi in range(nb)
+        for bj in range(bi if symmetric else 0, nb)
+    ]
+    return spark.createDataFrame(pairs, "bi bigint, bj bigint")
+
+
+def _np_mat(series) -> np.ndarray:
+    return np.array([list(v) for v in series], dtype=np.float64)
+
+
+def _fold_norms(M: np.ndarray) -> np.ndarray:
+    acc = M[:, 0] * M[:, 0]
+    for k in range(1, M.shape[1]):
+        acc = acc + M[:, k] * M[:, k]
+    return np.sqrt(acc)
+
+
+def _cosine_pairs_blocked(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float,
+    block_rows: int = BLOCK_ROWS,
+) -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold as a block-partitioned matrix
+    join — the big-n path where neither side broadcasts.
+
+    Rows get a deterministic hash block id (~``block_rows`` rows per
+    block); the driver enumerates the upper-triangular (bi ≤ bj) tile
+    list; each side replicates to its tiles via a HASH join on the block
+    id; a cogrouped Arrow kernel computes one m×n cosine tile per block
+    pair and emits only surviving pairs. Total work is still O(n²) —
+    inherent to exact all-pairs — but it is tiled across the cluster with
+    bounded task memory, and no cartesian / broadcast-nested-loop join
+    exists in the plan. Replication volume is O(n·nb) vectors, the
+    standard blocked-GEMM trade."""
+    import pandas as pd
+
+    spark = df.sparkSession
+    n = df.count()
+    nb = max(1, -(-n // block_rows))
+    e = _block_assign(df, id_col, vec_col, nb)
+    # two fresh tile frames: reusing one triggers Spark's ambiguous
+    # self-join analysis on the (bi, bj) columns
+    tl = _block_pairs_df(spark, nb, symmetric=True)
+    tr = _block_pairs_df(spark, nb, symmetric=True)
+    left = e.join(F.broadcast(tl), e["_blk"] == tl["bi"]).select(
+        "bi", "bj", F.col("_id").alias("_lid"), F.col("_v").alias("_lv")
+    )
+    right = e.join(F.broadcast(tr), e["_blk"] == tr["bj"]).select(
+        "bi", "bj", F.col("_id").alias("_rid"), F.col("_v").alias("_rv")
+    )
+
+    def kernel(key, l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        bi, bj = key
+        if len(l) == 0 or len(r) == 0:
+            return pd.DataFrame({"i": [], "j": [], "cosine": []})
+        lids = l["_lid"].to_numpy(dtype=np.int64)
+        rids = r["_rid"].to_numpy(dtype=np.int64)
+        L, R = _np_mat(l["_lv"]), _np_mat(r["_rv"])
+        C = _cosine_block(L, R) / np.outer(_fold_norms(L), _fold_norms(R))
+        keep = C >= threshold
+        if bi == bj:
+            # diagonal tile: both sides hold the same rows; keep each
+            # unordered pair once
+            keep &= lids[:, None] < rids[None, :]
+        else:
+            keep &= lids[:, None] != rids[None, :]
+        rr, cc = np.nonzero(keep)
+        i = np.minimum(lids[rr], rids[cc])
+        j = np.maximum(lids[rr], rids[cc])
+        return pd.DataFrame({"i": i, "j": j, "cosine": C[rr, cc]})
+
+    return (
+        left.groupby("bi", "bj")
+        .cogroup(right.groupby("bi", "bj"))
+        .applyInPandas(kernel, schema="i bigint, j bigint, cosine double")
+    )
+
+
+def ann_topk_bruteforce(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n: int | None = None,
+    max_broadcast: int = MAX_BROADCAST_VECTORS,
+) -> DataFrame:
     """Exact top-k neighbors per vector by cosine (desc, id asc on ties).
 
     Same block-broadcast design as ``cosine_pairs``: each partition scores
     its queries against the broadcast matrix and emits only k rows per
     query — the top-k selection happens inside the kernel, so no n² rows
-    and no global window ever exist in the plan."""
+    and no global window ever exist in the plan. Above ``max_broadcast``
+    it switches to the block-partitioned matrix join
+    (``_ann_topk_blocked``) — hash joins + per-tile top-k, no
+    cartesian/nested-loop path at any n."""
     import pandas as pd
 
-    if df.count() > MAX_BROADCAST_VECTORS:
-        return _ann_topk_join(df, id_col, vec_col, k)
+    if n is None:
+        n = df.count()
+    if n > max_broadcast:
+        return _ann_topk_blocked(df, id_col, vec_col, k)
     sc = df.sparkSession.sparkContext
     bc = sc.broadcast(_broadcast_matrix(df, id_col, vec_col))
 
@@ -199,27 +303,58 @@ def ann_topk_bruteforce(df: DataFrame, id_col: str, vec_col: str, k: int = 5) ->
     )
 
 
-def _ann_topk_join(df: DataFrame, id_col: str, vec_col: str, k: int = 5) -> DataFrame:
-    """Pair-join + window fallback above broadcast size."""
-    e = with_norm(df, vec_col).select(F.col(id_col), F.col("_v"), F.col("norm"))
-    a = e.select(F.col(id_col).alias("i"), F.col("_v").alias("va"), F.col("norm").alias("na"))
-    b = e.select(F.col(id_col).alias("j"), F.col("_v").alias("vb"), F.col("norm").alias("nb"))
-    cos = _dot_kernel(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-    half = a.join(b, F.col("i") < F.col("j")).select("i", "j", cos.alias("cosine"))
-    # mirror inside one plan (explode, not a self-union which would run
-    # the kernel twice)
-    both = half.select(
-        F.explode(
-            F.array(
-                F.struct(F.col("i").alias("query_id"), F.col("j").alias("neighbor_id")),
-                F.struct(F.col("j").alias("query_id"), F.col("i").alias("neighbor_id")),
-            )
-        ).alias("p"),
-        "cosine",
-    ).select("p.query_id", "p.neighbor_id", "cosine")
+def _ann_topk_blocked(
+    df: DataFrame, id_col: str, vec_col: str, k: int = 5,
+    block_rows: int = BLOCK_ROWS,
+) -> DataFrame:
+    """Exact top-k neighbors as a block-partitioned matrix join — the
+    big-n path where the matrix no longer broadcasts.
+
+    Full (query-block × candidate-block) tile grid; each tile's Arrow
+    kernel emits only the per-tile top-k rows per query, so the global
+    re-rank window sees ≤ nb·k candidates per query instead of n. Hash
+    joins + cogroup only — no cartesian / nested-loop path at any n."""
+    import pandas as pd
+
+    spark = df.sparkSession
+    n = df.count()
+    nb = max(1, -(-n // block_rows))
+    e = _block_assign(df, id_col, vec_col, nb)
+    tl = _block_pairs_df(spark, nb, symmetric=False)
+    tr = _block_pairs_df(spark, nb, symmetric=False)
+    left = e.join(F.broadcast(tl), e["_blk"] == tl["bi"]).select(
+        "bi", "bj", F.col("_id").alias("_lid"), F.col("_v").alias("_lv")
+    )
+    right = e.join(F.broadcast(tr), e["_blk"] == tr["bj"]).select(
+        "bi", "bj", F.col("_id").alias("_rid"), F.col("_v").alias("_rv")
+    )
+
+    def kernel(key, l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        out = {"query_id": [], "neighbor_id": [], "cosine": []}
+        if len(l) == 0 or len(r) == 0:
+            return pd.DataFrame(out)
+        lids = l["_lid"].to_numpy(dtype=np.int64)
+        rids = r["_rid"].to_numpy(dtype=np.int64)
+        L, R = _np_mat(l["_lv"]), _np_mat(r["_rv"])
+        C = _cosine_block(L, R) / np.outer(_fold_norms(L), _fold_norms(R))
+        for row in range(len(lids)):
+            s = C[row].copy()
+            s[rids == lids[row]] = -np.inf
+            order = np.lexsort((rids, -s))[:k]
+            order = order[np.isfinite(s[order])]
+            out["query_id"].extend([lids[row]] * len(order))
+            out["neighbor_id"].extend(rids[order])
+            out["cosine"].extend(s[order])
+        return pd.DataFrame(out)
+
+    cand = (
+        left.groupby("bi", "bj")
+        .cogroup(right.groupby("bi", "bj"))
+        .applyInPandas(kernel, schema="query_id bigint, neighbor_id bigint, cosine double")
+    )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (
-        both.withColumn("rank", F.row_number().over(w))
+        cand.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.col("rank").cast("bigint").alias("rank"), "cosine")
     )
@@ -232,6 +367,8 @@ def ann_topk_ivf(
     k: int = 3,
     n_cells: int = 16,
     nprobe: int = 2,
+    n: int | None = None,
+    max_broadcast: int = MAX_BROADCAST_VECTORS,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: vectors are assigned to the
     nearest of ``n_cells`` centroids; each query scans only its ``nprobe``
@@ -294,7 +431,9 @@ def ann_topk_ivf(
         df.select(id_col, vec_col).repartition(n_parts).mapInPandas(assign, schema=schema)
     ).cache()  # read twice: query side and member side
 
-    if df.count() <= MAX_BROADCAST_VECTORS:
+    if n is None:
+        n = df.count()
+    if n <= max_broadcast:
         return _ivf_broadcast_topk(assigned, id_col, k)
 
     q = assigned.select(

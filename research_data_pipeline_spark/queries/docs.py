@@ -455,13 +455,17 @@ _PACK_ORACLE = f"""
         SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens FROM documents
     ),
     c AS (
+        -- CAST: DuckDB's window SUM over BIGINT yields HUGEINT, which
+        -- fetchdf() materializes as float64; Spark emits int64. The driver
+        -- hash is representation-sensitive, so pin both sides to BIGINT.
         SELECT doc_id, n_tokens,
-               SUM(n_tokens) OVER (ORDER BY doc_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+               CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS running
         FROM t
     )
     SELECT doc_id, n_tokens, running,
-           (running - n_tokens) // {_PACK_BUDGET} AS shard_id
+           CAST((running - n_tokens) // {_PACK_BUDGET} AS BIGINT) AS shard_id
     FROM c
 """
 

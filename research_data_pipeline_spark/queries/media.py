@@ -135,13 +135,16 @@ _SHARD_BYTES = 4096
 _SHARD_ORACLE = f"""
     WITH media AS ({MEDIA_CTE}),
     c AS (
+        -- CAST: DuckDB window SUM(BIGINT) -> HUGEINT -> float64 in fetchdf(),
+        -- while Spark emits int64; pin to BIGINT so the value hashes match.
         SELECT doc_id, kind, n_bytes,
-               SUM(n_bytes) OVER (ORDER BY doc_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+               CAST(SUM(n_bytes) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS running
         FROM media
     )
     SELECT doc_id, kind, n_bytes, running,
-           (running - n_bytes) // {_SHARD_BYTES} AS shard_id
+           CAST((running - n_bytes) // {_SHARD_BYTES} AS BIGINT) AS shard_id
     FROM c
 """
 

@@ -40,6 +40,14 @@ def assert_parity(spark_df, oracle_sql: str, sf_dir: str, name: str = "?") -> No
         if pd.api.types.is_datetime64_any_dtype(es) or pd.api.types.is_datetime64_any_dtype(gs):
             gs = pd.to_datetime(gs).astype("datetime64[us]")
             es = pd.to_datetime(es).astype("datetime64[us]")
+        # The driver's value hash is representation-sensitive: an int64 Spark
+        # column vs a float64 oracle column (e.g. DuckDB HUGEINT->float64)
+        # hash-mismatches even when numerically equal. Model that here.
+        if gs.dtype.kind in "iuf" and es.dtype.kind in "iuf":
+            assert (gs.dtype.kind in "iu") == (es.dtype.kind in "iu"), (
+                f"{name}.{col}: int/float representation differs: "
+                f"spark={gs.dtype} oracle={es.dtype} (driver hash would fail)"
+            )
         pd.testing.assert_series_equal(
             gs, es, check_dtype=False, check_exact=True, check_names=False,
             obj=f"{name}.{col}",
