@@ -1,0 +1,41 @@
+"""Hadoop FileSystem helpers: path probes that work on ANY Spark-supported
+filesystem (local, HDFS, S3A, ...), not just the driver's local disk.
+
+``os.path`` only sees the local FS — a checkpoint probe or size estimate
+done that way silently misbehaves the moment a pipeline runs against
+``hdfs://`` or ``s3a://`` URIs. Routing through the JVM's
+``org.apache.hadoop.fs.FileSystem`` keeps the semantics identical across
+schemes (the reference keeps all state in Postgres so it never faces
+this; see /root/reference/dags/scripts/final_tables.py:29-41 for its
+local-CSV resume analog).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def _fs_and_path(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(conf), p
+
+
+def exists(spark: SparkSession, path: str) -> bool:
+    fs, p = _fs_and_path(spark, path)
+    return bool(fs.exists(p))
+
+
+def delete(spark: SparkSession, path: str) -> bool:
+    """Recursive delete; False if the path didn't exist."""
+    fs, p = _fs_and_path(spark, path)
+    return bool(fs.delete(p, True))
+
+
+def size_bytes(spark: SparkSession, path: str) -> int:
+    """Total bytes under ``path`` (file or directory), 0 if absent."""
+    fs, p = _fs_and_path(spark, path)
+    if not fs.exists(p):
+        return 0
+    return int(fs.getContentSummary(p).getLength())

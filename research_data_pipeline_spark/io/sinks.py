@@ -49,15 +49,33 @@ def write_jdbc_idempotent(
     mode: str = "append",
     properties: dict | None = None,
 ) -> None:
-    """JDBC sink with ON-CONFLICT-DO-NOTHING parity (S7): deterministic
-    dedup on the key set before a bulk write. The write itself is
-    vectorized batches per partition — replacing the reference's ~100k
-    single-row INSERTs with |partitions| round-trip streams.
+    """JDBC sink with ON-CONFLICT-DO-NOTHING parity (S7;
+    sql_queries.py:98-138): deterministic dedup on the key set within the
+    batch, plus — in append mode — a left-anti join against the keys
+    already in the target table, so replaying a load inserts nothing
+    twice. The write itself is vectorized batches per partition —
+    replacing the reference's ~100k single-row INSERTs with |partitions|
+    round-trip streams.
+
+    The existing-keys probe reads only the key columns (projection pushed
+    to the database). For huge targets, bound it with a predicate-
+    partitioned read or push the dedup into a DB-side staging MERGE; for
+    the reference's dimension/fact sizes one key scan is the right trade.
     """
     from ..operators.dedup_relational import deterministic_dedup
 
     deduped = deterministic_dedup(df, keys=keys, order_by=order_by)
-    deduped.write.jdbc(url=url, table=table, mode=mode, properties=properties or {})
+    props = properties or {}
+    if mode == "append":
+        spark = df.sparkSession
+        try:
+            existing = spark.read.jdbc(url=url, table=table, properties=props).select(*keys)
+            # materialize the probe NOW: .jdbc() below may lock the table
+            existing = existing.localCheckpoint()
+            deduped = deduped.join(existing, keys, "left_anti")
+        except Exception:  # first load: table doesn't exist yet
+            pass
+    deduped.write.jdbc(url=url, table=table, mode=mode, properties=props)
 
 
 def graph_sink(vertices: DataFrame, edges: DataFrame, base_path: str) -> None:

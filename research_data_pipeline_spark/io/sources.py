@@ -72,16 +72,80 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
         raise
 
 
+_SSML = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+
+
+def _col_index(ref: str) -> int:
+    """'B7' → 1 (zero-based column index from an A1-style cell ref)."""
+    idx = 0
+    for ch in ref:
+        if not ch.isalpha():
+            break
+        idx = idx * 26 + (ord(ch.upper()) - ord("A") + 1)
+    return idx - 1
+
+
+def _read_xlsx_minimal(path: str, sheet: int = 0):
+    """Dependency-free .xlsx reader (ECMA-376 spreadsheetML): enough of
+    the format for dimension workbooks — shared strings, inline strings,
+    numeric cells; first row is the header. Used when pandas' engine
+    (openpyxl) isn't installed."""
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    import pandas as pd
+
+    with zipfile.ZipFile(path) as z:
+        names = z.namelist()
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in names:
+            root = ET.fromstring(z.read("xl/sharedStrings.xml"))
+            shared = [
+                "".join(t.text or "" for t in si.iter(_SSML + "t"))
+                for si in root.iter(_SSML + "si")
+            ]
+        sheets = sorted(n for n in names if n.startswith("xl/worksheets/sheet"))
+        root = ET.fromstring(z.read(sheets[sheet]))
+        grid: list[dict[int, object]] = []
+        for row in root.iter(_SSML + "row"):
+            cells: dict[int, object] = {}
+            for c in row.iter(_SSML + "c"):
+                ci = _col_index(c.get("r", "A"))
+                t = c.get("t")
+                if t == "inlineStr":
+                    cells[ci] = "".join(tt.text or "" for tt in c.iter(_SSML + "t"))
+                    continue
+                ve = c.find(_SSML + "v")
+                if ve is None or ve.text is None:
+                    continue
+                if t == "s":
+                    cells[ci] = shared[int(ve.text)]
+                elif t == "str":
+                    cells[ci] = ve.text
+                else:
+                    num = float(ve.text)
+                    cells[ci] = int(num) if num.is_integer() else num
+            grid.append(cells)
+    width = max((max(r) + 1 for r in grid if r), default=0)
+    header = [grid[0].get(i, f"col{i}") for i in range(width)] if grid else []
+    data = [[r.get(i) for i in range(width)] for r in grid[1:]]
+    return pd.DataFrame(data, columns=[str(h) for h in header])
+
+
 def read_excel_dim(spark: SparkSession, path: str, sheet: int | str = 0) -> DataFrame:
     """Excel workbook → DataFrame (S4; augmentations.py:66,82).
 
-    Dimension-sized by definition, so the driver-side pandas read +
+    Dimension-sized by definition, so the driver-side read +
     ``createDataFrame`` is the right shape (the CWTS workbook is ~20k
-    rows). Column names are normalized like the reference
+    rows). Uses pandas' engine when available, else the built-in minimal
+    spreadsheetML parser. Column names are normalized like the reference
     (augmentations.py:68: lower + underscores).
     """
     import pandas as pd
 
-    pdf = pd.read_excel(path, sheet_name=sheet)
+    try:
+        pdf = pd.read_excel(path, sheet_name=sheet)
+    except ImportError:
+        pdf = _read_xlsx_minimal(path, sheet if isinstance(sheet, int) else 0)
     pdf.columns = [str(c).replace(" ", "_").lower() for c in pdf.columns]
     return spark.createDataFrame(pdf)

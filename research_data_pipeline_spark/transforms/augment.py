@@ -60,6 +60,96 @@ def enrich_articles(
     return article.mapInPandas(run, schema=schema)
 
 
+_CACHE_SCHEMA = "doi string, type string, n_cites string, journal_issn string"
+
+
+def enrich_articles_resumable(
+    article: DataFrame,
+    fetcher: Fetcher,
+    cache_path: str,
+    batch_size: int = 200,
+    checkpoint_every: int = 2000,
+) -> DataFrame:
+    """Checkpoint-resumable enrichment: the reference throttles Crossref
+    and checkpoints every 2,000 rows so a half-day job can resume
+    (final_tables.py:29-41, augmentations.py:10-57). Spark form: fetched
+    (doi → result) rows land in a parquet *fetch cache*; a restart
+    anti-joins pending DOIs against the cache and fetches only the
+    remainder.
+
+    The driver loop commits one ``checkpoint_every``-DOI chunk at a time —
+    Spark's output committer makes each chunk append all-or-nothing, so a
+    crash loses at most the in-flight chunk. Collecting the pending DOI
+    list to the driver is fine at any corpus scale: the fetch set is
+    bounded by the external API's throughput (the reference spends hours
+    on 18k DOIs), never by table size.
+    """
+    import math
+
+    spark = article.sparkSession
+    from ..io import fs
+
+    pending = (
+        article.where(F.col("type").isNull() & F.col("doi").isNotNull())
+        .select("doi")
+        .distinct()
+    )
+    have_cache = fs.exists(spark, cache_path)
+    if have_cache:
+        done = spark.read.parquet(cache_path).select("doi").distinct()
+        todo = pending.join(done, "doi", "left_anti")
+    else:
+        todo = pending
+    dois = sorted(r[0] for r in todo.collect())
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ds = pdf["doi"].tolist()
+            results: dict[str, tuple[str, int, str | None]] = {}
+            for i in range(0, len(ds), batch_size):
+                results.update(fetcher(ds[i : i + batch_size]))
+            yield pd.DataFrame(
+                {
+                    "doi": list(results),
+                    "type": [results[d][0] for d in results],
+                    "n_cites": [str(results[d][1]) for d in results],
+                    "journal_issn": [results[d][2] for d in results],
+                }
+            )
+
+    for start in range(0, len(dois), checkpoint_every):
+        chunk = dois[start : start + checkpoint_every]
+        cdf = spark.createDataFrame([(d,) for d in chunk], "doi string").repartition(
+            max(1, math.ceil(len(chunk) / batch_size))
+        )
+        cdf.mapInPandas(run, schema=_CACHE_SCHEMA).write.mode("append").parquet(cache_path)
+
+    if not fs.exists(spark, cache_path):  # nothing pending and no history
+        return article
+    fetched = (
+        spark.read.parquet(cache_path)
+        .groupBy("doi")  # defensive: an append replay can't fan the join out
+        .agg(
+            F.min("type").alias("_f_type"),
+            F.min("n_cites").alias("_f_cites"),
+            F.min("journal_issn").alias("_f_issn"),
+        )
+    )
+    out = article.join(fetched, "doi", "left")
+    miss = F.col("type").isNull() & F.col("_f_type").isNotNull()
+    return (
+        out.withColumn("n_cites", F.when(miss, F.col("_f_cites")).otherwise(F.col("n_cites")))
+        .withColumn(
+            "journal_issn",
+            F.when(miss & F.col("_f_issn").isNotNull(), F.col("_f_issn")).otherwise(
+                F.col("journal_issn")
+            ),
+        )
+        .withColumn("type", F.when(miss, F.col("_f_type")).otherwise(F.col("type")))
+        .select(*article.columns)
+    )
+
+
 def filter_journal_articles(article: DataFrame) -> DataFrame:
     """Keep only journal articles (final_tables.py:51)."""
     return article.where(F.col("type") == "journal-article")

@@ -116,7 +116,10 @@ def test_range_self_join_matches_bruteforce(spark, rows, gap):
     ),
 )
 def test_connected_components_matches_union_find(spark, n, edge_pairs):
-    from research_data_pipeline_spark.graph.build import connected_components
+    from research_data_pipeline_spark.graph.build import (
+        connected_components,
+        connected_components_contraction,
+    )
 
     edge_pairs = [(a, b) for a, b in edge_pairs if a < n and b < n and a != b]
     vertices = spark.createDataFrame([(i,) for i in range(n)], "node bigint")
@@ -130,6 +133,13 @@ def test_connected_components_matches_union_find(spark, n, edge_pairs):
         r["node"]: r["label"]
         for r in connected_components(vertices, edges, id_col="node").collect()
     }
+    got_star = {
+        r["node"]: r["label"]
+        for r in connected_components_contraction(
+            vertices, edges, id_col="node"
+        ).collect()
+    }
+    assert got_star == got
 
     parent = list(range(n))
 
@@ -165,3 +175,26 @@ def test_scalable_prefix_sum_matches_cumsum(spark, vals, n_parts):
     )
     want = pd.Series(vals).cumsum().tolist()
     assert [r["run"] for r in got] == want
+
+
+def test_contraction_logarithmic_rounds_on_long_path(spark):
+    """A 64-node path has diameter 63: label propagation needs ~63 rounds,
+    star contraction must close it in O(log n)."""
+    from research_data_pipeline_spark.graph.build import (
+        connected_components_contraction,
+    )
+
+    n = 64
+    pairs = [(i, i + 1) for i in range(n - 1)]
+    both = pairs + [(b, a) for a, b in pairs]
+    vertices = spark.createDataFrame([(i,) for i in range(n)], "node bigint")
+    edges = spark.createDataFrame(both, "src bigint, dst bigint")
+    stats: dict = {}
+    labels = {
+        r["node"]: r["label"]
+        for r in connected_components_contraction(
+            vertices, edges, id_col="node", stats=stats
+        ).collect()
+    }
+    assert labels == {i: 0 for i in range(n)}
+    assert stats["rounds"] <= 8, stats  # log2(64)=6 plus slack; diameter is 63
