@@ -9,6 +9,7 @@ LLM-data pipeline needs, each with an exact DuckDB oracle.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions import text as T
@@ -579,4 +580,114 @@ def d16_token_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return spark_rank(counts, "n", out_col="rank", ascending=False).select(
         "token", "n", "rank"
+    )
+
+
+# ---------------------------------------------------------------------------
+_REP_N = 3
+
+_REP_ORACLE = f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sh AS (
+        SELECT doc_id,
+               list_transform(range(1, len(toks) - {_REP_N - 2}),
+                              i -> array_to_string(toks[i:i+{_REP_N - 1}], ' '))
+                   AS shingles
+        FROM t WHERE len(toks) >= {_REP_N}
+    )
+    SELECT doc_id,
+           CAST(len(shingles) AS BIGINT) AS n_shingles,
+           CAST(len(list_distinct(shingles)) AS BIGINT) AS n_distinct,
+           1.0 - (CAST(len(list_distinct(shingles)) AS DOUBLE) / len(shingles))
+               AS repetition_ratio
+    FROM sh
+"""
+
+
+@REGISTRY.add("d17_repetition_ratio", _REP_ORACLE, "text", "quality")
+def d17_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-{_REP_N}-gram fraction per document — the Gopher/C4-style
+    repetition quality filter (a high ratio flags boilerplate/spam before
+    any model-based scoring).
+
+    Shingle stream via posexplode + lead windows (pure codegen, the d08
+    shape — no interpreted per-position array slices); the ratio is one
+    count + one count-distinct per doc on that stream, so the scan never
+    materializes per-doc shingle arrays. Single IEEE division per row —
+    bit-identical across engines.
+    """
+    d = load(spark, sf_dir, "documents")
+    w = W.partitionBy("doc_id").orderBy("pos")
+    sh = (
+        d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token"))
+        .select(
+            "doc_id", "pos", "token",
+            *[F.lead("token", i).over(w).alias(f"_t{i}") for i in range(1, _REP_N)],
+        )
+        .where(F.col(f"_t{_REP_N - 1}").isNotNull())
+        .select(
+            "doc_id",
+            F.concat_ws(" ", "token", *[f"_t{i}" for i in range(1, _REP_N)]).alias("sh"),
+        )
+    )
+    return (
+        sh.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count_distinct("sh").alias("n_distinct"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_distinct",
+            (
+                F.lit(1.0)
+                - F.col("n_distinct").cast("double") / F.col("n_shingles")
+            ).alias("repetition_ratio"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+_CONTAM_ORACLE = """
+    WITH fp AS (
+        SELECT DISTINCT
+               md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+                   AS fp,
+               source
+        FROM documents
+    )
+    SELECT a.source AS src_a, b.source AS src_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_fps
+    FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source
+    GROUP BY 1, 2
+"""
+
+
+@REGISTRY.add("d18_source_contamination", _CONTAM_ORACLE, "dedup", "contamination")
+def d18_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination: for every source pair, how many
+    bag-of-words fingerprints (md5 of the sorted distinct token set)
+    appear in BOTH — the train/test-leakage check run before any split
+    ships.
+
+    Scale shape: one distinct on (fingerprint, source) — fact-scale but
+    map-side-combining — then a self-equi-join on the 128-bit fingerprint
+    (hash join, collision-bucketed like d04) and a pair-keyed count. No
+    text ever crosses the shuffle; only fingerprints do.
+    """
+    d = load(spark, sf_dir, "documents")
+    fp = d.select(
+        F.md5(
+            F.array_join(F.array_sort(F.array_distinct(F.split("text", " "))), " ")
+        ).alias("fp"),
+        "source",
+    ).distinct()
+    a = fp.select("fp", F.col("source").alias("src_a"))
+    b = fp.select("fp", F.col("source").alias("src_b"))
+    return (
+        a.join(b, "fp")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_fps"))
     )

@@ -35,22 +35,35 @@ _PCT = 10.0
 
 
 def star_tables(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, full_author: bool = False
 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
     """(author, authorship, article, journal) star schema from TPC-H.
 
     One shuffle family: authorship/cites/pubs all partition by author_id
     (suppliers — a dimension), article by order key; the author table is
     dimension-sized so its SQL rank uses the two-phase value-rank (no
-    full-data single-partition window)."""
+    full-data single-partition window).
+
+    ``full_author`` adds the h-index window + avg-cites aggregation (a
+    fact-scale shuffle each) — only dwh4 reads those columns, so the
+    other queries skip that work entirely (column pruning can't remove a
+    join that was already planned)."""
     l = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
     n = load(spark, sf_dir, "nation")
 
-    authorship = l.select(
-        F.col("l_orderkey").alias("article_id"), F.col("l_suppkey").alias("author_id")
-    ).distinct()
+    # cached: the distinct feeds pubs, cites, AND the per-year join in
+    # q2-q4 — without the cache the fact-scale distinct shuffle runs 3x
+    # per query (at cluster scale this is the standard "materialize the
+    # bridge table once" trade)
+    authorship = (
+        l.select(
+            F.col("l_orderkey").alias("article_id"), F.col("l_suppkey").alias("author_id")
+        )
+        .distinct()
+        .cache()
+    )
     article = (
         o.join(c, o["o_custkey"] == c["c_custkey"])
         .select(
@@ -64,20 +77,21 @@ def star_tables(
         F.concat(F.lit("J-"), F.col("n_nationkey").cast("string")).alias("journal_issn"),
         F.col("n_name").alias("journal_title"),
     )
-    cites = authorship.join(
-        article.select("article_id", F.col("n_cites").cast("bigint").alias("cites")),
-        "article_id",
-    ).select("author_id", "cites")
     pubs = authorship.groupBy("author_id").agg(F.count(F.lit(1)).alias("total_pubs"))
-    hind = hindex(cites, ["author_id"], F.col("cites"))
-    avgc = cites.groupBy("author_id").agg(
-        F.floor(F.sum("cites") / F.count(F.lit(1))).cast("bigint").alias("avg_cites")
-    )
+    base = pubs
+    if full_author:
+        cites = authorship.join(
+            article.select("article_id", F.col("n_cites").cast("bigint").alias("cites")),
+            "article_id",
+        ).select("author_id", "cites")
+        hind = hindex(cites, ["author_id"], F.col("cites"))
+        avgc = cites.groupBy("author_id").agg(
+            F.floor(F.sum("cites") / F.count(F.lit(1))).cast("bigint").alias("avg_cites")
+        )
+        base = pubs.join(hind, "author_id").join(avgc, "author_id")
     author = spark_rank(
-        pubs.join(hind, "author_id").join(avgc, "author_id"),
-        "total_pubs",
-        out_col="rank_total_pubs",
-    )
+        base, "total_pubs", out_col="rank_total_pubs"
+    ).cache()  # dimension-sized; read twice per query (computed-k count + plan)
     return author, authorship, article, journal
 
 
@@ -238,5 +252,5 @@ def dwh4_most_influential_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DWH Q4 (README.md:255-281): per top author, the year with max
     summed h-index (author-constant h-index summed over that year's
     authorship rows — reproduced literally)."""
-    author, authorship, article, _ = star_tables(spark, sf_dir)
+    author, authorship, article, _ = star_tables(spark, sf_dir, full_author=True)
     return q4_most_influential_year(author, authorship, article, pct=_PCT)

@@ -104,8 +104,9 @@ _VERIFY_COST_S = {
     "d09_embedding_near_dups": 2.23, "e02_streaming_tumbling": 2.57,
     "g05_connected_components": 2.74, "e13_streaming_sessions": 3.4,
     "d01_token_stats": 3.71, "d06_minhash_lsh": 4.22,
-    "dwh1_top_publishers": 2.8, "dwh2_top_journals": 3.3,
-    "dwh3_most_productive_year": 3.0, "dwh4_most_influential_year": 2.9,
+    "dwh1_top_publishers": 1.3, "dwh2_top_journals": 1.6,
+    "dwh3_most_productive_year": 1.4, "dwh4_most_influential_year": 2.9,
+    "d17_repetition_ratio": 0.5, "d18_source_contamination": 0.5,
 }
 _DEFAULT_COST_S = 0.45
 
