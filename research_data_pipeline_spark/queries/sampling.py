@@ -2,9 +2,14 @@
 surface a 100 TB pipeline needs (operators/sketches.py).
 
 s01/s02 are exact-oracle-checked (the md5 sampler and the exact
-heavy-hitter pass are deterministic and SQL-expressible); s03/s04 are
-genuinely approximate (HLL++, Greenwald-Khanna) so they register without
-an oracle — the driver records a rows-only check for those.
+heavy-hitter pass are deterministic and SQL-expressible). s03/s04 are
+genuinely approximate (HLL++, Greenwald-Khanna), so their *sketch values*
+cannot be oracle-compared — instead each emits the EXACT statistic (which
+the oracle recomputes) plus a ``within_*`` BOOLEAN asserting the sketch
+satisfies its error contract, with the oracle emitting a TRUE literal.
+This keeps the sketches under the hard hash signal: a drifting sketch
+flips the boolean and fails the compare. Outputs are scalar columns only
+(the harness canonicalizer cannot sort array cells — see registry.py).
 """
 
 from __future__ import annotations
@@ -76,32 +81,95 @@ def s02_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@REGISTRY.add("s03_approx_distinct", None, "sketch", "approx")
+_HLL_RSD = 0.02
+
+
+@REGISTRY.add(
+    "s03_approx_distinct",
+    """
+    SELECT o_orderpriority AS value,
+           COUNT(DISTINCT o_custkey) AS exact_custkeys,
+           TRUE AS within_rsd
+    FROM orders
+    GROUP BY 1
+    """,
+    "sketch",
+    "approx",
+)
 def s03_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ distinct customers per priority (rsd 2%). No oracle:
-    DuckDB's approx_count_distinct is a different HLL implementation, so
-    only a rows-only check applies; test_sketches.py bounds the error vs
-    the exact count."""
+    """HyperLogLog++ distinct customers per priority (rsd 2%), under the
+    hard signal: DuckDB's HLL is a different implementation, so the sketch
+    value itself is not comparable — instead we emit the exact distinct
+    count (oracle recomputes it) and a boolean asserting the HLL estimate
+    is within 5·rsd of exact (a ≥5σ contract; deviation there means a
+    broken sketch, not noise). Both the sketch and the exact count are
+    single map-side-combined aggregations over the same shuffle."""
     o = load(spark, sf_dir, "orders")
-    return (
-        o.groupBy(F.col("o_orderpriority").alias("value"))
-        .agg(F.approx_count_distinct("o_custkey", 0.02).alias("approx_custkeys"))
+    agg = o.groupBy(F.col("o_orderpriority").alias("value")).agg(
+        F.count_distinct("o_custkey").alias("exact_custkeys"),
+        F.approx_count_distinct("o_custkey", _HLL_RSD).alias("_approx"),
+    )
+    err = F.abs(F.col("_approx") - F.col("exact_custkeys"))
+    bound = F.lit(5 * _HLL_RSD) * F.col("exact_custkeys")
+    return agg.select(
+        "value",
+        "exact_custkeys",
+        (err <= bound).alias("within_rsd"),
     )
 
 
-@REGISTRY.add("s04_approx_quantiles", None, "sketch", "approx")
+# GK sketch accuracy: rank error ≤ n/_GK_ACCURACY. The contract check
+# brackets the sketch value between exact percentiles at q ± _GK_SLACK.
+# The slack must exceed one order-statistic gap for the smallest group
+# (the sketch returns an actual element; the exact percentile
+# interpolates — at sf0.001 a group holds ~60 rows, so slack ≥ 1/60),
+# while staying a real contract at scale (±60 ranks at sf0.01).
+_GK_ACCURACY = 10_000
+_GK_SLACK = 0.02
+
+
+@REGISTRY.add(
+    "s04_approx_quantiles",
+    """
+    SELECT o_orderpriority AS value,
+           quantile_cont(o_totalprice, 0.25) AS p25,
+           quantile_cont(o_totalprice, 0.50) AS p50,
+           quantile_cont(o_totalprice, 0.75) AS p75,
+           TRUE AS within_rank_bound
+    FROM orders
+    GROUP BY 1
+    """,
+    "sketch",
+    "approx",
+)
 def s04_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Greenwald-Khanna price quantiles per priority — fixed sketch state
-    per group vs an exact sort. No oracle (algorithm-specific results);
-    error bound is tested in test_sketches.py."""
+    """Greenwald-Khanna price quartiles per priority, under the hard
+    signal. Emits the EXACT interpolated quartiles (p25/p50/p75 — oracle
+    ``quantile_cont`` parity proven by q28) as scalar columns, plus one
+    boolean asserting every GK estimate lies between the exact percentiles
+    at q ± 10/accuracy — the sketch's rank-error contract. No array
+    columns in the output (harness canonicalizer constraint)."""
     o = load(spark, sf_dir, "orders")
-    return (
-        o.groupBy(F.col("o_orderpriority").alias("value"))
-        .agg(
-            F.percentile_approx(
-                "o_totalprice", [0.25, 0.5, 0.75], 10_000
-            ).alias("price_quartiles")
+    qs = [0.25, 0.50, 0.75]
+    brackets = [(max(q - _GK_SLACK, 0.0), min(q + _GK_SLACK, 1.0)) for q in qs]
+    exact_pts = sorted({q for q in qs} | {b for lo_hi in brackets for b in lo_hi})
+    idx = {p: i + 1 for i, p in enumerate(exact_pts)}  # element_at is 1-based
+    agg = o.groupBy(F.col("o_orderpriority").alias("value")).agg(
+        F.percentile("o_totalprice", F.lit(exact_pts)).alias("_exact"),
+        F.percentile_approx("o_totalprice", qs, _GK_ACCURACY).alias("_approx"),
+    )
+    within = F.lit(True)
+    for i, (q, (lo, hi)) in enumerate(zip(qs, brackets)):
+        a = F.element_at("_approx", i + 1)
+        within = within & (a >= F.element_at("_exact", idx[lo])) & (
+            a <= F.element_at("_exact", idx[hi])
         )
+    return agg.select(
+        "value",
+        F.element_at("_exact", idx[0.25]).alias("p25"),
+        F.element_at("_exact", idx[0.50]).alias("p50"),
+        F.element_at("_exact", idx[0.75]).alias("p75"),
+        within.alias("within_rank_bound"),
     )
 
 
