@@ -78,21 +78,38 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 50,
+    prop_rounds: int = 6,
+    stats: dict | None = None,
 ) -> DataFrame:
-    """Connected components by min-label propagation — the iterative
-    algorithm shape (no single SQL plan computes a fixpoint).
+    """Connected components — auto-selecting hybrid.
 
-    Each iteration is one join + one min-aggregate: every node adopts the
-    smallest label among itself and its neighbors, until a pass changes
-    nothing. Converges in O(component diameter) rounds.  Lineage is cut
-    every round with an eager ``localCheckpoint`` — without it the plan
-    doubles per iteration and the driver dies planning round ~20 long
-    before the executors break a sweat. For the billion-edge scale path
-    with O(log n) rounds see ``connected_components_contraction``.
+    Starts with min-label propagation (each round: one join + one
+    min-aggregate; every node adopts the smallest label among itself and
+    its neighbors). That converges in O(component diameter) rounds and is
+    the measured-fastest path on dense, small-diameter graphs like the
+    co-supplier graph (g05: 2.7 s prop vs 4 s contraction at sf0.1).
+
+    If propagation has not converged after ``prop_rounds`` rounds — the
+    cheap high-diameter probe — the partial labels (min id within
+    ``prop_rounds`` hops) are used to CONTRACT the graph: nodes sharing a
+    label collapse to one quotient node, and the O(log n) large/small-star
+    contraction (``connected_components_contraction``) finishes on the
+    quotient, which is strictly smaller and preserves components. Quotient
+    labels are original node ids, so component minima are unchanged; the
+    final join maps every node through its quotient label. Net: a path
+    graph costs ``prop_rounds`` cheap rounds + O(log n) contraction
+    rounds, never O(n) — without the caller choosing an algorithm.
+
+    Lineage is cut every round with an eager ``localCheckpoint`` —
+    without it the plan doubles per iteration and the driver dies
+    planning round ~20 long before the executors break a sweat.
 
     ``edges`` must contain both directions of each undirected edge (as
     ``co_occurrence_edges`` emits). Isolated vertices keep their own id
     as the component label. Deterministic: min is order-independent.
+    ``stats`` (optional) records ``algorithm`` ("label_propagation" or
+    "hybrid_contraction"), ``prop_rounds`` executed, and the contraction
+    round count when the scale path engages.
     """
     # the edge list is re-joined every round — materialize it once instead
     # of re-running its (possibly expensive) derivation per iteration
@@ -100,7 +117,10 @@ def connected_components(
     labels = vertices.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("label")
     ).localCheckpoint()
-    for _ in range(max_iter):
+    converged = False
+    executed = 0
+    for _ in range(min(prop_rounds, max_iter)):
+        executed += 1
         neigh = (
             edges.join(labels, edges[src] == labels["node"])
             .select(F.col(dst).alias("node"), "label")
@@ -115,8 +135,41 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
-    return labels
+    if stats is not None:
+        stats["prop_rounds"] = executed
+    if converged:
+        if stats is not None:
+            stats["algorithm"] = "label_propagation"
+        return labels
+    # High-diameter: contract by current labels and finish in O(log n).
+    # Each quotient node is a label value (an original node id); edges map
+    # endpoints through their labels. Self-loops/duplicates are dropped by
+    # the contraction's canonicalization.
+    if stats is not None:
+        stats["algorithm"] = "hybrid_contraction"
+    sl = labels.select(F.col("node").alias("_sn"), F.col("label").alias("_sl"))
+    dl = labels.select(F.col("node").alias("_dn"), F.col("label").alias("_dl"))
+    quotient_edges = (
+        edges.join(sl, edges[src] == sl["_sn"])
+        .join(dl, edges[dst] == dl["_dn"])
+        .select(F.col("_sl").alias("qsrc"), F.col("_dl").alias("qdst"))
+    )
+    quotient_vertices = labels.select(F.col("label").alias("qnode")).distinct()
+    comp = connected_components_contraction(
+        quotient_vertices,
+        quotient_edges,
+        id_col="qnode",
+        src="qsrc",
+        dst="qdst",
+        max_iter=max_iter,
+        stats=stats,
+    ).select(F.col("node").alias("_q"), F.col("label").alias("_comp"))
+    return (
+        labels.join(comp, labels["label"] == comp["_q"])
+        .select("node", F.col("_comp").alias("label"))
+    )
 
 
 def connected_components_contraction(

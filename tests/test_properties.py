@@ -198,3 +198,49 @@ def test_contraction_logarithmic_rounds_on_long_path(spark):
     }
     assert labels == {i: 0 for i in range(n)}
     assert stats["rounds"] <= 8, stats  # log2(64)=6 plus slack; diameter is 63
+
+
+def test_auto_cc_escalates_to_contraction_on_long_path(spark):
+    """The public ``connected_components`` must detect a high-diameter
+    graph by itself (label prop not converged after prop_rounds) and
+    finish via quotient contraction in O(log n) — no caller choice."""
+    from research_data_pipeline_spark.graph.build import connected_components
+
+    n = 64
+    pairs = [(i, i + 1) for i in range(n - 1)]
+    both = pairs + [(b, a) for a, b in pairs]
+    vertices = spark.createDataFrame([(i,) for i in range(n)], "node bigint")
+    edges = spark.createDataFrame(both, "src bigint, dst bigint")
+    stats: dict = {}
+    labels = {
+        r["node"]: r["label"]
+        for r in connected_components(
+            vertices, edges, id_col="node", stats=stats
+        ).collect()
+    }
+    assert labels == {i: 0 for i in range(n)}
+    assert stats["algorithm"] == "hybrid_contraction", stats
+    # total work is prop_rounds + O(log quotient) contraction rounds
+    assert stats["prop_rounds"] <= 6, stats
+    assert stats["rounds"] <= 8, stats
+
+
+def test_auto_cc_stays_on_label_prop_when_diameter_small(spark):
+    """A star graph (diameter 2) must converge inside the propagation
+    budget — the fast path for dense graphs like g05's."""
+    from research_data_pipeline_spark.graph.build import connected_components
+
+    n = 20
+    pairs = [(0, i) for i in range(1, n)]
+    both = pairs + [(b, a) for a, b in pairs]
+    vertices = spark.createDataFrame([(i,) for i in range(n)], "node bigint")
+    edges = spark.createDataFrame(both, "src bigint, dst bigint")
+    stats: dict = {}
+    labels = {
+        r["node"]: r["label"]
+        for r in connected_components(
+            vertices, edges, id_col="node", stats=stats
+        ).collect()
+    }
+    assert labels == {i: 0 for i in range(n)}
+    assert stats["algorithm"] == "label_propagation", stats
