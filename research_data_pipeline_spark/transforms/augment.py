@@ -12,7 +12,10 @@ Spark-first: enrichment is ``mapInPandas`` with a pluggable fetcher —
 each partition batches its HTTP calls (rate-limit lives in the fetcher),
 so throughput scales with executors instead of a single driver loop, and
 a failed partition retries idempotently. Tests inject a deterministic
-fake fetcher; live use would inject a requests-based one.
+fake fetcher; the live implementation is
+``http_fetcher.RateLimitedHttpFetcher`` (stdlib urllib, token-bucket
+throttle, retry/backoff — exercised against a real local HTTP server in
+tests/test_http_fetcher.py).
 """
 
 from __future__ import annotations

@@ -1,0 +1,151 @@
+"""S6 live-path: the rate-limited HTTP fetcher against a real local HTTP
+server (stdlib http.server — no network), end-to-end through the Spark
+enrichment operators, including the resumable parquet-cache path."""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import unquote
+
+import pytest
+
+from research_data_pipeline_spark.transforms.augment import (
+    enrich_articles,
+    enrich_articles_resumable,
+)
+from research_data_pipeline_spark.transforms.http_fetcher import (
+    RateLimitedHttpFetcher,
+)
+
+_WORKS = {
+    "10.1/alpha": {"type": "journal-article", "is-referenced-by-count": 12, "ISSN": ["1111-2222"]},
+    "10.1/beta": {"type": "journal-article", "is-referenced-by-count": 3, "ISSN": []},
+    "10.1/gamma": {"type": "book-chapter", "is-referenced-by-count": 0, "ISSN": ["3333-4444"]},
+}
+
+
+class _Handler(BaseHTTPRequestHandler):
+    flaky_remaining = {}  # doi -> number of 500s still to serve
+    hits = []  # (doi) in arrival order
+
+    def do_GET(self):  # noqa: N802 (http.server API)
+        doi = unquote(self.path.rsplit("/works/", 1)[-1])
+        _Handler.hits.append(doi)
+        if _Handler.flaky_remaining.get(doi, 0) > 0:
+            _Handler.flaky_remaining[doi] -= 1
+            self.send_response(500)
+            self.end_headers()
+            return
+        if doi not in _WORKS:
+            self.send_response(404)
+            self.end_headers()
+            return
+        body = json.dumps({"message": _WORKS[doi]}).encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "application/json")
+        self.end_headers()
+        self.wfile.write(body)
+
+    def log_message(self, *a):  # silence request logging
+        pass
+
+
+@pytest.fixture()
+def server():
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    _Handler.flaky_remaining = {}
+    _Handler.hits = []
+    yield f"http://127.0.0.1:{srv.server_address[1]}/works"
+    srv.shutdown()
+
+
+def _fast_fetcher(base_url, **kw):
+    # high rate so tests don't sleep; retry backoff shrunk likewise
+    kw.setdefault("rate_per_s", 10_000)
+    kw.setdefault("backoff_s", 0.01)
+    return RateLimitedHttpFetcher(base_url, **kw)
+
+
+def test_fetch_parse_miss_and_flaky_retry(server):
+    _Handler.flaky_remaining["10.1/beta"] = 2  # two 500s, then OK
+    f = _fast_fetcher(server)
+    got = f(["10.1/alpha", "10.1/beta", "10.1/nope"])
+    assert got["10.1/alpha"] == ("journal-article", 12, "1111-2222")
+    assert got["10.1/beta"] == ("journal-article", 3, None)  # empty ISSN list
+    assert "10.1/nope" not in got  # 404 → skipped, no retry storm
+    assert _Handler.hits.count("10.1/beta") == 3  # 2 failures + 1 success
+    assert _Handler.hits.count("10.1/nope") == 1
+
+
+def test_retries_exhaust_to_skip_not_raise(server):
+    _Handler.flaky_remaining["10.1/alpha"] = 99
+    f = _fast_fetcher(server, max_retries=2)
+    assert f(["10.1/alpha"]) == {}
+    assert _Handler.hits.count("10.1/alpha") == 3  # initial + 2 retries
+
+
+def test_token_bucket_spacing_deterministic():
+    """Pacing verified with an injected clock: request k waits until
+    k/rate — no wall-clock sleeps in the test."""
+    now = [0.0]
+    sleeps: list[float] = []
+
+    def clock():
+        return now[0]
+
+    def sleep(s):
+        sleeps.append(s)
+        now[0] += s
+
+    f = RateLimitedHttpFetcher(
+        "http://unused", rate_per_s=2.0, clock=clock, sleep=sleep
+    )
+    for _ in range(4):
+        f._throttle()
+    # first is immediate; each later one waits the 0.5 s min-interval
+    assert sleeps == [0.5, 0.5, 0.5]
+
+
+def test_enrich_articles_end_to_end_over_http(spark, server):
+    art = spark.createDataFrame(
+        [
+            ("10.1/alpha", None, None, None),
+            ("10.1/beta", None, None, None),
+            ("10.1/missing", None, None, None),
+            ("10.1/gamma", "already-set", "7", "9999-0000"),
+        ],
+        "doi string, type string, n_cites string, journal_issn string",
+    )
+    out = enrich_articles(art.repartition(2), _fast_fetcher(server)).collect()
+    rows = {r["doi"]: r for r in out}
+    assert rows["10.1/alpha"]["type"] == "journal-article"
+    assert rows["10.1/alpha"]["n_cites"] == "12"
+    assert rows["10.1/alpha"]["journal_issn"] == "1111-2222"
+    assert rows["10.1/beta"]["journal_issn"] is None  # no ISSN key → unchanged
+    assert rows["10.1/missing"]["type"] is None  # 404 → untouched
+    assert rows["10.1/gamma"]["type"] == "already-set"  # not re-fetched
+    assert "10.1/gamma" not in _Handler.hits
+
+
+def test_resumable_enrichment_over_http(spark, server, tmp_path):
+    cache = str(tmp_path / "fetch_cache")
+    art = spark.createDataFrame(
+        [("10.1/alpha", None, None, None), ("10.1/gamma", None, None, None)],
+        "doi string, type string, n_cites string, journal_issn string",
+    )
+    out1 = enrich_articles_resumable(art, _fast_fetcher(server), cache)
+    rows = {r["doi"]: r for r in out1.collect()}
+    assert rows["10.1/alpha"]["type"] == "journal-article"
+    assert rows["10.1/gamma"]["type"] == "book-chapter"
+    first_hits = list(_Handler.hits)
+    # second run: everything cached — ZERO new HTTP requests
+    out2 = enrich_articles_resumable(art, _fast_fetcher(server), cache)
+    assert {r["doi"]: r["type"] for r in out2.collect()} == {
+        "10.1/alpha": "journal-article",
+        "10.1/gamma": "book-chapter",
+    }
+    assert _Handler.hits == first_hits
