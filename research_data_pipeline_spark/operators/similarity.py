@@ -28,6 +28,22 @@ def _as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
 
 
+_INTEGRAL_TYPES = ("byte", "short", "int", "bigint")
+
+
+def _require_integral_id(df: DataFrame, id_col: str) -> None:
+    """The broadcast/blocked kernels carry ids as int64 numpy arrays and
+    the tile schemas declare ``bigint`` — a string/decimal id would fail
+    deep inside an Arrow batch. Fail fast at the API boundary instead."""
+    dt = df.schema[id_col].dataType.simpleString()
+    if dt not in _INTEGRAL_TYPES:
+        raise TypeError(
+            f"similarity id column {id_col!r} must be an integral type "
+            f"(one of {_INTEGRAL_TYPES}), got {dt}; hash or zip your ids "
+            "to bigint first (e.g. F.xxhash64 for opaque keys)"
+        )
+
+
 def _dot(a: Column, b: Column) -> Column:
     """Left-fold dot product in JVM expressions — exact but interpreted
     (~10µs/row: higher-order lambdas don't enter codegen). Use only for
@@ -117,10 +133,11 @@ def cosine_pairs(
     count job."""
     import pandas as pd  # local: keep module import light
 
+    _require_integral_id(df, id_col)
     if n is None:
         n = df.count()
     if n > max_broadcast:
-        return _cosine_pairs_blocked(df, id_col, vec_col, threshold)
+        return _cosine_pairs_blocked(df, id_col, vec_col, threshold, n=n)
     sc = df.sparkSession.sparkContext
     bc = sc.broadcast(_broadcast_matrix(df, id_col, vec_col))
 
@@ -185,6 +202,7 @@ def _fold_norms(M: np.ndarray) -> np.ndarray:
 def _cosine_pairs_blocked(
     df: DataFrame, id_col: str, vec_col: str, threshold: float,
     block_rows: int = BLOCK_ROWS,
+    n: int | None = None,
 ) -> DataFrame:
     """Exact all-pairs cosine ≥ threshold as a block-partitioned matrix
     join — the big-n path where neither side broadcasts.
@@ -197,11 +215,13 @@ def _cosine_pairs_blocked(
     inherent to exact all-pairs — but it is tiled across the cluster with
     bounded task memory, and no cartesian / broadcast-nested-loop join
     exists in the plan. Replication volume is O(n·nb) vectors, the
-    standard blocked-GEMM trade."""
+    standard blocked-GEMM trade. ``n`` forwards the caller's known row
+    count so the big-n path doesn't pay a second full scan."""
     import pandas as pd
 
     spark = df.sparkSession
-    n = df.count()
+    if n is None:
+        n = df.count()
     nb = max(1, -(-n // block_rows))
     e = _block_assign(df, id_col, vec_col, nb)
     # two fresh tile frames: reusing one triggers Spark's ambiguous
@@ -261,10 +281,11 @@ def ann_topk_bruteforce(
     cartesian/nested-loop path at any n."""
     import pandas as pd
 
+    _require_integral_id(df, id_col)
     if n is None:
         n = df.count()
     if n > max_broadcast:
-        return _ann_topk_blocked(df, id_col, vec_col, k)
+        return _ann_topk_blocked(df, id_col, vec_col, k, n=n)
     sc = df.sparkSession.sparkContext
     bc = sc.broadcast(_broadcast_matrix(df, id_col, vec_col))
 
@@ -306,6 +327,7 @@ def ann_topk_bruteforce(
 def _ann_topk_blocked(
     df: DataFrame, id_col: str, vec_col: str, k: int = 5,
     block_rows: int = BLOCK_ROWS,
+    n: int | None = None,
 ) -> DataFrame:
     """Exact top-k neighbors as a block-partitioned matrix join — the
     big-n path where the matrix no longer broadcasts.
@@ -313,11 +335,13 @@ def _ann_topk_blocked(
     Full (query-block × candidate-block) tile grid; each tile's Arrow
     kernel emits only the per-tile top-k rows per query, so the global
     re-rank window sees ≤ nb·k candidates per query instead of n. Hash
-    joins + cogroup only — no cartesian / nested-loop path at any n."""
+    joins + cogroup only — no cartesian / nested-loop path at any n.
+    ``n`` forwards the caller's known row count (no second scan)."""
     import pandas as pd
 
     spark = df.sparkSession
-    n = df.count()
+    if n is None:
+        n = df.count()
     nb = max(1, -(-n // block_rows))
     e = _block_assign(df, id_col, vec_col, nb)
     tl = _block_pairs_df(spark, nb, symmetric=False)
@@ -369,6 +393,7 @@ def ann_topk_ivf(
     nprobe: int = 2,
     n: int | None = None,
     max_broadcast: int = MAX_BROADCAST_VECTORS,
+    materialize: bool = True,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: vectors are assigned to the
     nearest of ``n_cells`` centroids; each query scans only its ``nprobe``
@@ -384,9 +409,18 @@ def ann_topk_ivf(
     centroid distance break toward the smaller centroid id, matching the
     oracle's ROW_NUMBER order. Cosines keep the dimension-ordered
     left-fold, so ranks agree bit-exactly across engines.
+
+    The per-call ``assigned`` cache (read by both the query and member
+    sides) is released before returning: with ``materialize=True`` (the
+    default) the result is eagerly materialized with ``localCheckpoint``
+    so the cache is consumed exactly once and library callers don't leak
+    executor memory. ``materialize=False`` returns the lazy plan (for
+    inspection/composition) and leaves the cache live — the CALLER must
+    materialize the result exactly once and then clear it.
     """
     import pandas as pd
 
+    _require_integral_id(df, id_col)
     crows = sorted(
         df.where(F.col(id_col) < n_cells).select(id_col, vec_col).collect(),
         key=lambda r: r[0],
@@ -434,7 +468,11 @@ def ann_topk_ivf(
     if n is None:
         n = df.count()
     if n <= max_broadcast:
-        return _ivf_broadcast_topk(assigned, id_col, k)
+        out = _ivf_broadcast_topk(assigned, id_col, k)
+        if materialize:
+            out = out.localCheckpoint()
+            assigned.unpersist()
+        return out
 
     q = assigned.select(
         F.col(id_col).alias("query_id"), F.col("_v").alias("va"),
@@ -446,7 +484,7 @@ def ann_topk_ivf(
     )
     cos = _dot_kernel(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
-    return (
+    out = (
         q.join(m, ["cell"])
         .where(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cosine", cos)
@@ -457,6 +495,10 @@ def ann_topk_ivf(
             F.col("rank").cast("bigint").alias("rank"), "cosine",
         )
     )
+    if materialize:
+        out = out.localCheckpoint()
+        assigned.unpersist()
+    return out
 
 
 def _ivf_broadcast_topk(assigned: DataFrame, id_col: str, k: int) -> DataFrame:

@@ -1,0 +1,55 @@
+"""Library callers must not leak cached plans: every operator that takes
+an internal ``.cache()`` (dwh star tables, IVF assignment) releases it
+before returning, with the result eagerly localCheckpoint-ed so the
+release is safe. Asserted via the SQL cache manager — empty after each
+query WITHOUT bench.py's manual ``clearCache``."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _sql_cache_empty(spark) -> bool:
+    return spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+def test_dwh_queries_release_star_caches(spark, sf_dir):
+    from research_data_pipeline_spark.queries.dwh_star import (
+        dwh1_top_publishers,
+        dwh4_most_influential_year,
+    )
+
+    spark.catalog.clearCache()  # clean slate
+    assert dwh1_top_publishers(spark, sf_dir).count() >= 0
+    assert _sql_cache_empty(spark), "dwh1 left cached plans behind"
+    assert dwh4_most_influential_year(spark, sf_dir).count() >= 0
+    assert _sql_cache_empty(spark), "dwh4 left cached plans behind"
+
+
+def test_ann_ivf_releases_assignment_cache(spark, sf_dir):
+    from research_data_pipeline_spark.operators.similarity import ann_topk_ivf
+    from research_data_pipeline_spark.tables import load
+
+    spark.catalog.clearCache()
+    emb = load(spark, sf_dir, "embeddings")
+    out = ann_topk_ivf(emb, "vec_id", "embedding", k=3)
+    assert out.count() > 0
+    assert _sql_cache_empty(spark), "ann_topk_ivf left cached plans behind"
+
+
+def test_similarity_rejects_non_integral_ids(spark, sf_dir):
+    import pytest
+
+    from research_data_pipeline_spark.operators.similarity import (
+        ann_topk_bruteforce,
+        cosine_pairs,
+    )
+    from research_data_pipeline_spark.tables import load
+
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "sid", F.col("vec_id").cast("string")
+    )
+    with pytest.raises(TypeError, match="integral"):
+        cosine_pairs(emb, "sid", "embedding", threshold=0.9)
+    with pytest.raises(TypeError, match="integral"):
+        ann_topk_bruteforce(emb, "sid", "embedding", k=3)

@@ -48,7 +48,11 @@ def test_no_nested_loop_join_at_any_n(emb):
     for df in (
         sim.cosine_pairs(emb, "vec_id", "embedding", threshold=0.4, max_broadcast=0),
         sim.ann_topk_bruteforce(emb, "vec_id", "embedding", k=5, max_broadcast=0),
-        sim.ann_topk_ivf(emb, "vec_id", "embedding", k=3, max_broadcast=0),
+        # materialize=False keeps the lazy plan visible (the default
+        # eagerly checkpoints, which collapses it to an ExistingRDD scan)
+        sim.ann_topk_ivf(
+            emb, "vec_id", "embedding", k=3, max_broadcast=0, materialize=False
+        ),
     ):
         plan = formatted_plan(df)
         for bad in FORBIDDEN:
@@ -56,6 +60,7 @@ def test_no_nested_loop_join_at_any_n(emb):
         assert "FlatMapCoGroupsInPandas" in plan or "SortMergeJoin" in plan or (
             "BroadcastHashJoin" in plan
         ), plan
+    emb.sparkSession.catalog.clearCache()  # materialize=False leaves the cache to us
 
 
 def test_broadcast_paths_also_clean(emb):
