@@ -8,7 +8,46 @@ idempotency moves from the database constraint to the plan.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
+
+
+def _jdbc_table_exists(
+    spark: SparkSession, url: str, table: str, properties: dict
+) -> bool:
+    """Explicit existence probe via JDBC ``DatabaseMetaData.getTables`` —
+    so 'table missing' (expected on first load) is distinguishable from
+    transient read failures (auth/network/driver), which must PROPAGATE:
+    swallowing them would silently skip the anti-join and break the
+    ON-CONFLICT-DO-NOTHING contract with duplicate inserts.
+
+    Unquoted identifiers are case-folded differently per engine (Derby/
+    Postgres fold opposite ways), so the probe tries exact, UPPER, and
+    lower spellings; a ``schema.table`` name is split into the metadata
+    schema pattern.
+    """
+    jvm = spark._jvm
+    if properties.get("driver"):
+        # make sure the driver is registered with java.sql.DriverManager
+        jvm.java.lang.Class.forName(properties["driver"])
+    props = jvm.java.util.Properties()
+    for k, v in properties.items():
+        props.setProperty(k, v)
+    conn = jvm.java.sql.DriverManager.getConnection(url, props)
+    try:
+        md = conn.getMetaData()
+        schema, _, name = table.rpartition(".")
+        schemas = {schema or None, (schema.upper() or None), (schema.lower() or None)}
+        for s in schemas:
+            for t in (name, name.upper(), name.lower()):
+                rs = md.getTables(None, s, t, None)
+                try:
+                    if rs.next():
+                        return True
+                finally:
+                    rs.close()
+        return False
+    finally:
+        conn.close()
 
 
 def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
@@ -66,15 +105,15 @@ def write_jdbc_idempotent(
 
     deduped = deterministic_dedup(df, keys=keys, order_by=order_by)
     props = properties or {}
-    if mode == "append":
-        spark = df.sparkSession
-        try:
-            existing = spark.read.jdbc(url=url, table=table, properties=props).select(*keys)
-            # materialize the probe NOW: .jdbc() below may lock the table
-            existing = existing.localCheckpoint()
-            deduped = deduped.join(existing, keys, "left_anti")
-        except Exception:  # first load: table doesn't exist yet
-            pass
+    if mode == "append" and _jdbc_table_exists(df.sparkSession, url, table, props):
+        # table present: any failure reading existing keys now PROPAGATES —
+        # proceeding without the anti-join would insert duplicates
+        existing = df.sparkSession.read.jdbc(
+            url=url, table=table, properties=props
+        ).select(*keys)
+        # materialize the probe NOW: .jdbc() below may lock the table
+        existing = existing.localCheckpoint()
+        deduped = deduped.join(existing, keys, "left_anti")
     deduped.write.jdbc(url=url, table=table, mode=mode, properties=props)
 
 

@@ -104,7 +104,19 @@ def _read_xlsx_minimal(path: str, sheet: int = 0):
                 "".join(t.text or "" for t in si.iter(_SSML + "t"))
                 for si in root.iter(_SSML + "si")
             ]
-        sheets = sorted(n for n in names if n.startswith("xl/worksheets/sheet"))
+        # numeric-suffix sort: lexicographic would put sheet10.xml before
+        # sheet2.xml, so an integer sheet index hits the wrong sheet in
+        # 10+-sheet workbooks
+        import re
+
+        def _sheet_key(n: str):
+            m = re.search(r"sheet(\d+)\.xml$", n)
+            return (0, int(m.group(1)), n) if m else (1, 0, n)
+
+        sheets = sorted(
+            (n for n in names if n.startswith("xl/worksheets/sheet")),
+            key=_sheet_key,
+        )
         root = ET.fromstring(z.read(sheets[sheet]))
         grid: list[dict[int, object]] = []
         for row in root.iter(_SSML + "row"):
@@ -123,8 +135,14 @@ def _read_xlsx_minimal(path: str, sheet: int = 0):
                 elif t == "str":
                     cells[ci] = ve.text
                 else:
-                    num = float(ve.text)
-                    cells[ci] = int(num) if num.is_integer() else num
+                    text = ve.text
+                    if not any(ch in text for ch in ".eE"):
+                        # keep integers exact — routing through float()
+                        # loses precision above 2^53
+                        cells[ci] = int(text)
+                    else:
+                        num = float(text)
+                        cells[ci] = int(num) if num.is_integer() else num
             grid.append(cells)
     width = max((max(r) + 1 for r in grid if r), default=0)
     header = [grid[0].get(i, f"col{i}") for i in range(width)] if grid else []

@@ -68,3 +68,29 @@ def test_read_excel_dim_real_xlsx(spark, tmp_path):
     assert rows["0028-0836"]["snip"] == 9.5
     assert rows["1476-4687"]["source_title"] == "Nature (online)"
     assert rows["1476-4687"]["snip"] == 7.0
+
+
+def test_sheet_index_uses_numeric_order_and_big_ints_stay_exact(tmp_path):
+    """sheet10.xml sorts lexicographically before sheet2.xml — the index
+    must follow the numeric suffix; integer cells above 2^53 must not go
+    through float()."""
+    from research_data_pipeline_spark.io.sources import _read_xlsx_minimal
+
+    big = 2**53 + 1  # not representable as float64
+    path = str(tmp_path / "many.xlsx")
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("[Content_Types].xml", _CT)
+        z.writestr("_rels/.rels", _RELS)
+        z.writestr("xl/workbook.xml", _WB)
+        z.writestr("xl/_rels/workbook.xml.rels", _WB_RELS)
+        for i in range(1, 12):
+            body = f"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+<row r="1"><c r="A1" t="inlineStr"><is><t>which</t></is></c></row>
+<row r="2"><c r="A2" t="inlineStr"><is><t>sheet{i}</t></is></c></row>
+<row r="3"><c r="A3"><v>{big}</v></c></row>
+</sheetData></worksheet>"""
+            z.writestr(f"xl/worksheets/sheet{i}.xml", body)
+    pdf = _read_xlsx_minimal(path, sheet=1)  # 0-based: second sheet
+    assert pdf["which"].iloc[0] == "sheet2"  # lexicographic would give sheet10
+    assert pdf["which"].iloc[1] == big  # exact int, not 2**53

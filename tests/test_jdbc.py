@@ -47,3 +47,35 @@ def test_jdbc_insert_dedupe_reinsert(spark, tmp_path):
     )
     got = {r["id"]: r["val"] for r in _read(spark, url, "t").collect()}
     assert got == {1: "a", 2: "b", 3: "c", 4: "d"}
+
+
+def test_jdbc_probe_failure_propagates(spark, tmp_path):
+    """A transient probe failure (here: unreachable database) must RAISE,
+    not silently skip the anti-join and append duplicates — the old bare
+    ``except Exception: pass`` violated the ON-CONFLICT-DO-NOTHING
+    contract on any non-'missing table' error."""
+    import pytest
+
+    df = spark.createDataFrame([(1, "a")], "id bigint, val string")
+    bad_url = f"jdbc:derby:{tmp_path}/nonexistent-db"  # no ;create=true
+    with pytest.raises(Exception):
+        write_jdbc_idempotent(
+            df, bad_url, "t", keys=["id"], order_by=[F.col("val").asc()],
+            properties=PROPS,
+        )
+
+
+def test_jdbc_table_exists_probe(spark, tmp_path):
+    from research_data_pipeline_spark.io.sinks import _jdbc_table_exists
+
+    url = f"jdbc:derby:{tmp_path}/db2;create=true"
+    df = spark.createDataFrame([(1, "a")], "id bigint, val string")
+    assert not _jdbc_table_exists(spark, url, "probe_t", PROPS)
+    write_jdbc_idempotent(
+        df, url, "probe_t", keys=["id"], order_by=[F.col("val").asc()],
+        properties=PROPS,
+    )
+    assert _jdbc_table_exists(spark, url, "probe_t", PROPS)
+    # unquoted identifiers are case-folded by the engine; the probe must
+    # find the table under any input spelling
+    assert _jdbc_table_exists(spark, url, "PROBE_T", PROPS)
