@@ -257,7 +257,11 @@ def _sentinel_row(spark: SparkSession, events_path: str, margin_s: int) -> DataF
     else:
         import datetime as dt
 
-        ts_lit = F.lit(mx + dt.timedelta(seconds=margin_s))
+        # cast to the file's own ts type (TIMESTAMP vs TIMESTAMP_NTZ) so the
+        # staged sentinel parquet matches the readStream schema exactly
+        ts_lit = F.lit(mx + dt.timedelta(seconds=margin_s)).cast(
+            raw.schema["ts"].dataType
+        )
     return raw.limit(1).withColumn("ts", ts_lit).withColumn(
         "user_id", F.lit(-1).cast(raw.schema["user_id"].dataType)
     )

@@ -52,9 +52,19 @@ def epoch_us(c) -> F.Column:
 
 
 def normalize_nanos(df: DataFrame) -> DataFrame:
-    """Nanosecond parquet timestamps arrive as long (see session.py);
-    truncate to micros — the same conversion DuckDB applies."""
+    """Normalize parquet timestamp physical types to session-TZ TIMESTAMP.
+
+    - TIMESTAMP(NANOS) arrives as long (see session.py's nanosAsLong);
+      truncate to micros — the same conversion DuckDB applies.
+    - TIMESTAMP(isAdjustedToUTC=false) arrives as TIMESTAMP_NTZ; with the
+      session pinned to UTC the cast is a no-op re-tag matching DuckDB's
+      naive-as-UTC reading, and it keeps ``unix_micros``/``window`` et al.
+      (which require TIMESTAMP) working regardless of how the data was
+      written.
+    """
     for f in df.schema.fields:
         if f.name == "ts" and f.dataType.simpleString() == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif f.dataType.simpleString() == "timestamp_ntz":
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
     return df
