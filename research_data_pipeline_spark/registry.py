@@ -168,6 +168,27 @@ _GREEN_ROUNDS: dict[str, frozenset[str]] = {
         "q27_profile_customer", "q28_segment_quartiles", "s01_hash_sample",
         "s02_heavy_hitters", "s05_stratified_sample", "s06_train_test_split",
     }),
+    "r03": frozenset({
+        "d02_lang_id", "d04_fingerprint_dedup", "d07_simhash_pairs",
+        "d08_ngram_jaccard", "d10_ann_topk", "d11_ann_lsh", "d13_ann_ivf",
+        "d14_pack_context_windows", "d15_rare_bigrams", "d17_repetition_ratio",
+        "d18_source_contamination", "dwh1_top_publishers", "dwh2_top_journals",
+        "dwh3_most_productive_year", "dwh4_most_influential_year",
+        "e07_streaming_dedup", "e09_asof_purchase_attribution",
+        "e12_gapfill_hourly", "e15_funnel", "g02_ego_cosuppliers",
+        "m01_media_metadata", "m05_shard_packing", "q02_revenue_by_nation",
+        "q08_cosupplier_count", "q09_part_name_tokens", "q10_running_revenue",
+        "q11_top_pct_customers", "q12_string_normalize",
+        "q13_first_order_per_customer", "q14_set_ops", "q15_rollup_revenue",
+        "q16_cosupplier_edges", "q17_segment_price_stats",
+        "q18_user_event_pivot", "q19_order_date_parts",
+        "q20_urgent_share_by_nation", "q21_dualkey_nation_lookup",
+        "q22_collect_unwind_priorities", "q23_part_name_positions",
+        "q24_cube_revenue", "q25_regex_part_filter", "q26_acctbal_quartiles",
+        "q27_profile_customer", "q28_segment_quartiles", "s01_hash_sample",
+        "s02_heavy_hitters", "s03_approx_distinct", "s04_approx_quantiles",
+        "s05_stratified_sample", "s06_train_test_split",
+    }),
 }
 
 

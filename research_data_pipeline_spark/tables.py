@@ -28,7 +28,32 @@ TPCH_TABLES = [
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     apply_runtime_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    return normalize_nanos(df)
+    return ensure_parallelism(normalize_nanos(df))
+
+
+def ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Restore scan parallelism for unsplittable inputs.
+
+    A parquet file with one row group gives Spark exactly one split no
+    matter what ``maxPartitionBytes`` says, so every scan-side stage —
+    explode, regex, hashing, partial aggregation — serializes on ONE core
+    (the sf0.1 test tables are all single-row-group: 600k lineitem rows
+    on 1 of 32 cores). One cheap round-robin shuffle of the raw input
+    restores full parallelism for everything downstream.
+
+    Gated: only fires when the scan yields fewer than half the cluster's
+    task slots. Real-scale inputs (many files / row groups) pass through
+    untouched, so no shuffle is ever added at 100 TB. Catalyst still
+    pushes filters and column pruning through the Repartition node, so
+    scan pushdown is unaffected (asserted in test_plans.py). The explicit
+    partition count keeps AQE from re-coalescing the tiny shuffle back to
+    one partition.
+    """
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() * 2 < target:
+        return df.repartition(target)
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

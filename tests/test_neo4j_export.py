@@ -1,0 +1,128 @@
+"""neo4j-admin bulk-import export round-trip (SURVEY S8 last mile).
+
+Reference parity target: the batched UNWIND/MERGE loader
+(/root/reference/dags/scripts/neo4j_queries.py:39-123). The export must
+produce header files in neo4j-admin's documented dialect (:ID /
+:START_ID / :END_ID / :LABEL / :TYPE, typed property columns), enforce
+id uniqueness (the import aborts on duplicates), and round-trip the data
+through headerless CSV unchanged.
+"""
+
+from __future__ import annotations
+
+import glob
+
+import pytest
+
+from research_data_pipeline_spark.io.neo4j_export import export_neo4j_admin
+
+
+def _read_lines(pattern: str) -> list[str]:
+    lines: list[str] = []
+    for p in sorted(glob.glob(pattern)):
+        with open(p) as f:
+            lines += [ln.rstrip("\n") for ln in f if ln.strip()]
+    return lines
+
+
+@pytest.fixture()
+def graph(spark):
+    # FIXTURES-shaped: Author/Article nodes, AUTHORED + COAUTHORS edges
+    # (the reference's node/edge families, research_pipeline_dag.py:285-369)
+    vertices = spark.createDataFrame(
+        [
+            ("a1", "Author", "Smith", 12),
+            ("a2", "Author", "Müller", 3),
+            ("p1", "Article", 'A "quoted" title, with comma', 2001),
+            ("p2", "Article", "Short", 2003),
+        ],
+        "id string, label string, name string, n int",
+    )
+    edges = spark.createDataFrame(
+        [
+            ("a1", "p1", "AUTHORED", 1.0),
+            ("a2", "p1", "AUTHORED", 1.0),
+            ("a1", "p2", "AUTHORED", 1.0),
+            ("a1", "a2", "COAUTHORS", 2.5),
+            ("a1", "a2", "COAUTHORS", 2.5),  # exact dup → MERGE-idempotent
+        ],
+        "src string, dst string, rel string, weight double",
+    )
+    return vertices, edges
+
+
+def test_headers_and_layout(spark, graph, tmp_path):
+    vertices, edges = graph
+    out = export_neo4j_admin(vertices, edges, str(tmp_path))
+    assert out == {
+        "nodes": ["Article", "Author"],
+        "relationships": ["AUTHORED", "COAUTHORS"],
+    }
+    assert _read_lines(str(tmp_path / "nodes/Author/header.csv")) == [
+        "id:ID,name,n:long,:LABEL"
+    ]
+    assert _read_lines(str(tmp_path / "relationships/COAUTHORS/header.csv")) == [
+        ":START_ID,:END_ID,weight:double,:TYPE"
+    ]
+    cmd = "\n".join(_read_lines(str(tmp_path / "import_command.txt")))
+    assert "neo4j-admin database import full" in cmd
+    assert "--nodes=nodes/Author/header.csv" in cmd
+    assert "--array-delimiter=';'" in cmd
+
+
+def test_data_roundtrip_headerless(spark, graph, tmp_path):
+    vertices, edges = graph
+    export_neo4j_admin(vertices, edges, str(tmp_path))
+    # data files carry no header; reading them WITH the header schema
+    # yields the original rows (incl. RFC-4180 quoted title)
+    rows = _read_lines(str(tmp_path / "nodes/Article/data/part-*.csv"))
+    assert len(rows) == 2
+    assert any('"A ""quoted"" title, with comma"' in r for r in rows)
+    assert all(r.endswith(",Article") for r in rows)
+    authored = _read_lines(str(tmp_path / "relationships/AUTHORED/data/part-*.csv"))
+    assert sorted(authored) == [
+        "a1,p1,1.0,AUTHORED",
+        "a1,p2,1.0,AUTHORED",
+        "a2,p1,1.0,AUTHORED",
+    ]
+    # the exact-duplicate COAUTHORS edge collapsed (MERGE idempotency)
+    co = _read_lines(str(tmp_path / "relationships/COAUTHORS/data/part-*.csv"))
+    assert co == ["a1,a2,2.5,COAUTHORS"]
+
+
+def test_duplicate_id_rejected(spark, graph, tmp_path):
+    vertices, edges = graph
+    clash = vertices.unionByName(
+        spark.createDataFrame(
+            [("a1", "Author", "Imposter", 99)], vertices.schema
+        )
+    )
+    with pytest.raises(ValueError, match="duplicate id"):
+        export_neo4j_admin(clash, edges, str(tmp_path))
+
+
+def test_dangling_edge_rejected(spark, graph, tmp_path):
+    vertices, edges = graph
+    bad = edges.unionByName(
+        edges.sparkSession.createDataFrame(
+            [("a1", "ghost", "AUTHORED", 1.0)], edges.schema
+        )
+    )
+    with pytest.raises(ValueError, match="missing vertex ids"):
+        export_neo4j_admin(vertices, bad, str(tmp_path))
+
+
+def test_array_property_uses_list_delimiter(spark, tmp_path):
+    vertices = spark.createDataFrame(
+        [("c1", "Category", ["cs.LG", "cs.AI"])],
+        "id string, label string, doms array<string>",
+    )
+    edges = spark.createDataFrame(
+        [], "src string, dst string, rel string"
+    )
+    export_neo4j_admin(vertices, edges, str(tmp_path), validate_refs=False)
+    assert _read_lines(str(tmp_path / "nodes/Category/header.csv")) == [
+        "id:ID,doms:string[],:LABEL"
+    ]
+    [row] = _read_lines(str(tmp_path / "nodes/Category/data/part-*.csv"))
+    assert row == "c1,cs.LG;cs.AI,Category"

@@ -42,6 +42,26 @@ def test_q02_dims_broadcast_not_shuffled(spark, sf_dir):
         assert len(schema.split(",")) <= 4, schema
 
 
+def test_g02_ego_pruned_before_self_join(spark, sf_dir):
+    # the disjunctive ego predicate cannot push below the co-occurrence
+    # self-join, so the inputs must be pre-pruned to the ego's orders via
+    # a semi-join — a full order×supplier pair join is a 100-TB killer
+    plan = _plan(spark, sf_dir, "g02_ego_cosuppliers")
+    semi_pos = plan.find("LeftSemi")
+    assert semi_pos != -1, "self-join input is not ego-pruned (no semi-join)"
+    # and the semi-join side is broadcast (the ego order set is tiny)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_d06_no_duplicate_candidate_verification(spark, sf_dir):
+    # first-match band emission: every candidate pair is produced by
+    # exactly one band branch, so no post-verify deduplication pass
+    # (HashAggregate over the pair stream) should exist in the plan
+    plan = _plan(spark, sf_dir, "d06_minhash_lsh")
+    assert "Union" in plan  # the per-band branches
+    assert "SortMergeJoin" not in plan  # all joins broadcast
+
+
 def test_relational_queries_have_no_python_in_plan(spark, sf_dir):
     # the whole q* suite must stay JVM-side: no row-at-a-time Python
     # (BatchEvalPython) and no Arrow fallback (ArrowEvalPython) either —

@@ -244,3 +244,63 @@ def test_auto_cc_stays_on_label_prop_when_diameter_small(spark):
     }
     assert labels == {i: 0 for i in range(n)}
     assert stats["algorithm"] == "label_propagation", stats
+
+
+# ---------------------------------------------------------------------------
+# cardinality-guarded global rank (operators/ranks.py)
+
+
+def test_value_ranks_partitioned_path_matches_window_path(spark):
+    """The range-partitioned rank path (high-cardinality guard) must agree
+    exactly with the single-partition distinct-value window path."""
+    from research_data_pipeline_spark.operators.ranks import _value_ranks
+
+    df = spark.range(0, 4000).selectExpr(
+        "cast(id % 997 as double) * 1.0000001 as metric"
+    )
+    for ascending in (False, True):
+        window = {
+            (r["metric"], r["_min_rank"], r["_ties"])
+            for r in _value_ranks(
+                df, "metric", ascending, max_window_distinct=10**9
+            ).collect()
+        }
+        parted = {
+            (r["metric"], r["_min_rank"], r["_ties"])
+            for r in _value_ranks(
+                df, "metric", ascending, max_window_distinct=1
+            ).collect()
+        }
+        assert window == parted
+
+
+def test_pandas_int_rank_scales_to_near_unique_doubles(spark):
+    """10^6 distinct doubles through the guarded rank: the partitioned path
+    engages (cardinality above RANK_WINDOW_MAX_DISTINCT) and produces an
+    exact permutation of 1..n — no single-partition distinct-value window
+    ever materializes the full value set on one core."""
+    from pyspark.sql import functions as F
+
+    from research_data_pipeline_spark.operators.ranks import (
+        RANK_WINDOW_MAX_DISTINCT,
+        pandas_int_rank,
+    )
+
+    n = 1_000_000
+    assert n > RANK_WINDOW_MAX_DISTINCT
+    df = spark.range(0, n).selectExpr("cast(id as double) * 1.0000001 as metric")
+    ranked = pandas_int_rank(df, "metric", out_col="rank", ascending=False)
+    stats = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("rank").alias("mn"),
+        F.max("rank").alias("mx"),
+        F.sum("rank").alias("s"),
+        F.countDistinct("rank").alias("d"),
+    ).first()
+    # distinct metric => ranks are exactly the permutation 1..n
+    assert (stats["n"], stats["mn"], stats["mx"]) == (n, 1, n)
+    assert stats["d"] == n
+    assert stats["s"] == n * (n + 1) // 2
+    # spot-check orientation: the largest metric holds rank 1
+    top = ranked.orderBy(F.col("metric").desc()).select("rank").first()["rank"]
+    assert top == 1
