@@ -114,6 +114,12 @@ class RateLimitedHttpFetcher:
             payload = self._get_json(url)
             if payload is None:
                 continue
+            # Crossref envelope: {"status": "ok", "message-type": "work",
+            # "message": {...}} — the reference only applies updates when
+            # status == 'ok' (augmentations.py:33-44). A payload without a
+            # status key (minimal mock) is accepted as ok.
+            if payload.get("status", "ok") != "ok":
+                continue
             msg = payload.get("message") or {}
             typ = msg.get("type")
             if typ is None:

@@ -149,3 +149,135 @@ def test_resumable_enrichment_over_http(spark, server, tmp_path):
         "10.1/gamma": "book-chapter",
     }
     assert _Handler.hits == first_hits
+
+
+# ---------------------------------------------------------------------------
+# Real Crossref payload shapes (augmentations.py:19-44 parity): the full
+# works-endpoint envelope — status / message-type / message-version plus a
+# message object carrying the many fields the parser must IGNORE — and a
+# status != 'ok' envelope that must leave the row untouched.
+
+_CROSSREF_FIXTURES = {
+    "10.1145/3368089.3409742": {
+        "status": "ok",
+        "message-type": "work",
+        "message-version": "1.0.0",
+        "message": {
+            "indexed": {"date-parts": [[2024, 1, 1]], "date-time": "2024-01-01T00:00:00Z"},
+            "reference-count": 54,
+            "publisher": "ACM",
+            "content-domain": {"domain": [], "crossref-restriction": False},
+            "short-container-title": ["ESEC/FSE"],
+            "DOI": "10.1145/3368089.3409742",
+            "type": "proceedings-article",
+            "created": {"date-parts": [[2020, 11, 8]]},
+            "page": "1398-1409",
+            "source": "Crossref",
+            "is-referenced-by-count": 41,
+            "title": ["A synthetic large-scale study"],
+            "prefix": "10.1145",
+            "author": [
+                {"given": "Maria", "family": "Smith", "sequence": "first", "affiliation": []},
+                {"given": "Wei", "family": "Zhang", "sequence": "additional", "affiliation": []},
+            ],
+            "member": "320",
+            "container-title": ["Proceedings of ESEC/FSE"],
+            "deposited": {"date-parts": [[2023, 3, 1]]},
+            "score": 1.0,
+            "subtitle": [],
+            "issued": {"date-parts": [[2020, 11]]},
+            "references-count": 54,
+            "URL": "https://doi.org/10.1145/3368089.3409742",
+            "ISSN": ["0163-5948", "1943-5843"],
+            "issn-type": [{"value": "0163-5948", "type": "print"}],
+        },
+    },
+    "10.1016/j.artint.2021.103535": {
+        "status": "ok",
+        "message-type": "work",
+        "message-version": "1.0.0",
+        "message": {
+            "publisher": "Elsevier BV",
+            "DOI": "10.1016/j.artint.2021.103535",
+            "type": "journal-article",
+            "is-referenced-by-count": 7,
+            "title": ["Another synthetic work"],
+            "container-title": ["Artificial Intelligence"],
+            # no ISSN key at all → journal_issn must stay unchanged
+        },
+    },
+    "10.9999/errorenvelope": {
+        "status": "error",
+        "message-type": "validation-failure",
+        "message": {"type": "journal-article", "is-referenced-by-count": 999},
+    },
+}
+
+
+class _CrossrefHandler(BaseHTTPRequestHandler):
+    hits: list[str] = []
+
+    def do_GET(self):  # noqa: N802
+        doi = unquote(self.path.rsplit("/works/", 1)[-1])
+        _CrossrefHandler.hits.append(doi)
+        if doi not in _CROSSREF_FIXTURES:
+            self.send_response(404)
+            self.end_headers()
+            return
+        body = json.dumps(_CROSSREF_FIXTURES[doi]).encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "application/json")
+        self.end_headers()
+        self.wfile.write(body)
+
+    def log_message(self, *a):
+        pass
+
+
+@pytest.fixture()
+def crossref_server():
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _CrossrefHandler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    _CrossrefHandler.hits = []
+    yield f"http://127.0.0.1:{srv.server_address[1]}/works"
+    srv.shutdown()
+
+
+def test_fetcher_parses_real_crossref_envelope(crossref_server):
+    f = _fast_fetcher(crossref_server)
+    got = f(list(_CROSSREF_FIXTURES))
+    # only the reference's three fields come out, first ISSN wins
+    assert got["10.1145/3368089.3409742"] == ("proceedings-article", 41, "0163-5948")
+    assert got["10.1016/j.artint.2021.103535"] == ("journal-article", 7, None)
+    # status != 'ok' → skipped even though message parses (reference
+    # gates every update on status == 'ok', augmentations.py:33)
+    assert "10.9999/errorenvelope" not in got
+
+
+def test_resumable_enrichment_with_crossref_payloads(spark, crossref_server, tmp_path):
+    cache = str(tmp_path / "crossref_cache")
+    art = spark.createDataFrame(
+        [
+            ("10.1145/3368089.3409742", None, None, None),
+            ("10.1016/j.artint.2021.103535", None, None, None),
+            ("10.9999/errorenvelope", None, None, None),
+        ],
+        "doi string, type string, n_cites string, journal_issn string",
+    )
+    out = enrich_articles_resumable(art, _fast_fetcher(crossref_server), cache)
+    rows = {r["doi"]: r for r in out.collect()}
+    assert rows["10.1145/3368089.3409742"]["type"] == "proceedings-article"
+    assert rows["10.1145/3368089.3409742"]["n_cites"] == "41"
+    assert rows["10.1145/3368089.3409742"]["journal_issn"] == "0163-5948"
+    assert rows["10.1016/j.artint.2021.103535"]["journal_issn"] is None
+    assert rows["10.9999/errorenvelope"]["type"] is None  # error envelope
+    # resume: cached DOIs are not re-fetched; the error-envelope DOI (not
+    # cached — it never produced a result) is retried, nothing else
+    hits_before = list(_CrossrefHandler.hits)
+    out2 = enrich_articles_resumable(art, _fast_fetcher(crossref_server), cache)
+    assert {r["doi"]: r["type"] for r in out2.collect()} == {
+        r["doi"]: r["type"] for r in out.collect()
+    }
+    new_hits = _CrossrefHandler.hits[len(hits_before):]
+    assert set(new_hits) == {"10.9999/errorenvelope"}
