@@ -101,13 +101,18 @@ def pandas_int_rank(
     metric: str,
     out_col: str = "rank",
     ascending: bool = False,
+    distinct_hint: int | None = None,
 ) -> DataFrame:
     """pandas average-rank truncated to int, descending by default.
 
     avg rank of a tie group = min_rank + (ties-1)/2; int() truncates →
     floor((2·min_rank + ties − 1)/2).
+
+    ``distinct_hint``: callers that KNOW the metric is dictionary-sized
+    (small-integer counts like total_pubs) pass a bound to skip the
+    cardinality-estimate job the guard otherwise runs.
     """
-    ranks = _value_ranks(df, metric, ascending).select(
+    ranks = _value_ranks(df, metric, ascending, distinct_hint=distinct_hint).select(
         metric,
         F.floor((2 * F.col("_min_rank") + F.col("_ties") - 1) / 2.0)
         .cast("bigint")
@@ -117,11 +122,15 @@ def pandas_int_rank(
 
 
 def spark_rank(
-    df: DataFrame, metric: str, out_col: str = "rank", ascending: bool = False
+    df: DataFrame,
+    metric: str,
+    out_col: str = "rank",
+    ascending: bool = False,
+    distinct_hint: int | None = None,
 ) -> DataFrame:
     """Plain SQL rank() (ties share min rank) — the idiomatic rank, same
-    two-phase plan."""
-    ranks = _value_ranks(df, metric, ascending).select(
+    two-phase plan. ``distinct_hint`` as in ``pandas_int_rank``."""
+    ranks = _value_ranks(df, metric, ascending, distinct_hint=distinct_hint).select(
         metric, F.col("_min_rank").cast("bigint").alias(out_col)
     )
     return df.join(ranks, on=metric)

@@ -570,7 +570,7 @@ def d16_token_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-phase formulation (rank over DISTINCT counts, joined back), so
     the single-partition window touches |distinct frequencies| rows —
     at 100 TB that's thousands, not billions."""
-    from ..operators.ranks import spark_rank
+    from ..operators.ranks import RANK_WINDOW_MAX_DISTINCT, spark_rank
 
     d = load(spark, sf_dir, "documents")
     counts = (
@@ -578,7 +578,10 @@ def d16_token_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    return spark_rank(counts, "n", out_col="rank", ascending=False).select(
+    return spark_rank(
+        counts, "n", out_col="rank", ascending=False,
+        distinct_hint=RANK_WINDOW_MAX_DISTINCT,  # Zipf frequencies: dictionary-sized
+    ).select(
         "token", "n", "rank"
     )
 

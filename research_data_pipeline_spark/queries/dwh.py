@@ -26,11 +26,24 @@ from ..functions.core import pct_string
 
 
 def _top_authors(author: DataFrame, extra_cols: list[str], pct: float = 0.01) -> DataFrame:
-    """Top pct% by rank_total_pubs with computed k (README.md:188)."""
-    k = int(author.count() * pct / 100)
+    """Top pct% by rank_total_pubs with computed k (README.md:188).
+
+    k stays IN the plan as a broadcast scalar aggregate — a driver-side
+    ``count()`` would force the whole author build to execute twice (once
+    for k, once for the query) or demand a cache; the scalar cross-join
+    keeps each DWH query a single action with no cached state to release.
+    The row_number window is global but runs over the dimension-sized
+    author table (pinned by (rank, author_id) — same tie-break as the
+    oracle's topk CTE), never over facts.
+    """
+    k = author.agg(
+        F.floor(F.count(F.lit(1)) * pct / 100).cast("bigint").alias("_k")
+    )
+    w = W.orderBy("rank_total_pubs", "author_id")
     return (
-        author.orderBy(F.col("rank_total_pubs"), F.col("author_id"))
-        .limit(k)
+        author.withColumn("_rn", F.row_number().over(w))
+        .crossJoin(F.broadcast(k))
+        .where(F.col("_rn") <= F.col("_k"))
         .select("author_id", F.col("rank_total_pubs").alias("rank"), *extra_cols)
     )
 

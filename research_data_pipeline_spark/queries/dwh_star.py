@@ -35,25 +35,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.hindex import hindex
-from ..operators.ranks import spark_rank
+from ..operators.ranks import RANK_WINDOW_MAX_DISTINCT, spark_rank
 from ..registry import REGISTRY
 from ..tables import load
 from .dwh import q1_top_publishers, q2_top_journals, q3_most_productive_year, q4_most_influential_year
 
 _PCT = 10.0
-
-
-def _materialize_release(result: DataFrame, *cached: DataFrame) -> DataFrame:
-    """Eagerly materialize a (dimension-sized) DWH result with
-    ``localCheckpoint`` and release the star caches it consumed, so
-    library callers don't leak executor memory between queries (bench.py
-    no longer needs its manual ``clearCache``). The checkpointed result
-    stays valid after the unpersist."""
-    out = result.localCheckpoint()
-    for df in cached:
-        df.unpersist()
-    return out
 
 
 def star_tables(
@@ -66,6 +53,13 @@ def star_tables(
     dimension-sized so its SQL rank uses the two-phase value-rank (no
     full-data single-partition window).
 
+    Everything is LAZY — no cache, no driver count. Each DWH query is one
+    action; the authorship distinct feeds several consumers inside that
+    one plan, and AQE's stage reuse dedupes the identical scan+shuffle
+    fragments. At 100 TB that is the only viable shape anyway: caching a
+    fact-scale distinct pins executor memory, while reused exchanges are
+    free.
+
     ``full_author`` adds the h-index window + avg-cites aggregation (a
     fact-scale shuffle each) — only dwh4 reads those columns, so the
     other queries skip that work entirely (column pruning can't remove a
@@ -75,17 +69,9 @@ def star_tables(
     c = load(spark, sf_dir, "customer")
     n = load(spark, sf_dir, "nation")
 
-    # cached: the distinct feeds pubs, cites, AND the per-year join in
-    # q2-q4 — without the cache the fact-scale distinct shuffle runs 3x
-    # per query (at cluster scale this is the standard "materialize the
-    # bridge table once" trade)
-    authorship = (
-        l.select(
-            F.col("l_orderkey").alias("article_id"), F.col("l_suppkey").alias("author_id")
-        )
-        .distinct()
-        .cache()
-    )
+    authorship = l.select(
+        F.col("l_orderkey").alias("article_id"), F.col("l_suppkey").alias("author_id")
+    ).distinct()
     article = (
         o.join(c, o["o_custkey"] == c["c_custkey"])
         .select(
@@ -99,21 +85,46 @@ def star_tables(
         F.concat(F.lit("J-"), F.col("n_nationkey").cast("string")).alias("journal_issn"),
         F.col("n_name").alias("journal_title"),
     )
-    pubs = authorship.groupBy("author_id").agg(F.count(F.lit(1)).alias("total_pubs"))
-    base = pubs
     if full_author:
+        # Fused single-pass author stats: every authorship row matches an
+        # article (l_orderkey ⊆ o_orderkey), so total_pubs == per-author
+        # cites-row count and pubs/h-index/avg-cites all come out of ONE
+        # row_number window + ONE aggregation — the groupBy reuses the
+        # window's author_id partitioning (no extra exchange), replacing
+        # the pubs ⋈ hindex ⋈ avgc three-aggregation join chain. Same
+        # h-index semantics as operators.hindex (fused here so the three
+        # stats share the window's shuffle).
+        from pyspark.sql import Window as W
+
         cites = authorship.join(
             article.select("article_id", F.col("n_cites").cast("bigint").alias("cites")),
             "article_id",
         ).select("author_id", "cites")
-        hind = hindex(cites, ["author_id"], F.col("cites"))
-        avgc = cites.groupBy("author_id").agg(
-            F.floor(F.sum("cites") / F.count(F.lit(1))).cast("bigint").alias("avg_cites")
+        w = W.partitionBy("author_id").orderBy(F.col("cites").desc())
+        base = (
+            cites.withColumn("_rn", F.row_number().over(w))
+            .groupBy("author_id")
+            .agg(
+                F.count(F.lit(1)).alias("total_pubs"),
+                F.coalesce(
+                    F.max(F.when(F.col("cites") >= F.col("_rn"), F.col("_rn"))),
+                    F.lit(0),
+                )
+                .cast("bigint")
+                .alias("hindex"),
+                F.floor(F.sum("cites") / F.count(F.lit(1)))
+                .cast("bigint")
+                .alias("avg_cites"),
+            )
         )
-        base = pubs.join(hind, "author_id").join(avgc, "author_id")
+    else:
+        base = authorship.groupBy("author_id").agg(
+            F.count(F.lit(1)).alias("total_pubs")
+        )
     author = spark_rank(
-        base, "total_pubs", out_col="rank_total_pubs"
-    ).cache()  # dimension-sized; read twice per query (computed-k count + plan)
+        base, "total_pubs", out_col="rank_total_pubs",
+        distinct_hint=RANK_WINDOW_MAX_DISTINCT,  # pub counts: dictionary-sized
+    )
     return author, authorship, article, journal
 
 
@@ -185,8 +196,8 @@ _DWH1_ORACLE = f"""
 def dwh1_top_publishers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DWH Q1 (README.md:185-188): top pct% authors by publication count,
     computed-LIMIT semantics (W3)."""
-    author, authorship, *_ = star_tables(spark, sf_dir)
-    return _materialize_release(q1_top_publishers(author, pct=_PCT), author, authorship)
+    author, *_ = star_tables(spark, sf_dir)
+    return q1_top_publishers(author, pct=_PCT)
 
 
 _DWH2_ORACLE = f"""
@@ -217,11 +228,7 @@ def dwh2_top_journals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DWH Q2 (README.md:193-220): each top author's modal journal —
     mode() order-by tie-break (A6), integer division + 'fm99%' (F10/F11)."""
     author, authorship, article, journal = star_tables(spark, sf_dir)
-    return _materialize_release(
-        q2_top_journals(author, authorship, article, journal, pct=_PCT),
-        author,
-        authorship,
-    )
+    return q2_top_journals(author, authorship, article, journal, pct=_PCT)
 
 
 _DWH3_ORACLE = f"""
@@ -250,11 +257,7 @@ def dwh3_most_productive_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DWH Q3 (README.md:226-250): per top author, the year with the
     highest integer-division avg cites; rank-ties ALL kept (J4)."""
     author, authorship, article, _ = star_tables(spark, sf_dir)
-    return _materialize_release(
-        q3_most_productive_year(author, authorship, article, pct=_PCT),
-        author,
-        authorship,
-    )
+    return q3_most_productive_year(author, authorship, article, pct=_PCT)
 
 
 _DWH4_ORACLE = f"""
@@ -283,8 +286,4 @@ def dwh4_most_influential_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     summed h-index (author-constant h-index summed over that year's
     authorship rows — reproduced literally)."""
     author, authorship, article, _ = star_tables(spark, sf_dir, full_author=True)
-    return _materialize_release(
-        q4_most_influential_year(author, authorship, article, pct=_PCT),
-        author,
-        authorship,
-    )
+    return q4_most_influential_year(author, authorship, article, pct=_PCT)

@@ -269,11 +269,14 @@ def q06_customer_order_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     → floor((2·min_rank + ties − 1)/2). Spark's rank()/dense_rank() alone
     can't reproduce this; combining rank() with a tie-count window does.
     """
-    from ..operators.ranks import pandas_int_rank
+    from ..operators.ranks import RANK_WINDOW_MAX_DISTINCT, pandas_int_rank
 
     o = load(spark, sf_dir, "orders")
     counts = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("total_orders"))
-    return pandas_int_rank(counts, metric="total_orders", out_col="rank_pandas").select(
+    return pandas_int_rank(
+        counts, metric="total_orders", out_col="rank_pandas",
+        distinct_hint=RANK_WINDOW_MAX_DISTINCT,  # order counts: dictionary-sized
+    ).select(
         "o_custkey", "total_orders", "rank_pandas"
     )
 

@@ -51,9 +51,24 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     """
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() * 2 < target:
+    if _scan_partitions(df) * 2 < target:
         return df.repartition(target)
     return df
+
+
+# (plan-identity → scan split count): the .rdd probe compiles a physical
+# plan (~0.1-0.2s, py4j round-trips) — too expensive to re-pay on every
+# load() of the same static file. Keyed by the scan's logical plan text
+# (embeds path + schema), not the path alone, so a changed file layout
+# with a new session still re-probes.
+_SCAN_PARTS: dict[str, int] = {}
+
+
+def _scan_partitions(df: DataFrame) -> int:
+    key = df._jdf.queryExecution().logical().toString()
+    if key not in _SCAN_PARTS:
+        _SCAN_PARTS[key] = df.rdd.getNumPartitions()
+    return _SCAN_PARTS[key]
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.hindex import hindex
-from ..operators.ranks import pandas_int_rank
+from ..operators.ranks import RANK_WINDOW_MAX_DISTINCT, pandas_int_rank
 
 
 def author_statistics(
@@ -86,7 +86,12 @@ def author_statistics(
         ("avg_cites", "rank_avg_cites"),
         ("hindex", "rank_hindex"),
     ]:
-        enriched = pandas_int_rank(enriched, metric=metric, out_col=col)
+        # count-valued metrics on a dimension-sized table: dictionary
+        # cardinality is known, skip the guard's estimate job
+        enriched = pandas_int_rank(
+            enriched, metric=metric, out_col=col,
+            distinct_hint=RANK_WINDOW_MAX_DISTINCT,
+        )
 
     return enriched.select(
         "author_id",
