@@ -24,6 +24,11 @@ from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint, tokens
 
+# above this many documents the per-band self-join build side (≈1 KB per
+# signature row) no longer broadcasts; the band joins fall back to plain
+# hash joins on the band value — same candidate set, one shuffle per band
+MAX_BROADCAST_SIGNATURES = 100_000
+
 
 def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact-text duplicate groups: md5(text) → canonical (min) id + count."""
@@ -207,11 +212,14 @@ def minhash_lsh_pairs(
     rows_per_band = n_hashes // bands
     encoded = _dictionary_minhash_table(df, id_col, text_col, n_hashes)
     combined, n_words = encoded if encoded is not None else (None, 0)
-    sig = (
-        combined
-        if combined is not None
-        else minhash_signatures(df, id_col, text_col, n_hashes)
-    )
+    if combined is not None:
+        sig = combined
+    else:
+        sig = minhash_signatures(df, id_col, text_col, n_hashes).cache()
+    # the count is not wasted: it materializes the cache every band
+    # branch (stream + build side) reuses
+    n_docs = sig.count()
+    use_broadcast = n_docs <= MAX_BROADCAST_SIGNATURES
     band_cols = [
         F.xxhash64(
             *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
@@ -225,10 +233,13 @@ def minhash_lsh_pairs(
     # verified once, not k times. Branch b joins on band-b equality and
     # requires every earlier band to DIFFER, so each candidate pair
     # surfaces from exactly one branch — no 4x duplicate verification
-    # and no post-verify distinct() shuffle. Each branch is a broadcast
-    # hash join on its band value (the signature table is |docs|-sized,
-    # not pair-sized); the identical build side is shared across
-    # branches via ReusedExchange.
+    # and no post-verify distinct() shuffle. Total shuffle volume equals
+    # the old stacked-explode join (bands × |docs| rows) while the
+    # dedup/verification work drops ~bands-fold. Below the guard the
+    # build side broadcasts (band joins become shuffle-free); above it
+    # each branch is a plain hash self-join on its band value — the
+    # scalable path, chosen exactly like similarity.py's guarded
+    # broadcast.
     def _branch(bi: int):
         a, b = banded.alias("a"), banded.alias("b")
         cond = (F.col(f"a.band{bi}") == F.col(f"b.band{bi}")) & (
@@ -236,7 +247,7 @@ def minhash_lsh_pairs(
         )
         for bj in range(bi):
             cond &= F.col(f"a.band{bj}") != F.col(f"b.band{bj}")
-        return a.join(F.broadcast(b), cond)
+        return a.join(F.broadcast(b) if use_broadcast else b, cond)
 
     if combined is not None:
         # verification is fused into the candidate joins: mask + size
@@ -311,21 +322,53 @@ def simhash_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash hamming distance.
 
-    Pairing here is a block-nested self-join on the (tiny) signature
-    table. At the 10^9-doc scale you'd split the signature into
-    (max_hamming+1) bands and equi-join on exact band match (the standard
-    pigeonhole trick) — same verification predicate.
+    Pigeonhole banding: split the signature into (max_hamming+1)
+    contiguous bit bands — a pair within hamming ≤ max_hamming differs
+    in at most max_hamming bands, so at least one band matches EXACTLY.
+    Candidates come from per-band equi-joins (first-match emission, as
+    in ``minhash_lsh_pairs``: band b must match, every earlier band must
+    differ, so each pair surfaces once); the exact hamming predicate
+    then verifies. Equivalent output to the all-pairs scan, but the join
+    keys are band values, never a cross product — the only shape that
+    survives 10^9 documents.
     """
+    nb = max_hamming + 1
+    sizes = [bits // nb + (1 if i < bits % nb else 0) for i in range(nb)]
+    offsets = [sum(sizes[:i]) for i in range(nb)]
     sig = simhash_values(df, id_col, text_col, bits)
-    a = sig.select(F.col(id_col).alias("i"), F.col("simhash").alias("sim_i"))
-    b = sig.select(F.col(id_col).alias("j"), F.col("simhash").alias("sim_j"))
-    ham = F.bit_count(F.col("sim_i").bitwiseXOR(F.col("sim_j")))
-    return (
-        a.join(b, F.col("i") < F.col("j"))
-        .withColumn("hamming", ham.cast("bigint"))
-        .where(F.col("hamming") <= max_hamming)
-        .select("i", "j", "hamming")
-    )
+    banded = sig.select(
+        F.col(id_col),
+        F.col("simhash"),
+        *[
+            F.shiftright("simhash", offsets[i])
+            .bitwiseAND(F.lit((1 << sizes[i]) - 1))
+            .alias(f"hband{i}")
+            for i in range(nb)
+        ],
+    ).cache()  # read by every band branch (stream + build sides)
+    n_docs = banded.count()  # materializes the cache the branches reuse
+    use_broadcast = n_docs <= MAX_BROADCAST_SIGNATURES
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    out = None
+    for bi in range(nb):
+        a, b = banded.alias("a"), banded.alias("b")
+        cond = (F.col(f"a.hband{bi}") == F.col(f"b.hband{bi}")) & (
+            F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+        )
+        for bj in range(bi):
+            cond &= F.col(f"a.hband{bj}") != F.col(f"b.hband{bj}")
+        branch = (
+            a.join(F.broadcast(b) if use_broadcast else b, cond)
+            .withColumn("hamming", ham.cast("bigint"))
+            .where(F.col("hamming") <= max_hamming)
+            .select(
+                F.col(f"a.{id_col}").alias("i"),
+                F.col(f"b.{id_col}").alias("j"),
+                "hamming",
+            )
+        )
+        out = branch if out is None else out.unionByName(branch)
+    return out
 
 
 def ngram_jaccard_pairs(
