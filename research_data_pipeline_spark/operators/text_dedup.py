@@ -121,7 +121,7 @@ def token_bitmasks(df: DataFrame, id_col: str, text_col: str,
 
 def _dictionary_minhash_table(
     df: DataFrame, id_col: str, text_col: str, n_hashes: int, max_vocab: int = 4096
-) -> tuple[DataFrame, int] | None:
+) -> tuple[DataFrame, int, DataFrame] | None:
     """Fused per-document (minhash signature, token bitmask) table for
     dictionary-sized vocabularies, or None above ``max_vocab``.
 
@@ -174,7 +174,9 @@ def _dictionary_minhash_table(
         )
         .cache()  # read by every band-join branch (stream + build sides)
     )
-    return combined, n_words
+    # tok's cache is returned so the caller can release it the moment the
+    # combined table is materialized (it is only an input to combined)
+    return combined, n_words, tok
 
 
 def _mask_intersection_size(ma, mb, n_words: int) -> F.Column:
@@ -197,6 +199,7 @@ def minhash_lsh_pairs(
     n_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.9,
+    materialize: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs via banded MinHash LSH, verified with exact
     token-set Jaccard. Returns (i, j, jaccard), i < j, jaccard ≥ threshold.
@@ -208,10 +211,17 @@ def minhash_lsh_pairs(
     sized, else per-pair token-array intersection. The xxhash64 can only
     ADD candidate pairs (a 2⁻⁶⁴ bucket merge), never drop one, and every
     candidate is verified with exact Jaccard — the output is unchanged.
+
+    With ``materialize=True`` (default) the pair table is eagerly
+    materialized via ``localCheckpoint`` and the internal signature/token
+    caches are released before returning — library callers don't leak
+    executor memory (same contract as similarity.ann_topk_ivf).
+    ``materialize=False`` returns the lazy plan and leaves the caches
+    live; the caller must consume the result once, then clear them.
     """
     rows_per_band = n_hashes // bands
     encoded = _dictionary_minhash_table(df, id_col, text_col, n_hashes)
-    combined, n_words = encoded if encoded is not None else (None, 0)
+    combined, n_words, tok = encoded if encoded is not None else (None, 0, None)
     if combined is not None:
         sig = combined
     else:
@@ -219,7 +229,15 @@ def minhash_lsh_pairs(
     # the count is not wasted: it materializes the cache every band
     # branch (stream + build side) reuses
     n_docs = sig.count()
+    if tok is not None:
+        tok.unpersist()  # only fed the now-materialized signature table
     use_broadcast = n_docs <= MAX_BROADCAST_SIGNATURES
+
+    def _finish(out: DataFrame) -> DataFrame:
+        if materialize:
+            out = out.localCheckpoint()
+            sig.unpersist()
+        return out
     band_cols = [
         F.xxhash64(
             *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
@@ -270,7 +288,7 @@ def minhash_lsh_pairs(
                 )
             )
             out = branch if out is None else out.unionByName(branch)
-        return out
+        return _finish(out)
     # open vocabulary: candidates are already distinct (first-match
     # emission), so token arrays ship to each pair exactly once
     cand = None
@@ -286,7 +304,7 @@ def minhash_lsh_pairs(
     tj = tok_sets.select(F.col(id_col).alias("j"), F.col("tokens").alias("tokens_j"))
     inter = F.size(F.array_intersect("tokens_i", "tokens_j"))
     union = F.size("tokens_i") + F.size("tokens_j") - inter
-    return (
+    return _finish(
         cand.join(ti, "i")
         .join(tj, "j")
         .withColumn("jaccard", inter.cast("double") / union)
@@ -318,7 +336,12 @@ def simhash_values(df: DataFrame, id_col: str, text_col: str, bits: int = 16) ->
 
 
 def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str, bits: int = 16, max_hamming: int = 2
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 16,
+    max_hamming: int = 2,
+    materialize: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash hamming distance.
 
@@ -368,11 +391,19 @@ def simhash_pairs(
             )
         )
         out = branch if out is None else out.unionByName(branch)
+    if materialize:  # eager result, cache released (see minhash_lsh_pairs)
+        out = out.localCheckpoint()
+        banded.unpersist()
     return out
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.05
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.05,
+    materialize: bool = True,
 ) -> DataFrame:
     """Exact n-gram-shingle Jaccard pairs above ``threshold``.
 
@@ -412,7 +443,7 @@ def ngram_jaccard_pairs(
     )
     si = sh_sizes.select(F.col(id_col).alias("i"), F.col("n_sh").alias("n_i"))
     sj = sh_sizes.select(F.col(id_col).alias("j"), F.col("n_sh").alias("n_j"))
-    return (
+    out = (
         shared.join(si, "i")
         .join(sj, "j")
         .withColumn(
@@ -422,3 +453,7 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("i", "j", "jaccard")
     )
+    if materialize:  # eager result, cache released (see minhash_lsh_pairs)
+        out = out.localCheckpoint()
+        exploded.unpersist()
+    return out

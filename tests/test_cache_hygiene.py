@@ -53,3 +53,17 @@ def test_similarity_rejects_non_integral_ids(spark, sf_dir):
         cosine_pairs(emb, "sid", "embedding", threshold=0.9)
     with pytest.raises(TypeError, match="integral"):
         ann_topk_bruteforce(emb, "sid", "embedding", k=3)
+
+
+def test_text_dedup_operators_release_caches(spark, sf_dir):
+    from research_data_pipeline_spark.operators import text_dedup as dd
+    from research_data_pipeline_spark.tables import load
+
+    spark.catalog.clearCache()
+    d = load(spark, sf_dir, "documents")
+    assert dd.minhash_lsh_pairs(d, "doc_id", "text").count() >= 0
+    assert _sql_cache_empty(spark), "minhash_lsh_pairs left cached plans"
+    assert dd.simhash_pairs(d, "doc_id", "text").count() >= 0
+    assert _sql_cache_empty(spark), "simhash_pairs left cached plans"
+    assert dd.ngram_jaccard_pairs(d, "doc_id", "text").count() >= 0
+    assert _sql_cache_empty(spark), "ngram_jaccard_pairs left cached plans"
