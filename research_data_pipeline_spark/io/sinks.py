@@ -120,6 +120,12 @@ def write_jdbc_idempotent(
 def graph_sink(vertices: DataFrame, edges: DataFrame, base_path: str) -> None:
     """Graph sink (S8): the Neo4j MERGE batching loop
     (neo4j_queries.py:39-123) becomes two partitioned parquet datasets;
-    MERGE idempotency = dropDuplicates on the id/key columns."""
+    MERGE idempotency = dropDuplicates on the id/key columns.
+
+    For an actual Neo4j hand-off use
+    ``io.neo4j_export.export_neo4j_admin`` — it emits the
+    neo4j-admin bulk-import CSV layout (typed headers, id-uniqueness
+    validation, ready import command) from the same vertex/edge
+    DataFrames."""
     write_parquet(vertices.dropDuplicates(["id", "label"]), f"{base_path}/vertices")
     write_parquet(edges.dropDuplicates(), f"{base_path}/edges")
