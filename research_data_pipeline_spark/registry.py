@@ -74,10 +74,11 @@ REGISTRY = Registry()
 # count-based cap (50 per round observed) — so ordering decides which
 # queries ever get a hard-signal row. Round 2's cheapest-first order
 # deterministically starved the most important rows (new dwh queries,
-# the d14/m05 fixes). all_specs() now yields NEVER-GREEN-FIRST:
-# queries with no green row in any prior round's CORRECTNESS file come
-# first, then fewest-green-rounds, then cheapest. Update _GREEN_ROUNDS
-# from CORRECTNESS_r{N}.json at the start of each round.
+# the d14/m05 fixes). all_specs() yields LEAST-RECENTLY-VERIFIED
+# first (never-green = round 0, so they still lead), then fewest green
+# rounds, then cheapest — so every query's newest green row stays at
+# most two rounds old under the 50-row cap. Update _GREEN_ROUNDS from
+# CORRECTNESS_r{N}.json at the start of each round.
 _VERIFY_COST_S = {
     "s04_approx_quantiles": 0.15, "q23_part_name_positions": 0.16,
     "q25_regex_part_filter": 0.16, "s06_train_test_split": 0.17,
@@ -196,6 +197,22 @@ def _green_count(name: str) -> int:
     return sum(1 for greens in _GREEN_ROUNDS.values() if name in greens)
 
 
+def _last_green(name: str) -> int:
+    """Index of the most recent round with a green row (0 = never).
+
+    The primary sort key: the harness caps verification at ~50 rows per
+    round, so the LEAST-RECENTLY-verified queries must claim the early
+    slots — sorting by green COUNT alone lets a just-verified query
+    (green in only that round) crowd out one whose evidence is two
+    rounds old.
+    """
+    return max(
+        (i for i, (_, greens) in enumerate(sorted(_GREEN_ROUNDS.items()), 1)
+         if name in greens),
+        default=0,
+    )
+
+
 def all_specs() -> dict[str, QuerySpec]:
     # import side-effect registration
     from .queries import (  # noqa: F401
@@ -213,6 +230,7 @@ def all_specs() -> dict[str, QuerySpec]:
         sorted(
             specs.items(),
             key=lambda kv: (
+                _last_green(kv[0]),
                 _green_count(kv[0]),
                 _VERIFY_COST_S.get(kv[0], _DEFAULT_COST_S),
                 kv[0],

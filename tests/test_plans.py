@@ -56,8 +56,17 @@ def test_g02_ego_pruned_before_self_join(spark, sf_dir):
 def test_d06_no_duplicate_candidate_verification(spark, sf_dir):
     # first-match band emission: every candidate pair is produced by
     # exactly one band branch, so no post-verify deduplication pass
-    # (HashAggregate over the pair stream) should exist in the plan
-    plan = _plan(spark, sf_dir, "d06_minhash_lsh")
+    # (HashAggregate over the pair stream) should exist in the plan.
+    # The registered query materializes (localCheckpoint cuts lineage),
+    # so inspect the operator's lazy plan directly.
+    from research_data_pipeline_spark.operators.text_dedup import minhash_lsh_pairs
+    from research_data_pipeline_spark.tables import load
+
+    d = load(spark, sf_dir, "documents")
+    plan = formatted_plan(
+        minhash_lsh_pairs(d, "doc_id", "text", materialize=False)
+    )
+    spark.catalog.clearCache()  # materialize=False leaves the caches live
     assert "Union" in plan  # the per-band branches
     assert "SortMergeJoin" not in plan  # all joins broadcast
 
