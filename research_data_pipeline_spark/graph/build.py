@@ -30,26 +30,32 @@ def co_occurrence_edges(
     kept (the reference's queries treat the relation as undirected via
     either endpoint).
 
-    Dedup of (item, actor) happens before the self-join so join input is
-    minimal; the join shuffles on ``item_col`` once (the identical
-    distinct subplan on both sides collapses to one ReusedExchange).
-    After that dedup each (src, dst) pair occurs at most once per item,
-    so the weight is a plain ``count`` — COUNT(DISTINCT item) would give
-    the same number while paying an extra expand + shuffle.
+    Two shuffles, no join: ``collect_set`` per item (dedup + grouping in
+    ONE exchange on the item key), then the pair space is generated
+    map-side by a chained double explode and aggregated on (src, dst).
+    The self-join formulation costs a third exchange (the distinct's
+    (item, actor) partitioning cannot serve a join keyed on item alone)
+    for the identical pair stream. After the set-dedup each (src, dst)
+    occurs at most once per item, so the weight is a plain ``count`` —
+    COUNT(DISTINCT item) would give the same number while paying an
+    extra expand + shuffle.
+
+    Skew note for the 100-TB case: one item with k actors emits k²
+    pairs from a single row. That quadratic blowup is inherent to
+    co-occurrence (the join form pays it too, just spread across
+    matches); production co-occurrence jobs cap or drop super-items
+    first, since their edges are near-meaningless and dominate cost.
     """
-    pairs = df.select(item_col, actor_col).distinct()
-    a = pairs.alias("a")
-    b = pairs.alias("b")
+    per_item = (
+        df.select(item_col, actor_col)
+        .groupBy(item_col)
+        .agg(F.collect_set(actor_col).alias("_actors"))
+    )
     return (
-        a.join(
-            b,
-            (F.col(f"a.{item_col}") == F.col(f"b.{item_col}"))
-            & (F.col(f"a.{actor_col}") != F.col(f"b.{actor_col}")),
-        )
-        .groupBy(
-            F.col(f"a.{actor_col}").alias("src"),
-            F.col(f"b.{actor_col}").alias("dst"),
-        )
+        per_item.select(F.explode("_actors").alias("src"), F.col("_actors"))
+        .select("src", F.explode("_actors").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias(weight_col))
     )
 

@@ -330,25 +330,27 @@ def q07_semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "graph",
 )
 def q08_cosupplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-hop distinct count via fact self-join (SURVEY J6 + A5).
+    """Two-hop distinct count without a self-join (SURVEY J6 + A5).
 
     Mirrors the reference's unique-coauthor stat (final_tables.py:148-150:
-    authors on my articles, minus me). Dedup *before* the self-join keeps
-    the join input minimal — at scale this is the difference between
-    joining |edges| and joining |edges|·multiplicity rows.
+    authors on my articles, minus me). Same two-shuffle shape as
+    ``graph.build.co_occurrence_edges``: collect_set per order (dedup +
+    grouping in one exchange), chained double explode generates the
+    co-supplier stream map-side, distinct-count per supplier — the
+    self-join formulation pays a third exchange for the same stream.
     """
     l = load(spark, sf_dir, "lineitem")
-    pairs = l.select("l_orderkey", "l_suppkey").distinct()
-    a = pairs.alias("a")
-    b = pairs.alias("b")
+    per_order = (
+        l.select("l_orderkey", "l_suppkey")
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("l_suppkey").alias("_s"))
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_suppkey") != F.col("b.l_suppkey")),
-        )
-        .groupBy(F.col("a.l_suppkey").alias("s_suppkey"))
-        .agg(F.countDistinct(F.col("b.l_suppkey")).alias("n_cosuppliers"))
+        per_order.select(F.explode("_s").alias("s_suppkey"), F.col("_s"))
+        .select("s_suppkey", F.explode("_s").alias("_co"))
+        .where(F.col("s_suppkey") != F.col("_co"))
+        .groupBy("s_suppkey")
+        .agg(F.countDistinct("_co").alias("n_cosuppliers"))
     )
 
 
