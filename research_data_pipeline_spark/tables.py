@@ -27,48 +27,87 @@ TPCH_TABLES = [
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     apply_runtime_confs(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    return ensure_parallelism(normalize_nanos(df))
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
+    return ensure_parallelism(normalize_nanos(df), path=path)
 
 
-def ensure_parallelism(df: DataFrame) -> DataFrame:
+def ensure_parallelism(df: DataFrame, path: str | None = None) -> DataFrame:
     """Restore scan parallelism for unsplittable inputs.
 
-    A parquet file with one row group gives Spark exactly one split no
-    matter what ``maxPartitionBytes`` says, so every scan-side stage —
-    explode, regex, hashing, partial aggregation — serializes on ONE core
-    (the sf0.1 test tables are all single-row-group: 600k lineitem rows
-    on 1 of 32 cores). One cheap round-robin shuffle of the raw input
-    restores full parallelism for everything downstream.
+    Parquet parallelism is bounded by ROW GROUPS, not bytes: a file with
+    one row group yields exactly one non-empty task no matter what
+    ``maxPartitionBytes`` says, so every scan-side stage — explode,
+    regex, hashing, partial aggregation — serializes on ONE core (the
+    sf test tables are all single-row-group: 600k lineitem rows on 1 of
+    32 cores). One cheap round-robin shuffle of the raw input restores
+    full parallelism for everything downstream.
 
-    Gated: only fires when the scan yields fewer than half the cluster's
-    task slots. Real-scale inputs (many files / row groups) pass through
-    untouched, so no shuffle is ever added at 100 TB. Catalyst still
-    pushes filters and column pruning through the Repartition node, so
-    scan pushdown is unaffected (asserted in test_plans.py). The explicit
-    partition count keeps AQE from re-coalescing the tiny shuffle back to
-    one partition.
+    Gated: only fires when the input's parallelizable units number fewer
+    than half the cluster's task slots. Real-scale inputs (many files /
+    row groups) pass through untouched, so no shuffle is ever added at
+    100 TB. Units are counted from parquet footers when ``path`` is
+    local (exact — Spark's byte-range split count OVERCOUNTS a large
+    single-row-group file, where most splits come up empty), falling
+    back to the planner's split count for remote filesystems. Catalyst
+    still pushes filters and column pruning through the Repartition
+    node, so scan pushdown is unaffected (asserted in test_plans.py).
+    The explicit partition count keeps AQE from re-coalescing the tiny
+    shuffle back to one partition.
     """
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
-    if _scan_partitions(df) * 2 < target:
+    if _parallel_units(df, path, target) * 2 < target:
         return df.repartition(target)
     return df
 
 
-# (plan-identity → scan split count): the .rdd probe compiles a physical
-# plan (~0.1-0.2s, py4j round-trips) — too expensive to re-pay on every
-# load() of the same static file. Keyed by the scan's logical plan text
-# (embeds path + schema), not the path alone, so a changed file layout
-# with a new session still re-probes.
-_SCAN_PARTS: dict[str, int] = {}
+# probe cache: footer reads are cheap but load() is called repeatedly on
+# the same static files; the .rdd fallback compiles a physical plan
+# (~0.1-0.2s) and must never be re-paid per call
+_SCAN_UNITS: dict[str, int] = {}
 
 
-def _scan_partitions(df: DataFrame) -> int:
-    key = df._jdf.queryExecution().logical().toString()
-    if key not in _SCAN_PARTS:
-        _SCAN_PARTS[key] = df.rdd.getNumPartitions()
-    return _SCAN_PARTS[key]
+def _parallel_units(df: DataFrame, path: str | None, target: int) -> int:
+    key = path or df._jdf.queryExecution().logical().toString()
+    if key in _SCAN_UNITS:
+        return _SCAN_UNITS[key]
+    units: int | None = None
+    if path is not None:
+        units = _local_row_groups(path, enough=target)
+    if units is None:
+        units = df.rdd.getNumPartitions()
+    _SCAN_UNITS[key] = units
+    return units
+
+
+def _local_row_groups(path: str, enough: int) -> int | None:
+    """Total parquet row groups under a LOCAL path, or None when the path
+    isn't local / isn't parquet (remote stores fall back to the planner
+    probe). Short-circuits at ``enough`` files — a many-file dataset is
+    splittable regardless of row-group counts."""
+    import glob
+    import os
+
+    if "://" in path and not path.startswith("file://"):
+        return None
+    local = path[len("file://"):] if path.startswith("file://") else path
+    if os.path.isfile(local):
+        files = [local]
+    elif os.path.isdir(local):
+        files = sorted(glob.glob(os.path.join(local, "*.parquet")))
+    else:
+        return None
+    if not files:
+        return None
+    if len(files) >= enough:
+        return len(files)
+    try:
+        import pyarrow.parquet as pq
+
+        return sum(pq.ParquetFile(f).num_row_groups for f in files)
+    except Exception:
+        return None
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -78,3 +78,49 @@ def test_dynamic_partition_overwrite_touches_only_written_partitions(
         after.where(F.col("prio") != one_prio).count()
         == total_before - orders.where(F.col("prio") == one_prio).count()
     )
+
+
+# ---------------------------------------------------------------------------
+# ensure_parallelism: parquet parallelism is bounded by row groups
+
+
+def test_single_row_group_input_is_repartitioned(spark, tmp_path):
+    import pandas as pd
+
+    from research_data_pipeline_spark.tables import ensure_parallelism
+
+    p = str(tmp_path / "one_rg.parquet")
+    pd.DataFrame({"x": range(50_000)}).to_parquet(p, index=False)  # 1 row group
+    df = spark.read.parquet(p)
+    out = ensure_parallelism(df, path=p)
+    target = spark.sparkContext.defaultParallelism
+    assert out.rdd.getNumPartitions() == target
+
+
+def test_large_single_row_group_fires_despite_many_byte_splits(spark, tmp_path):
+    # Spark reports many byte-range splits for a big file, but with ONE
+    # row group only one split has rows — the footer-based probe must
+    # see through that (the split-count heuristic would pass it through)
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from research_data_pipeline_spark.tables import _local_row_groups
+
+    p = str(tmp_path / "big_one_rg.parquet")
+    pd.DataFrame({"x": range(2_000_000)}).to_parquet(
+        p, index=False, row_group_size=10_000_000
+    )
+    assert pq.ParquetFile(p).num_row_groups == 1
+    assert _local_row_groups(p, enough=32) == 1
+
+
+def test_many_file_input_passes_through_untouched(spark, tmp_path):
+    from research_data_pipeline_spark.tables import ensure_parallelism
+
+    p = str(tmp_path / "many_files")
+    target = spark.sparkContext.defaultParallelism
+    spark.range(100_000).repartition(target).write.parquet(p)
+    df = spark.read.parquet(p)
+    out = ensure_parallelism(df, path=p)
+    # no Repartition node injected: the plan is still the bare scan
+    assert "Repartition" not in out._jdf.queryExecution().logical().toString()
