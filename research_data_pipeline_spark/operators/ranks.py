@@ -62,6 +62,8 @@ def _value_ranks(
     else:
         n_distinct = df.agg(F.approx_count_distinct(metric).alias("d")).first()["d"]
     if n_distinct <= max_window_distinct:
+        # single-partition window BY DESIGN: hist is bounded
+        # <= max_window_distinct by the cardinality guard above
         w_before = W.orderBy(order).rowsBetween(W.unboundedPreceding, -1)
         return hist.withColumn(
             "_min_rank", F.coalesce(F.sum("_ties").over(w_before), F.lit(0)) + 1

@@ -95,7 +95,12 @@ def token_bitmasks(df: DataFrame, id_col: str, text_col: str,
         return None
     n_words = (n_vocab + 63) // 64
     vocab_ids = vocab.select(
-        "token", (F.row_number().over(W.orderBy("token")) - 1).alias("tid")
+        # single-partition window BY DESIGN: input is the vocab table,
+        # bounded <= max_vocab by the probe above (WindowExec's warning
+        # fires but the input is dictionary-sized; a constant partition
+        # key cannot silence it — Catalyst folds literals out of the spec)
+        "token",
+        (F.row_number().over(W.orderBy("token")) - 1).alias("tid"),
     )
     with_tid = tok.join(F.broadcast(vocab_ids), "token")
     word_aggs = [
@@ -146,6 +151,7 @@ def _dictionary_minhash_table(
     n_words = (n_vocab + 63) // 64
     vocab_enc = vocab.select(
         "token",
+        # single-partition by design: vocab bounded <= max_vocab (probe above)
         (F.row_number().over(W.orderBy("token")) - 1).alias("tid"),
         *[
             F.md5(F.concat(F.lit(f"{i}:"), F.col("token"))).alias(f"h{i}")

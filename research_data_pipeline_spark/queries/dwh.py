@@ -39,6 +39,8 @@ def _top_authors(author: DataFrame, extra_cols: list[str], pct: float = 0.01) ->
     k = author.agg(
         F.floor(F.count(F.lit(1)) * pct / 100).cast("bigint").alias("_k")
     )
+    # single-partition window BY DESIGN: author is dimension-sized,
+    # never facts
     w = W.orderBy("rank_total_pubs", "author_id")
     return (
         author.withColumn("_rn", F.row_number().over(w))
