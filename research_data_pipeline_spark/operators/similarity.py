@@ -384,6 +384,72 @@ def _ann_topk_blocked(
     )
 
 
+def _lloyd_refine(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    C: np.ndarray,
+    iters: int,
+) -> np.ndarray:
+    """Distributed Lloyd refinement of the centroid matrix.
+
+    Each iteration is ONE Arrow-batched assignment pass (argmax cosine
+    against the broadcast centroids — cosine is scale-invariant in the
+    centroid, so unnormalized means are equivalent to normalized) plus a
+    per-(cell, dimension) mean aggregation. The collect is bounded by
+    n_cells × dim — the same broadcastability precondition the index
+    already requires — so refinement adds passes, never a new scale
+    limit. Empty cells keep their previous centroid.
+    """
+    import pandas as pd
+
+    sc = df.sparkSession.sparkContext
+    dim = C.shape[1]
+    for _ in range(iters):
+        bc = sc.broadcast(C)
+
+        def assign_cells(batches):
+            M = bc.value
+            macc = M[:, 0] * M[:, 0]
+            for kk in range(1, M.shape[1]):
+                macc = macc + M[:, kk] * M[:, kk]
+            mn = np.sqrt(macc)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                A = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+                acc = A[:, 0] * A[:, 0]
+                for kk in range(1, A.shape[1]):
+                    acc = acc + A[:, kk] * A[:, kk]
+                S = _cosine_block(A, M) / np.outer(np.sqrt(acc), mn)
+                cells = np.argmax(S, axis=1)
+                yield pd.DataFrame(
+                    {"cell": cells.astype("int64"), "_v": [list(map(float, a)) for a in A]}
+                )
+
+        assigned = df.select(id_col, vec_col).mapInPandas(
+            assign_cells, schema="cell bigint, _v array<double>"
+        )
+        means = (
+            assigned.select("cell", F.posexplode("_v").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()  # bounded: n_cells × dim rows
+        )
+        newC = C.copy()
+        by_cell: dict[int, list] = {}
+        for r in means:
+            by_cell.setdefault(r["cell"], []).append((r["pos"], r["m"]))
+        for cell, pts in by_cell.items():
+            vec = np.zeros(dim)
+            for pos, m in pts:
+                vec[pos] = m
+            newC[cell] = vec
+        C = newC
+        bc.destroy()
+    return C
+
+
 def ann_topk_ivf(
     df: DataFrame,
     id_col: str,
@@ -394,16 +460,19 @@ def ann_topk_ivf(
     n: int | None = None,
     max_broadcast: int = MAX_BROADCAST_VECTORS,
     materialize: bool = True,
+    lloyd_iters: int = 0,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: vectors are assigned to the
     nearest of ``n_cells`` centroids; each query scans only its ``nprobe``
     nearest cells.
 
-    Centroids here are deterministic seeds (the vectors with id <
-    n_cells) so the whole index is reproducible and oracle-checkable; a
-    production build would refine them with Lloyd iterations — the plan
-    shape (broadcast centroids → one assignment pass → cell hash-join) is
-    unchanged. Assignment is one Arrow-batched pass against the broadcast
+    Centroids start as deterministic seeds (the vectors with id <
+    n_cells) so the default index is reproducible and oracle-checkable;
+    ``lloyd_iters > 0`` refines them with distributed Lloyd iterations
+    (``_lloyd_refine`` — one assignment pass + one bounded mean
+    aggregation per iteration; recall-improving, property-tested) while
+    the plan shape (broadcast centroids → one assignment pass → cell
+    hash-join) is unchanged. Assignment is one Arrow-batched pass against the broadcast
     centroid matrix; candidate generation is a hash join on the cell id —
     per-query work drops from O(n) to O(n·nprobe/n_cells). Ties in
     centroid distance break toward the smaller centroid id, matching the
@@ -427,6 +496,8 @@ def ann_topk_ivf(
     )
     cids = np.fromiter((r[0] for r in crows), dtype=np.int64, count=len(crows))
     C = np.array([r[1] for r in crows], dtype=np.float64)
+    if lloyd_iters > 0:
+        C = _lloyd_refine(df, id_col, vec_col, C, lloyd_iters)
     cacc = C[:, 0] * C[:, 0]
     for kk in range(1, C.shape[1]):
         cacc = cacc + C[:, kk] * C[:, kk]

@@ -71,3 +71,50 @@ def test_broadcast_paths_also_clean(emb):
         plan = formatted_plan(df)
         for bad in FORBIDDEN:
             assert bad not in plan, plan
+
+
+def test_lloyd_refinement_improves_ivf_recall(spark):
+    """Adversarial seeding: the 4 seed centroids (id < n_cells) all sit in
+    ONE of four well-separated clusters, so the unrefined index collapses
+    every vector into that cluster's cells and cross-cluster probes miss.
+    Lloyd iterations must spread the centroids and raise recall@k vs the
+    exact brute-force top-k."""
+    import numpy as np
+
+    from research_data_pipeline_spark.operators.similarity import (
+        ann_topk_bruteforce,
+        ann_topk_ivf,
+    )
+
+    rng = np.random.default_rng(7)
+    centers = np.array(
+        [[10, 0, 0, 0], [0, 10, 0, 0], [0, 0, 10, 0], [0, 0, 0, 10]],
+        dtype=float,
+    )
+    rows = []
+    vid = 0
+    # ids 0..3 (the seeds) first, ALL drawn from cluster 0
+    for _ in range(4):
+        rows.append((vid, [float(x) for x in centers[0] + rng.normal(0, 0.3, 4)])); vid += 1
+    for c in range(4):
+        for _ in range(40):
+            rows.append((vid, [float(x) for x in centers[c] + rng.normal(0, 0.3, 4)])); vid += 1
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_topk_bruteforce(df, "vec_id", "embedding", k=3).collect()
+    }
+
+    def recall(result) -> float:
+        got = {(r["query_id"], r["neighbor_id"]) for r in result.collect()}
+        return len(got & exact) / len(exact)
+
+    seed = recall(ann_topk_ivf(df, "vec_id", "embedding", k=3, n_cells=4, nprobe=1))
+    refined = recall(
+        ann_topk_ivf(
+            df, "vec_id", "embedding", k=3, n_cells=4, nprobe=1, lloyd_iters=3
+        )
+    )
+    assert refined > seed, (seed, refined)
+    assert refined >= 0.9, refined
