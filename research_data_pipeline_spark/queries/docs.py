@@ -790,3 +790,115 @@ def d19_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cluster_size", F.count(F.lit(1)).over(w).cast("bigint"))
         .withColumn("is_canonical", F.col("doc_id") == F.col("canonical_id"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Curation decision: the keep/reject verdict a training-data pipeline
+# actually ships, composing the individually-verified signals (d02 lang,
+# d03 quality, d17 repetition) into a first-failing-rule CASE.
+_CUR_MIN_TOKENS = 20
+_CUR_MIN_QUALITY = 0.55
+_CUR_MAX_REP = 0.5
+
+_CURATE_ORACLE = f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks, text FROM documents),
+    sh AS (
+        SELECT doc_id,
+               list_transform(range(1, len(toks) - {_REP_N - 2}),
+                              i -> array_to_string(toks[i:i+{_REP_N - 1}], ' '))
+                   AS shingles
+        FROM t WHERE len(toks) >= {_REP_N}
+    ),
+    rep AS (
+        SELECT doc_id,
+               1.0 - (CAST(len(list_distinct(shingles)) AS DOUBLE) / len(shingles))
+                   AS rep_ratio
+        FROM sh
+    ),
+    sig AS (
+        SELECT t.doc_id,
+               len(t.toks) AS n_tokens,
+               {_argmax_sql.replace("text", "t.text")} AS lang_pred,
+               least(1.0, len({_TOKS.replace("text", "t.text")}) / 100.0) * 0.4
+               + len({_DTOKS.replace("text", "t.text")}) * 1.0
+                 / len({_TOKS.replace("text", "t.text")}) * 0.3
+               + least(1.0, ((LENGTH(t.text) - (len({_TOKS.replace("text", "t.text")}) - 1))
+                             * 1.0 / len({_TOKS.replace("text", "t.text")})) / 8.0) * 0.2
+               + least(1.0, len(list_filter({_TOKS.replace("text", "t.text")},
+                                            x -> x IN ({_STOP_LST}))) / 5.0) * 0.1
+                   AS quality,
+               COALESCE(r.rep_ratio, 0.0) AS rep_ratio
+        FROM t LEFT JOIN rep r ON t.doc_id = r.doc_id
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           lang_pred, quality, rep_ratio,
+           CASE
+             WHEN n_tokens < {_CUR_MIN_TOKENS} THEN 'too_short'
+             WHEN lang_pred <> 'en' THEN 'non_english'
+             WHEN quality < {_CUR_MIN_QUALITY} THEN 'low_quality'
+             WHEN rep_ratio > {_CUR_MAX_REP} THEN 'repetitive'
+             ELSE 'kept'
+           END AS verdict
+    FROM sig
+"""
+
+
+@REGISTRY.add("d20_curation_filter", _CURATE_ORACLE, "text", "curation")
+def d20_curation_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep/reject curation verdict per document — first-failing-rule
+    CASE over the composed quality signals: token count, marker-word
+    language ID (d02), heuristic quality score (d03), repeated-n-gram
+    ratio (d17). This is the decision column a curation pipeline writes
+    before materializing the filtered corpus.
+
+    Scale shape: lang/quality/token signals are pure codegen column
+    expressions on the scan; the repetition ratio is the d17 shingle
+    aggregation joined back on doc_id (the only shuffle family). The
+    CASE is evaluated JVM-side; no Python anywhere.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    rep = (
+        d.select("doc_id", F.posexplode(toks).alias("pos", "token"))
+        .select(
+            "doc_id", "pos", "token",
+            *[
+                F.lead("token", i)
+                .over(W.partitionBy("doc_id").orderBy("pos"))
+                .alias(f"_t{i}")
+                for i in range(1, _REP_N)
+            ],
+        )
+        .where(F.col(f"_t{_REP_N - 1}").isNotNull())
+        .select(
+            "doc_id",
+            F.concat_ws(" ", "token", *[f"_t{i}" for i in range(1, _REP_N)]).alias("sh"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.lit(1.0)
+                - F.count_distinct("sh").cast("double") / F.count(F.lit(1))
+            ).alias("rep_ratio")
+        )
+    )
+    sig = d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        T.lang_id(F.col("text")).alias("lang_pred"),
+        T.quality_score(F.col("text")).alias("quality"),
+    ).join(rep, "doc_id", "left").withColumn(
+        "rep_ratio", F.coalesce(F.col("rep_ratio"), F.lit(0.0))
+    )
+    verdict = (
+        F.when(F.col("n_tokens") < _CUR_MIN_TOKENS, "too_short")
+        .when(F.col("lang_pred") != "en", "non_english")
+        .when(F.col("quality") < _CUR_MIN_QUALITY, "low_quality")
+        .when(F.col("rep_ratio") > _CUR_MAX_REP, "repetitive")
+        .otherwise("kept")
+    )
+    return sig.select(
+        "doc_id", "n_tokens", "lang_pred", "quality", "rep_ratio",
+        verdict.alias("verdict"),
+    )
