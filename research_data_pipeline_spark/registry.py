@@ -121,6 +121,7 @@ _VERIFY_COST_S = {
     "dwh1_top_publishers": 1.3, "dwh2_top_journals": 1.6,
     "dwh3_most_productive_year": 1.4, "dwh4_most_influential_year": 2.9,
     "d17_repetition_ratio": 0.5, "d18_source_contamination": 0.5,
+    "d19_dedup_clusters": 3.0, "d20_curation_filter": 0.6,
 }
 _DEFAULT_COST_S = 0.45
 
