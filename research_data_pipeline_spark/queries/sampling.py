@@ -242,3 +242,50 @@ def s06_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.when(b < _TRAIN_CUT, "train").when(b < _VAL_CUT, "val").otherwise("test").alias("split"),
     )
+
+
+_W_RATE = 0.3        # base keep rate at weight 1.0
+_W_NORM = 400.0      # length normalizer: weight = min(1, len(text)/400)
+
+
+@REGISTRY.add(
+    "s07_weighted_sample",
+    f"""
+    SELECT doc_id, n_tokens, keep_prob
+    FROM (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               {_W_RATE} * least(1.0, LENGTH(text) / {_W_NORM}) AS keep_prob,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+               % {_BUCKETS} AS b
+        FROM documents
+    )
+    WHERE b < CAST(floor(keep_prob * {_BUCKETS}) AS UBIGINT)
+    """,
+    "sketch",
+    "sampling",
+)
+def s07_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic WEIGHTED Bernoulli sample: each document's keep
+    probability scales with its length (longer documents carry more
+    training signal per row; the conventional length-proportional
+    up-weighting, capped at 1). Same md5-bucket mechanics as s01 — the
+    per-row cut moves with the weight while the row's bucket never does,
+    so membership is reproducible across runs, engines and repartitioning
+    where ``df.sample`` (per-partition RNG) is not. Pure codegen filter
+    on the scan: no shuffle, no RNG, no collected weights."""
+    d = load(spark, sf_dir, "documents")
+    keep_prob = F.lit(_W_RATE) * F.least(
+        F.lit(1.0), F.length("text") / F.lit(_W_NORM)
+    )
+    b = md5_bucket(F.col("doc_id")) % _BUCKETS
+    return (
+        d.select(
+            "doc_id",
+            F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+            keep_prob.alias("keep_prob"),
+            b.alias("_b"),
+        )
+        .where(F.col("_b") < F.floor(F.col("keep_prob") * _BUCKETS))
+        .drop("_b")
+    )
