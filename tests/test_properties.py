@@ -304,3 +304,82 @@ def test_pandas_int_rank_scales_to_near_unique_doubles(spark):
     # spot-check orientation: the largest metric holds rank 1
     top = ranked.orderBy(F.col("metric").desc()).select("rank").first()["rank"]
     assert top == 1
+
+
+# ---------------------------------------------------------------------------
+# text-dedup pairing contracts (operators/text_dedup.py)
+
+docs_strategy = st.lists(
+    st.text(alphabet="ab ", min_size=1, max_size=30).map(
+        lambda s: " ".join(s.split()) or "a"
+    ),
+    min_size=2,
+    max_size=10,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(texts=docs_strategy)
+def test_simhash_banding_equals_bruteforce(spark, texts):
+    """Pigeonhole banding is EXACT: a pair within hamming <= h differs in
+    at most h of the h+1 bands, so candidate generation cannot miss it,
+    and the verification predicate is the brute-force predicate — the
+    banded operator must equal the all-pairs scan on any input."""
+    from pyspark.sql import functions as F
+
+    from research_data_pipeline_spark.operators.text_dedup import (
+        simhash_pairs,
+        simhash_values,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    got = {
+        (r["i"], r["j"], r["hamming"])
+        for r in simhash_pairs(df, "doc_id", "text", bits=16, max_hamming=2).collect()
+    }
+    sig = {r["doc_id"]: r["simhash"] for r in simhash_values(df, "doc_id", "text", 16).collect()}
+    exp = set()
+    ids = sorted(sig)
+    for a in ids:
+        for b in ids:
+            if a < b:
+                h = bin(sig[a] ^ sig[b]).count("1")
+                if h <= 2:
+                    exp.add((a, b, h))
+    assert got == exp
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(texts=docs_strategy)
+def test_minhash_lsh_sound_and_complete_for_identical_sets(spark, texts):
+    """LSH verification contract: every reported pair carries the EXACT
+    token-set Jaccard (soundness — no false positives survive the mask
+    verification), and identical token sets are ALWAYS found (identical
+    signatures collide in every band)."""
+    from research_data_pipeline_spark.operators.text_dedup import minhash_lsh_pairs
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    got = {
+        (r["i"], r["j"]): r["jaccard"]
+        for r in minhash_lsh_pairs(df, "doc_id", "text", threshold=0.9).collect()
+    }
+    sets = {i: frozenset(t.split()) for i, t in enumerate(texts)}
+
+    def jac(a, b):
+        return len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+
+    # soundness: reported jaccard is the exact set jaccard and >= 0.9
+    for (a, b), j in got.items():
+        assert a < b
+        assert abs(j - jac(a, b)) < 1e-12
+        assert j >= 0.9
+    # completeness for identical sets: same set -> same signature ->
+    # collision in every band -> must be reported (jaccard 1.0)
+    for a in sets:
+        for b in sets:
+            if a < b and sets[a] == sets[b]:
+                assert (a, b) in got, (a, b)
