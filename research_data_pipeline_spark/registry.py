@@ -191,10 +191,42 @@ _GREEN_ROUNDS: dict[str, frozenset[str]] = {
         "s02_heavy_hitters", "s03_approx_distinct", "s04_approx_quantiles",
         "s05_stratified_sample", "s06_train_test_split",
     }),
+    "r04": frozenset({
+        "d01_token_stats", "d03_quality_score", "d05_exact_dedup",
+        "d06_minhash_lsh", "d09_embedding_near_dups", "d12_pii_scrub",
+        "d14_pack_context_windows", "d16_token_zipf", "d19_dedup_clusters",
+        "d20_curation_filter", "dwh1_top_publishers", "dwh2_top_journals",
+        "dwh3_most_productive_year", "dwh4_most_influential_year",
+        "e01_tumbling_counts", "e02_streaming_tumbling", "e03_sessionize",
+        "e04_sliding_counts", "e05_json_props", "e06_ewma_user_value",
+        "e08_stateful_user_stats", "e10_event_bursts",
+        "e11_multigrain_rollup", "e13_streaming_sessions",
+        "e14_stream_static_join", "e16_cohort_retention", "g01_label_counts",
+        "g03_high_volume_reach", "g04_edge_counts",
+        "g05_connected_components", "m02_media_decode_stats",
+        "m03_frame_sample", "m04_byte_histogram", "m05_shard_packing",
+        "q01_pricing_summary", "q03_mode_priority",
+        "q04_top_order_per_customer", "q05_part_hindex",
+        "q06_customer_order_rank", "q07_semi_anti_customers",
+        "q12_string_normalize", "q14_set_ops", "q15_rollup_revenue",
+        "q23_part_name_positions", "q25_regex_part_filter",
+        "s01_hash_sample", "s03_approx_distinct", "s04_approx_quantiles",
+        "s06_train_test_split", "s07_weighted_sample",
+    }),
 }
+
+# Queries whose implementation changed materially AFTER their newest green
+# round's CORRECTNESS file was produced (the advisor's round-4 note:
+# registry.py sorted post-rewrite queries as "fresh" because the green row
+# predated the rewrite). Names listed here are treated as never-green so
+# the rewrite claims an early verification slot in the next round; clear
+# the set once the post-rewrite green row lands.
+_REWRITTEN_SINCE_GREEN: set[str] = set()
 
 
 def _green_count(name: str) -> int:
+    if name in _REWRITTEN_SINCE_GREEN:
+        return 0
     return sum(1 for greens in _GREEN_ROUNDS.values() if name in greens)
 
 
@@ -207,6 +239,8 @@ def _last_green(name: str) -> int:
     (green in only that round) crowd out one whose evidence is two
     rounds old.
     """
+    if name in _REWRITTEN_SINCE_GREEN:
+        return 0
     return max(
         (i for i, (_, greens) in enumerate(sorted(_GREEN_ROUNDS.items()), 1)
          if name in greens),
