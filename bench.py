@@ -41,6 +41,24 @@ def main() -> int:
     for t in TPCH_TABLES:
         spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
 
+    # Shared suite state, timed SEPARATELY and included in the total:
+    # d06/d19 share one LSH signature/pair computation (docs._lsh_pair_
+    # stream) — a production suite builds that table once. Timing it here
+    # keeps the suite total honest: without this line, best-of-2 would
+    # attribute the build to nobody (first run pays it, min() discards
+    # it) and the total would under-report real wall-clock by the build
+    # cost.
+    shared: dict[str, float] = {}
+    from research_data_pipeline_spark.queries.docs import (
+        _lsh_pair_stream,
+        _PAIR_STREAM_CACHE,
+    )
+
+    _PAIR_STREAM_CACHE.clear()
+    t0 = time.perf_counter()
+    _lsh_pair_stream(spark, sf_dir)
+    shared["lsh_pair_stream"] = round(time.perf_counter() - t0, 3)
+
     # Best-of-2 per query: a transient load spike or first-touch codegen
     # compile can inflate a single run 2-4x (round 3's "regression" was
     # exactly that — 7 unchanged queries drifted 2-4x on a loaded
@@ -68,7 +86,9 @@ def main() -> int:
         spreads[name] = round(max(runs) - min(runs), 3) if runs else -1.0
         spark.catalog.clearCache()
 
-    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    total = round(
+        sum(t for t in timings.values() if t >= 0) + sum(shared.values()), 3
+    )
     failed = sorted(n for n, t in timings.items() if t < 0)
     worst5 = dict(
         sorted(
@@ -77,6 +97,24 @@ def main() -> int:
         )[:5]
     )
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json")
+    # Regression gate: any query whose best-of-n worsens >1.5x vs the
+    # previous bench_full.json with LOW spread (< 0.5 s — i.e. the slow
+    # number is reproducible, not one noisy run) marks the run failed.
+    # Intentional plan changes re-baseline automatically because this
+    # file is overwritten below.
+    regressions: dict[str, list[float]] = {}
+    try:
+        with open(full_path) as f:
+            prev_doc = json.load(f)
+        # only compare like-for-like scale factors — a dev run at sf0.01
+        # must not become the baseline for the driver's sf0.1 run
+        prev = prev_doc.get("queries", {}) if prev_doc.get("sf") == sf else {}
+        for n, t in timings.items():
+            p = prev.get(n, -1.0)
+            if p > 0 and t > 1.5 * p and spreads.get(n, 99.0) < 0.5:
+                regressions[n] = [p, t]
+    except (OSError, ValueError):
+        pass
     with open(full_path, "w") as f:
         json.dump(
             {
@@ -85,6 +123,8 @@ def main() -> int:
                 "failed": failed,
                 "runs_per_query": n_runs,
                 "timing": "best-of-n per query; spread = max-min across runs",
+                "shared": shared,
+                "regressions": regressions,
                 "queries": timings,
                 "spread": spreads,
             },
@@ -100,13 +140,16 @@ def main() -> int:
                 "queries": worst5,
                 "n_queries": len(timings),
                 "n_failed": len(failed),
+                "n_regressed": len(regressions),
                 "sf": sf,
             },
             separators=(",", ":"),
         )
     )
+    if regressions:
+        print(f"bench: REGRESSION GATE: {regressions}", file=sys.stderr)
     spark.stop()
-    return 1 if failed else 0
+    return 1 if failed or regressions else 0
 
 
 if __name__ == "__main__":

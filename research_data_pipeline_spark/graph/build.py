@@ -125,13 +125,32 @@ def connected_components(
     ).localCheckpoint()
 
     # Convergence probe: under min-propagation a node's label never
-    # increases, so the TOTAL label sum is strictly decreasing until the
-    # fixpoint — an unchanged sum IS convergence. One scalar aggregate
-    # over the (vertex-sized, checkpointed) label table per round,
-    # replacing a full old⋈new join + count. decimal(38,0): exact at any
-    # node count (1e9 bigint ids overflow a bigint sum).
+    # increases, so for INTEGRAL labels the TOTAL label sum is strictly
+    # decreasing until the fixpoint — an unchanged sum IS convergence.
+    # One scalar aggregate over the (vertex-sized, checkpointed) label
+    # table per round, replacing a full old⋈new join + count.
+    # decimal(38,0): exact at any node count (1e9 bigint ids overflow a
+    # bigint sum). The sum probe is ONLY sound for integral ids: casting
+    # a string label to decimal yields NULL under non-ANSI Spark (None ==
+    # None would report convergence after round 1) and lexicographic min
+    # ('10' < '9') breaks monotonicity even for numeric strings. For any
+    # non-integral id type the probe is the order-independent
+    # count+bit_xor(xxhash64) signature the contraction path already
+    # uses — type-agnostic, one scalar aggregate, 2^-64 false-fixpoint
+    # odds per round.
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    id_type = vertices.schema[id_col].dataType
+    _sum_probe_ok = isinstance(id_type, (ByteType, ShortType, IntegerType, LongType))
+
     def _label_sum(lb) -> object:
-        return lb.agg(F.sum(F.col("label").cast("decimal(38,0)"))).first()[0]
+        if _sum_probe_ok:
+            return lb.agg(F.sum(F.col("label").cast("decimal(38,0)"))).first()[0]
+        row = lb.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.expr("bit_xor(xxhash64(node, label))"), F.lit(0)).alias("h"),
+        ).first()
+        return (int(row["n"]), int(row["h"]))
 
     prev_sum = _label_sum(labels)
     converged = False

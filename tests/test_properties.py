@@ -200,6 +200,42 @@ def test_contraction_logarithmic_rounds_on_long_path(spark):
     assert stats["rounds"] <= 8, stats  # log2(64)=6 plus slack; diameter is 63
 
 
+def test_cc_string_ids_no_premature_convergence(spark):
+    """String vertex ids must produce correct components. Regression: the
+    decimal-sum convergence probe cast string labels to NULL under
+    non-ANSI Spark, so None == None reported a fixpoint after round 1 —
+    silently wrong components on any string-keyed graph (vertices_from
+    in the same module emits string ids). Numeric strings are also
+    covered: '10' < '9' lexicographically, so the sum isn't monotone
+    even where the cast succeeds."""
+    from research_data_pipeline_spark.graph.build import connected_components
+
+    # path a-b-c-d-e: needs >1 propagation round to label everything 'a'
+    ids = ["a", "b", "c", "d", "e"]
+    pairs = [(ids[i], ids[i + 1]) for i in range(len(ids) - 1)]
+    both = pairs + [(b, a) for a, b in pairs]
+    vertices = spark.createDataFrame([(i,) for i in ids], "node string")
+    edges = spark.createDataFrame(both, "src string, dst string")
+    labels = {
+        r["node"]: r["label"]
+        for r in connected_components(vertices, edges, id_col="node").collect()
+    }
+    assert labels == {i: "a" for i in ids}
+
+    # numeric strings: lexicographic min is '10' over '9' — the label is
+    # the lexicographic minimum, and every node must still agree on it
+    ids2 = ["9", "10", "11"]
+    pairs2 = [("9", "10"), ("10", "11")]
+    both2 = pairs2 + [(b, a) for a, b in pairs2]
+    v2 = spark.createDataFrame([(i,) for i in ids2], "node string")
+    e2 = spark.createDataFrame(both2, "src string, dst string")
+    labels2 = {
+        r["node"]: r["label"]
+        for r in connected_components(v2, e2, id_col="node").collect()
+    }
+    assert labels2 == {i: "10" for i in ids2}
+
+
 def test_auto_cc_escalates_to_contraction_on_long_path(spark):
     """The public ``connected_components`` must detect a high-diameter
     graph by itself (label prop not converged after prop_rounds) and
