@@ -1,0 +1,212 @@
+"""Incremental dedup of a new batch against a persisted corpus-history
+signature store.
+
+A production training-data pipeline does not re-dedup the accumulated
+corpus every day: each ingest batch is checked against the SIGNATURES of
+everything already accepted (reference analogue: its compute-or-reuse
+idempotency, final_tables.py:12-26, which skips recomputation of
+already-materialized outputs — here the reusable artifact is the dedup
+state itself). The store holds one row per corpus document:
+
+    (doc_id, fingerprint, mh0..mh{n-1}, band0..band{b-1})
+
+- ``fingerprint``: md5 of the sorted distinct token set (same definition
+  as d04) — exact-ish duplicate identity.
+- ``mh_i``: MinHash components over the distinct token set (same md5
+  hash family as ``text_dedup.minhash_signatures``).
+- ``band_b``: xxhash64 of the band's component slice — the LSH index key.
+
+Building the store is a PURE PROJECTION: fingerprint and every minhash
+component are per-row higher-order-function expressions (``transform`` +
+``array_min`` over the distinct-token array), so writing signatures for
+a 100 TB corpus is one scan with zero shuffles, and a daily append only
+touches the new day's partition.
+
+Matching a batch against the store never scans corpus text (the store IS
+the dedup state — resuming does not recompute old signatures) and never
+shuffles the corpus when the batch is broadcast-sized, the common daily-
+ingest case: the batch side broadcasts into both the fingerprint equi-
+join and the per-band joins, so the corpus store streams map-side
+through every probe. Above ``MAX_BROADCAST_SIGNATURES`` batch rows the
+joins degrade to plain hash joins on (fingerprint / band value).
+
+Near-dup semantics: estimated Jaccard = fraction of agreeing minhash
+components ≥ threshold. With n_hashes=16 / threshold 0.9 that means
+≥ 15 of 16 agree, which PIGEONHOLES at least 3 of the 4 bands into
+exact collision — so banded candidate generation loses nothing, and a
+threshold-only oracle (cross join + agreement count) expresses the
+same result set exactly.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint, tokens
+from .text_dedup import MAX_BROADCAST_SIGNATURES
+
+N_HASHES = 16
+BANDS = 4
+THRESHOLD = 0.9
+# ceil(n_hashes * threshold) agreeing components ⇒ est. jaccard ≥ threshold
+MIN_AGREE = math.ceil(N_HASHES * THRESHOLD)
+
+
+def signature_table(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = N_HASHES,
+    bands: int = BANDS,
+) -> DataFrame:
+    """Per-document signature row — a pure projection (no shuffle).
+
+    The minhash components use ``transform`` + ``array_min`` over the
+    distinct-token array instead of the explode + groupBy path: identical
+    values (same md5 hash family, same min), but building dedup STATE
+    must not cost a corpus-wide shuffle, and the per-row form keeps the
+    store write a single map-only stage at any corpus size.
+    """
+    rows_per_band = n_hashes // bands
+    dt = F.array_distinct(tokens(F.col(text_col)))
+
+    # single-arg lambda per hash family: a two-arg lambda (t, i=i) would
+    # be bound by F.transform as (element, INDEX) and silently hash with
+    # the array position instead of the family index
+    def _mh(i: int):
+        return F.array_min(
+            F.transform(dt, lambda t: F.md5(F.concat(F.lit(f"{i}:"), t)))
+        )
+
+    mh = [_mh(i).alias(f"mh{i}") for i in range(n_hashes)]
+    out = df.select(
+        F.col(id_col), fingerprint(F.col(text_col)).alias("fingerprint"), *mh
+    )
+    band_cols = [
+        F.xxhash64(
+            *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    return out.select(id_col, "fingerprint", *[f"mh{i}" for i in range(n_hashes)], *band_cols)
+
+
+def write_signature_store(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    path: str,
+    mode: str = "overwrite",
+    n_hashes: int = N_HASHES,
+    bands: int = BANDS,
+) -> None:
+    """Persist the signature store (parquet). ``mode="append"`` is the
+    daily-ingest path: yesterday's files are untouched — signatures are
+    never recomputed for documents already in the store."""
+    signature_table(df, id_col, text_col, n_hashes, bands).write.mode(mode).parquet(path)
+
+
+def match_against_corpus(
+    batch_sig: DataFrame,
+    corpus_sig: DataFrame,
+    id_col: str = "doc_id",
+    n_hashes: int = N_HASHES,
+    bands: int = BANDS,
+    min_agree: int = MIN_AGREE,
+) -> DataFrame:
+    """Match batch signatures against corpus signatures.
+
+    Returns one row per batch document:
+    ``(doc_id, dup_of_corpus BOOLEAN, matched_id BIGINT, match_kind)``
+    with ``matched_id = -1`` / ``match_kind = 'none'`` for novel docs
+    (sentinels, not NULLs — the external comparator's canonicalizer is
+    NULL-hostile). Exact fingerprint matches take precedence over near
+    matches; ties resolve to the minimum corpus id (deterministic).
+
+    Shuffle shape: the corpus side is only ever PROBED — when the batch
+    fits the broadcast guard, the fingerprint join and all band joins
+    are broadcast hash joins, so the corpus store streams through
+    map-side with no exchange at any corpus size.
+    """
+    batch_n = batch_sig.count()
+    bc = batch_n <= MAX_BROADCAST_SIGNATURES
+
+    def _maybe_b(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if bc else df
+
+    b_fp = batch_sig.select(
+        F.col(id_col).alias("_bid"), F.col("fingerprint").alias("_bfp")
+    )
+    exact = (
+        corpus_sig.join(_maybe_b(b_fp), corpus_sig["fingerprint"] == F.col("_bfp"))
+        .groupBy("_bid")
+        .agg(F.min(id_col).alias("_exact_id"))
+    )
+
+    # near: per-band joins with first-match emission (band b requires all
+    # earlier bands to differ → each (batch, corpus) candidate surfaces
+    # from exactly one branch), verified by component agreement
+    b_cols = [F.col(id_col).alias("_bid")] + [
+        F.col(c).alias(f"_b_{c}")
+        for c in batch_sig.columns
+        if c.startswith(("mh", "band"))
+    ]
+    b_side = batch_sig.select(*b_cols)
+    agree = None
+    for i in range(n_hashes):
+        term = (F.col(f"mh{i}") == F.col(f"_b_mh{i}")).cast("int")
+        agree = term if agree is None else agree + term
+    near = None
+    for bi in range(bands):
+        cond = F.col(f"band{bi}") == F.col(f"_b_band{bi}")
+        for bj in range(bi):
+            cond &= F.col(f"band{bj}") != F.col(f"_b_band{bj}")
+        branch = (
+            corpus_sig.join(_maybe_b(b_side), cond)
+            .where(agree >= F.lit(min_agree))
+            .select("_bid", F.col(id_col).alias("_cid"))
+        )
+        near = branch if near is None else near.unionByName(branch)
+    near = near.groupBy("_bid").agg(F.min("_cid").alias("_near_id"))
+
+    out = (
+        batch_sig.select(id_col)
+        .join(exact, batch_sig[id_col] == exact["_bid"], "left")
+        .drop("_bid")
+        .join(near, batch_sig[id_col] == near["_bid"], "left")
+        .drop("_bid")
+    )
+    matched = F.coalesce(F.col("_exact_id"), F.col("_near_id"))
+    return out.select(
+        id_col,
+        matched.isNotNull().alias("dup_of_corpus"),
+        F.coalesce(matched, F.lit(-1)).cast("bigint").alias("matched_id"),
+        F.when(F.col("_exact_id").isNotNull(), F.lit("exact"))
+        .when(F.col("_near_id").isNotNull(), F.lit("near"))
+        .otherwise(F.lit("none"))
+        .alias("match_kind"),
+    )
+
+
+def dedup_against_store(
+    spark: SparkSession,
+    batch: DataFrame,
+    store_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = N_HASHES,
+    bands: int = BANDS,
+) -> DataFrame:
+    """The daily-ingest entry point: signature the new batch (one map-only
+    pass over batch text) and match it against the persisted store. The
+    corpus is represented ONLY by its signature parquet — no corpus text
+    is read and no old signature is recomputed (the resume test asserts
+    the plan touches nothing but the store path)."""
+    corpus_sig = spark.read.parquet(store_path)
+    batch_sig = signature_table(batch, id_col, text_col, n_hashes, bands)
+    return match_against_corpus(
+        batch_sig, corpus_sig, id_col=id_col, n_hashes=n_hashes, bands=bands
+    )

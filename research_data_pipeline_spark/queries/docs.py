@@ -933,3 +933,80 @@ def d20_curation_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_tokens", "lang_pred", "quality", "rep_ratio",
         verdict.alias("verdict"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental corpus-history dedup: the operation a daily 100 TB ingest
+# actually runs — the NEW batch is checked against the signature store of
+# everything already accepted, without recomputing (or even reading) old
+# corpus text. Here the "corpus" is the 80% of documents with
+# doc_id % 5 != 0 and the "batch" the remaining 20%; the pytest resume
+# test exercises the persisted-store path (write_signature_store +
+# dedup_against_store) and proves no corpus recompute.
+#
+# The oracle mirrors SEMANTICS, not the index: a batch doc is a near-dup
+# when ≥ ceil(16·0.9) = 15 of its 16 minhash components agree with a
+# corpus doc. Any such pair pigeonholes ≥3 of 4 bands into exact
+# collision, so the banded Spark path and the threshold-only cross-join
+# oracle produce identical result sets.
+_INC_MIN_AGREE = 15
+_INC_AGREE_SQL = " + ".join(
+    f"CAST(b.mh{i} = c.mh{i} AS INT)" for i in range(_N_HASHES)
+)
+_INC_FP = "md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))"
+_INC_ORACLE = f"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0
+    ), batch AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+    ), ctok AS (
+        SELECT doc_id, unnest({_DTOKS}) AS token FROM corpus
+    ), cmh AS (
+        SELECT doc_id, {_mh_cols} FROM ctok GROUP BY doc_id
+    ), btok AS (
+        SELECT doc_id, unnest({_DTOKS}) AS token FROM batch
+    ), bmh AS (
+        SELECT doc_id, {_mh_cols} FROM btok GROUP BY doc_id
+    ), cfp AS (
+        SELECT doc_id, {_INC_FP} AS fp FROM corpus
+    ), bfp AS (
+        SELECT doc_id, {_INC_FP} AS fp FROM batch
+    ), exact AS (
+        SELECT b.doc_id AS bid, MIN(c.doc_id) AS exact_id
+        FROM bfp b JOIN cfp c ON b.fp = c.fp GROUP BY b.doc_id
+    ), near AS (
+        SELECT b.doc_id AS bid, MIN(c.doc_id) AS near_id
+        FROM bmh b JOIN cmh c ON {_INC_AGREE_SQL} >= {_INC_MIN_AGREE}
+        GROUP BY b.doc_id
+    )
+    SELECT b.doc_id,
+           (e.exact_id IS NOT NULL OR n.near_id IS NOT NULL) AS dup_of_corpus,
+           CAST(COALESCE(e.exact_id, n.near_id, -1) AS BIGINT) AS matched_id,
+           CASE WHEN e.exact_id IS NOT NULL THEN 'exact'
+                WHEN n.near_id IS NOT NULL THEN 'near'
+                ELSE 'none' END AS match_kind
+    FROM batch b
+    LEFT JOIN exact e ON b.doc_id = e.bid
+    LEFT JOIN near n ON b.doc_id = n.bid
+"""
+
+
+@REGISTRY.add("d21_incremental_dedup", _INC_ORACLE, "dedup", "incremental")
+def d21_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-batch dedup against the accumulated corpus: exact (fingerprint
+    equi-join) + near (LSH band probe, minhash-agreement verify), batch
+    side broadcast so the corpus only ever streams map-side. Production
+    entry point is ``incremental_dedup.dedup_against_store`` (persisted
+    signature parquet, no corpus recompute on resume); this registered
+    form derives both signature tables in-plan from the same split so
+    the oracle can see identical inputs."""
+    from ..operators import incremental_dedup as inc
+
+    d = load(spark, sf_dir, "documents")
+    corpus_sig = inc.signature_table(
+        d.where(F.col("doc_id") % 5 != 0), "doc_id", "text"
+    )
+    batch_sig = inc.signature_table(
+        d.where(F.col("doc_id") % 5 == 0), "doc_id", "text"
+    )
+    return inc.match_against_corpus(batch_sig, corpus_sig)
