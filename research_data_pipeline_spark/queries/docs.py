@@ -432,6 +432,58 @@ def d13_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# d13b: the Lloyd-REFINED IVF path under the within-bound oracle pattern
+# (registry docstring): the approximate result's quality is reduced to a
+# boolean the oracle asserts TRUE. Measured mean recall@3 vs the exact
+# brute-force answer on the test embeddings: UNREFINED seeds 0.303
+# (sf0.001) / 0.339 (sf0.01); after 2 distributed Lloyd iterations 0.388 /
+# 0.402. The 0.35 bound therefore discriminates: it fails on the seed
+# centroids at every test scale and passes only when the refinement
+# actually runs and improves the index. Everything is deterministic (seed
+# centroids are the id<16 vectors; Lloyd is exact arithmetic), so the
+# boolean is stable across runs and partitionings.
+_IVF_LLOYD_ITERS = 2
+_IVF_RECALL_BOUND = 0.35
+_IVF_RECALL_ORACLE = """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(3 AS BIGINT) AS k,
+           TRUE AS within_bound
+    FROM embeddings
+"""
+
+
+@REGISTRY.add("d13b_ivf_lloyd_recall", _IVF_RECALL_ORACLE, "similarity", "ann", "ivf")
+def d13b_ivf_lloyd_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the Lloyd-refined IVF index against the exact
+    brute-force top-k (d10's operator): one row
+    (n_queries, k, within_bound) where within_bound ⇔ mean recall ≥ 0.35.
+    Every query has exactly k exact neighbors (n ≫ k), so mean per-query
+    recall equals hits / (k · n_queries) — computed as two scalar
+    aggregates joined in-plan, no driver-side math."""
+    e = load(spark, sf_dir, "embeddings")
+    exact = sim.ann_topk_bruteforce(e, "vec_id", "embedding", k=_IVF_K).select(
+        "query_id", "neighbor_id"
+    )
+    ivf = sim.ann_topk_ivf(
+        e, "vec_id", "embedding", k=_IVF_K, n_cells=_IVF_CELLS,
+        nprobe=_IVF_NPROBE, lloyd_iters=_IVF_LLOYD_ITERS,
+    ).select("query_id", "neighbor_id")
+    totals = exact.agg(
+        F.count_distinct("query_id").alias("_nq"), F.count(F.lit(1)).alias("_nx")
+    )
+    hits = exact.join(ivf, ["query_id", "neighbor_id"], "leftsemi").agg(
+        F.count(F.lit(1)).alias("_nh")
+    )
+    return totals.crossJoin(hits).select(
+        F.col("_nq").cast("bigint").alias("n_queries"),
+        F.lit(_IVF_K).cast("bigint").alias("k"),
+        (F.col("_nh") / F.col("_nx") >= F.lit(_IVF_RECALL_BOUND)).alias(
+            "within_bound"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # PII scrubbing — training-data hygiene (functions/text.py maskers)
 # ---------------------------------------------------------------------------
 _PII_SRC = (

@@ -122,6 +122,7 @@ _VERIFY_COST_S = {
     "dwh3_most_productive_year": 1.4, "dwh4_most_influential_year": 2.9,
     "d17_repetition_ratio": 0.5, "d18_source_contamination": 0.5,
     "d19_dedup_clusters": 3.0, "d20_curation_filter": 0.6,
+    "d21_incremental_dedup": 1.2, "d13b_ivf_lloyd_recall": 4.0,
 }
 _DEFAULT_COST_S = 0.45
 
