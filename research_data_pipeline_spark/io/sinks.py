@@ -117,6 +117,99 @@ def write_jdbc_idempotent(
     deduped.write.jdbc(url=url, table=table, mode=mode, properties=props)
 
 
+def write_jdbc_merge(
+    df: DataFrame,
+    url: str,
+    table: str,
+    keys: list[str],
+    order_by: list[Column],
+    properties: dict | None = None,
+) -> None:
+    """True MERGE-semantics upsert (S7 under CONCURRENT writers; the
+    reference's per-row INSERT ... ON CONFLICT DO NOTHING,
+    sql_queries.py:98-138, made transactional and bulk).
+
+    ``write_jdbc_idempotent`` is dedupe-before-write: correct for the
+    reference's sequential loads but racy when two writers overlap (both
+    anti-join against the same snapshot, both insert the same key). Here
+    conflict resolution moves INTO the database, where it is atomic:
+
+    1. deterministic in-batch dedup on the key set;
+    2. distributed bulk write into a per-writer staging table — the
+       cluster-scale transfer path (no driver-side row loop);
+    3. ONE server-side ``MERGE INTO target USING staging ... WHEN NOT
+       MATCHED THEN INSERT`` on a SERIALIZABLE autocommit-off
+       connection. Two overlapping merges serialize on the target's
+       locks; the loser re-evaluates NOT MATCHED against the winner's
+       committed rows and skips them — no duplicates, no lost rows;
+    4. drop the staging table (also on failure).
+
+    First-ever load: the target is created empty (schema from ``df``)
+    before the MERGE; if two writers race the CREATE, the loser's error
+    is swallowed only when the table turns out to exist.
+    """
+    import uuid
+
+    from ..operators.dedup_relational import deterministic_dedup
+
+    props = properties or {}
+    deduped = deterministic_dedup(df, keys=keys, order_by=order_by)
+    spark = df.sparkSession
+    staging = f"{table}_stg_{uuid.uuid4().hex[:12]}"
+    if not _jdbc_table_exists(spark, url, table, props):
+        try:
+            deduped.limit(0).write.jdbc(url=url, table=table, mode="append", properties=props)
+        except Exception:
+            if not _jdbc_table_exists(spark, url, table, props):
+                raise
+    deduped.write.jdbc(url=url, table=staging, mode="overwrite", properties=props)
+
+    jvm = spark._jvm
+    if props.get("driver"):
+        jvm.java.lang.Class.forName(props["driver"])
+    jprops = jvm.java.util.Properties()
+    for k, v in props.items():
+        jprops.setProperty(k, v)
+    # Spark's JDBC writer CREATEs columns as quoted (case-sensitive)
+    # identifiers, so the MERGE must quote them identically or the
+    # unquoted reference case-folds to a different name
+    def _q(c: str) -> str:
+        return '"' + c.replace('"', '""') + '"'
+
+    cols = deduped.columns
+    on = " AND ".join(f"t.{_q(k)} = s.{_q(k)}" for k in keys)
+    col_list = ", ".join(_q(c) for c in cols)
+    src_list = ", ".join(f"s.{_q(c)}" for c in cols)
+    merge_sql = (
+        f"MERGE INTO {table} t USING {staging} s ON ({on}) "
+        f"WHEN NOT MATCHED THEN INSERT ({col_list}) VALUES ({src_list})"
+    )
+    conn = jvm.java.sql.DriverManager.getConnection(url, jprops)
+    try:
+        conn.setTransactionIsolation(
+            jvm.java.sql.Connection.TRANSACTION_SERIALIZABLE
+        )
+        conn.setAutoCommit(False)
+        st = conn.createStatement()
+        try:
+            st.executeUpdate(merge_sql)
+            conn.commit()
+        except Exception:
+            conn.rollback()
+            raise
+        finally:
+            st.close()
+    finally:
+        try:
+            st2 = conn.createStatement()
+            st2.executeUpdate(f"DROP TABLE {staging}")
+            conn.commit()
+            st2.close()
+        except Exception:
+            pass  # staging cleanup is best-effort; orphans are harmless
+        conn.close()
+
+
 def graph_sink(vertices: DataFrame, edges: DataFrame, base_path: str) -> None:
     """Graph sink (S8): the Neo4j MERGE batching loop
     (neo4j_queries.py:39-123) becomes two partitioned parquet datasets;

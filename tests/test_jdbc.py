@@ -79,3 +79,63 @@ def test_jdbc_table_exists_probe(spark, tmp_path):
     # unquoted identifiers are case-folded by the engine; the probe must
     # find the table under any input spelling
     assert _jdbc_table_exists(spark, url, "PROBE_T", PROPS)
+
+
+def test_jdbc_merge_concurrent_overlapping_writers(spark, tmp_path):
+    """The MERGE upsert must keep ON-CONFLICT-DO-NOTHING semantics under
+    CONCURRENCY: two writers with overlapping key sets run at once; the
+    target must end with exactly one row per key and no lost rows —
+    the anti-join sink cannot guarantee this (both writers snapshot the
+    same existing keys), the serialized server-side MERGE can."""
+    import threading
+
+    from research_data_pipeline_spark.io.sinks import write_jdbc_merge
+
+    url = f"jdbc:derby:{tmp_path}/mergedb;create=true"
+    # create the target up-front so the writers only race the MERGE
+    seed = spark.createDataFrame([(0, "seed")], "id bigint, val string")
+    write_jdbc_merge(seed, url, "mt", keys=["id"], order_by=[F.col("val").asc()],
+                     properties=PROPS)
+
+    b1 = spark.createDataFrame(
+        [(i, f"w1-{i}") for i in range(1, 60)], "id bigint, val string"
+    )
+    b2 = spark.createDataFrame(
+        [(i, f"w2-{i}") for i in range(30, 90)], "id bigint, val string"
+    )
+    errs: list[Exception] = []
+
+    def run(batch):
+        try:
+            write_jdbc_merge(batch, url, "mt", keys=["id"],
+                             order_by=[F.col("val").asc()], properties=PROPS)
+        except Exception as ex:  # surfaces in the main thread's assert
+            errs.append(ex)
+
+    t1 = threading.Thread(target=run, args=(b1,))
+    t2 = threading.Thread(target=run, args=(b2,))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs, errs
+
+    rows = _read(spark, url, "mt").collect()
+    ids = [r["id"] for r in rows]
+    assert len(ids) == len(set(ids)), "duplicate keys after concurrent merge"
+    assert set(ids) == set(range(0, 90)), "lost rows after concurrent merge"
+    # overlapping keys kept exactly one writer's value
+    vals = {r["id"]: r["val"] for r in rows}
+    for i in range(30, 60):
+        assert vals[i] in (f"w1-{i}", f"w2-{i}")
+
+
+def test_jdbc_merge_replay_is_idempotent(spark, tmp_path):
+    from research_data_pipeline_spark.io.sinks import write_jdbc_merge
+
+    url = f"jdbc:derby:{tmp_path}/mergedb2;create=true"
+    batch = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (2, "b-dup")], "id bigint, val string"
+    )
+    for _ in range(2):  # second run is a full replay
+        write_jdbc_merge(batch, url, "mt2", keys=["id"],
+                         order_by=[F.col("val").asc()], properties=PROPS)
+    got = {r["id"]: r["val"] for r in _read(spark, url, "mt2").collect()}
+    assert got == {1: "a", 2: "b"}
