@@ -29,6 +29,23 @@ letting a multi-hour import die halfway.
 from __future__ import annotations
 
 import os
+import re
+
+# Labels / relationship types become filesystem path segments and are
+# interpolated into the generated neo4j-admin command line, so they must
+# not carry separators, globs, quotes or whitespace. Neo4j's own naming
+# rules are looser, but anything outside this set would corrupt the
+# export layout or the command — fail fast instead.
+_SAFE_NAME = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _check_safe_names(values: list, what: str) -> None:
+    bad = [v for v in values if v is None or not _SAFE_NAME.match(str(v))]
+    if bad:
+        raise ValueError(
+            f"{what} values must match {_SAFE_NAME.pattern!r} (they become "
+            f"paths and command-line args); offending: {bad[:5]}"
+        )
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -155,6 +172,7 @@ def export_neo4j_admin(
 
     node_props = [c for c in vertices.columns if c not in ("id", "label")]
     labels = [r["label"] for r in vertices.select("label").distinct().collect()]
+    _check_safe_names(labels, "vertex label")
     rendered_v = _prep_props(vertices, node_props)
     for label in sorted(labels):
         part = rendered_v.where(F.col("label") == label).select(
@@ -170,6 +188,7 @@ def export_neo4j_admin(
 
     edge_props = [c for c in edges.columns if c not in ("src", "dst", rel_col)]
     rels = [r[rel_col] for r in edges.select(rel_col).distinct().collect()]
+    _check_safe_names(rels, "relationship type")
     rendered_e = _prep_props(edges.dropDuplicates(), edge_props)
     for rel in sorted(rels):
         part = rendered_e.where(F.col(rel_col) == rel).select(
@@ -193,6 +212,12 @@ def export_neo4j_admin(
             "  --relationships="
             f"relationships/{rel}/header.csv,relationships/{rel}/data/part-.* \\"
         )
-    cmd.append("  --delimiter=',' --array-delimiter=';'")
+    # --multiline-fields: document-style string properties can carry
+    # embedded newlines, which the Spark CSV writer emits RFC-4180-quoted
+    # across physical lines; without this flag neo4j-admin treats them as
+    # truncated records and aborts mid-import.
+    cmd.append(
+        "  --delimiter=',' --array-delimiter=';' --multiline-fields=true"
+    )
     _write_text(f"{base_path}/import_command.txt", "\n".join(cmd) + "\n")
     return {"nodes": sorted(labels), "relationships": sorted(rels)}

@@ -64,12 +64,42 @@ def ensure_parallelism(df: DataFrame, path: str | None = None) -> DataFrame:
 
 # probe cache: footer reads are cheap but load() is called repeatedly on
 # the same static files; the .rdd fallback compiles a physical plan
-# (~0.1-0.2s) and must never be re-paid per call
-_SCAN_UNITS: dict[str, int] = {}
+# (~0.1-0.2s) and must never be re-paid per call. Keyed on the path PLUS
+# a cheap layout fingerprint (file count + total bytes + newest mtime),
+# so a write-then-reload workflow that overwrites a dataset in-session
+# re-probes instead of reusing the stale unit count.
+_SCAN_UNITS: dict[tuple, int] = {}
+
+
+def _layout_fingerprint(path: str) -> tuple:
+    """(n_files, total_bytes, max_mtime_ns) for a local path; () when the
+    path isn't local (remote layouts can't be statted cheaply — treated
+    as immutable for the process lifetime, the pre-existing behavior)."""
+    import glob
+    import os
+
+    if "://" in path and not path.startswith("file://"):
+        return ()
+    local = path[len("file://"):] if path.startswith("file://") else path
+    if os.path.isfile(local):
+        files = [local]
+    elif os.path.isdir(local):
+        files = glob.glob(os.path.join(local, "*.parquet"))
+    else:
+        return ()
+    stats = [os.stat(f) for f in files]
+    return (
+        len(files),
+        sum(s.st_size for s in stats),
+        max((s.st_mtime_ns for s in stats), default=0),
+    )
 
 
 def _parallel_units(df: DataFrame, path: str | None, target: int) -> int:
-    key = path or df._jdf.queryExecution().logical().toString()
+    if path is not None:
+        key = (path, _layout_fingerprint(path))
+    else:
+        key = (df._jdf.queryExecution().logical().toString(), ())
     if key in _SCAN_UNITS:
         return _SCAN_UNITS[key]
     units: int | None = None

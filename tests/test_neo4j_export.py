@@ -68,6 +68,31 @@ def test_headers_and_layout(spark, graph, tmp_path):
     assert "neo4j-admin database import full" in cmd
     assert "--nodes=nodes/Author/header.csv" in cmd
     assert "--array-delimiter=';'" in cmd
+    # document-style string props may carry embedded newlines, written
+    # RFC-4180-quoted across lines — the command must opt into them
+    assert "--multiline-fields=true" in cmd
+
+
+def test_unsafe_label_rejected(spark, graph, tmp_path):
+    vertices, edges = graph
+    evil = vertices.unionByName(
+        spark.createDataFrame(
+            [("x1", "../escape", "Evil", 0)], vertices.schema
+        )
+    )
+    with pytest.raises(ValueError, match="vertex label"):
+        export_neo4j_admin(evil, edges, str(tmp_path), validate_refs=False)
+
+
+def test_unsafe_rel_type_rejected(spark, graph, tmp_path):
+    vertices, edges = graph
+    bad = edges.unionByName(
+        spark.createDataFrame(
+            [("a1", "a2", "HAS SPACE", 1.0)], edges.schema
+        )
+    )
+    with pytest.raises(ValueError, match="relationship type"):
+        export_neo4j_admin(vertices, bad, str(tmp_path))
 
 
 def test_data_roundtrip_headerless(spark, graph, tmp_path):

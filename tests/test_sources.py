@@ -124,3 +124,28 @@ def test_many_file_input_passes_through_untouched(spark, tmp_path):
     out = ensure_parallelism(df, path=p)
     # no Repartition node injected: the plan is still the bare scan
     assert "Repartition" not in out._jdf.queryExecution().logical().toString()
+
+
+def test_scan_units_cache_invalidated_on_rewrite(spark, tmp_path):
+    # a path overwritten with a DIFFERENT layout in the same session must
+    # be re-probed — the cache keys on the layout fingerprint, not just
+    # the path string (write-then-reload workflows with overwrite mode)
+    import pandas as pd
+
+    from research_data_pipeline_spark.tables import ensure_parallelism
+
+    p = str(tmp_path / "rewritten.parquet")
+    target = spark.sparkContext.defaultParallelism
+    pd.DataFrame({"x": range(50_000)}).to_parquet(p, index=False)  # 1 row group
+    out1 = ensure_parallelism(spark.read.parquet(p), path=p)
+    assert out1.rdd.getNumPartitions() == target  # repartition fired
+
+    # rewrite the same path as a many-row-group file: splittable now
+    pd.DataFrame({"x": range(500_000)}).to_parquet(
+        p, index=False, row_group_size=5_000
+    )
+    out2 = ensure_parallelism(spark.read.parquet(p), path=p)
+    assert (
+        "Repartition"
+        not in out2._jdf.queryExecution().logical().toString()
+    )
