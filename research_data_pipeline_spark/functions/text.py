@@ -140,3 +140,17 @@ def pii_counts(c: Column) -> dict[str, Column]:
         "n_urls": F.regexp_count(c, F.lit(URL_RE)).cast("bigint"),
         "n_phones": F.regexp_count(c, F.lit(PHONE_RE)).cast("bigint"),
     }
+
+
+def token_chunks(text: Column, size: int = 20) -> Column:
+    """Consecutive non-overlapping ``size``-token chunks, each re-joined
+    with single spaces — the unit of paragraph/chunk-level dedup (d22).
+    The last chunk may be short (slice clamps at the end); duplicates
+    within a document are KEPT (each instance counts toward the doc's
+    copied fraction)."""
+    t = tokens(text)
+    n_chunks = F.ceil(F.size(t) / size).cast("int")
+    starts = F.sequence(F.lit(0), n_chunks - 1)
+    return F.transform(
+        starts, lambda i: F.array_join(F.slice(t, i * size + 1, size), " ")
+    )

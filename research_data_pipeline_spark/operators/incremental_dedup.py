@@ -133,6 +133,14 @@ def match_against_corpus(
     """
     batch_n = batch_sig.count()
     bc = batch_n <= MAX_BROADCAST_SIGNATURES
+    from .decisions import record
+
+    record(
+        "incremental_dedup",
+        n=batch_n,
+        max_broadcast=MAX_BROADCAST_SIGNATURES,
+        path="broadcast" if bc else "hash_join",
+    )
 
     def _maybe_b(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if bc else df

@@ -133,9 +133,17 @@ def cosine_pairs(
     count job."""
     import pandas as pd  # local: keep module import light
 
+    from .decisions import record
+
     _require_integral_id(df, id_col)
     if n is None:
         n = df.count()
+    record(
+        "cosine_pairs",
+        n=n,
+        max_broadcast=max_broadcast,
+        path="blocked" if n > max_broadcast else "broadcast",
+    )
     if n > max_broadcast:
         return _cosine_pairs_blocked(df, id_col, vec_col, threshold, n=n)
     sc = df.sparkSession.sparkContext
@@ -281,9 +289,17 @@ def ann_topk_bruteforce(
     cartesian/nested-loop path at any n."""
     import pandas as pd
 
+    from .decisions import record
+
     _require_integral_id(df, id_col)
     if n is None:
         n = df.count()
+    record(
+        "ann_topk_bruteforce",
+        n=n,
+        max_broadcast=max_broadcast,
+        path="blocked" if n > max_broadcast else "broadcast",
+    )
     if n > max_broadcast:
         return _ann_topk_blocked(df, id_col, vec_col, k, n=n)
     sc = df.sparkSession.sparkContext
@@ -536,8 +552,16 @@ def ann_topk_ivf(
         df.select(id_col, vec_col).repartition(n_parts).mapInPandas(assign, schema=schema)
     ).cache()  # read twice: query side and member side
 
+    from .decisions import record
+
     if n is None:
         n = df.count()
+    record(
+        "ann_topk_ivf",
+        n=n,
+        max_broadcast=max_broadcast,
+        path="broadcast" if n <= max_broadcast else "cell_join",
+    )
     if n <= max_broadcast:
         out = _ivf_broadcast_topk(assigned, id_col, k)
         if materialize:

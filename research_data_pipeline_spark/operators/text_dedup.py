@@ -238,6 +238,14 @@ def minhash_lsh_pairs(
     if tok is not None:
         tok.unpersist()  # only fed the now-materialized signature table
     use_broadcast = n_docs <= MAX_BROADCAST_SIGNATURES
+    from .decisions import record
+
+    record(
+        "minhash_lsh_pairs",
+        n=n_docs,
+        max_broadcast=MAX_BROADCAST_SIGNATURES,
+        path="broadcast" if use_broadcast else "hash_join",
+    )
 
     def _finish(out: DataFrame) -> DataFrame:
         if materialize:
@@ -377,6 +385,14 @@ def simhash_pairs(
     ).cache()  # read by every band branch (stream + build sides)
     n_docs = banded.count()  # materializes the cache the branches reuse
     use_broadcast = n_docs <= MAX_BROADCAST_SIGNATURES
+    from .decisions import record
+
+    record(
+        "simhash_pairs",
+        n=n_docs,
+        max_broadcast=MAX_BROADCAST_SIGNATURES,
+        path="broadcast" if use_broadcast else "hash_join",
+    )
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     out = None
     for bi in range(nb):

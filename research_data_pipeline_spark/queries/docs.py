@@ -1062,3 +1062,181 @@ def d21_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.where(F.col("doc_id") % 5 == 0), "doc_id", "text"
     )
     return inc.match_against_corpus(batch_sig, corpus_sig)
+
+
+# ---------------------------------------------------------------------------
+# d22: chunk-level (paragraph-style) dedup — the CCNet/Dolma-shaped op:
+# dedup at sub-document granularity so boilerplate shared across pages is
+# measurable without throwing whole documents away. Scale shape: one
+# explode (docs -> ~n_tokens/20 chunks), one groupBy(md5) for ownership,
+# one join back, one groupBy(doc) — every shuffle keyed, no pair space.
+_CHUNK = 20
+_CHUNK_ORACLE = f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    chunks AS (
+        SELECT doc_id,
+               unnest([md5(array_to_string(ts[(i-1)*{_CHUNK}+1 : i*{_CHUNK}], ' '))
+                       FOR i IN generate_series(1, CAST(ceil(len(ts) / {_CHUNK}.0) AS BIGINT))]) AS h
+        FROM t
+    ),
+    own AS (SELECT h, MIN(doc_id) AS owner FROM chunks GROUP BY h)
+    SELECT c.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN o.owner < c.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+           CAST(SUM(CASE WHEN o.owner < c.doc_id THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+               AS dup_chunk_ratio
+    FROM chunks c JOIN own o USING (h)
+    GROUP BY c.doc_id
+"""
+
+
+@REGISTRY.add("d22_chunk_dedup", _CHUNK_ORACLE, "dedup", "text")
+def d22_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level dedup: split each document into consecutive 20-token
+    chunks, assign each distinct chunk a canonical owner (min doc_id),
+    and report per document how much of it is copied from earlier
+    documents. A doc's own repeated chunks don't count (owner == self);
+    cross-document copies do, instance by instance."""
+    d = load(spark, sf_dir, "documents")
+    chunks = d.select(
+        "doc_id", F.explode(T.token_chunks(F.col("text"), _CHUNK)).alias("chunk")
+    ).select("doc_id", F.md5("chunk").alias("h"))
+    own = chunks.groupBy("h").agg(F.min("doc_id").alias("owner"))
+    dup = F.when(F.col("owner") < F.col("doc_id"), F.lit(1)).otherwise(F.lit(0))
+    return (
+        chunks.join(own, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(dup).cast("bigint").alias("n_dup_chunks"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_dup_chunks",
+            (F.col("n_dup_chunks").cast("double") / F.col("n_chunks")).alias(
+                "dup_chunk_ratio"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# d23: benchmark decontamination — the GPT-3-style 13-gram collision
+# check: flag every training document sharing any 13-gram with the
+# benchmark set (here: source 'src0' plays the held-out benchmark).
+# Scale shape: the benchmark gram set is DISTINCT and usually tiny
+# relative to the corpus; the probe is one equi-join on a 128-bit hash
+# (broadcastable when the benchmark fits), then one groupBy(doc). No
+# pair space, no cross join — same inverted-index idea as d08/d18 but
+# containment-against-a-reference semantics.
+_NGRAM = 13
+_DECON_ORACLE = f"""
+    WITH t AS (
+        SELECT doc_id, source, string_split(text, ' ') AS ts FROM documents
+        WHERE len(string_split(text, ' ')) >= {_NGRAM}
+    ),
+    grams AS (
+        SELECT doc_id, source,
+               unnest(list_distinct([md5(array_to_string(ts[i : i+{_NGRAM - 1}], ' '))
+                       FOR i IN generate_series(1, len(ts) - {_NGRAM - 1})])) AS h
+        FROM t
+    ),
+    bench AS (SELECT DISTINCT h FROM grams WHERE source = 'src0'),
+    hits AS (
+        SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n
+        FROM grams g JOIN bench b USING (h)
+        WHERE g.source <> 'src0'
+        GROUP BY g.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(h.n, 0) AS BIGINT) AS n_contaminated_grams,
+           COALESCE(h.n, 0) > 0 AS contaminated
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    WHERE d.source <> 'src0'
+"""
+
+
+@REGISTRY.add("d23_benchmark_decontamination", _DECON_ORACLE, "dedup", "text")
+def d23_benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-vs-benchmark contamination: a training doc is flagged
+    when any of its distinct 13-grams appears in the benchmark corpus.
+    Docs shorter than 13 tokens have no grams and are clean by
+    definition (but still emitted — the output covers every training
+    doc)."""
+    d = load(spark, sf_dir, "documents")
+    grams = d.where(F.size(T.tokens(F.col("text"))) >= _NGRAM).select(
+        "doc_id",
+        "source",
+        F.explode(T.word_shingles(F.col("text"), _NGRAM)).alias("g"),
+    ).select("doc_id", "source", F.md5("g").alias("h"))
+    bench = grams.where(F.col("source") == "src0").select("h").distinct()
+    hits = (
+        grams.where(F.col("source") != "src0")
+        .join(bench, "h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        d.where(F.col("source") != "src0")
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias(
+                "n_contaminated_grams"
+            ),
+            (F.coalesce(F.col("n"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# d24: curriculum bucketing — global NTILE(10) by token count WITHOUT the
+# single-partition window a naive ``ntile().over(Window.orderBy(...))``
+# would create. The two-phase rank (operators/ranks.py: distinct-value
+# histogram + tiny cumulative window, or range-partitioned prefix sum at
+# high cardinality) yields the exact 1-based row number over a UNIQUE
+# composite key, and SQL NTILE is a closed-form function of (row_number,
+# n, k): the first n%k buckets take floor(n/k)+1 rows, the rest
+# floor(n/k).
+_NTILE_K = 10
+_NTILE_ORACLE = """
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(NTILE(10) OVER (ORDER BY len(string_split(text, ' ')), doc_id) AS BIGINT)
+               AS bucket
+    FROM documents
+"""
+
+
+@REGISTRY.add("d24_length_ntile", _NTILE_ORACLE, "text", "window")
+def d24_length_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-curriculum buckets: every document assigned to one of 10
+    equal-ish global buckets by (token count, doc_id) order — checked
+    against DuckDB's NTILE. The order key is made unique by packing
+    doc_id into the low digits, so rank == row_number and the bucket
+    formula is exact."""
+    from ..operators.ranks import spark_rank
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", T.token_count(F.col("text")).alias("n_tokens")
+    )
+    # unique composite order key: (n_tokens, doc_id) packed into one
+    # bigint (doc_id stride safely above any doc_id in the corpus)
+    keyed = d.withColumn(
+        "_k", F.col("n_tokens") * F.lit(1_000_000_000) + F.col("doc_id")
+    )
+    n = keyed.count()  # computed-k pattern (SURVEY W3): driver scalar
+    k = _NTILE_K
+    assert n >= k, f"NTILE({k}) over {n} rows"
+    q, rem = divmod(n, k)
+    ranked = spark_rank(keyed, "_k", out_col="_r", ascending=True)
+    r = F.col("_r")
+    cut = rem * (q + 1)  # rows covered by the (q+1)-sized leading buckets
+    bucket = F.when(
+        r <= cut, F.floor((r - 1) / (q + 1)) + 1
+    ).otherwise(F.lit(rem) + F.floor((r - cut - 1) / q) + 1)
+    return ranked.select(
+        "doc_id", "n_tokens", bucket.cast("bigint").alias("bucket")
+    )

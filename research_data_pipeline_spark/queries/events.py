@@ -621,3 +621,32 @@ def e16_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         epoch_us("cohort_week").alias("cohort_week_us"),
         weeks_since.alias("weeks_since"),
     ).agg(F.count(F.lit(1)).alias("n_active_users"))
+
+
+# ---------------------------------------------------------------------------
+_ATTRIB_ORACLE = """
+    SELECT c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           c.user_id,
+           epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+    FROM events c
+    JOIN events p
+      ON p.user_id = c.user_id
+     AND p.ts > c.ts
+     AND p.ts <= c.ts + INTERVAL 2 HOUR
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+"""
+
+
+@REGISTRY.add("e17_stream_stream_join", _ATTRIB_ORACLE, "events", "streaming")
+def e17_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase attribution as a real stream-STREAM inner join:
+    two watermarked streams over the same source, equi-key + event-time
+    range condition (the state-bounding shape Structured Streaming
+    requires), append mode, drained and checked against the batch
+    self-join oracle. Complements e14's stream-static join — this is the
+    two-moving-sides case (state evicts by watermark + range, so join
+    state is O(users x window) at any stream length)."""
+    from ..streaming.jobs import run_stream_stream_join_to_batch
+
+    return run_stream_stream_join_to_batch(spark, f"{sf_dir}/events.parquet")

@@ -307,6 +307,71 @@ def run_stream_static_join_to_batch(
     return _run_stream_to_batch(spark, events_path, transform, "complete")
 
 
+ATTRIBUTION_WINDOW = "2 hours"
+
+
+def click_purchase_attribution(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
+    """Click→purchase attribution join: every purchase matched to every
+    click by the same user in the preceding ``ATTRIBUTION_WINDOW``.
+
+    Shared by the batch oracle form and the stream-stream form — the join
+    condition (equi user key + event-time range) is exactly what
+    Structured Streaming requires to bound join state: each side's
+    watermark plus the range predicate lets the store evict clicks older
+    than the window, so state is O(users × window), not O(stream).
+
+    Inputs must carry (event_id, user_id, ts) with disambiguated names
+    (click_id/click_ts, purchase_id/purchase_ts) — renaming is the
+    caller's job because stream watermarks attach to the renamed column.
+    """
+    cond = (
+        (clicks["c_user"] == purchases["p_user"])
+        & (purchases["purchase_ts"] > clicks["click_ts"])
+        & (
+            purchases["purchase_ts"]
+            <= clicks["click_ts"] + F.expr(f"INTERVAL {ATTRIBUTION_WINDOW}")
+        )
+    )
+    return clicks.join(purchases, cond).select(
+        F.col("click_id"),
+        F.col("purchase_id"),
+        F.col("c_user").alias("user_id"),
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("lag_us"),
+    )
+
+
+def _attribution_sides(events: DataFrame) -> tuple[DataFrame, DataFrame]:
+    clicks = events.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return clicks, purchases
+
+
+def run_stream_stream_join_to_batch(spark: SparkSession, events_path: str) -> DataFrame:
+    """Stream-STREAM inner join drained to batch: clicks and purchases
+    are two watermarked streams derived from the same source; the range
+    condition bounds both state stores (clicks evict after the
+    attribution window + watermark delay, purchases immediately after
+    their watermark). Append mode — inner-join matches emit as soon as
+    both rows have arrived; the drained result equals the batch join."""
+
+    def transform(s: DataFrame) -> DataFrame:
+        clicks, purchases = _attribution_sides(s)
+        return click_purchase_attribution(
+            clicks.withWatermark("click_ts", "1 minute"),
+            purchases.withWatermark("purchase_ts", "1 minute"),
+        )
+
+    return _run_stream_to_batch(spark, events_path, transform, "append")
+
+
 def run_stream_to_partitioned_parquet(
     spark: SparkSession, events_path: str, dest: str
 ) -> None:
