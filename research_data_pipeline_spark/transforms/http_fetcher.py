@@ -116,9 +116,10 @@ class RateLimitedHttpFetcher:
                 continue
             # Crossref envelope: {"status": "ok", "message-type": "work",
             # "message": {...}} — the reference only applies updates when
-            # status == 'ok' (augmentations.py:33-44). A payload without a
-            # status key (minimal mock) is accepted as ok.
-            if payload.get("status", "ok") != "ok":
+            # status == 'ok' (augmentations.py:33-44; a missing key raises
+            # KeyError there and the update is skipped). Same here: no
+            # explicit 'ok', no update.
+            if payload.get("status") != "ok":
                 continue
             msg = payload.get("message") or {}
             typ = msg.get("type")

@@ -42,7 +42,11 @@ class _Handler(BaseHTTPRequestHandler):
             self.send_response(404)
             self.end_headers()
             return
-        body = json.dumps({"message": _WORKS[doi]}).encode()
+        # full Crossref envelope: the fetcher requires an explicit
+        # status == 'ok' (reference parity, augmentations.py:33)
+        body = json.dumps(
+            {"status": "ok", "message-type": "work", "message": _WORKS[doi]}
+        ).encode()
         self.send_response(200)
         self.send_header("Content-Type", "application/json")
         self.end_headers()
