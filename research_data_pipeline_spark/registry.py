@@ -123,6 +123,8 @@ _VERIFY_COST_S = {
     "d17_repetition_ratio": 0.5, "d18_source_contamination": 0.5,
     "d19_dedup_clusters": 3.0, "d20_curation_filter": 0.6,
     "d21_incremental_dedup": 1.2, "d13b_ivf_lloyd_recall": 4.0,
+    "d22_chunk_dedup": 0.8, "d23_benchmark_decontamination": 0.9,
+    "d24_length_ntile": 0.6, "e17_stream_stream_join": 2.0,
 }
 _DEFAULT_COST_S = 0.45
 
@@ -222,7 +224,19 @@ _GREEN_ROUNDS: dict[str, frozenset[str]] = {
 # predated the rewrite). Names listed here are treated as never-green so
 # the rewrite claims an early verification slot in the next round; clear
 # the set once the post-rewrite green row lands.
-_REWRITTEN_SINCE_GREEN: set[str] = set()
+_REWRITTEN_SINCE_GREEN: set[str] = {
+    # round-4 rewrites whose newest green row (r03) predates them:
+    # d07 pigeonhole banding, g02 semi-join pruning, q08 co-occurrence
+    # via collect_set + double explode
+    "d07_simhash_pairs",
+    "g02_ego_cosuppliers",
+    "q08_cosupplier_count",
+    # round-5 rewrites after CORRECTNESS_r04: d06/d19 share one LSH pair
+    # stream; g05's convergence probe was fixed for string ids
+    "d06_minhash_lsh",
+    "d19_dedup_clusters",
+    "g05_connected_components",
+}
 
 
 def _green_count(name: str) -> int:
