@@ -1240,3 +1240,39 @@ def d24_length_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.select(
         "doc_id", "n_tokens", bucket.cast("bigint").alias("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# d25: deterministic global training-order shuffle — reproducible corpus
+# order for training runs (same order on any cluster, any partitioning,
+# any retry). Order key = md5 of the doc id with the id appended as a
+# tie-break; position from the two-phase global rank (operators/ranks.py)
+# so no single-partition window exists at any corpus size.
+_SHUF_ORACLE = """
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ) AS BIGINT) AS shuffle_pos
+    FROM documents
+"""
+
+
+@REGISTRY.add("d25_deterministic_shuffle", _SHUF_ORACLE, "text", "sampling")
+def d25_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible pseudo-random global order: md5-keyed rank, unique by
+    construction (the 32-hex md5 is extended with the zero-padded id, so
+    lexicographic order on the packed key == (md5, doc_id) order)."""
+    from ..operators.ranks import spark_rank
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    keyed = d.withColumn(
+        "_k",
+        F.concat(
+            F.md5(F.col("doc_id").cast("string")),
+            F.lit("-"),
+            F.lpad(F.col("doc_id").cast("string"), 12, "0"),
+        ),
+    )
+    return spark_rank(keyed, "_k", out_col="shuffle_pos", ascending=True).select(
+        "doc_id", F.col("shuffle_pos").cast("bigint").alias("shuffle_pos")
+    )

@@ -192,3 +192,169 @@ def g05_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         connected_components(s.select("s_suppkey"), edges, id_col="s_suppkey")
         .select(F.col("node"), F.col("label").alias("component"))
     )
+
+
+# ---------------------------------------------------------------------------
+# g06: integer-exact PageRank on the strong co-supplier graph.
+#
+# Floating-point PageRank cannot be differentially tested value-for-value
+# (partial-sum order perturbs low bits), so the operator runs in FIXED
+# POINT: ranks are bigint micro-units (SCALE = 1e12), contributions are
+# floor divisions, damping is (85 * x) div 100 — every op associative /
+# deterministic, so Spark and DuckDB agree bit-for-bit at any
+# partitioning (the d16 integer-exact trick applied to an iterative
+# algorithm). Scale shape: each of the 5 iterations is one keyed join of
+# the edge list against the node-sized rank table plus one groupBy(dst)
+# — no global state, no driver data, O(iters) shuffles.
+_PR_SCALE = 1_000_000_000_000
+_PR_ITERS = 5
+
+_PR_EDGES_SQL = f"""
+    pairs AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    e AS (
+        SELECT a.l_suppkey AS src, b.l_suppkey AS dst
+        FROM pairs a JOIN pairs b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= {_CC_MIN_SHARED}
+    ),
+    deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1),
+    nn AS (SELECT COUNT(*) AS n FROM supplier),
+    p0 AS (SELECT s_suppkey AS node, {_PR_SCALE} // (SELECT n FROM nn) AS pr
+           FROM supplier)
+"""
+
+
+def _pr_iter_sql(k: int) -> str:
+    prev = f"p{k - 1}"
+    return f"""
+    p{k} AS (
+        SELECT v.node,
+               CAST((15 * ({_PR_SCALE} // (SELECT n FROM nn))) // 100
+               + (85 * CAST(COALESCE(SUM(c.contrib), 0) AS BIGINT)) // 100
+               AS BIGINT) AS pr
+        FROM {prev} v
+        LEFT JOIN (
+            SELECT e.dst, p.pr // d.outdeg AS contrib
+            FROM e JOIN {prev} p ON p.node = e.src
+                   JOIN deg d ON d.src = e.src
+        ) c ON c.dst = v.node
+        GROUP BY v.node
+    )"""
+
+
+_PR_ORACLE = (
+    "WITH "
+    + _PR_EDGES_SQL
+    + ","
+    + ",".join(_pr_iter_sql(k) for k in range(1, _PR_ITERS + 1))
+    + f"\n    SELECT node, pr AS pagerank_fp FROM p{_PR_ITERS}"
+)
+
+
+@REGISTRY.add("g06_pagerank", _PR_ORACLE, "graph", "iterative")
+def g06_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank (damping 85/100, 5 iterations) over the
+    strong co-supplier graph; isolated suppliers keep the base rank.
+    Exact vs the DuckDB chained-CTE oracle because every arithmetic step
+    is integer."""
+    l = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    edges = co_occurrence_edges(
+        l, item_col="l_orderkey", actor_col="l_suppkey"
+    ).where(F.col("n_shared_orders") >= _CC_MIN_SHARED).select("src", "dst")
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ed = edges.join(deg, "src").localCheckpoint()  # reused every iteration
+
+    n = s.count()
+    base = (15 * (_PR_SCALE // n)) // 100
+    pr = s.select(
+        F.col("s_suppkey").alias("node"),
+        F.lit(_PR_SCALE // n).cast("bigint").alias("pr"),
+    )
+    for _ in range(_PR_ITERS):
+        contrib = ed.join(pr, ed["src"] == pr["node"]).select(
+            "dst", F.expr("pr div outdeg").alias("contrib")
+        )
+        sums = contrib.groupBy("dst").agg(F.sum("contrib").alias("s"))
+        pr = (
+            pr.select("node")
+            .join(sums, pr["node"] == sums["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr("(85 * coalesce(s, 0)) div 100")
+                ).cast("bigint").alias("pr"),
+            )
+        )
+    return pr.select("node", F.col("pr").alias("pagerank_fp"))
+
+
+# ---------------------------------------------------------------------------
+# g07: per-node triangle counts on the same strong graph — the standard
+# clustering-structure primitive. Canonical (src < dst) edge list; the
+# two-join wedge-close enumeration touches each triangle exactly once
+# (a < b < c). Scale shape: two keyed equi-joins on an edge list already
+# thresholded to the strong graph; per-node counts from one union+groupBy.
+_TRI_ORACLE = f"""
+    WITH pairs AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    e0 AS (
+        SELECT a.l_suppkey AS src, b.l_suppkey AS dst
+        FROM pairs a JOIN pairs b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= {_CC_MIN_SHARED}
+    ),
+    e AS (SELECT src, dst FROM e0 WHERE src < dst),
+    tri AS (
+        SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+        FROM e ab JOIN e bc ON ab.dst = bc.src
+                  JOIN e ac ON ac.src = ab.src AND ac.dst = bc.dst
+    ),
+    per_node AS (
+        SELECT node, COUNT(*) AS n FROM (
+            SELECT a AS node FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri
+        ) GROUP BY node
+    )
+    SELECT s.s_suppkey AS node, CAST(COALESCE(p.n, 0) AS BIGINT) AS n_triangles
+    FROM supplier s LEFT JOIN per_node p ON p.node = s.s_suppkey
+"""
+
+
+@REGISTRY.add("g07_triangle_count", _TRI_ORACLE, "graph")
+def g07_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangles per supplier in the strong co-supplier graph (each
+    triangle counted once via a < b < c wedge closing)."""
+    l = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    e = (
+        co_occurrence_edges(l, item_col="l_orderkey", actor_col="l_suppkey")
+        .where(
+            (F.col("n_shared_orders") >= _CC_MIN_SHARED)
+            & (F.col("src") < F.col("dst"))
+        )
+        .select("src", "dst")
+        .localCheckpoint()  # three-way self-join input, computed once
+    )
+    ab, bc, ac = e.alias("ab"), e.alias("bc"), e.alias("ac")
+    tri = ab.join(bc, F.col("ab.dst") == F.col("bc.src")).join(
+        ac,
+        (F.col("ac.src") == F.col("ab.src"))
+        & (F.col("ac.dst") == F.col("bc.dst")),
+    ).select(
+        F.col("ab.src").alias("a"), F.col("ab.dst").alias("b"),
+        F.col("bc.dst").alias("c"),
+    )
+    per_node = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return s.select(F.col("s_suppkey").alias("node")).join(
+        per_node, "node", "left"
+    ).select(
+        "node", F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_triangles")
+    )

@@ -165,3 +165,45 @@ def m05_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "kind", "n_bytes", "running",
         F.expr(f"(running - n_bytes) div {_SHARD_BYTES}").alias("shard_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# m06: exact media dedup — duplicate binary payloads collapse to a
+# canonical owner, keyed Spark-side by md5 OVER THE RAW BYTES while the
+# oracle groups by the blob's derivation inputs (md5(text), repeat
+# count): two independent definitions of payload identity that must
+# produce identical groups. One hash groupBy + one join back — the d04/
+# d05 shape applied to binary columns.
+_MEDIA_DEDUP_ORACLE = f"""
+    WITH media AS (
+        SELECT doc_id, md5(text) AS h, CAST(1 + doc_id % 7 AS BIGINT) AS r
+        FROM documents
+    ),
+    g AS (
+        SELECT h, r, MIN(doc_id) AS canonical_id,
+               CAST(COUNT(*) AS BIGINT) AS n_copies
+        FROM media GROUP BY h, r
+    )
+    SELECT m.doc_id, g.canonical_id, g.n_copies,
+           m.doc_id = g.canonical_id AS is_canonical
+    FROM media m JOIN g USING (h, r)
+"""
+
+
+@REGISTRY.add("m06_media_exact_dedup", _MEDIA_DEDUP_ORACLE, "multimodal", "dedup")
+def m06_media_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-identical media dedup: md5 over the payload BINARY (JVM-side,
+    no decode) → canonical min-doc_id owner + copy count per blob."""
+    m = media_table(load(spark, sf_dir, "documents")).select(
+        "doc_id", F.md5("payload").alias("ph")
+    )
+    g = m.groupBy("ph").agg(
+        F.min("doc_id").alias("canonical_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+    return m.join(g, "ph").select(
+        "doc_id",
+        "canonical_id",
+        F.col("n_copies").cast("bigint").alias("n_copies"),
+        (F.col("doc_id") == F.col("canonical_id")).alias("is_canonical"),
+    )

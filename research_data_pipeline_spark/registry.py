@@ -125,6 +125,8 @@ _VERIFY_COST_S = {
     "d21_incremental_dedup": 1.2, "d13b_ivf_lloyd_recall": 4.0,
     "d22_chunk_dedup": 0.8, "d23_benchmark_decontamination": 0.9,
     "d24_length_ntile": 0.6, "e17_stream_stream_join": 2.0,
+    "g06_pagerank": 1.5, "g07_triangle_count": 0.8,
+    "d25_deterministic_shuffle": 0.5, "m06_media_exact_dedup": 0.6,
 }
 _DEFAULT_COST_S = 0.45
 
