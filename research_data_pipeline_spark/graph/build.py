@@ -317,3 +317,48 @@ def connected_components_contraction(
         .join(roots, "node", "left")
         .select("node", F.coalesce("label", "node").alias("label"))
     )
+
+
+def bfs_hops(
+    vertices: DataFrame,
+    edges: DataFrame,
+    seed: int,
+    max_hops: int = 4,
+    id_col: str = "node",
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Single-source BFS: minimum hop distance from ``seed`` to every
+    vertex reachable within ``max_hops``. Returns (node, hops BIGINT),
+    seed included at hops 0.
+
+    Per round: one keyed join (frontier ⋈ edges on src) + distinct + one
+    anti-join against the settled set — frontier-sized state, no global
+    structure, the standard distributed BFS. Lineage is cut per round
+    with ``localCheckpoint`` (same rationale as ``connected_components``);
+    the loop exits early on an empty frontier, so ``max_hops`` is a cap,
+    not a fixed cost. Deterministic: hop numbers are exact integers and a
+    node's first discovery round is partition-order independent.
+
+    ``edges`` must contain both directions of each undirected edge.
+    """
+    edges = edges.select(src, dst).localCheckpoint()
+    seed_df = vertices.select(F.col(id_col).alias("node")).where(
+        F.col("node") == seed
+    )
+    dist = seed_df.withColumn("hops", F.lit(0)).localCheckpoint()
+    frontier = dist.select("node")
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges[src])
+            .select(F.col(dst).alias("node"))
+            .distinct()
+            .join(dist.select("node"), "node", "left_anti")
+            .withColumn("hops", F.lit(h))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.unionByName(nxt).localCheckpoint()
+        frontier = nxt.select("node")
+    return dist.select("node", F.col("hops").cast("bigint").alias("hops"))

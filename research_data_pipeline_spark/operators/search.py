@@ -1,0 +1,243 @@
+"""Full-text relevance and language-model scoring over the documents table.
+
+Two corpus-trained scorers a training-data pipeline runs at ingest:
+
+- ``bm25_topk``: classic BM25 (Robertson/Spärck Jones) over an inverted
+  index derived in-plan — the retrieval primitive behind contamination
+  checks ("which training docs score highest against this benchmark
+  query?") and boilerplate mining.
+- ``bigram_nll``: an order-2 add-one-smoothed language model trained on
+  the corpus itself, scoring each document's negative log-likelihood —
+  the KenLM-shaped quality-filter signal (high NLL ⇒ the doc is unlike
+  the corpus: noise, wrong language, or garbled extraction).
+
+Numeric discipline (registry.py module docstring): every per-term /
+per-bigram contribution is a product-and-divide chain of IEEE doubles
+derived from exact integers — bit-identical across engines — floored to
+integer micro-units (×1e6) BEFORE the per-document sum, so the sum is an
+exact associative BIGINT aggregation that no shuffle order can perturb.
+The only transcendental is ``ln``; a last-ulp disagreement would have to
+land within ~1e-10 of an integer boundary to flip a floor, which the
+parity suite would catch.
+
+Scale shape: tokenize → explode is the only row-multiplying step; BM25
+filters to the query vocabulary BEFORE any shuffle (the explode feeds a
+``isin`` prune), so the per-term aggregation touches candidate postings
+only. Corpus statistics (N, avgdl, per-term df, bigram counts) are
+aggregations keyed on term/bigram; the tiny scalar stats row and the
+query-term df table are broadcast. Top-k goes through orderBy+limit
+(TakeOrderedAndProject — per-partition heap + driver merge, no global
+sort) with the rank window applied to the k survivors only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+
+# BM25 constants as exact binary fractions: every derived literal
+# (k1+1=2.25, 1-b=0.25) is exactly representable, so Spark and the SQL
+# oracle fold them to the same double.
+BM25_K1 = 1.25
+BM25_B = 0.75
+SCALE = 1_000_000.0  # micro-unit fixed-point scale for floored contributions
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 25,
+) -> DataFrame:
+    """Top-k documents by BM25 score for a bag-of-terms query.
+
+    Returns (id, score_e6 BIGINT, n_terms BIGINT, rank BIGINT): the
+    floored-micro-unit BM25 score, how many distinct query terms the
+    document contains, and the dense 1-based rank (ties broken by id).
+    Documents containing no query term are not candidates.
+    """
+    did = F.col(id_col)
+    dl = docs.select(did, T.token_count(F.col(text_col)).alias("dl"))
+    # one tiny row: corpus size + mean document length (exact-int division)
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+
+    postings = docs.select(
+        did, F.explode(T.tokens(F.col(text_col))).alias("term")
+    ).where(F.col("term").isin(query_terms))
+    tf = postings.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    tf_d = F.col("tf").cast("double")
+    df_d = F.col("df").cast("double")
+    dl_d = F.col("dl").cast("double")
+    n_d = F.col("n_docs").cast("double")
+    tf_sat = tf_d * F.lit(BM25_K1 + 1.0) / (
+        tf_d + F.lit(BM25_K1) * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * (dl_d / F.col("avgdl")))
+    )
+    idf = F.log(F.lit(1.0) + ((n_d - df_d) + F.lit(0.5)) / (df_d + F.lit(0.5)))
+    contrib_e6 = F.floor(tf_sat * idf * F.lit(SCALE))
+
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(
+            F.sum(contrib_e6).alias("score_e6"),
+            F.count(F.lit(1)).alias("n_terms"),
+        )
+    )
+    topk = scored.orderBy(F.col("score_e6").desc(), F.col(id_col)).limit(k)
+    w = Window.orderBy(F.col("score_e6").desc(), F.col(id_col))
+    return topk.withColumn("rank", F.row_number().over(w).cast("bigint"))
+
+
+def bm25_topk_oracle(query_terms: list[str], k: int = 25) -> str:
+    """DuckDB oracle mirroring ``bm25_topk`` expression-for-expression."""
+    terms = ", ".join(f"'{t}'" for t in query_terms)
+    return f"""
+    WITH dl AS (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+        FROM documents
+    ), stats AS (
+        SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+        FROM dl
+    ), tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        WHERE term IN ({terms})
+        GROUP BY doc_id, term
+    ), dfq AS (
+        SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), scored AS (
+        SELECT t.doc_id,
+               SUM(CAST(FLOOR(
+                   (CAST(t.tf AS DOUBLE) * {BM25_K1 + 1.0}
+                    / (CAST(t.tf AS DOUBLE)
+                       + {BM25_K1} * ({1.0 - BM25_B}
+                                      + {BM25_B} * (CAST(d.dl AS DOUBLE) / s.avgdl))))
+                   * ln(1.0 + ((CAST(s.n_docs AS DOUBLE) - CAST(q.df AS DOUBLE)) + 0.5)
+                              / (CAST(q.df AS DOUBLE) + 0.5))
+                   * {SCALE}
+               ) AS BIGINT)) AS score_e6,
+               CAST(COUNT(*) AS BIGINT) AS n_terms
+        FROM tf t
+        JOIN dfq q USING (term)
+        JOIN dl d USING (doc_id)
+        CROSS JOIN stats s
+        GROUP BY t.doc_id
+    )
+    SELECT doc_id, CAST(score_e6 AS BIGINT) AS score_e6, n_terms,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+        SELECT *, row_number() OVER (ORDER BY score_e6 DESC, doc_id) AS rank
+        FROM scored
+    )
+    WHERE rank <= {k}
+    """
+
+
+def bigram_nll(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document NLL under an add-one-smoothed bigram LM trained on
+    the same corpus.
+
+    p(w2|w1) = (c(w1,w2) + 1) / (c(w1,·) + V) with V the corpus vocabulary
+    size, so each position's NLL is ln((c1 + V) / (c12 + 1)) ≥ 0. Returns
+    (id, n_bigrams BIGINT, nll_e6 BIGINT, avg_nll DOUBLE). Documents with
+    fewer than two tokens have no bigrams and are excluded.
+
+    Scale shape: bigrams come from one zip-shift of the token array (no
+    self-join); corpus model tables are groupBy aggregations keyed on
+    (w1, w2) / w1, joined back by key (hash joins — the model scales with
+    vocabulary², not corpus size, but is NOT assumed broadcastable); the
+    scalar V crosses via broadcast. Per-document sums are exact BIGINT.
+    """
+    did = F.col(id_col)
+    toks = T.tokens(F.col(text_col))
+    pairs = docs.select(
+        did,
+        F.explode(
+            F.zip_with(
+                F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+                F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg"),
+    ).select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+
+    c2 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    vocab = docs.select(
+        F.explode(T.tokens(F.col(text_col))).alias("w")
+    ).agg(F.countDistinct("w").alias("v"))
+
+    occ = pairs.groupBy(id_col, "w1", "w2").agg(F.count(F.lit(1)).alias("n_occ"))
+    nll_pos_e6 = F.floor(
+        F.log(
+            (F.col("c1").cast("double") + F.col("v").cast("double"))
+            / (F.col("c2").cast("double") + F.lit(1.0))
+        )
+        * F.lit(SCALE)
+    )
+    return (
+        occ.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.sum("n_occ").alias("n_bigrams"),
+            F.sum(F.col("n_occ") * nll_pos_e6).alias("nll_e6"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            "nll_e6",
+            (F.col("nll_e6").cast("double") / F.col("n_bigrams")).alias("avg_nll"),
+        )
+    )
+
+
+BIGRAM_NLL_ORACLE = f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ), pairs AS (
+        SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+        FROM t, UNNEST(generate_series(1, len(ts) - 1)) AS g(i)
+    ), c2 AS (
+        SELECT w1, w2, COUNT(*) AS c2 FROM pairs GROUP BY w1, w2
+    ), c1 AS (
+        SELECT w1, SUM(c2) AS c1 FROM c2 GROUP BY w1
+    ), vocab AS (
+        SELECT COUNT(DISTINCT token) AS v
+        FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    ), occ AS (
+        SELECT doc_id, w1, w2, COUNT(*) AS n_occ FROM pairs GROUP BY doc_id, w1, w2
+    ), agg AS (
+        SELECT o.doc_id,
+               SUM(o.n_occ) AS n_bigrams,
+               SUM(o.n_occ * CAST(FLOOR(
+                   ln((CAST(c1.c1 AS DOUBLE) + CAST(vocab.v AS DOUBLE))
+                      / (CAST(c2.c2 AS DOUBLE) + 1.0))
+                   * {SCALE}
+               ) AS BIGINT)) AS nll_e6
+        FROM occ o
+        JOIN c2 USING (w1, w2)
+        JOIN c1 USING (w1)
+        CROSS JOIN vocab
+        GROUP BY o.doc_id
+    )
+    SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           CAST(nll_e6 AS BIGINT) AS nll_e6,
+           CAST(nll_e6 AS DOUBLE) / n_bigrams AS avg_nll
+    FROM agg
+"""

@@ -691,3 +691,72 @@ def ann_topk_lsh(
             F.col("rank").cast("bigint").alias("rank"), "cosine",
         )
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """SemDeDup-shaped semantic deduplication: assign every vector to its
+    cosine-nearest of ``n_cells`` deterministic seed centroids (the
+    vectors with id < n_cells, as in ``ann_topk_ivf``), then mark as
+    duplicate any vector whose cell contains an EARLIER (smaller-id)
+    vector with cosine ≥ ``threshold``. Returns one row per vector:
+    (id, cell BIGINT, is_dup BOOLEAN, dup_of BIGINT; -1 when kept).
+
+    Scale shape: the centroid side is tiny and broadcast, so assignment
+    is a map-side crossJoin scored by the Arrow-batched fold kernel; the
+    argmin is a partial-aggregating groupBy over (id, -ccos, cid) narrow
+    rows — n·k rows combine map-side to n. The dup scan self-joins ON THE
+    CELL KEY only (never all-pairs); per-cell population is bounded by
+    cluster balance, the same contract the IVF index relies on. Ties in
+    centroid distance break toward the smaller centroid id via min() on
+    the (-ccos, cid) struct — negation is exact, so the argmin matches
+    the oracle's ROW_NUMBER(ORDER BY ccos DESC, cid ASC) bit-for-bit.
+    """
+    _require_integral_id(df, id_col)
+    e = (
+        df.select(F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v"))
+        .withColumn("norm", F.sqrt(_dot(F.col("_v"), F.col("_v"))))
+    )
+    cents = e.select(
+        F.col("_id").alias("cid"), F.col("_v").alias("cv"), F.col("norm").alias("cn")
+    ).where(F.col("cid") < n_cells)
+    ccos = _dot_kernel(F.col("_v"), F.col("cv")) / (F.col("norm") * F.col("cn"))
+    assign = (
+        e.crossJoin(F.broadcast(cents))
+        .select("_id", F.struct((-ccos).alias("nc"), F.col("cid")).alias("_key"))
+        .groupBy("_id")
+        .agg(F.min("_key").alias("_best"))
+        .select("_id", F.col("_best.cid").alias("cell"))
+    )
+    sides = assign.join(e, "_id")
+    a = sides.select(
+        F.col("_id").alias("_i"), F.col("cell"),
+        F.col("_v").alias("va"), F.col("norm").alias("na"),
+    )
+    b = sides.select(
+        F.col("_id").alias("_j"), F.col("cell"),
+        F.col("_v").alias("vb"), F.col("norm").alias("nb"),
+    )
+    cos = _dot_kernel(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    dup = (
+        a.join(b, ["cell"])
+        .where(F.col("_i") < F.col("_j"))
+        .withColumn("cosine", cos)
+        .where(F.col("cosine") >= threshold)
+        .groupBy("_j")
+        .agg(F.min("_i").alias("dup_of"))
+    )
+    return (
+        assign.join(dup, assign._id == dup._j, "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("cell").cast("bigint").alias("cell"),
+            F.col("dup_of").isNotNull().alias("is_dup"),
+            F.coalesce(F.col("dup_of"), F.lit(-1)).cast("bigint").alias("dup_of"),
+        )
+    )

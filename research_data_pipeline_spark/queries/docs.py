@@ -1276,3 +1276,93 @@ def d25_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark_rank(keyed, "_k", out_col="shuffle_pos", ascending=True).select(
         "doc_id", F.col("shuffle_pos").cast("bigint").alias("shuffle_pos")
     )
+
+
+# ---------------------------------------------------------------------------
+# d27: BM25 retrieval over an in-plan inverted index — the contamination /
+# boilerplate-mining primitive ("which training docs score highest against
+# this query?"). Scoring spec + scale notes live in operators/search.py;
+# scores are integer micro-units so the per-doc sum is order-exact.
+_BM25_TERMS = ["dup", "spark", "vector", "merge"]
+_BM25_K = 25
+
+from ..operators import search as _search  # noqa: E402
+
+
+@REGISTRY.add(
+    "d27_bm25_topk",
+    _search.bm25_topk_oracle(_BM25_TERMS, _BM25_K),
+    "text",
+    "search",
+)
+def d27_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-25 documents for the query {dup spark vector merge}:
+    explode→isin prunes postings to the query vocabulary before any
+    shuffle, df/stats broadcast, top-k via TakeOrderedAndProject."""
+    d = load(spark, sf_dir, "documents")
+    return _search.bm25_topk(d, _BM25_TERMS, k=_BM25_K)
+
+
+# ---------------------------------------------------------------------------
+# d28: corpus-trained bigram-LM NLL per document — the KenLM-shaped
+# quality-filter signal (high NLL ⇒ unlike the corpus). Model tables are
+# keyed aggregations (vocab², not corpus-sized); see operators/search.py.
+@REGISTRY.add(
+    "d28_bigram_lm_nll",
+    _search.BIGRAM_NLL_ORACLE,
+    "text",
+    "quality",
+)
+def d28_bigram_lm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Add-one-smoothed bigram LM trained on the corpus, scoring each
+    document's total + mean negative log-likelihood in micro-nats."""
+    d = load(spark, sf_dir, "documents")
+    return _search.bigram_nll(d)
+
+
+# ---------------------------------------------------------------------------
+# d26: SemDeDup-shaped semantic dedup — cluster embeddings to IVF cells,
+# then mark any vector with an earlier same-cell neighbor at cosine ≥ τ
+# as a duplicate of the smallest such id. Unlike d09 (global pair list)
+# this emits a per-vector KEEP/DROP verdict and never leaves the cell key,
+# which is what makes it the 100 TB path: candidate generation is a
+# keyed self-join, not a pair scan. Operator: similarity.semantic_dedup.
+_SEM_CELLS, _SEM_T = 16, 0.4
+_SEM_ORACLE = f"""
+    WITH e AS ({_E_CTE}),
+    cents AS (SELECT vec_id AS cid, v AS cv, norm AS cn FROM e WHERE vec_id < {_SEM_CELLS}),
+    scored AS (
+        SELECT e.vec_id, c.cid, {_DOT.format(a='e.v', b='c.cv')} / (e.norm * c.cn) AS ccos
+        FROM e CROSS JOIN cents c
+    ),
+    assign AS (
+        SELECT vec_id, cid AS cell FROM (
+            SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    ),
+    dup AS (
+        SELECT b.vec_id AS j, MIN(a.vec_id) AS dup_of
+        FROM assign a
+        JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        JOIN e q ON q.vec_id = a.vec_id
+        JOIN e m ON m.vec_id = b.vec_id
+        WHERE {_DOT.format(a='q.v', b='m.v')} / (q.norm * m.norm) >= {_SEM_T}
+        GROUP BY b.vec_id
+    )
+    SELECT s.vec_id, CAST(s.cell AS BIGINT) AS cell,
+           d.dup_of IS NOT NULL AS is_dup,
+           CAST(COALESCE(d.dup_of, -1) AS BIGINT) AS dup_of
+    FROM assign s LEFT JOIN dup d ON d.j = s.vec_id
+"""
+
+
+@REGISTRY.add("d26_semantic_dedup", _SEM_ORACLE, "dedup", "embedding", "ivf")
+def d26_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector semantic KEEP/DROP: cosine-nearest seed centroid cell,
+    dup when an earlier same-cell vector sits at cosine ≥ 0.4."""
+    e = load(spark, sf_dir, "embeddings")
+    return sim.semantic_dedup(
+        e, "vec_id", "embedding", n_cells=_SEM_CELLS, threshold=_SEM_T
+    )

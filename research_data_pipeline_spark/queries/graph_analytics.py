@@ -358,3 +358,51 @@ def g07_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "node", F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_triangles")
     )
+
+
+# ---------------------------------------------------------------------------
+# g08: single-source BFS hop distance — the traversal primitive the ≤2-hop
+# Cypher patterns (README.md:290-333) generalize to. Edge threshold 32
+# keeps the co-supplier graph sparse enough that the 4-hop ball from
+# supplier 1 is a real frontier expansion (measured hops 0-4 populated at
+# sf0.01), not one dense blob. Iterative Spark BFS (graph/build.bfs_hops)
+# vs DuckDB's depth-guarded recursive-CTE walk — different fixpoint
+# mechanisms, identical minimum-hop labels.
+_BFS_MIN_SHARED, _BFS_SEED, _BFS_MAX_HOPS = 32, 1, 4
+
+_BFS_ORACLE = f"""
+    WITH RECURSIVE
+    pairs AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    e AS (
+        SELECT a.l_suppkey AS src, b.l_suppkey AS dst
+        FROM pairs a JOIN pairs b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= {_BFS_MIN_SHARED}
+    ),
+    walk(node, hops) AS (
+        SELECT CAST({_BFS_SEED} AS BIGINT), 0
+        UNION
+        SELECT e.dst, w.hops + 1 FROM walk w JOIN e ON e.src = w.node
+        WHERE w.hops < {_BFS_MAX_HOPS}
+    )
+    SELECT node, CAST(MIN(hops) AS BIGINT) AS hops FROM walk GROUP BY node
+"""
+
+
+@REGISTRY.add("g08_bfs_hops", _BFS_ORACLE, "graph", "iterative")
+def g08_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum hop distance from supplier 1 over the ≥32-shared-orders
+    co-supplier graph, capped at 4 hops."""
+    from ..graph.build import bfs_hops, co_occurrence_edges
+
+    l = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    edges = co_occurrence_edges(l, item_col="l_orderkey", actor_col="l_suppkey").where(
+        F.col("n_shared_orders") >= _BFS_MIN_SHARED
+    )
+    return bfs_hops(
+        s.select(F.col("s_suppkey").alias("node")),
+        edges,
+        seed=_BFS_SEED,
+        max_hops=_BFS_MAX_HOPS,
+    )
