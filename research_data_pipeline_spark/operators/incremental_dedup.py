@@ -94,6 +94,24 @@ def signature_table(
     return out.select(id_col, "fingerprint", *[f"mh{i}" for i in range(n_hashes)], *band_cols)
 
 
+def _probe_values(sig: DataFrame, bands: int) -> DataFrame:
+    """Stack every store key a batch can probe with — the fingerprint and
+    each band hash — into one string column (namespaced so a fingerprint
+    can never alias a band value in the shared Bloom filter)."""
+    parts = [
+        sig.select(F.concat(F.lit("fp:"), F.col("fingerprint")).alias("v"))
+    ] + [
+        sig.select(
+            F.concat(F.lit(f"b{b}:"), F.col(f"band{b}").cast("string")).alias("v")
+        )
+        for b in range(bands)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def write_signature_store(
     df: DataFrame,
     id_col: str,
@@ -102,11 +120,35 @@ def write_signature_store(
     mode: str = "overwrite",
     n_hashes: int = N_HASHES,
     bands: int = BANDS,
+    with_bloom: bool = False,
 ) -> None:
     """Persist the signature store (parquet). ``mode="append"`` is the
     daily-ingest path: yesterday's files are untouched — signatures are
-    never recomputed for documents already in the store."""
-    signature_table(df, id_col, text_col, n_hashes, bands).write.mode(mode).parquet(path)
+    never recomputed for documents already in the store.
+
+    ``with_bloom=True`` also writes a Bloom word table (``<path>_bloom``)
+    over every probe key (fingerprint + band hashes). Appends just append
+    word rows — the filter is mergeable, so the loader re-ORs duplicate
+    words and yesterday's bloom rows are likewise never recomputed."""
+    sig = signature_table(df, id_col, text_col, n_hashes, bands)
+    sig.write.mode(mode).parquet(path)
+    if with_bloom:
+        from . import bloom
+
+        # derive the filter from the just-written parquet, not the text
+        # plan: a column-pruned scan of (fingerprint, band*) beats
+        # re-tokenizing the batch, and an append sees only the new files'
+        # rows if the caller filters — here geometry makes appends safe
+        # regardless (duplicate word rows re-OR at load)
+        written = sig.sparkSession.read.parquet(path)
+        if mode == "append":
+            # only the new batch's keys need new word rows; re-deriving
+            # them from the in-plan signatures avoids re-reading the
+            # whole store (old keys are already in the existing bloom)
+            written = sig
+        bloom.build(_probe_values(written, bands), "v").write.mode(mode).parquet(
+            path + "_bloom"
+        )
 
 
 def match_against_corpus(
@@ -207,14 +249,63 @@ def dedup_against_store(
     text_col: str = "text",
     n_hashes: int = N_HASHES,
     bands: int = BANDS,
+    use_bloom: bool = False,
 ) -> DataFrame:
     """The daily-ingest entry point: signature the new batch (one map-only
     pass over batch text) and match it against the persisted store. The
     corpus is represented ONLY by its signature parquet — no corpus text
     is read and no old signature is recomputed (the resume test asserts
-    the plan touches nothing but the store path)."""
+    the plan touches nothing but the store path).
+
+    ``use_bloom=True`` (requires a store written ``with_bloom=True``)
+    prefilters the batch through the persisted Bloom word table: a batch
+    row none of whose probe keys (fingerprint, any band hash) might be in
+    the store is DEFINITELY novel — it skips every store join and goes
+    straight to the 'none' verdict. Zero false negatives, so results are
+    identical to the unfiltered path; the store joins then run only on
+    the filter's survivors, which for a mostly-novel daily batch is the
+    difference between joining everything and joining almost nothing.
+    """
     corpus_sig = spark.read.parquet(store_path)
     batch_sig = signature_table(batch, id_col, text_col, n_hashes, bands)
+    if use_bloom:
+        from . import bloom
+
+        words = bloom.merge(spark.read.parquet(store_path + "_bloom"))
+        flagged = batch_sig
+        probes = [("fp:", F.col("fingerprint"))] + [
+            (f"b{b}:", F.col(f"band{b}").cast("string")) for b in range(bands)
+        ]
+        hit = F.lit(False)
+        for i, (ns, val) in enumerate(probes):
+            flagged = flagged.withColumn(f"_pk{i}", F.concat(F.lit(ns), val))
+            flagged = bloom.with_might_contain(
+                flagged, f"_pk{i}", words, out=f"_mc{i}"
+            )
+            hit = hit | F.col(f"_mc{i}")
+        flagged = flagged.withColumn("_candidate", hit).drop(
+            *[c for i in range(len(probes)) for c in (f"_pk{i}", f"_mc{i}")]
+        )
+        flagged = flagged.localCheckpoint()  # read twice: survivors + pruned
+        survivors = flagged.where(F.col("_candidate")).drop("_candidate")
+        pruned = flagged.where(~F.col("_candidate")).select(
+            F.col(id_col),
+            F.lit(False).alias("dup_of_corpus"),
+            F.lit(-1).cast("bigint").alias("matched_id"),
+            F.lit("none").alias("match_kind"),
+        )
+        from .decisions import record
+
+        record(
+            "incremental_dedup_bloom",
+            n=batch_sig.count(),
+            survivors=survivors.count(),
+            path="bloom_prefilter",
+        )
+        matched = match_against_corpus(
+            survivors, corpus_sig, id_col=id_col, n_hashes=n_hashes, bands=bands
+        )
+        return matched.unionByName(pruned)
     return match_against_corpus(
         batch_sig, corpus_sig, id_col=id_col, n_hashes=n_hashes, bands=bands
     )
