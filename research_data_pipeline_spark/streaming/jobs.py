@@ -414,3 +414,69 @@ def run_stream_to_partitioned_parquet(
     finally:
         shutil.rmtree(src_dir, ignore_errors=True)
         shutil.rmtree(ckpt_dir, ignore_errors=True)
+
+
+def run_stream_upsert_to_jdbc(
+    spark: SparkSession,
+    events_path: str,
+    url: str,
+    table: str,
+    keys: list[str],
+    properties: dict | None = None,
+) -> None:
+    """Streaming upsert into a JDBC target with exactly-once EFFECT.
+
+    Structured Streaming's file source + checkpoint gives at-least-once
+    delivery to ``foreachBatch``; composing it with the transactional
+    MERGE sink (io/sinks.write_jdbc_merge) upgrades the EFFECT to
+    exactly-once: a replayed micro-batch re-MERGEs the same keys and the
+    database's WHEN NOT MATCHED arm skips every row the first attempt
+    committed. No batch-id bookkeeping table is needed — idempotence
+    lives in the key semantics, which also covers the harder failure
+    (a retry AND new data in the same replayed batch).
+
+    The streaming-side contract: every row carries a stable unique key
+    (here the event id), the one requirement for MERGE-based
+    exactly-once. This is the lake/warehouse landing pattern for
+    streams whose sink lacks native transactional batch ids.
+    """
+    from ..io.sinks import write_jdbc_merge
+    from ..session import apply_runtime_confs
+    from ..tables import normalize_nanos
+
+    apply_runtime_confs(spark)
+    schema = spark.read.parquet(events_path).schema
+    src_dir = tempfile.mkdtemp(prefix="rdp_stream_src_")
+    ckpt_dir = tempfile.mkdtemp(prefix="rdp_stream_ckpt_")
+    try:
+        staged = os.path.join(src_dir, os.path.basename(events_path))
+        try:
+            os.symlink(events_path, staged)
+        except OSError:
+            shutil.copyfile(events_path, staged)
+        stream = normalize_nanos(
+            spark.readStream.schema(schema).parquet(src_dir)
+        ).select("event_id", "user_id", "event_type", "value")
+
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            write_jdbc_merge(
+                batch_df,
+                url,
+                table,
+                keys=keys,
+                order_by=[F.col(c).asc() for c in batch_df.columns if c not in keys],
+                properties=properties,
+            )
+
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt_dir)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(ckpt_dir, ignore_errors=True)

@@ -139,3 +139,24 @@ def test_jdbc_merge_replay_is_idempotent(spark, tmp_path):
                          order_by=[F.col("val").asc()], properties=PROPS)
     got = {r["id"]: r["val"] for r in _read(spark, url, "mt2").collect()}
     assert got == {1: "a", 2: "b"}
+
+
+def test_streaming_upsert_exactly_once_effect(spark, tmp_path):
+    """Streaming foreachBatch + transactional MERGE: draining the same
+    source twice (fresh checkpoint = full replay, the worst-case
+    at-least-once redelivery) leaves the target with exactly one row per
+    event key, values identical to a single clean run."""
+    from research_data_pipeline_spark.streaming.jobs import run_stream_upsert_to_jdbc
+
+    url = f"jdbc:derby:{tmp_path}/sdb;create=true"
+    events = "/root/testdata/sf0.001/events.parquet"
+    expected = spark.read.parquet(events).count()
+
+    run_stream_upsert_to_jdbc(spark, events, url, "stream_t", ["event_id"], PROPS)
+    first = _read(spark, url, "stream_t").orderBy("event_id").collect()
+    assert len(first) == expected
+
+    # full replay (new checkpoint dir inside the job): nothing duplicates
+    run_stream_upsert_to_jdbc(spark, events, url, "stream_t", ["event_id"], PROPS)
+    second = _read(spark, url, "stream_t").orderBy("event_id").collect()
+    assert second == first
