@@ -289,3 +289,71 @@ def s07_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("_b") < F.floor(F.col("keep_prob") * _BUCKETS))
         .drop("_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# s08: ANALYZE-style exact column statistics — the one-pass profile a
+# cost-based optimizer (and a data-quality gate) collects per table:
+# row count, per-column null count, exact NDV, min/max. One wide
+# aggregation; Spark expands the multi-distinct into one Expand + shared
+# shuffle (no per-column scan), which is the plan ANALYZE TABLE itself
+# produces. Values stay in each column's native integer/string domain so
+# the comparison is exact.
+_STATS_ORACLE = """
+    SELECT 'o_custkey' AS col,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS ndv,
+           CAST(MIN(o_custkey) AS VARCHAR) AS min_v,
+           CAST(MAX(o_custkey) AS VARCHAR) AS max_v
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+           COUNT(DISTINCT o_orderstatus), MIN(o_orderstatus), MAX(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice),
+           COUNT(DISTINCT o_totalprice),
+           CAST(MIN(o_totalprice) AS VARCHAR), CAST(MAX(o_totalprice) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority),
+           COUNT(DISTINCT o_orderpriority), MIN(o_orderpriority), MAX(o_orderpriority)
+    FROM orders
+"""
+
+
+@REGISTRY.add("s08_column_stats", _STATS_ORACLE, "sampling", "stats")
+def s08_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-column profile of ``orders`` (bigint, char, decimal-ish
+    double, varchar columns): one aggregation node computes every
+    statistic; the long format (one row per column) keeps the output
+    scalar-typed for the comparator."""
+    o = load(spark, sf_dir, "orders")
+    cols = ["o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__ndv"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    wide = o.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col"),
+                F.col(f"{c}__n").alias("n_rows"),
+                F.col(f"{c}__nulls").alias("n_nulls"),
+                F.col(f"{c}__ndv").alias("ndv"),
+                F.col(f"{c}__min").alias("min_v"),
+                F.col(f"{c}__max").alias("max_v"),
+            )
+            for c in cols
+        ]
+    )
+    return wide.select(F.explode(rows).alias("s")).select(
+        "s.col", "s.n_rows", "s.n_nulls", "s.ndv", "s.min_v", "s.max_v"
+    )

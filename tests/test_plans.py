@@ -7,6 +7,8 @@ from __future__ import annotations
 
 import re
 
+from pyspark.sql import functions as F
+
 from research_data_pipeline_spark.io.layout import formatted_plan
 from research_data_pipeline_spark.registry import all_specs
 
@@ -80,3 +82,44 @@ def test_relational_queries_have_no_python_in_plan(spark, sf_dir):
             continue
         plan = _plan(spark, sf_dir, name)
         assert "EvalPython" not in plan, name
+
+
+def test_d27_bm25_stays_jvm_side(spark, sf_dir):
+    # BM25 is pure column arithmetic — any Python eval node in its plan
+    # means the scoring fell off the codegen path
+    plan = _plan(spark, sf_dir, "d27_bm25_topk")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # the top-k must be a per-partition heap + driver merge, not a global sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_d28_bigram_lm_stays_jvm_side(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "d28_bigram_lm_nll")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_d26_semantic_dedup_no_cartesian(spark, sf_dir):
+    # centroid scoring is a broadcast nested-loop against a tiny side
+    # (acceptable: k centroids); a CartesianProduct node would mean the
+    # vector×vector pair space leaked into the plan
+    plan = _plan(spark, sf_dir, "d26_semantic_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the k-centroid crossJoin
+
+
+def test_bloom_probe_adds_no_shuffle(spark, sf_dir):
+    # membership is k broadcast joins: probing a dataframe must not
+    # repartition it
+    from research_data_pipeline_spark.operators import bloom
+    from research_data_pipeline_spark.tables import load
+
+    d = load(spark, sf_dir, "documents").select(
+        F.md5("text").alias("v")
+    )
+    filt = bloom.build(d, "v", n_bits=1 << 14).localCheckpoint()
+    plan = formatted_plan(bloom.with_might_contain(d, "v", filt, n_bits=1 << 14))
+    assert "Exchange hashpartitioning" not in plan, plan
