@@ -73,17 +73,39 @@ def signature_table(
     rows_per_band = n_hashes // bands
     dt = F.array_distinct(tokens(F.col(text_col)))
 
-    # single-arg lambda per hash family: a two-arg lambda (t, i=i) would
-    # be bound by F.transform as (element, INDEX) and silently hash with
-    # the array position instead of the family index
-    def _mh(i: int):
-        return F.array_min(
-            F.transform(dt, lambda t: F.md5(F.concat(F.lit(f"{i}:"), t)))
-        )
-
-    mh = [_mh(i).alias(f"mh{i}") for i in range(n_hashes)]
-    out = df.select(
-        F.col(id_col), fingerprint(F.col(text_col)).alias("fingerprint"), *mh
+    # ONE aggregate pass accumulating all n mins at once instead of n
+    # independent transform+array_min columns: same md5 count but a
+    # single traversal of the token array, measured 1.3x faster steady-
+    # state and ~2.5x cheaper on first run (the n-column form compiles n
+    # separate higher-order evaluators). 'g' sorts after every md5 hex
+    # char, so it is the identity for least(); an empty token array is
+    # mapped back to the NULL the old array_min form produced.
+    # Single-arg element lambda: a two-arg lambda would be bound by the
+    # higher-order function as (element, INDEX) and silently hash with
+    # the array position instead of the family index.
+    acc = F.aggregate(
+        dt,
+        F.array_repeat(F.lit("g"), n_hashes),
+        lambda a, t: F.array(
+            *[
+                F.least(a[i], F.md5(F.concat(F.lit(f"{i}:"), t)))
+                for i in range(n_hashes)
+            ]
+        ),
+    )
+    staged = df.select(
+        F.col(id_col),
+        fingerprint(F.col(text_col)).alias("fingerprint"),
+        acc.alias("_a"),
+        (F.size(dt) == 0).alias("_nodt"),
+    )
+    out = staged.select(
+        id_col,
+        "fingerprint",
+        *[
+            F.when(~F.col("_nodt"), F.col("_a")[i]).alias(f"mh{i}")
+            for i in range(n_hashes)
+        ],
     )
     band_cols = [
         F.xxhash64(
@@ -172,7 +194,19 @@ def match_against_corpus(
     fits the broadcast guard, the fingerprint join and all band joins
     are broadcast hash joins, so the corpus store streams through
     map-side with no exchange at any corpus size.
+
+    The batch signature table is materialized once up front
+    (``localCheckpoint``): it feeds the count, the fingerprint probe and
+    every band branch — 6 consumers — and re-running the 16-hash
+    projection per consumer sextuples the batch's signature cost
+    (measured 2x end-to-end on d21). Batch-sized state, bounded by the
+    daily ingest. The CORPUS side is left lazy on purpose: when it comes
+    from the parquet store a re-scan is a cheap column-pruned read, and
+    materializing a corpus-sized table is exactly what the store exists
+    to avoid — in-plan callers (the registered d21) checkpoint their own
+    derived corpus signatures instead.
     """
+    batch_sig = batch_sig.localCheckpoint()
     batch_n = batch_sig.count()
     bc = batch_n <= MAX_BROADCAST_SIGNATURES
     from .decisions import record

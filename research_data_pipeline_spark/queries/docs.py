@@ -1055,12 +1055,14 @@ def d21_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import incremental_dedup as inc
 
     d = load(spark, sf_dir, "documents")
-    corpus_sig = inc.signature_table(
-        d.where(F.col("doc_id") % 5 != 0), "doc_id", "text"
-    )
-    batch_sig = inc.signature_table(
-        d.where(F.col("doc_id") % 5 == 0), "doc_id", "text"
-    )
+    # ONE signature pass over the table, materialized, then split — the
+    # in-plan analogue of the persisted store. Two separate
+    # signature_table plans would scan + project the text twice, and the
+    # 5 probe branches would re-run the corpus projection each (measured
+    # ~2x on d21 before the checkpoint).
+    sig_all = inc.signature_table(d, "doc_id", "text").localCheckpoint()
+    corpus_sig = sig_all.where(F.col("doc_id") % 5 != 0)
+    batch_sig = sig_all.where(F.col("doc_id") % 5 == 0)
     return inc.match_against_corpus(batch_sig, corpus_sig)
 
 
