@@ -650,3 +650,31 @@ def e17_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.jobs import run_stream_stream_join_to_batch
 
     return run_stream_stream_join_to_batch(spark, f"{sf_dir}/events.parquet")
+
+
+# ---------------------------------------------------------------------------
+_ATTRIB_OUTER_ORACLE = """
+    SELECT c.event_id AS click_id,
+           CAST(COALESCE(p.event_id, -1) AS BIGINT) AS purchase_id,
+           c.user_id,
+           CAST(COALESCE(epoch_us(p.ts) - epoch_us(c.ts), -1) AS BIGINT) AS lag_us
+    FROM events c
+    LEFT JOIN events p
+      ON p.user_id = c.user_id
+     AND p.ts > c.ts
+     AND p.ts <= c.ts + INTERVAL 2 HOUR
+     AND p.event_type = 'purchase'
+    WHERE c.event_type = 'click'
+"""
+
+
+@REGISTRY.add("e18_stream_stream_outer_join", _ATTRIB_OUTER_ORACLE, "events", "streaming")
+def e18_stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """e17's attribution join in LEFT OUTER form: unmatched clicks emit a
+    sentinel row once the watermark proves no purchase can still arrive —
+    the outer-emission + state-timeout path of the stream-stream join
+    (exercised with a two-sided sentinel so the drain closes all state).
+    Checked against the batch LEFT JOIN oracle."""
+    from ..streaming.jobs import run_stream_stream_outer_join_to_batch
+
+    return run_stream_stream_outer_join_to_batch(spark, f"{sf_dir}/events.parquet")

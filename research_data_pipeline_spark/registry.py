@@ -129,7 +129,7 @@ _VERIFY_COST_S = {
     "d25_deterministic_shuffle": 0.5, "m06_media_exact_dedup": 0.6,
     "d26_semantic_dedup": 1.2, "d27_bm25_topk": 0.9,
     "d28_bigram_lm_nll": 1.0, "g08_bfs_hops": 1.5,
-    "s08_column_stats": 0.5,
+    "s08_column_stats": 0.5, "e18_stream_stream_outer_join": 2.2,
 }
 _DEFAULT_COST_S = 0.45
 

@@ -480,3 +480,54 @@ def run_stream_upsert_to_jdbc(
     finally:
         shutil.rmtree(src_dir, ignore_errors=True)
         shutil.rmtree(ckpt_dir, ignore_errors=True)
+
+
+def click_purchase_attribution_outer(
+    clicks: DataFrame, purchases: DataFrame
+) -> DataFrame:
+    """LEFT OUTER form of ``click_purchase_attribution``: clicks with no
+    purchase in the window emit one row with sentinel -1 ids (NULL-free
+    for the external comparator). In streaming, the unmatched row is
+    emitted only when the watermark proves no future purchase can match —
+    the state-timeout semantics that distinguish outer from inner."""
+    cond = (
+        (clicks["c_user"] == purchases["p_user"])
+        & (purchases["purchase_ts"] > clicks["click_ts"])
+        & (
+            purchases["purchase_ts"]
+            <= clicks["click_ts"] + F.expr(f"INTERVAL {ATTRIBUTION_WINDOW}")
+        )
+    )
+    return clicks.join(purchases, cond, "leftOuter").select(
+        F.col("click_id"),
+        F.coalesce(F.col("purchase_id"), F.lit(-1)).cast("bigint").alias("purchase_id"),
+        F.col("c_user").alias("user_id"),
+        F.coalesce(
+            F.unix_micros("purchase_ts") - F.unix_micros("click_ts"), F.lit(-1)
+        ).cast("bigint").alias("lag_us"),
+    )
+
+
+def run_stream_stream_outer_join_to_batch(
+    spark: SparkSession, events_path: str
+) -> DataFrame:
+    """Stream-STREAM left-outer join drained to batch. Outer rows only
+    materialize when the GLOBAL watermark (min across both sides) passes
+    a click's window end, so the drain stages one sentinel click AND one
+    sentinel purchase (user_id = -1, event time past corpus max + window)
+    — each advances its own side's watermark, closing every real click's
+    state; the sentinels' own rows are filtered back out."""
+
+    def transform(s: DataFrame) -> DataFrame:
+        clicks, purchases = _attribution_sides(s)
+        return click_purchase_attribution_outer(
+            clicks.withWatermark("click_ts", "1 minute"),
+            purchases.withWatermark("purchase_ts", "1 minute"),
+        )
+
+    base = _sentinel_row(spark, events_path, margin_s=3 * 3600)
+    sent = base.withColumn("event_type", F.lit("click")).unionByName(
+        base.withColumn("event_type", F.lit("purchase"))
+    )
+    out = _run_stream_to_batch(spark, events_path, transform, "append", sentinel=sent)
+    return out.where(F.col("user_id") >= 0)
