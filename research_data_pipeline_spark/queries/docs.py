@@ -1368,3 +1368,57 @@ def d26_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.semantic_dedup(
         e, "vec_id", "embedding", n_cells=_SEM_CELLS, threshold=_SEM_T
     )
+
+
+# ---------------------------------------------------------------------------
+# d29: training-mix computation — per-source corpus shares and
+# temperature-flattened sampling weights (w_s ∝ tokens_s^0.5, the
+# standard alpha-sampling that upweights small sources). The sqrt is
+# IEEE-correctly-rounded (bit-identical across engines); weights are
+# floored to integer micro-units BEFORE the normalizing sum so the
+# denominator is an exact BIGINT — same discipline as d27/d28.
+_MIX_ORACLE = f"""
+    WITH s AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+               CAST(FLOOR(sqrt(CAST(SUM(len(string_split(text, ' '))) AS DOUBLE))
+                          * 1000000.0) AS BIGINT) AS w_e6
+        FROM documents GROUP BY source
+    ), t AS (
+        SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(SUM(w_e6) AS BIGINT) AS total_w
+        FROM s
+    )
+    SELECT s.source, s.n_docs, s.n_tokens,
+           CAST(s.n_tokens AS DOUBLE) / t.total_tokens AS token_share,
+           s.w_e6,
+           CAST(s.w_e6 AS DOUBLE) / t.total_w AS sample_weight
+    FROM s CROSS JOIN t
+"""
+
+
+@REGISTRY.add("d29_source_mixture", _MIX_ORACLE, "text", "sampling")
+def d29_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document/token totals, corpus share, and sqrt-
+    temperature sampling weight — the mixture table a training loader
+    consumes. One groupBy(source) plus a broadcast 1-row total."""
+    d = load(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(T.token_count(F.col("text"))).alias("n_tokens"),
+    ).withColumn(
+        "w_e6",
+        F.floor(F.sqrt(F.col("n_tokens").cast("double")) * F.lit(1000000.0)),
+    )
+    t = s.agg(
+        F.sum("n_tokens").alias("total_tokens"), F.sum("w_e6").alias("total_w")
+    )
+    return s.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens").cast("double") / F.col("total_tokens")).alias("token_share"),
+        "w_e6",
+        (F.col("w_e6").cast("double") / F.col("total_w")).alias("sample_weight"),
+    )

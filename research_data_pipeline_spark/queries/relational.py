@@ -1047,3 +1047,54 @@ def q28_segment_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at("_q", 3).alias("p75"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q29 GROUPING SETS — the non-hierarchical grouping form neither rollup
+# (prefix lattice, q15) nor cube (full lattice, q24) can express: exactly
+# two disjoint single-dimension aggregations in one pass over the fact
+# table, the "report by status AND by priority without a double scan"
+# pattern. The grain label is derived from which key survives, so the
+# oracle needs no engine-specific GROUPING_ID bit order.
+@REGISTRY.add(
+    "q29_grouping_sets",
+    """
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           CASE WHEN o_orderstatus IS NOT NULL THEN 'by_status'
+                ELSE 'by_priority' END AS grain,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE)
+               AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+    "agg",
+)
+def q29_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two disjoint grouping sets in one aggregation (one Expand node,
+    one shuffle — not two scans)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"]],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(D))
+            .cast("string")
+            .cast("double")
+            .alias("revenue"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.when(F.col("o_orderstatus").isNotNull(), F.lit("by_status"))
+            .otherwise(F.lit("by_priority"))
+            .alias("grain"),
+            "n_orders",
+            "revenue",
+        )
+    )
