@@ -35,3 +35,52 @@ def salted_join(
     salted_small = small.withColumn("_salt", F.explode(salts))
     out = salted_big.join(salted_small, [key, "_salt"], how)
     return out.drop("_salt")
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: list[tuple[str, str, str]],
+    n_salts: int = 8,
+) -> DataFrame:
+    """Two-phase aggregation for pathologically hot group keys: phase 1
+    aggregates on (keys + deterministic salt) so a hot key's rows reduce
+    in ``n_salts`` parallel tasks; phase 2 combines the per-salt partials
+    on the real keys — a shuffle of at most ``n_salts`` rows per key.
+
+    ``aggs`` is (source_col, fn, out_name) with fn ∈ sum/count/min/max —
+    the decomposable aggregates whose two-phase combine is exact
+    (count combines by SUM; the rest by themselves). Spark's own partial
+    aggregation already splits map-side work; salting additionally
+    splits the REDUCE side, which partial aggregation cannot do when one
+    key dominates a shuffle partition. Deterministic salt (hash of all
+    columns, not rand()) keeps retries and replays stable.
+    """
+    salted = df.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts)).cast("int"),
+    )
+    phase1 = []
+    combine = []
+    for col, fn, out in aggs:
+        part = f"_p_{out}"
+        if fn == "count":
+            phase1.append(F.count(F.lit(1)).alias(part))
+            combine.append(F.sum(part).alias(out))
+        elif fn == "sum":
+            phase1.append(F.sum(col).alias(part))
+            combine.append(F.sum(part).alias(out))
+        elif fn == "min":
+            phase1.append(F.min(col).alias(part))
+            combine.append(F.min(part).alias(out))
+        elif fn == "max":
+            phase1.append(F.max(col).alias(part))
+            combine.append(F.max(part).alias(out))
+        else:
+            raise ValueError(f"non-decomposable aggregate {fn!r}")
+    return (
+        salted.groupBy(*keys, "_salt")
+        .agg(*phase1)
+        .groupBy(*keys)
+        .agg(*combine)
+    )

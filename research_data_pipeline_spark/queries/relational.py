@@ -1098,3 +1098,52 @@ def q29_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q30: the skew path, oracle-checked — lineitem reduced on its 3-value
+# return flag (each key ~1/3 of the fact table: exactly the hot-reduce
+# shape AQE can't split inside a HashAggregate). salted_agg scatters each
+# key over 8 sub-keys, then combines ≤8 partials per key; results must be
+# identical to a plain GROUP BY, which the decimal sums guarantee
+# (associative, order-independent).
+@REGISTRY.add(
+    "q30_salted_flag_stats",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE)
+               AS sum_qty,
+           MIN(l_extendedprice) AS min_price,
+           MAX(l_extendedprice) AS max_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    "agg",
+    "skew",
+)
+def q30_salted_flag_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key aggregation through the explicit two-phase salted path
+    (operators/skew.salted_agg, n_salts=8)."""
+    from ..operators.skew import salted_agg
+
+    l = load(spark, sf_dir, "lineitem").withColumn(
+        "_qty_dec", F.col("l_quantity").cast(D)
+    )
+    out = salted_agg(
+        l,
+        keys=["l_returnflag"],
+        aggs=[
+            ("l_returnflag", "count", "n_rows"),
+            ("_qty_dec", "sum", "sum_qty"),
+            ("l_extendedprice", "min", "min_price"),
+            ("l_extendedprice", "max", "max_price"),
+        ],
+    )
+    return out.select(
+        "l_returnflag",
+        "n_rows",
+        F.col("sum_qty").cast("string").cast("double").alias("sum_qty"),
+        "min_price",
+        "max_price",
+    )
