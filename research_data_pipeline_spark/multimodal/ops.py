@@ -23,6 +23,7 @@ import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def require_codec(name: str):
@@ -177,4 +178,56 @@ def resize_thumbnail(media: DataFrame, out_len: int = 8) -> DataFrame:
 
     return media.where("kind = 'image'").select("doc_id", "payload").mapInPandas(
         run, schema="doc_id bigint, thumb binary, thumb_hex string"
+    )
+
+
+def frame_hash_stats(media: DataFrame) -> DataFrame:
+    """Frame-level dedup signal for video blobs: split the payload into
+    its ``n_frames`` equal frames, hash each frame's bytes, and report
+    per video how much of it is repeated frames — the sampling signal a
+    video-curation pipeline uses to drop near-static clips. Emits
+    (doc_id, n_frames, n_distinct_frames, dup_frame_ratio).
+
+    One Arrow-batched pass (metadata filter prunes to video BEFORE the
+    UDF); the per-frame md5 happens inside the batch, so only the small
+    per-doc aggregate leaves Python.
+    """
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "n_frames": [], "n_distinct_frames": [],
+            }
+            for doc_id, payload, n_frames in zip(
+                pdf["doc_id"], pdf["payload"], pdf["n_frames"]
+            ):
+                arr = _bytes(payload)
+                n = int(n_frames)
+                flen = len(arr) // n
+                hashes = {
+                    hashlib.md5(bytes(arr[i * flen : (i + 1) * flen])).hexdigest()
+                    for i in range(n)
+                }
+                out["doc_id"].append(doc_id)
+                out["n_frames"].append(n)
+                out["n_distinct_frames"].append(len(hashes))
+            yield pd.DataFrame(out)
+
+    stats = (
+        media.where("kind = 'video'")
+        .select("doc_id", "payload", "n_frames")
+        .mapInPandas(
+            run,
+            schema="doc_id bigint, n_frames bigint, n_distinct_frames bigint",
+        )
+    )
+    return stats.select(
+        "doc_id",
+        "n_frames",
+        "n_distinct_frames",
+        (
+            F.lit(1.0)
+            - F.col("n_distinct_frames").cast("double") / F.col("n_frames")
+        ).alias("dup_frame_ratio"),
     )

@@ -207,3 +207,40 @@ def m06_media_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_copies").cast("bigint").alias("n_copies"),
         (F.col("doc_id") == F.col("canonical_id")).alias("is_canonical"),
     )
+
+
+# ---------------------------------------------------------------------------
+# m07: frame-level dedup — the video analogue of d22's chunk dedup: how
+# much of each clip is repeated frames (near-static content a curation
+# pipeline downsamples or drops). Spark hashes the REAL frame bytes in
+# one mapInPandas pass; the oracle re-derives each frame's byte STRING
+# from md5 hex — two independent identity functions, equal because the
+# per-frame md5 is injective on these byte sequences.
+_FRAME_DEDUP_ORACLE = f"""
+    WITH media AS ({MEDIA_CTE}),
+    frames AS (
+        SELECT doc_id, n_frames, text, n_bytes // n_frames AS flen,
+               unnest(generate_series(0, n_frames - 1)) AS j
+        FROM media WHERE kind = 'video'
+    ),
+    fid AS (
+        SELECT doc_id, n_frames,
+               array_to_string(
+                   [CAST({md5_byte_sql("text", "((j * flen + k) % 16) + 1")} AS VARCHAR)
+                    FOR k IN generate_series(0, flen - 1)], ',') AS fstr
+        FROM frames
+    )
+    SELECT doc_id, CAST(n_frames AS BIGINT) AS n_frames,
+           CAST(COUNT(DISTINCT fstr) AS BIGINT) AS n_distinct_frames,
+           1.0 - CAST(COUNT(DISTINCT fstr) AS DOUBLE) / n_frames AS dup_frame_ratio
+    FROM fid GROUP BY doc_id, n_frames
+"""
+
+
+@REGISTRY.add("m07_frame_dedup", _FRAME_DEDUP_ORACLE, "multimodal", "dedup")
+def m07_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-video distinct-frame count and duplicate-frame ratio
+    (multimodal/ops.frame_hash_stats; metadata filter prunes to video
+    before any bytes reach Python)."""
+    m = media_table(load(spark, sf_dir, "documents"))
+    return ops.frame_hash_stats(m)
