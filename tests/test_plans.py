@@ -103,12 +103,13 @@ def test_d28_bigram_lm_stays_jvm_side(spark, sf_dir):
 
 
 def test_d26_semantic_dedup_no_cartesian(spark, sf_dir):
-    # centroid scoring is a broadcast nested-loop against a tiny side
-    # (acceptable: k centroids); a CartesianProduct node would mean the
-    # vector×vector pair space leaked into the plan
+    # assignment happens inside one mapInPandas pass against the
+    # broadcast centroid matrix, so the plan must contain NO unkeyed join
+    # of any kind — a CartesianProduct or nested-loop node would mean the
+    # vector×vector (or vector×centroid) pair space leaked into the plan
     plan = _plan(spark, sf_dir, "d26_semantic_dedup")
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" in plan  # the k-centroid crossJoin
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_bloom_probe_adds_no_shuffle(spark, sf_dir):
