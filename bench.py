@@ -111,7 +111,14 @@ def main() -> int:
         prev = prev_doc.get("queries", {}) if prev_doc.get("sf") == sf else {}
         for n, t in timings.items():
             p = prev.get(n, -1.0)
-            if p > 0 and t > 1.5 * p and spreads.get(n, 99.0) < 0.5:
+            # absolute floor: a sub-quarter-second delta on a tiny query
+            # (e.g. 0.08 s -> 0.13 s) is scheduler noise, not a plan change
+            if (
+                p > 0
+                and t > 1.5 * p
+                and t - p > 0.25
+                and spreads.get(n, 99.0) < 0.5
+            ):
                 regressions[n] = [p, t]
     except (OSError, ValueError):
         pass
