@@ -419,3 +419,137 @@ def test_minhash_lsh_sound_and_complete_for_identical_sets(spark, texts):
         for b in sets:
             if a < b and sets[a] == sets[b]:
                 assert (a, b) in got, (a, b)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 operators vs independent Python references
+
+
+words = st.sampled_from(["alpha", "beta", "gamma", "delta", "eps", "zeta"])
+docs_strategy = st.lists(
+    st.lists(words, min_size=1, max_size=12).map(" ".join),
+    min_size=2,
+    max_size=10,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(texts=docs_strategy, terms=st.lists(words, min_size=1, max_size=3, unique=True))
+def test_bm25_matches_python_reference(spark, texts, terms):
+    """bm25_topk vs a direct Python BM25 with the same floor-scaled
+    integer scoring — doc set, scores, and rank order must all agree."""
+    import math
+
+    from research_data_pipeline_spark.operators.search import (
+        BM25_B,
+        BM25_K1,
+        SCALE,
+        bm25_topk,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    got = {
+        r["doc_id"]: (r["score_e6"], r["rank"])
+        for r in bm25_topk(df, list(terms), k=len(texts)).collect()
+    }
+
+    toks = [t.split(" ") for t in texts]
+    n = len(texts)
+    avgdl = float(sum(len(ts) for ts in toks)) / n
+    dfreq = {
+        q: sum(1 for ts in toks if q in ts) for q in terms
+    }
+    ref = {}
+    for i, ts in enumerate(toks):
+        score = 0
+        matched = False
+        for q in terms:
+            tf = ts.count(q)
+            if tf == 0:
+                continue
+            matched = True
+            sat = tf * (BM25_K1 + 1.0) / (
+                tf + BM25_K1 * ((1.0 - BM25_B) + BM25_B * (len(ts) / avgdl))
+            )
+            idf = math.log(1.0 + ((n - dfreq[q]) + 0.5) / (dfreq[q] + 0.5))
+            score += math.floor(sat * idf * SCALE)
+        if matched:
+            ref[i] = score
+    assert set(got) == set(ref)
+    for i, s in ref.items():
+        assert got[i][0] == s, (i, got[i], s)
+    order = sorted(ref, key=lambda i: (-ref[i], i))
+    for rank, i in enumerate(order, 1):
+        assert got[i][1] == rank
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(texts=docs_strategy)
+def test_bigram_nll_matches_python_reference(spark, texts):
+    """bigram_nll vs a direct Python add-one bigram LM in the same
+    integer micro-nat domain."""
+    import math
+
+    from research_data_pipeline_spark.operators.search import SCALE, bigram_nll
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["nll_e6"])
+        for r in bigram_nll(df).collect()
+    }
+
+    toks = [t.split(" ") for t in texts]
+    c2: dict[tuple[str, str], int] = {}
+    vocab = set()
+    for ts in toks:
+        vocab.update(ts)
+        for a, b in zip(ts, ts[1:]):
+            c2[(a, b)] = c2.get((a, b), 0) + 1
+    c1: dict[str, int] = {}
+    for (a, _), c in c2.items():
+        c1[a] = c1.get(a, 0) + c
+    V = len(vocab)
+    ref = {}
+    for i, ts in enumerate(toks):
+        pairs = list(zip(ts, ts[1:]))
+        if not pairs:
+            continue
+        nll = sum(
+            math.floor(math.log((c1[a] + V) / (c2[(a, b)] + 1.0)) * SCALE)
+            for a, b in pairs
+        )
+        ref[i] = (len(pairs), nll)
+    assert got == ref
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    stored=st.lists(st.text(min_size=1, max_size=8), min_size=1, max_size=30, unique=True),
+    probes=st.lists(st.text(min_size=1, max_size=8), min_size=1, max_size=30),
+)
+def test_bloom_never_false_negative(spark, stored, probes):
+    """Any probe that IS in the stored set must test positive, whatever
+    the strings look like (unicode, near-collisions, duplicates)."""
+    from pyspark.sql import functions as F
+
+    from research_data_pipeline_spark.operators import bloom
+
+    filt = bloom.build(
+        spark.createDataFrame([(v,) for v in stored], "v string"),
+        "v",
+        n_bits=1 << 10,
+    ).localCheckpoint()
+    res = bloom.with_might_contain(
+        spark.createDataFrame([(p,) for p in probes], "v string"),
+        "v",
+        filt,
+        n_bits=1 << 10,
+    ).collect()
+    stored_set = set(stored)
+    for r in res:
+        if r["v"] in stored_set:
+            assert r["might_contain"], r["v"]
