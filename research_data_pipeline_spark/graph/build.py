@@ -362,3 +362,52 @@ def bfs_hops(
         dist = dist.unionByName(nxt).localCheckpoint()
         frontier = nxt.select("node")
     return dist.select("node", F.col("hops").cast("bigint").alias("hops"))
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """k-core: the maximal subgraph where every vertex keeps degree ≥ k.
+
+    Iterative peeling — each round recomputes degrees WITHIN the current
+    alive set (two semi-join-shaped keyed joins + one count aggregate)
+    and drops every vertex below k simultaneously; the fixpoint is
+    detected by an unchanged alive count. O(peel depth) rounds, each
+    linear in surviving edges; lineage cut per round (localCheckpoint),
+    same rationale as ``connected_components``. Returns
+    (node, core_degree BIGINT) for core members only. Deterministic:
+    simultaneous removal has no order dependence.
+
+    ``edges`` must contain both directions of each undirected edge.
+    """
+    edges = edges.select(src, dst).localCheckpoint()
+
+    def _deg(alive: DataFrame, out: str) -> DataFrame:
+        return (
+            edges.join(alive.withColumnRenamed("node", src), src)
+            .join(alive.withColumnRenamed("node", dst), dst)
+            .groupBy(src)
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    alive = edges.select(F.col(src).alias("node")).distinct().localCheckpoint()
+    n = alive.count()
+    for _ in range(max_iter):
+        nxt = (
+            _deg(alive, "deg")
+            .where(F.col("deg") >= k)
+            .select(F.col(src).alias("node"))
+            .localCheckpoint()
+        )
+        m = nxt.count()
+        alive = nxt
+        if m == n:
+            break
+        n = m
+    return _deg(alive, "core_degree").select(
+        F.col(src).alias("node"), F.col("core_degree").cast("bigint").alias("core_degree")
+    )

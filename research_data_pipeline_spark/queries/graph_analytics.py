@@ -406,3 +406,54 @@ def g08_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         seed=_BFS_SEED,
         max_hops=_BFS_MAX_HOPS,
     )
+
+
+# ---------------------------------------------------------------------------
+# g09: k-core decomposition — the density-peeling primitive (community
+# cores, spam/bot subgraph mining). Spark side iterates to the fixpoint
+# at any graph size; the oracle UNROLLS the peel as chained CTE stages
+# (same device as g06's fixed-iteration PageRank): 6 stages ≥ the
+# measured 2-round cascade at sf0.01, and extra stages past the fixpoint
+# are no-ops, so the unrolling is safe for any test scale the driver
+# uses. Threshold 32 / k=3 leaves a 63-node core after a real cascade
+# (dropping degree-<3 nodes pushes OTHER nodes below 3 — single-pass
+# degree filtering would get this wrong, which is what makes it a
+# fixpoint problem).
+_KCORE_MIN_SHARED, _KCORE_K = 32, 3
+
+
+def _kcore_stage(prev: str, nxt: str, k: int) -> str:
+    return (
+        f"{nxt} AS (SELECT e.src AS node FROM e "
+        f"JOIN {prev} a ON e.src = a.node JOIN {prev} b ON e.dst = b.node "
+        f"GROUP BY e.src HAVING COUNT(*) >= {k})"
+    )
+
+
+_KCORE_ORACLE = f"""
+    WITH pairs AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    e AS (
+        SELECT a.l_suppkey AS src, b.l_suppkey AS dst
+        FROM pairs a JOIN pairs b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= {_KCORE_MIN_SHARED}
+    ),
+    n0 AS (SELECT DISTINCT src AS node FROM e),
+    {", ".join(_kcore_stage(f"n{i}", f"n{i + 1}", _KCORE_K) for i in range(6))}
+    SELECT e.src AS node, CAST(COUNT(*) AS BIGINT) AS core_degree
+    FROM e JOIN n6 a ON e.src = a.node JOIN n6 b ON e.dst = b.node
+    GROUP BY e.src
+"""
+
+
+@REGISTRY.add("g09_kcore", _KCORE_ORACLE, "graph", "iterative")
+def g09_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the ≥32-shared-orders co-supplier graph: members with
+    their within-core degree (graph/build.k_core iterative peeling)."""
+    from ..graph.build import co_occurrence_edges, k_core
+
+    l = load(spark, sf_dir, "lineitem")
+    edges = co_occurrence_edges(l, item_col="l_orderkey", actor_col="l_suppkey").where(
+        F.col("n_shared_orders") >= _KCORE_MIN_SHARED
+    )
+    return k_core(edges, k=_KCORE_K)
