@@ -357,3 +357,62 @@ def s08_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.select(F.explode(rows).alias("s")).select(
         "s.col", "s.n_rows", "s.n_nulls", "s.ndv", "s.min_v", "s.max_v"
     )
+
+
+# ---------------------------------------------------------------------------
+# s09: weighted sampling WITHOUT replacement (Efraimidis-Spirakis A-ES):
+# each row gets key u^(1/w) for a uniform u and weight w; the k largest
+# keys are an exact weighted k-sample with no replacement and no
+# coordination — the distributed-sampling primitive s07's independent
+# Bernoulli cut cannot provide (s07 has no fixed k, and heavy rows can
+# all drop). u derives from md5 (cross-engine, reproducible under
+# repartitioning); keys are compared as ln(u)/w (monotone in u^(1/w))
+# floored to integer nano-units so selection and rank are order-exact.
+_ES_K = 50
+_ES_DENOM = 4503599627370497.0  # 2^52 + 1: 13 md5 hex chars -> u in (0,1)
+_ES_ORACLE = f"""
+    WITH keyed AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(FLOOR(
+                   ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::UBIGINT
+                            AS DOUBLE) + 1.0) / {_ES_DENOM})
+                   / CAST(len(string_split(text, ' ')) AS DOUBLE)
+                   * 1000000000.0
+               ) AS BIGINT) AS key_e9
+        FROM documents
+    )
+    SELECT doc_id, n_tokens, key_e9, CAST(rank AS BIGINT) AS rank
+    FROM (
+        SELECT *, row_number() OVER (ORDER BY key_e9 DESC, doc_id) AS rank
+        FROM keyed
+    )
+    WHERE rank <= {_ES_K}
+"""
+
+
+@REGISTRY.add("s09_weighted_sample_wor", _ES_ORACLE, "sketch", "sampling")
+def s09_weighted_sample_wor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_ES_K} by Efraimidis-Spirakis key with weight = token count:
+    longer documents are proportionally likelier, but each document
+    appears at most once. Pure codegen keying + TakeOrderedAndProject;
+    the rank window runs on the k survivors only."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10
+    ).cast("bigint")
+    n_tokens = F.size(F.split(F.col("text"), " ")).cast("bigint")
+    keyed = d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.floor(
+            F.log((h.cast("double") + F.lit(1.0)) / F.lit(_ES_DENOM))
+            / n_tokens.cast("double")
+            * F.lit(1000000000.0)
+        ).alias("key_e9"),
+    )
+    topk = keyed.orderBy(F.col("key_e9").desc(), F.col("doc_id")).limit(_ES_K)
+    w = Window.orderBy(F.col("key_e9").desc(), F.col("doc_id"))
+    return topk.withColumn("rank", F.row_number().over(w).cast("bigint"))
