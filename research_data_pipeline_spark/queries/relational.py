@@ -1147,3 +1147,55 @@ def q30_salted_flag_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_price",
         "max_price",
     )
+
+
+# ---------------------------------------------------------------------------
+# q31 FULL OUTER join — the last join shape the suite lacked: deep-debt
+# customers vs flush suppliers per nation, where each side has nations
+# the other misses (5 of 12 per side at sf0.01), so all three match
+# classes (both / left-only / right-only) appear in the result. Sentinel
+# counts (0) and a match_kind label keep the output NULL-free.
+@REGISTRY.add(
+    "q31_full_outer_nation_profile",
+    """
+    WITH c AS (
+        SELECT c_nationkey AS nationkey, CAST(COUNT(*) AS BIGINT) AS n_debt_customers
+        FROM customer WHERE c_acctbal < -800 GROUP BY c_nationkey
+    ), s AS (
+        SELECT s_nationkey AS nationkey, CAST(COUNT(*) AS BIGINT) AS n_rich_suppliers
+        FROM supplier WHERE s_acctbal > 8000 GROUP BY s_nationkey
+    )
+    SELECT CAST(COALESCE(c.nationkey, s.nationkey) AS BIGINT) AS nationkey,
+           CAST(COALESCE(c.n_debt_customers, 0) AS BIGINT) AS n_debt_customers,
+           CAST(COALESCE(s.n_rich_suppliers, 0) AS BIGINT) AS n_rich_suppliers,
+           CASE WHEN c.nationkey IS NOT NULL AND s.nationkey IS NOT NULL THEN 'both'
+                WHEN c.nationkey IS NOT NULL THEN 'customers_only'
+                ELSE 'suppliers_only' END AS match_kind
+    FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+    """,
+    "join",
+)
+def q31_full_outer_nation_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER equi-join of two filtered per-nation aggregates."""
+    c = (
+        load(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") < -800)
+        .groupBy(F.col("c_nationkey").alias("c_key"))
+        .agg(F.count(F.lit(1)).alias("n_debt_customers"))
+    )
+    s = (
+        load(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") > 8000)
+        .groupBy(F.col("s_nationkey").alias("s_key"))
+        .agg(F.count(F.lit(1)).alias("n_rich_suppliers"))
+    )
+    j = c.join(s, c.c_key == s.s_key, "full_outer")
+    return j.select(
+        F.coalesce("c_key", "s_key").cast("bigint").alias("nationkey"),
+        F.coalesce("n_debt_customers", F.lit(0)).cast("bigint").alias("n_debt_customers"),
+        F.coalesce("n_rich_suppliers", F.lit(0)).cast("bigint").alias("n_rich_suppliers"),
+        F.when(F.col("c_key").isNotNull() & F.col("s_key").isNotNull(), F.lit("both"))
+        .when(F.col("c_key").isNotNull(), F.lit("customers_only"))
+        .otherwise(F.lit("suppliers_only"))
+        .alias("match_kind"),
+    )
