@@ -86,6 +86,7 @@ def connected_components(
     max_iter: int = 50,
     prop_rounds: int = 6,
     stats: dict | None = None,
+    driver_max_edges: int = 1_000_000,
 ) -> DataFrame:
     """Connected components — auto-selecting hybrid.
 
@@ -120,6 +121,69 @@ def connected_components(
     # the edge list is re-joined every round — materialize it once instead
     # of re-running its (possibly expensive) derivation per iteration
     edges = edges.select(src, dst).localCheckpoint()
+
+    # Small-graph fast path: after heavy pruning (e.g. LSH pairs at a
+    # high threshold) the edge set is often well under a million rows —
+    # a few MB — while the iterative path still pays its per-round job
+    # floor (~0.3-0.5 s x O(diameter) rounds of scheduling, probes,
+    # checkpoints). Below ``driver_max_edges`` the edge list is pulled to
+    # the driver and path-compressed union-find computes the exact same
+    # min-id labels (property-tested against both distributed paths).
+    # Driver memory is bounded by the guard (1M edges = 16 MB of int64
+    # pairs); the vertex table STAYS distributed — labels broadcast back
+    # and isolated vertices fall through the left join. 0 disables,
+    # forcing the distributed path (the auto-selection tests use this;
+    # billion-edge graphs never pass the guard).
+    n_edges = edges.count()
+    if driver_max_edges and n_edges <= driver_max_edges:
+        from ..operators.decisions import record
+
+        record(
+            "connected_components",
+            n_edges=n_edges,
+            driver_max_edges=driver_max_edges,
+            path="driver_union_find",
+        )
+        if stats is not None:
+            stats["algorithm"] = "driver_union_find"
+            stats["n_edges"] = n_edges
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:
+                parent[x], x = root, parent[x]
+            return root
+
+        pdf = edges.toPandas()
+        srcs, dsts = pdf[src].tolist(), pdf[dst].tolist()
+        for a, b in zip(srcs, dsts):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[rb] = ra
+        comp_min: dict = {}
+        touched = set(srcs)
+        touched.update(dsts)
+        for node in touched:
+            root = find(node)
+            cur = comp_min.get(root)
+            comp_min[root] = node if cur is None or node < cur else cur
+        rows = [(node, comp_min[find(node)]) for node in touched]
+        spark = vertices.sparkSession
+        schema = vertices.select(F.col(id_col).alias("node")).schema
+        lbl = spark.createDataFrame(
+            rows,
+            f"node {schema['node'].dataType.simpleString()}, "
+            f"label {schema['node'].dataType.simpleString()}",
+        )
+        return (
+            vertices.select(F.col(id_col).alias("node"))
+            .join(F.broadcast(lbl), "node", "left")
+            .select("node", F.coalesce("label", "node").alias("label"))
+        )
+
     labels = vertices.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("label")
     ).localCheckpoint()

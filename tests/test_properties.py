@@ -129,9 +129,15 @@ def test_connected_components_matches_union_find(spark, n, edge_pairs):
         if both
         else spark.createDataFrame([], "src bigint, dst bigint")
     )
-    got = {
+    got = {  # default: tiny edge set takes the driver union-find path
         r["node"]: r["label"]
         for r in connected_components(vertices, edges, id_col="node").collect()
+    }
+    got_dist = {  # forced distributed auto-selection path
+        r["node"]: r["label"]
+        for r in connected_components(
+            vertices, edges, id_col="node", driver_max_edges=0
+        ).collect()
     }
     got_star = {
         r["node"]: r["label"]
@@ -139,6 +145,7 @@ def test_connected_components_matches_union_find(spark, n, edge_pairs):
             vertices, edges, id_col="node"
         ).collect()
     }
+    assert got_dist == got
     assert got_star == got
 
     parent = list(range(n))
@@ -251,7 +258,7 @@ def test_auto_cc_escalates_to_contraction_on_long_path(spark):
     labels = {
         r["node"]: r["label"]
         for r in connected_components(
-            vertices, edges, id_col="node", stats=stats
+            vertices, edges, id_col="node", stats=stats, driver_max_edges=0
         ).collect()
     }
     assert labels == {i: 0 for i in range(n)}
@@ -275,7 +282,7 @@ def test_auto_cc_stays_on_label_prop_when_diameter_small(spark):
     labels = {
         r["node"]: r["label"]
         for r in connected_components(
-            vertices, edges, id_col="node", stats=stats
+            vertices, edges, id_col="node", stats=stats, driver_max_edges=0
         ).collect()
     }
     assert labels == {i: 0 for i in range(n)}
