@@ -1199,3 +1199,79 @@ def q31_full_outer_nation_profile(spark: SparkSession, sf_dir: str) -> DataFrame
         .otherwise(F.lit("suppliers_only"))
         .alias("match_kind"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q32: correlated scalar subquery — "customers richer than their own
+# nation's average balance". The oracle states it the declarative way (a
+# correlated subquery Catalyst/DuckDB both decorrelate into an
+# aggregate+join); the Spark side writes the decorrelated plan the
+# optimizer would produce — per-nation averages joined broadcast — so the
+# query also documents WHAT the decorrelation is. Averages divide the
+# exact decimal sum by the count (one IEEE division, identical engines).
+@REGISTRY.add(
+    "q32_above_nation_avg",
+    """
+    WITH avgs AS (
+        SELECT c_nationkey,
+               CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE)
+                   / COUNT(*) AS nation_avg
+        FROM customer GROUP BY c_nationkey
+    )
+    SELECT c.c_custkey, c.c_nationkey, c.c_acctbal, a.nation_avg
+    FROM customer c JOIN avgs a ON a.c_nationkey = c.c_nationkey
+    WHERE c.c_acctbal > a.nation_avg
+    """,
+    "filter",
+    "subquery",
+)
+def q32_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery semantics, decorrelated: tiny per-nation
+    aggregate broadcast against the customer scan."""
+    c = load(spark, sf_dir, "customer")
+    avgs = c.groupBy("c_nationkey").agg(
+        (
+            F.sum(F.col("c_acctbal").cast(D)).cast("string").cast("double")
+            / F.count(F.lit(1))
+        ).alias("nation_avg")
+    )
+    return (
+        c.join(F.broadcast(avgs), "c_nationkey")
+        .where(F.col("c_acctbal") > F.col("nation_avg"))
+        .select("c_custkey", "c_nationkey", "c_acctbal", "nation_avg")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q33: unpivot/melt — the inverse of q18's pivot: the wide per-customer
+# balance profile goes long, one (metric, value) row per source column.
+# Spark's native unpivot (melt) vs a UNION ALL oracle; both emit DOUBLE
+# values (the casts make the wide columns one comparable type).
+@REGISTRY.add(
+    "q33_unpivot_balances",
+    """
+    SELECT c_custkey, 'acctbal' AS metric, CAST(c_acctbal AS DOUBLE) AS value
+    FROM customer WHERE c_custkey <= 100
+    UNION ALL
+    SELECT c_custkey, 'nationkey', CAST(c_nationkey AS DOUBLE) FROM customer
+    WHERE c_custkey <= 100
+    """,
+    "reshape",
+)
+def q33_unpivot_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native unpivot (melt): wide numeric columns to long key/value."""
+    c = (
+        load(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") <= 100)
+        .select(
+            "c_custkey",
+            F.col("c_acctbal").cast("double").alias("acctbal"),
+            F.col("c_nationkey").cast("double").alias("nationkey"),
+        )
+    )
+    return c.unpivot(
+        ids=["c_custkey"],
+        values=["acctbal", "nationkey"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
