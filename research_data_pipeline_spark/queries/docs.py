@@ -1422,3 +1422,112 @@ def d29_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         "w_e6",
         (F.col("w_e6").cast("double") / F.col("total_w")).alias("sample_weight"),
     )
+
+
+# ---------------------------------------------------------------------------
+# d31: per-document n-gram NOVELTY — what fraction of a doc's distinct
+# 3-word shingles appear in NO other document. The inverse lens of the
+# pairwise overlap ops (d08 finds similar pairs, d18/d23 cross-source
+# collisions): novelty ranks documents by how much unique text they
+# contribute, the signal used to prioritize genuinely-new content in a
+# crawl refresh. One inverted shingle index (explode + groupBy), one
+# join back, one per-doc aggregate — no pair space.
+_NOV_ORACLE = f"""
+    WITH sh AS (
+        SELECT doc_id, unnest({_SHINGLES}) AS s FROM documents
+        WHERE len({_TOKS}) >= {_NGRAM_N}
+    ), owners AS (
+        SELECT s, COUNT(DISTINCT doc_id) AS n_docs FROM sh GROUP BY s
+    )
+    SELECT sh.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN o.n_docs = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unique_shingles,
+           CAST(SUM(CASE WHEN o.n_docs = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+               AS novelty
+    FROM sh JOIN owners o USING (s)
+    GROUP BY sh.doc_id
+"""
+
+
+@REGISTRY.add("d31_ngram_novelty", _NOV_ORACLE, "text", "dedup")
+def d31_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fraction of each document's distinct 3-shingles owned by it alone
+    (shingle inverted index; docs with < 3 tokens have no shingles and
+    are excluded by both engines)."""
+    d = load(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.explode(T.word_shingles(F.col("text"), _NGRAM_N)).alias("s")
+    )
+    owners = sh.groupBy("s").agg(F.countDistinct("doc_id").alias("n_docs"))
+    uniq = F.when(F.col("n_docs") == 1, F.lit(1)).otherwise(F.lit(0))
+    return (
+        sh.join(owners, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(uniq).alias("n_unique_shingles"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_unique_shingles",
+            (
+                F.col("n_unique_shingles").cast("double") / F.col("n_shingles")
+            ).alias("novelty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# d32: BPE merge-candidate ranking — the inner step of byte-pair-encoding
+# tokenizer training: count adjacent character pairs across the corpus
+# weighted by word frequency; the top pair is the next merge. Vocabulary-
+# sized state (distinct words, then distinct pairs), never corpus-sized:
+# the word-frequency table is the only corpus-scale aggregation.
+_BPE_K = 20
+_BPE_ORACLE = f"""
+    WITH tok AS (SELECT unnest({_TOKS}) AS t FROM documents),
+    tf AS (SELECT t, COUNT(*) AS f FROM tok GROUP BY t),
+    pairs AS (
+        SELECT substring(t, i, 2) AS pair, f
+        FROM tf, UNNEST(generate_series(1, length(t) - 1)) AS g(i)
+    ),
+    agg AS (SELECT pair, CAST(SUM(f) AS BIGINT) AS n_occurrences FROM pairs GROUP BY pair)
+    SELECT pair, n_occurrences, CAST(rank AS BIGINT) AS rank
+    FROM (
+        SELECT *, row_number() OVER (ORDER BY n_occurrences DESC, pair) AS rank
+        FROM agg
+    )
+    WHERE rank <= {_BPE_K}
+"""
+
+
+@REGISTRY.add("d32_bpe_merge_candidates", _BPE_ORACLE, "text", "tokenizer")
+def d32_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 adjacent character pairs by frequency-weighted corpus count
+    — the next-merge ranking a BPE trainer computes each round."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(T.tokens(F.col("text"))).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    # guard the 1-char-token case: Spark's sequence(1, 0) helpfully
+    # yields a DESCENDING [1, 0] (the word_shingles pitfall), which would
+    # mint phantom pairs DuckDB's empty generate_series never sees
+    starts = F.when(
+        F.length("t") >= 2, F.sequence(F.lit(1), F.length("t") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    pairs = tf.select(
+        F.explode(
+            F.transform(starts, lambda i: F.col("t").substr(i, F.lit(2)))
+        ).alias("pair"),
+        "f",
+    )
+    agg = pairs.groupBy("pair").agg(F.sum("f").alias("n_occurrences"))
+    topk = agg.orderBy(F.col("n_occurrences").desc(), F.col("pair")).limit(_BPE_K)
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("pair"))
+    return topk.withColumn("rank", F.row_number().over(w).cast("bigint"))

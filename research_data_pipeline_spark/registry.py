@@ -134,7 +134,8 @@ _VERIFY_COST_S = {
     "q30_salted_flag_stats": 0.6, "m07_frame_dedup": 0.7,
     "g09_kcore": 1.8, "s09_weighted_sample_wor": 0.5,
     "q31_full_outer_nation_profile": 0.5, "q32_above_nation_avg": 0.5,
-    "q33_unpivot_balances": 0.5,
+    "q33_unpivot_balances": 0.5, "d31_ngram_novelty": 0.8,
+    "d32_bpe_merge_candidates": 0.6,
 }
 _DEFAULT_COST_S = 0.45
 
