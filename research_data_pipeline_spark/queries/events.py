@@ -678,3 +678,49 @@ def e18_stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.jobs import run_stream_stream_outer_join_to_batch
 
     return run_stream_stream_outer_join_to_batch(spark, f"{sf_dir}/events.parquet")
+
+
+# ---------------------------------------------------------------------------
+# e19: per-user inter-arrival statistics — the activity-cadence profile
+# (bot detection: tiny uniform gaps; churn signals: huge ones). One lag
+# window per user partition + one grouped aggregate; both shuffles share
+# the user_id key. Median is the exact interpolating statistic in both
+# engines (A4 discipline, as q17).
+_GAP_ORACLE = """
+    WITH g AS (
+        SELECT user_id,
+               epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+        FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+           MEDIAN(gap_us) AS median_gap_us,
+           CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+           CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+    FROM g
+    WHERE gap_us IS NOT NULL
+    GROUP BY user_id
+"""
+
+
+@REGISTRY.add("e19_user_gap_stats", _GAP_ORACLE, "events", "window")
+def e19_user_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event inter-arrival gaps: count, exact median, min, max.
+    Users with a single event have no gap and drop out in both engines."""
+    from pyspark.sql import Window
+
+    from ..tables import epoch_us
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = e.select(
+        "user_id",
+        (epoch_us(F.col("ts")) - F.lag(epoch_us(F.col("ts"))).over(w)).alias("gap_us"),
+    ).where(F.col("gap_us").isNotNull())
+    return g.groupBy("user_id").agg(
+        F.count("gap_us").alias("n_gaps"),
+        F.median("gap_us").alias("median_gap_us"),
+        F.min("gap_us").cast("bigint").alias("min_gap_us"),
+        F.max("gap_us").cast("bigint").alias("max_gap_us"),
+    )
