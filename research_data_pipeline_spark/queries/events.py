@@ -724,3 +724,123 @@ def e19_user_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("gap_us").cast("bigint").alias("min_gap_us"),
         F.max("gap_us").cast("bigint").alias("max_gap_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# e20: rolling 7-day distinct users (DAU / WAU-style reach) per observed
+# day, plus the DAU/WAU "stickiness" ratio in ppm. Rolling COUNT(DISTINCT)
+# admits no window-frame form; the scale-safe shape is a CONTRIBUTION
+# EXPLODE — each distinct (user, day) emits the ≤7 report days it reaches,
+# then one hash groupBy counts distinct users per report day. Pure
+# equi-shuffles (no range join / nested loop), cost bounded at 7× the
+# distinct (user, day) set regardless of total event volume — the plan a
+# 100 TB event log needs. Report days outside the observed domain are
+# dropped by a broadcast semi join (the day dimension is tiny).
+_DAU_ORACLE = """
+    WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    days AS (SELECT DISTINCT day FROM ud),
+    contrib AS (
+        SELECT ud.user_id, ud.day + CAST(t.i AS INTEGER) AS report_day
+        FROM ud CROSS JOIN generate_series(0, 6) AS t(i)
+    ),
+    r AS (
+        SELECT c.report_day, COUNT(DISTINCT c.user_id) AS dau7
+        FROM contrib c JOIN days d ON c.report_day = d.day
+        GROUP BY c.report_day
+    ),
+    d1 AS (SELECT day, COUNT(DISTINCT user_id) AS dau1 FROM ud GROUP BY day)
+    SELECT CAST(r.report_day AS VARCHAR) AS day,
+           CAST(d1.dau1 AS BIGINT) AS dau1,
+           CAST(r.dau7 AS BIGINT) AS dau7,
+           CAST((1000000 * d1.dau1) // r.dau7 AS BIGINT) AS stickiness_ppm
+    FROM r JOIN d1 ON d1.day = r.report_day
+"""
+
+
+@REGISTRY.add("e20_rolling_dau", _DAU_ORACLE, "events", "window")
+def e20_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per observed day via contribution
+    explode (each (user, day) reaches days d..d+6), not a range join."""
+    e = load(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id", F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("dnum")
+    ).distinct()
+    days = ud.select("dnum").distinct()
+    contrib = ud.select(
+        "user_id",
+        F.explode(F.expr("sequence(dnum, dnum + 6)")).alias("report_dnum"),
+    )
+    r = (
+        contrib.join(
+            F.broadcast(days.withColumnRenamed("dnum", "report_dnum")),
+            "report_dnum",
+            "semi",
+        )
+        .groupBy("report_dnum")
+        .agg(F.countDistinct("user_id").alias("dau7"))
+    )
+    d1 = ud.groupBy("dnum").agg(F.countDistinct("user_id").alias("dau1"))
+    return r.join(d1, r["report_dnum"] == d1["dnum"]).select(
+        F.date_format(
+            F.date_add(F.lit("1970-01-01"), F.col("report_dnum")), "yyyy-MM-dd"
+        ).alias("day"),
+        F.col("dau1").cast("bigint").alias("dau1"),
+        F.col("dau7").cast("bigint").alias("dau7"),
+        F.expr("(1000000 * dau1) div dau7").cast("bigint").alias("stickiness_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# e21: per-user TIME-WEIGHTED average value — each event's value holds
+# until the user's next event (step-function integral / interval TWAP, the
+# tick-data aggregation order books and sensor feeds need; plain AVG
+# over-weights bursts). Integer discipline end-to-end: values become exact
+# cents via floor(v·100 + 0.5) (both engines floor the same double), hold
+# durations are epoch-microsecond BIGINTs from one per-user lag window,
+# and the weighted mean is one integer division — no float accumulation,
+# so shuffle order cannot perturb the result. Scale shape: the lag window
+# and the grouped sum share the user_id exchange.
+_TWAP_ORACLE = """
+    WITH held AS (
+        SELECT user_id,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+               LEAD(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) - epoch_us(ts) AS hold_us
+        FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_held,
+           CAST(SUM(hold_us) AS BIGINT) AS total_held_us,
+           CAST(SUM(cents * hold_us) // SUM(hold_us) AS BIGINT) AS twap_cents
+    FROM held
+    WHERE hold_us IS NOT NULL AND hold_us > 0
+    GROUP BY user_id
+"""
+
+
+@REGISTRY.add("e21_time_weighted_avg", _TWAP_ORACLE, "events", "window")
+def e21_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-weighted (step-function) mean value per user; the final
+    event of each user has no hold interval and drops out in both
+    engines."""
+    from pyspark.sql import Window
+
+    from ..tables import epoch_us
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    held = e.select(
+        "user_id",
+        F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+        (F.lead(epoch_us(F.col("ts"))).over(w) - epoch_us(F.col("ts"))).alias(
+            "hold_us"
+        ),
+    ).where(F.col("hold_us").isNotNull() & (F.col("hold_us") > 0))
+    return held.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_held"),
+        F.sum("hold_us").cast("bigint").alias("total_held_us"),
+        F.expr("CAST(SUM(cents * hold_us) div SUM(hold_us) AS BIGINT)").alias(
+            "twap_cents"
+        ),
+    )

@@ -457,3 +457,89 @@ def g09_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_shared_orders") >= _KCORE_MIN_SHARED
     )
     return k_core(edges, k=_KCORE_K)
+
+
+# ---------------------------------------------------------------------------
+# g10: local clustering coefficient — triangles(v) relative to the wedge
+# count deg(v)·(deg(v)−1)/2, the standard "how clique-like is this node's
+# neighborhood" metric (complements g07's raw triangle counts). Integer
+# discipline: the coefficient is emitted as parts-per-million via one
+# integer division — (2_000_000·tri) div (deg·(deg−1)) — so Spark and the
+# oracle agree bit-for-bit with no float rounding anywhere. Scale shape:
+# the directed strong edge list yields degrees with one groupBy; triangles
+# reuse g07's canonical two-join wedge closing; final assembly is two
+# keyed left joins on supplier ids. No step materializes the wedge set.
+_LCC_ORACLE = f"""
+    WITH pairs AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    e0 AS (
+        SELECT a.l_suppkey AS src, b.l_suppkey AS dst
+        FROM pairs a JOIN pairs b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= {_CC_MIN_SHARED}
+    ),
+    deg AS (SELECT src AS node, COUNT(*) AS degree FROM e0 GROUP BY src),
+    e AS (SELECT src, dst FROM e0 WHERE src < dst),
+    tri AS (
+        SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+        FROM e ab JOIN e bc ON ab.dst = bc.src
+                  JOIN e ac ON ac.src = ab.src AND ac.dst = bc.dst
+    ),
+    per_node AS (
+        SELECT node, COUNT(*) AS n FROM (
+            SELECT a AS node FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri
+        ) GROUP BY node
+    )
+    SELECT d.node,
+           CAST(d.degree AS BIGINT) AS degree,
+           CAST(COALESCE(p.n, 0) AS BIGINT) AS n_triangles,
+           CAST(CASE WHEN d.degree >= 2
+                     THEN (2000000 * COALESCE(p.n, 0)) // (d.degree * (d.degree - 1))
+                     ELSE 0 END AS BIGINT) AS lcc_ppm
+    FROM deg d LEFT JOIN per_node p ON p.node = d.node
+"""
+
+
+@REGISTRY.add("g10_clustering_coefficient", _LCC_ORACLE, "graph")
+def g10_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient (ppm) on the strong
+    co-supplier graph; degree from the directed edge list, triangles via
+    g07's canonical a<b<c wedge closing."""
+    l = load(spark, sf_dir, "lineitem")
+    e0 = (
+        co_occurrence_edges(l, item_col="l_orderkey", actor_col="l_suppkey")
+        .where(F.col("n_shared_orders") >= _CC_MIN_SHARED)
+        .select("src", "dst")
+        .localCheckpoint()  # feeds both the degree agg and 3 join aliases
+    )
+    deg = e0.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    e = e0.where(F.col("src") < F.col("dst"))
+    ab, bc, ac = e.alias("ab"), e.alias("bc"), e.alias("ac")
+    tri = ab.join(bc, F.col("ab.dst") == F.col("bc.src")).join(
+        ac,
+        (F.col("ac.src") == F.col("ab.src"))
+        & (F.col("ac.dst") == F.col("bc.dst")),
+    ).select(
+        F.col("ab.src").alias("a"), F.col("ab.dst").alias("b"),
+        F.col("bc.dst").alias("c"),
+    )
+    per_node = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    n_tri = F.coalesce(F.col("n"), F.lit(0))
+    return deg.join(per_node, "node", "left").select(
+        "node",
+        F.col("degree").cast("bigint").alias("degree"),
+        n_tri.cast("bigint").alias("n_triangles"),
+        F.when(
+            F.col("degree") >= 2,
+            F.expr("(2000000 * coalesce(n, 0)) div (degree * (degree - 1))"),
+        ).otherwise(F.lit(0)).cast("bigint").alias("lcc_ppm"),
+    )

@@ -1275,3 +1275,49 @@ def q33_unpivot_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     )
+
+
+# ---------------------------------------------------------------------------
+# q34: value-RANGE window frame — trailing 30-day revenue per customer,
+# anchored at each order. Distinct from q10's ROWS frame: RANGE frames
+# bound peers by ORDER-BY *value* distance (here epoch-day), so same-day
+# orders are peers and every row's frame covers exactly the 31-day
+# calendar span regardless of how many rows fall in it. Exactness: the
+# frame sum runs over DECIMAL(18,2) (order-independent), cast to DOUBLE
+# once at the end. Scale shape: one window whose partition key (custkey)
+# is the natural shard; no self-join formulation of the trailing sum.
+_RANGE_FRAME_ORACLE = """
+    SELECT o_orderkey,
+           o_custkey,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS day,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+               PARTITION BY o_custkey
+               ORDER BY (CAST(o_orderdate AS DATE) - DATE '1970-01-01')
+               RANGE BETWEEN 30 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS trailing30_revenue
+    FROM orders
+"""
+
+
+@REGISTRY.add("q34_range_frame_revenue", _RANGE_FRAME_ORACLE, "window")
+def q34_range_frame_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-30-calendar-day revenue per customer at each order via a
+    RANGE window frame over epoch days (peers = same-day orders)."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    dnum = F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(dnum)
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.date_format(F.to_date("o_orderdate"), "yyyy-MM-dd").alias("day"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("trailing30_revenue"),
+    )

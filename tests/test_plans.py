@@ -124,3 +124,28 @@ def test_bloom_probe_adds_no_shuffle(spark, sf_dir):
     filt = bloom.build(d, "v", n_bits=1 << 14).localCheckpoint()
     plan = formatted_plan(bloom.with_might_contain(d, "v", filt, n_bits=1 << 14))
     assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_e20_rolling_dau_no_nested_loop(spark, sf_dir):
+    # the rolling 7-day distinct is a contribution explode + hash
+    # aggregations — a range-join formulation would appear here as a
+    # BroadcastNestedLoopJoin / CartesianProduct and die at scale
+    plan = _plan(spark, sf_dir, "e20_rolling_dau")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_g10_lcc_no_python_no_cartesian(spark, sf_dir):
+    # degree + wedge-closing joins are all keyed; coefficient is integer
+    # column arithmetic
+    plan = _plan(spark, sf_dir, "g10_clustering_coefficient")
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_e21_q34_window_queries_stay_jvm_side(spark, sf_dir):
+    for name in ("e21_time_weighted_avg", "q34_range_frame_revenue"):
+        plan = _plan(spark, sf_dir, name)
+        assert "EvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
