@@ -475,3 +475,43 @@ def k_core(
     return _deg(alive, "core_degree").select(
         F.col(src).alias("node"), F.col("core_degree").cast("bigint").alias("core_degree")
     )
+
+
+def bounded_min_cost(
+    edges: DataFrame,
+    seed: int,
+    max_hops: int = 4,
+    cost_col: str = "cost",
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Single-source minimum path cost over walks of ≤ ``max_hops`` edges
+    (bounded Bellman-Ford). Returns (node, min_cost BIGINT), seed at 0.
+
+    Round k of the relaxation yields the exact minimum over all ≤k-edge
+    walks, so ``max_hops`` fixed rounds ARE the semantics (not a
+    convergence heuristic) — no convergence probe needed. Per round: one
+    keyed join (tentative dists ⋈ edges on src) + one min-groupBy; state
+    is one row per reached node, lineage cut per round. Costs are BIGINT
+    throughout — integer relaxation is shuffle-order independent, which
+    is what makes the result reproducible on retries at cluster scale.
+
+    ``edges`` must contain both directions of each undirected edge.
+    """
+    e = edges.select(src, dst, cost_col).localCheckpoint()
+    spark = edges.sparkSession
+    dist = spark.createDataFrame(
+        [(seed, 0)], schema="node bigint, min_cost bigint"
+    ).localCheckpoint()
+    for _ in range(max_hops):
+        cand = dist.join(e, dist["node"] == e[src]).select(
+            F.col(dst).alias("node"),
+            (F.col("min_cost") + F.col(cost_col)).alias("min_cost"),
+        )
+        dist = (
+            dist.unionByName(cand)
+            .groupBy("node")
+            .agg(F.min("min_cost").alias("min_cost"))
+            .localCheckpoint()
+        )
+    return dist.select("node", F.col("min_cost").cast("bigint").alias("min_cost"))

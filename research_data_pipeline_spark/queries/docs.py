@@ -1531,3 +1531,89 @@ def d32_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     topk = agg.orderBy(F.col("n_occurrences").desc(), F.col("pair")).limit(_BPE_K)
     w = Window.orderBy(F.col("n_occurrences").desc(), F.col("pair"))
     return topk.withColumn("rank", F.row_number().over(w).cast("bigint"))
+
+
+# ---------------------------------------------------------------------------
+# d33: per-source TF-IDF top terms — the "what characterizes this slice
+# of the corpus" keyword profile (source auditing: a crawl whose top
+# terms are boilerplate names its extraction bug; per-domain profiles
+# feed mixture decisions). tf is the term's occurrence count within the
+# source, idf = ln(N/df) over corpus-wide document frequency. Search.py
+# discipline: one double chain (exact-int operands, one ln) floored to
+# micro-units per (source, term) — no float aggregation anywhere — then
+# an integer-ranked row_number window takes the top 10 per source with a
+# lexicographic tie-break. Scale shape: explode → two keyed aggs (term,
+# source×term), a term-keyed join against the vocabulary-sized df table
+# (not force-broadcast — unbounded on an open corpus), one broadcast
+# 1-row N; the window only sorts within source partitions.
+_TFIDF_K = 10
+
+_TFIDF_ORACLE = f"""
+    WITH words AS (
+        SELECT doc_id, source, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM words GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    tf AS (SELECT source, term, COUNT(*) AS tf FROM words GROUP BY source, term),
+    scored AS (
+        SELECT tf.source, tf.term, tf.tf, df.df,
+               CAST(FLOOR(CAST(tf.tf AS DOUBLE)
+                          * ln(CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE))
+                          * 1000000.0) AS BIGINT) AS score_e6
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT source, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+           score_e6, CAST(rnk AS BIGINT) AS rnk
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY source ORDER BY score_e6 DESC, term ASC
+        ) AS rnk
+        FROM scored
+    )
+    WHERE rnk <= {_TFIDF_K}
+"""
+
+
+@REGISTRY.add("d33_tfidf_top_terms", _TFIDF_ORACLE, "text", "search")
+def d33_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 TF-IDF terms per source; integer micro-unit scores, exact
+    corpus-wide document frequencies, deterministic tie-break."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("term")
+    )
+    df_t = words.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    tf = words.groupBy("source", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # df_t is VOCABULARY-sized — unbounded on an open web corpus, so it is
+    # NOT force-broadcast: the term-keyed hash join is the scale plan and
+    # AQE still picks a broadcast when the vocab is actually small.
+    scored = (
+        tf.join(df_t, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score_e6",
+            F.expr(
+                "CAST(FLOOR(CAST(tf AS DOUBLE)"
+                " * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))"
+                " * 1000000.0) AS BIGINT)"
+            ),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("score_e6").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= _TFIDF_K)
+        .select(
+            "source", "term",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            "score_e6",
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+    )

@@ -543,3 +543,57 @@ def g10_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(2000000 * coalesce(n, 0)) div (degree * (degree - 1))"),
         ).otherwise(F.lit(0)).cast("bigint").alias("lcc_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# g11: bounded-hop WEIGHTED shortest path — g08's traversal upgraded with
+# integer edge costs (cost = 1e6 div n_shared_orders: frequently
+# co-occurring pairs are cheap to traverse). Spark runs ``max_hops``
+# Bellman-Ford relaxation rounds — round k is exactly "min cost over
+# ≤k-edge walks", so the fixed round count IS the query's semantics; the
+# oracle enumerates the same bounded walk space with a recursive CTE and
+# takes MIN per node. A node's cheapest path may use MORE hops than its
+# BFS distance (two strong edges can undercut one weak edge), which is
+# what distinguishes this from g08.
+_WSP_MIN_SHARED, _WSP_SEED, _WSP_MAX_HOPS, _WSP_COST_SCALE = 32, 1, 4, 1_000_000
+
+_WSP_ORACLE = f"""
+    WITH RECURSIVE
+    pairs AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    e AS (
+        SELECT a.l_suppkey AS src, b.l_suppkey AS dst,
+               {_WSP_COST_SCALE} // COUNT(*) AS cost
+        FROM pairs a JOIN pairs b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= {_WSP_MIN_SHARED}
+    ),
+    walk(node, hops, cost) AS (
+        SELECT CAST({_WSP_SEED} AS BIGINT), 0, CAST(0 AS BIGINT)
+        UNION
+        SELECT e.dst, w.hops + 1, w.cost + e.cost
+        FROM walk w JOIN e ON e.src = w.node
+        WHERE w.hops < {_WSP_MAX_HOPS}
+    )
+    SELECT node, CAST(MIN(cost) AS BIGINT) AS min_cost FROM walk GROUP BY node
+"""
+
+
+@REGISTRY.add("g11_weighted_shortest_path", _WSP_ORACLE, "graph", "iterative")
+def g11_weighted_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum integer path cost from supplier 1 over ≤4-hop walks in the
+    strong co-supplier graph (graph/build.bounded_min_cost)."""
+    from ..graph.build import bounded_min_cost, co_occurrence_edges
+
+    l = load(spark, sf_dir, "lineitem")
+    edges = (
+        co_occurrence_edges(l, item_col="l_orderkey", actor_col="l_suppkey")
+        .where(F.col("n_shared_orders") >= _WSP_MIN_SHARED)
+        .select(
+            "src",
+            "dst",
+            F.expr(f"{_WSP_COST_SCALE} div n_shared_orders").alias("cost"),
+        )
+    )
+    return bounded_min_cost(
+        edges, seed=_WSP_SEED, max_hops=_WSP_MAX_HOPS
+    )

@@ -1321,3 +1321,58 @@ def q34_range_frame_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("trailing30_revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q35: filter against a GLOBAL aggregate (TPC-H Q11's shape) — parts whose
+# discounted revenue is ≥ 0.05% of total revenue. The scalar subquery
+# decorrelates to a single-row broadcast joined to the per-part aggregate
+# (one row → the nested-loop join is O(parts), the canonical scalar plan;
+# a window-over-() would funnel every row through one partition). The
+# share itself is integer ppm: both sides floor the DECIMAL revenue to
+# exact micro-units, then one BIGINT division — no float threshold, so a
+# borderline part cannot flip between engines.
+_GLOBAL_SHARE_ORACLE = """
+    WITH pr AS (
+        SELECT l_partkey,
+               SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+                   * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))) AS rev
+        FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (SELECT CAST(FLOOR(SUM(rev) * 1000000) AS BIGINT) AS total_micros FROM pr)
+    SELECT pr.l_partkey,
+           CAST(CAST(pr.rev AS VARCHAR) AS DOUBLE) AS revenue,
+           CAST((CAST(FLOOR(pr.rev * 1000000) AS BIGINT) * 1000000)
+                // tot.total_micros AS BIGINT) AS share_ppm
+    FROM pr, tot
+    WHERE (CAST(FLOOR(pr.rev * 1000000) AS BIGINT) * 1000000) // tot.total_micros >= 500
+"""
+
+
+@REGISTRY.add("q35_global_share_parts", _GLOBAL_SHARE_ORACLE, "agg", "subquery")
+def q35_global_share_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts holding ≥ 500 ppm of total discounted revenue; the global
+    total rides a single-row broadcast, the share is one BIGINT division
+    over floored micro-units."""
+    l = load(spark, sf_dir, "lineitem")
+    rev = F.sum(
+        F.expr(
+            "CAST(l_extendedprice AS DECIMAL(12,4))"
+            " * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))"
+        )
+    ).alias("rev")
+    pr = l.groupBy("l_partkey").agg(rev)
+    pr = pr.withColumn(
+        "rev_micros", F.expr("CAST(FLOOR(rev * 1000000) AS BIGINT)")
+    )
+    tot = pr.agg(
+        F.expr("CAST(FLOOR(SUM(rev) * 1000000) AS BIGINT)").alias("total_micros")
+    )
+    joined = pr.crossJoin(F.broadcast(tot)).withColumn(
+        "share_ppm", F.expr("(rev_micros * 1000000) div total_micros")
+    )
+    return joined.where(F.col("share_ppm") >= 500).select(
+        "l_partkey",
+        F.expr("CAST(CAST(rev AS STRING) AS DOUBLE)").alias("revenue"),
+        F.col("share_ppm").cast("bigint").alias("share_ppm"),
+    )

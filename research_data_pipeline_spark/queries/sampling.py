@@ -416,3 +416,94 @@ def s09_weighted_sample_wor(spark: SparkSession, sf_dir: str) -> DataFrame:
     topk = keyed.orderBy(F.col("key_e9").desc(), F.col("doc_id")).limit(_ES_K)
     w = Window.orderBy(F.col("key_e9").desc(), F.col("doc_id"))
     return topk.withColumn("rank", F.row_number().over(w).cast("bigint"))
+
+
+# ---------------------------------------------------------------------------
+# s10: count-min sketch — the fixed-size frequency summary for streams /
+# merges where the exact term table is too big (counters are mergeable by
+# plain +, unlike a top-k list). d=4 salted md5 rows × w=256 buckets; an
+# estimate is min over rows of the bucket counter, OVERCOUNTS ONLY. The
+# sketch is deterministic given the salts, so the oracle REPLAYS the
+# identical sketch in SQL and the driver hash-checks real CMS estimates —
+# no within_bound weakening; `overcount = est − exact ≥ 0` exposes the
+# collision error directly. Scale shape: building is one explode(d) +
+# groupBy((row, bucket)) into d·w counters regardless of input size; the
+# d·w table is broadcast for probing.
+_CMS_D, _CMS_W = 4, 256
+
+
+def _cms_bucket_sql(i: str, term: str = "term") -> str:
+    return (
+        f"('0x' || substr(md5(CAST({i} AS VARCHAR) || ':' || {term}), 1, 8))"
+        f"::UBIGINT % {_CMS_W}"
+    )
+
+
+_CMS_ORACLE = f"""
+    WITH words AS (
+        SELECT unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    rows_ AS (SELECT CAST(t.i AS INTEGER) AS i FROM generate_series(0, {_CMS_D - 1}) t(i)),
+    sketch AS (
+        SELECT i, {_cms_bucket_sql("i")} AS bucket, COUNT(*) AS cnt
+        FROM words CROSS JOIN rows_ GROUP BY 1, 2
+    ),
+    exact AS (SELECT term, COUNT(*) AS exact_cnt FROM words GROUP BY term),
+    est AS (
+        SELECT e.term, MIN(s.cnt) AS cms_est
+        FROM exact e CROSS JOIN rows_ r
+        JOIN sketch s ON s.i = r.i AND s.bucket = {_cms_bucket_sql("r.i", "e.term")}
+        GROUP BY e.term
+    )
+    SELECT exact.term, CAST(exact.exact_cnt AS BIGINT) AS exact_cnt,
+           CAST(est.cms_est AS BIGINT) AS cms_est,
+           CAST(est.cms_est - exact.exact_cnt AS BIGINT) AS overcount
+    FROM exact JOIN est USING (term)
+"""
+
+
+@REGISTRY.add("s10_countmin_sketch", _CMS_ORACLE, "sketch", "approx")
+def s10_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min term-frequency sketch (4×256, salted md5 rows) built and
+    probed in-plan; emits exact count, CMS estimate, and the collision
+    overcount per term."""
+    from ..tables import load as _load
+
+    d = _load(spark, sf_dir, "documents")
+    words = d.select(F.explode(F.split("text", " ")).alias("term"))
+    rows_i = F.explode(
+        F.array(*[F.lit(i) for i in range(_CMS_D)])
+    ).alias("i")
+
+    def bucket(i_col, term_col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(i_col.cast("string"), F.lit(":"), term_col)),
+                    1, 8,
+                ),
+                16, 10,
+            ).cast("bigint") % _CMS_W
+        )
+
+    tagged = words.select("term", rows_i)
+    sketch = (
+        tagged.select("i", bucket(F.col("i"), F.col("term")).alias("bucket"))
+        .groupBy("i", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    exact = words.groupBy("term").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    probes = exact.select("term", rows_i).withColumn(
+        "bucket", bucket(F.col("i"), F.col("term"))
+    )
+    est = (
+        probes.join(F.broadcast(sketch), ["i", "bucket"])
+        .groupBy("term")
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+    return exact.join(est, "term").select(
+        "term",
+        F.col("exact_cnt").cast("bigint").alias("exact_cnt"),
+        F.col("cms_est").cast("bigint").alias("cms_est"),
+        (F.col("cms_est") - F.col("exact_cnt")).cast("bigint").alias("overcount"),
+    )

@@ -149,3 +149,13 @@ def test_e21_q34_window_queries_stay_jvm_side(spark, sf_dir):
         plan = _plan(spark, sf_dir, name)
         assert "EvalPython" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_batch3_queries_stay_jvm_side(spark, sf_dir):
+    # q35's single-row broadcast total is the one sanctioned nested-loop
+    # (1 row × parts); everything else must be keyed joins, no Python
+    for name in ("q35_global_share_parts", "d33_tfidf_top_terms",
+                 "s10_countmin_sketch"):
+        plan = _plan(spark, sf_dir, name)
+        assert "EvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
