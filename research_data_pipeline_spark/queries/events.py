@@ -844,3 +844,59 @@ def e21_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "twap_cents"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# e22: event-type transition matrix — the Markov-chain summary behind
+# next-action prediction, funnel drop-off triage, and bot fingerprinting
+# (bots show near-deterministic rows). One LEAD over the per-user
+# (ts, event_id) order gives each event its successor type; the
+# (from_type, to_type) counts then reduce in a single map-side-combined
+# aggregation. Transition probabilities are integer ppm of the from-type's
+# outgoing total — the totals table is |event_type|-sized, so its join
+# back onto the matrix is a broadcast, and one BIGINT division cannot
+# diverge between engines. Scale shape: the lead window shuffles on
+# user_id once (same exchange every per-user operator here shares), and
+# everything after is tiny.
+_TRANSITION_ORACLE = """
+    WITH nxt AS (
+        SELECT event_type AS from_type,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS to_type
+        FROM events
+    ),
+    m AS (
+        SELECT from_type, to_type, COUNT(*) AS n
+        FROM nxt WHERE to_type IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    tot AS (SELECT from_type, SUM(n) AS out_n FROM m GROUP BY 1)
+    SELECT m.from_type, m.to_type,
+           CAST(m.n AS BIGINT) AS n,
+           CAST((m.n * 1000000) // tot.out_n AS BIGINT) AS p_ppm
+    FROM m JOIN tot USING (from_type)
+"""
+
+
+@REGISTRY.add("e22_transition_matrix", _TRANSITION_ORACLE, "events", "window")
+def e22_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(from_type → to_type) transition counts and integer-ppm
+    probabilities from one per-user LEAD window; each user's last event
+    has no successor and drops out in both engines."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    m = nxt.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+    tot = m.groupBy("from_type").agg(F.sum("n").alias("out_n"))
+    return m.join(F.broadcast(tot), "from_type").select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.expr("(n * 1000000) div out_n").cast("bigint").alias("p_ppm"),
+    )

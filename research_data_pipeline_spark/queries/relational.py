@@ -1376,3 +1376,65 @@ def q35_global_share_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(CAST(rev AS STRING) AS DOUBLE)").alias("revenue"),
         F.col("share_ppm").cast("bigint").alias("share_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q36: blocked fuzzy self-match (record linkage) — near-identical part
+# names found by Levenshtein distance inside BLOCKS, never all-pairs.
+# The block key (first name token) caps the candidate space at
+# sum(|block|^2) — the standard blocking step every entity-resolution
+# pipeline runs before the expensive string metric; at 100 TB you widen
+# the key (first two tokens + length band) to keep blocks bounded, the
+# plan shape (equi-join on block key, metric as a post-join filter) is
+# unchanged. levenshtein() is unit-cost edit distance in both engines, so
+# the distances are exact integers; output is the per-block pair summary
+# (count / min / sum of distances), not the pair list, keeping the result
+# size |blocks|.
+_FUZZY_BLOCK_ORACLE = """
+    WITH p AS (
+        SELECT p_partkey, p_name, string_split(p_name, ' ')[1] AS blk
+        FROM part
+    ),
+    pairs AS (
+        SELECT a.blk, levenshtein(a.p_name, b.p_name) AS dist
+        FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+    )
+    SELECT blk,
+           CAST(COUNT(*) AS BIGINT) AS fuzzy_pairs,
+           CAST(MIN(dist) AS BIGINT) AS min_dist,
+           CAST(SUM(dist) AS BIGINT) AS sum_dist
+    FROM pairs
+    WHERE dist <= 3
+    GROUP BY blk
+"""
+
+
+@REGISTRY.add("q36_fuzzy_name_blocks", _FUZZY_BLOCK_ORACLE, "join", "linkage")
+def q36_fuzzy_name_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-block summary of part-name pairs within edit distance 3; the
+    self-join runs on the block key only, with levenshtein as a post-join
+    filter."""
+    p = load(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        F.split("p_name", " ").getItem(0).alias("blk"),
+    )
+    a = p.alias("a")
+    b = p.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+    ).select(
+        F.col("a.blk").alias("blk"),
+        F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).alias("dist"),
+    )
+    return (
+        pairs.where(F.col("dist") <= 3)
+        .groupBy("blk")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("fuzzy_pairs"),
+            F.min("dist").cast("bigint").alias("min_dist"),
+            F.sum("dist").cast("bigint").alias("sum_dist"),
+        )
+    )

@@ -507,3 +507,62 @@ def s10_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cms_est").cast("bigint").alias("cms_est"),
         (F.col("cms_est") - F.col("exact_cnt")).cast("bigint").alias("overcount"),
     )
+
+
+# ---------------------------------------------------------------------------
+# s11: equi-width histogram — the data-profiling primitive behind ANALYZE
+# histograms and UI distribution panels. Bin edges derive from the global
+# min/max, which ride a SINGLE-ROW broadcast into the binning pass (same
+# scalar-subquery shape as q35): two scans of customer, no window, no
+# single-partition funnel. All arithmetic is integer cents — the value has
+# at most 2 decimals, so DECIMAL(12,2)*100 is exact and the bin index is
+# one BIGINT floor-division both engines compute identically (no float
+# boundary can flip a row between bins). Scale: at 100 TB the min/max agg
+# and the binned count are both one map-side-combined aggregation each;
+# the bin count (12) is a constant, so the final groupBy is tiny.
+
+_HISTOGRAM_BINS = 12
+
+_HISTOGRAM_ORACLE = f"""
+    WITH c AS (
+        SELECT CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        FROM customer
+    ),
+    mm AS (SELECT MIN(cents) AS mn, MAX(cents) AS mx FROM c)
+    SELECT
+        CAST(LEAST((c.cents - mm.mn) * {_HISTOGRAM_BINS} // (mm.mx - mm.mn + 1),
+                   {_HISTOGRAM_BINS - 1}) AS BIGINT) AS bin,
+        CAST(MIN(mm.mn + ((mm.mx - mm.mn + 1) * LEAST((c.cents - mm.mn) * {_HISTOGRAM_BINS} // (mm.mx - mm.mn + 1), {_HISTOGRAM_BINS - 1})) // {_HISTOGRAM_BINS}) AS BIGINT) AS lo_cents,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(MIN(c.cents) AS BIGINT) AS bin_min_cents,
+        CAST(MAX(c.cents) AS BIGINT) AS bin_max_cents
+    FROM c, mm
+    GROUP BY 1
+"""
+
+
+@REGISTRY.add("s11_equiwidth_histogram", _HISTOGRAM_ORACLE, "profile", "agg")
+def s11_equiwidth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """12-bin equi-width histogram of customer.c_acctbal in exact integer
+    cents; global min/max arrive via a single-row broadcast."""
+    c = load(spark, sf_dir, "customer").select(
+        F.expr("CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        )
+    )
+    mm = c.agg(F.min("cents").alias("mn"), F.max("cents").alias("mx"))
+    b = _HISTOGRAM_BINS
+    binned = c.crossJoin(F.broadcast(mm)).withColumn(
+        "bin",
+        F.expr(f"least((cents - mn) * {b} div (mx - mn + 1), {b - 1})").cast(
+            "bigint"
+        ),
+    )
+    return binned.groupBy("bin").agg(
+        F.expr(f"CAST(MIN(mn + ((mx - mn + 1) * bin) div {b}) AS BIGINT)").alias(
+            "lo_cents"
+        ),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("cents").cast("bigint").alias("bin_min_cents"),
+        F.max("cents").cast("bigint").alias("bin_max_cents"),
+    )
