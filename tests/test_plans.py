@@ -159,3 +159,16 @@ def test_batch3_queries_stay_jvm_side(spark, sf_dir):
         plan = _plan(spark, sf_dir, name)
         assert "EvalPython" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_batch4_queries_stay_jvm_side(spark, sf_dir):
+    # s11's single-row min/max broadcast is the sanctioned nested-loop
+    # (1 row × customers, q35's shape); q36 must join on the block key
+    # (equi-join with levenshtein as a post-join filter), never all-pairs
+    for name in ("s11_equiwidth_histogram", "e22_transition_matrix",
+                 "q36_fuzzy_name_blocks"):
+        plan = _plan(spark, sf_dir, name)
+        assert "EvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+    plan = _plan(spark, sf_dir, "q36_fuzzy_name_blocks")
+    assert "blk" in plan  # the block key reaches the join, not the filter
