@@ -1,0 +1,57 @@
+#!/usr/bin/env python
+"""Round-start chore: fold CORRECTNESS_r{N}.json into registry._GREEN_ROUNDS.
+
+The verification rotation (registry.all_specs) orders queries
+least-recently-verified first so every query's newest green row stays at
+most two rounds old under the driver's ~50-row cap. That only works if
+each round's green set is recorded at the START of the next round; this
+script prints the ready-to-paste dict entry and flags queries that are
+about to go stale so the maintainer (human or agent) doesn't have to
+hand-transcribe 50 names.
+
+Usage: python scripts/update_green_rounds.py CORRECTNESS_r05.json
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import textwrap
+
+
+def green_names(path: str) -> list[str]:
+    with open(path) as f:
+        doc = json.load(f)
+    out = []
+    for name, row in doc.items():
+        if not isinstance(row, dict) or row.get("error"):
+            continue
+        if row.get("rows_match") and row.get("hash_match") in (True, None):
+            out.append(name)
+    return sorted(out)
+
+
+def main() -> int:
+    path = sys.argv[1] if len(sys.argv) > 1 else "CORRECTNESS_r05.json"
+    rnd = path.rsplit("_r", 1)[-1].split(".")[0]
+    names = green_names(path)
+    body = ", ".join(f'"{n}"' for n in names)
+    block = textwrap.fill(body, width=72, initial_indent=" " * 8,
+                          subsequent_indent=" " * 8)
+    print(f'    "r{int(rnd):02d}": frozenset({{\n{block}\n    }}),')
+
+    from research_data_pipeline_spark import registry as R  # noqa: E402
+
+    stale = [
+        n for n in R.REGISTRY.specs()
+        if n not in names and R._green_count(n) == 0
+    ]
+    if stale:
+        print(f"# NOT green in {path} and never green before "
+              f"(investigate before round ends): {stale}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, ".")
+    raise SystemExit(main())
