@@ -1384,9 +1384,16 @@ def q35_global_share_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The block key (first name token) caps the candidate space at
 # sum(|block|^2) — the standard blocking step every entity-resolution
 # pipeline runs before the expensive string metric; at 100 TB you widen
-# the key (first two tokens + length band) to keep blocks bounded, the
-# plan shape (equi-join on block key, metric as a post-join filter) is
-# unchanged. levenshtein() is unit-cost edit distance in both engines, so
+# the key (first two tokens + length band) to keep blocks bounded. The
+# oracle states the naive semantics (row-level self-join, one metric call
+# per row pair); the Spark plan applies MULTIPLICITY COMPRESSION on top:
+# group rows by (block, name) first, run levenshtein once per DISTINCT
+# name pair, and weight each distance by cnt_a·cnt_b (plus the
+# C(cnt,2) zero-distance self-pairs). Metric calls scale with
+# distinct-name pairs, not row pairs — on duplicate-heavy corpora (this
+# table: 64 names over 20k rows) that is orders of magnitude fewer DP
+# evaluations, and it is exactly how a production linkage pass survives
+# hot keys. levenshtein() is unit-cost edit distance in both engines, so
 # the distances are exact integers; output is the per-block pair summary
 # (count / min / sum of distances), not the pair list, keeping the result
 # size |blocks|.
@@ -1411,30 +1418,41 @@ _FUZZY_BLOCK_ORACLE = """
 
 @REGISTRY.add("q36_fuzzy_name_blocks", _FUZZY_BLOCK_ORACLE, "join", "linkage")
 def q36_fuzzy_name_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-block summary of part-name pairs within edit distance 3; the
-    self-join runs on the block key only, with levenshtein as a post-join
-    filter."""
+    """Per-block summary of part-name row pairs within edit distance 3,
+    computed over DISTINCT name pairs and re-weighted by group sizes —
+    identical to the oracle's row-level self-join, with levenshtein calls
+    proportional to distinct names, not rows."""
     p = load(spark, sf_dir, "part").select(
-        "p_partkey",
-        "p_name",
-        F.split("p_name", " ").getItem(0).alias("blk"),
+        "p_name", F.split("p_name", " ").getItem(0).alias("blk")
     )
-    a = p.alias("a")
-    b = p.alias("b")
-    pairs = a.join(
+    names = p.groupBy("blk", "p_name").agg(F.count(F.lit(1)).alias("cnt"))
+    a = names.alias("a")
+    b = names.alias("b")
+    # distinct cross-name pairs: cnt_a·cnt_b row pairs each (the
+    # p_partkey < p_partkey condition enumerates unordered row pairs, so
+    # name order can be fixed lexicographically)
+    cross = a.join(
         b,
         (F.col("a.blk") == F.col("b.blk"))
-        & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        & (F.col("a.p_name") < F.col("b.p_name")),
     ).select(
         F.col("a.blk").alias("blk"),
         F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).alias("dist"),
+        (F.col("a.cnt") * F.col("b.cnt")).alias("mult"),
+    )
+    # same-name row pairs: C(cnt, 2) at distance 0
+    selfp = names.where(F.col("cnt") >= 2).select(
+        "blk",
+        F.lit(0).alias("dist"),
+        (F.col("cnt") * (F.col("cnt") - 1) / 2).cast("bigint").alias("mult"),
     )
     return (
-        pairs.where(F.col("dist") <= 3)
+        cross.unionByName(selfp)
+        .where(F.col("dist") <= 3)
         .groupBy("blk")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("fuzzy_pairs"),
+            F.sum("mult").cast("bigint").alias("fuzzy_pairs"),
             F.min("dist").cast("bigint").alias("min_dist"),
-            F.sum("dist").cast("bigint").alias("sum_dist"),
+            F.sum(F.col("dist") * F.col("mult")).cast("bigint").alias("sum_dist"),
         )
     )
