@@ -51,3 +51,49 @@ def formatted_plan(df: DataFrame) -> str:
             "formatted"
         )
     )
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 256 * 1024 * 1024,
+    sort_within_by: list[str] | None = None,
+) -> int:
+    """Rewrite a parquet directory into ~``target_file_bytes`` files.
+
+    The small-files problem is the quiet killer of long-lived 100 TB
+    tables: thousands of KB-sized files from incremental appends turn
+    every scan into a task-scheduling storm and every footer read into an
+    S3 request stampede. This compacts in place: read → repartition to
+    ceil(total_bytes / target) → write to a sibling temp dir → atomic-ish
+    swap (delete old, rename temp), all through the Hadoop FileSystem API
+    so the same code runs on HDFS/S3A. ``sort_within_by`` optionally
+    sorts within files so min/max row-group statistics become selective
+    (the poor man's Z-order for one key). Returns the new file count.
+
+    Not transactional — run it from the single writer that owns the
+    table, the same serialization contract as write_jdbc_idempotent.
+    """
+    import math
+
+    from . import fs
+    from ..tables import invalidate_scan_units
+
+    total = fs.size_bytes(spark, path)
+    if total == 0:
+        return 0
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    if sort_within_by:
+        df = df.repartition(n_files).sortWithinPartitions(*sort_within_by)
+    else:
+        df = df.repartition(n_files)
+    tmp = path.rstrip("/") + "__compact_tmp"
+    df.write.mode("overwrite").parquet(tmp)
+    fs.delete(spark, path)
+    jfs, src = fs._fs_and_path(spark, tmp)
+    _, dst = fs._fs_and_path(spark, path)
+    if not jfs.rename(src, dst):
+        raise IOError(f"compact_parquet: rename {tmp} -> {path} failed")
+    invalidate_scan_units(path)
+    return n_files

@@ -71,6 +71,20 @@ def ensure_parallelism(df: DataFrame, path: str | None = None) -> DataFrame:
 _SCAN_UNITS: dict[tuple, int] = {}
 
 
+def invalidate_scan_units(path: str | None = None) -> None:
+    """Drop cached scan-unit probes for ``path`` (all paths when None).
+
+    The fingerprint in the cache key already catches local rewrites; this
+    hook exists for callers that rewrite REMOTE datasets in-session
+    (fingerprint ``()`` treats them as immutable) — e.g.
+    ``io.layout.compact_parquet`` after swapping a directory's layout."""
+    if path is None:
+        _SCAN_UNITS.clear()
+        return
+    for key in [k for k in _SCAN_UNITS if k[0] == path]:
+        del _SCAN_UNITS[key]
+
+
 def _layout_fingerprint(path: str) -> tuple:
     """(n_files, total_bytes, max_mtime_ns) for a local path; () when the
     path isn't local (remote layouts can't be statted cheaply — treated

@@ -57,3 +57,43 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
     got = {r.n_name: r["count"] for r in salted.collect()}
     exp = {r.n_name: r["count"] for r in plain.collect()}
     assert got == exp
+
+
+def test_compact_parquet_reduces_files_and_preserves_rows(spark, tmp_path):
+    from research_data_pipeline_spark.io.layout import compact_parquet
+
+    path = str(tmp_path / "frag")
+    df = spark.range(0, 10_000).withColumn("v", F.col("id") * 2)
+    df.repartition(32).write.parquet(path)  # 32 tiny files
+    import glob
+
+    assert len(glob.glob(f"{path}/*.parquet")) == 32
+    before = spark.read.parquet(path)
+    rows, total = before.count(), before.agg(F.sum("v")).first()[0]
+
+    n = compact_parquet(spark, path, target_file_bytes=1 << 30)
+    assert n == 1
+    files = glob.glob(f"{path}/*.parquet")
+    assert len(files) == 1
+    after = spark.read.parquet(path)
+    assert after.count() == rows
+    assert after.agg(F.sum("v")).first()[0] == total
+
+
+def test_compact_parquet_sorted_stats_become_selective(spark, tmp_path):
+    from research_data_pipeline_spark.io.layout import compact_parquet
+
+    path = str(tmp_path / "sorted")
+    spark.range(0, 50_000).withColumn(
+        "k", (F.col("id") * 7919) % 1000
+    ).repartition(16).write.parquet(path)
+    compact_parquet(spark, path, target_file_bytes=64 * 1024,
+                    sort_within_by=["k"])
+    # within every output file, k must be non-decreasing → row-group
+    # min/max stats are disjoint and selective
+    import pyarrow.parquet as pq
+    import glob
+
+    for f in glob.glob(f"{path}/*.parquet"):
+        ks = pq.read_table(f, columns=["k"]).column("k").to_pylist()
+        assert ks == sorted(ks), f
