@@ -560,3 +560,77 @@ def test_bloom_never_false_negative(spark, stored, probes):
     for r in res:
         if r["v"] in stored_set:
             assert r["might_contain"], r["v"]
+
+
+# ---------------------------------------------------------------------------
+# q36's multiplicity compression: the distinct-name-pair plan must equal
+# the naive row-level self-join for ANY name multiset, not just the part
+# fixture — duplicates, singleton blocks, and names identical across
+# blocks are the edge cases.
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    names=st.lists(
+        st.sampled_from(
+            ["ax one", "ax two", "ax two", "bz one", "bz onne", "bz x", "ax o"]
+        ),
+        min_size=2,
+        max_size=40,
+    )
+)
+def test_fuzzy_block_compression_matches_rowlevel(spark, names):
+    from pyspark.sql import functions as F
+
+    rows = [(i, n) for i, n in enumerate(names)]
+    p = spark.createDataFrame(rows, "p_partkey long, p_name string").select(
+        "p_partkey", "p_name", F.split("p_name", " ").getItem(0).alias("blk")
+    )
+    a, b = p.alias("a"), p.alias("b")
+    naive = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .select(
+            F.col("a.blk").alias("blk"),
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).alias("dist"),
+        )
+        .where(F.col("dist") <= 3)
+        .groupBy("blk")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("fuzzy_pairs"),
+            F.min("dist").cast("bigint").alias("min_dist"),
+            F.sum("dist").cast("bigint").alias("sum_dist"),
+        )
+    )
+
+    nm = p.groupBy("blk", "p_name").agg(F.count(F.lit(1)).alias("cnt"))
+    na, nb = nm.alias("a"), nm.alias("b")
+    cross = na.join(
+        nb,
+        (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.p_name") < F.col("b.p_name")),
+    ).select(
+        F.col("a.blk").alias("blk"),
+        F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).alias("dist"),
+        (F.col("a.cnt") * F.col("b.cnt")).alias("mult"),
+    )
+    selfp = nm.where(F.col("cnt") >= 2).select(
+        "blk",
+        F.lit(0).alias("dist"),
+        (F.col("cnt") * (F.col("cnt") - 1) / 2).cast("bigint").alias("mult"),
+    )
+    compressed = (
+        cross.unionByName(selfp)
+        .where(F.col("dist") <= 3)
+        .groupBy("blk")
+        .agg(
+            F.sum("mult").cast("bigint").alias("fuzzy_pairs"),
+            F.min("dist").cast("bigint").alias("min_dist"),
+            F.sum(F.col("dist") * F.col("mult")).cast("bigint").alias("sum_dist"),
+        )
+    )
+
+    lhs = sorted(map(tuple, naive.collect()))
+    rhs = sorted(map(tuple, compressed.collect()))
+    assert lhs == rhs
