@@ -229,6 +229,32 @@ _GREEN_ROUNDS: dict[str, frozenset[str]] = {
         "s01_hash_sample", "s03_approx_distinct", "s04_approx_quantiles",
         "s06_train_test_split", "s07_weighted_sample",
     }),
+    "r05": frozenset({
+        "d06_minhash_lsh", "d07_simhash_pairs", "d13b_ivf_lloyd_recall",
+        "d19_dedup_clusters", "d21_incremental_dedup",
+        "d22_chunk_dedup", "d23_benchmark_decontamination",
+        "d24_length_ntile", "d25_deterministic_shuffle",
+        "d26_semantic_dedup", "d27_bm25_topk", "d28_bigram_lm_nll",
+        "d29_source_mixture", "d31_ngram_novelty",
+        "d32_bpe_merge_candidates", "d33_tfidf_top_terms",
+        "e17_stream_stream_join", "e18_stream_stream_outer_join",
+        "e19_user_gap_stats", "e20_rolling_dau",
+        "e21_time_weighted_avg", "e22_transition_matrix",
+        "g02_ego_cosuppliers", "g05_connected_components",
+        "g06_pagerank", "g07_triangle_count", "g08_bfs_hops",
+        "g09_kcore", "g10_clustering_coefficient",
+        "g11_weighted_shortest_path", "m06_media_exact_dedup",
+        "m07_frame_dedup", "q08_cosupplier_count",
+        "q09_part_name_tokens", "q11_top_pct_customers",
+        "q19_order_date_parts", "q26_acctbal_quartiles",
+        "q29_grouping_sets", "q30_salted_flag_stats",
+        "q31_full_outer_nation_profile", "q32_above_nation_avg",
+        "q33_unpivot_balances", "q34_range_frame_revenue",
+        "q35_global_share_parts", "q36_fuzzy_name_blocks",
+        "s05_stratified_sample", "s08_column_stats",
+        "s09_weighted_sample_wor", "s10_countmin_sketch",
+        "s11_equiwidth_histogram"
+    }),
 }
 
 # Queries whose implementation changed materially AFTER their newest green
@@ -238,17 +264,9 @@ _GREEN_ROUNDS: dict[str, frozenset[str]] = {
 # the rewrite claims an early verification slot in the next round; clear
 # the set once the post-rewrite green row lands.
 _REWRITTEN_SINCE_GREEN: set[str] = {
-    # round-4 rewrites whose newest green row (r03) predates them:
-    # d07 pigeonhole banding, g02 semi-join pruning, q08 co-occurrence
-    # via collect_set + double explode
-    "d07_simhash_pairs",
-    "g02_ego_cosuppliers",
-    "q08_cosupplier_count",
-    # round-5 rewrites after CORRECTNESS_r04: d06/d19 share one LSH pair
-    # stream; g05's convergence probe was fixed for string ids
-    "d06_minhash_lsh",
-    "d19_dedup_clusters",
-    "g05_connected_components",
+    # (r05 verified all round-4/5 rewrites — d06/d07/d19/g02/g05/q08 all
+    # have post-rewrite green rows in CORRECTNESS_r05.json; set cleared.)
+    # Add round-6 rewrites here as they land.
 }
 
 

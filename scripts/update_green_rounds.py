@@ -24,9 +24,11 @@ def green_names(path: str) -> list[str]:
         doc = json.load(f)
     out = []
     for name, row in doc.items():
-        if not isinstance(row, dict) or row.get("error"):
+        if not isinstance(row, dict) or row.get("err"):
             continue
-        if row.get("rows_match") and row.get("hash_match") in (True, None):
+        if (row.get("rows_match")
+                and row.get("schema_match") in (True, None)
+                and row.get("hash_match") in (True, None)):
             out.append(name)
     return sorted(out)
 
