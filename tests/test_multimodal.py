@@ -40,3 +40,92 @@ def test_frame_sample_prunes_to_video(spark, sf_dir):
     out = ops.sample_frames(m).select("doc_id").distinct()
     kinds = out.join(m, "doc_id").select("kind").distinct().collect()
     assert [r.kind for r in kinds] == ["video"]
+
+
+# ---------------------------------------------------------------------------
+# Real PNG codec (multimodal/png.py): stdlib zlib decode — the live
+# branch of decode_image_real, no fake anywhere in the path.
+
+def _rng_image(shape, seed):
+    import numpy as np
+
+    return np.random.RandomState(seed).randint(0, 256, shape).astype(np.uint8)
+
+
+def test_png_roundtrip_all_shapes_and_filters():
+    import numpy as np
+
+    from research_data_pipeline_spark.multimodal.png import decode_png, encode_png
+
+    shapes = [(5, 7), (4, 6, 3), (3, 5, 4)]  # gray8 / RGB8 / RGBA8
+    for seed, shape in enumerate(shapes):
+        img = _rng_image(shape, seed)
+        for ftype in range(5):  # None/Sub/Up/Average/Paeth unfilter paths
+            out = decode_png(encode_png(img, filter_type=ftype))
+            np.testing.assert_array_equal(out, img, err_msg=f"{shape} f{ftype}")
+
+
+def test_png_gradient_known_pixels():
+    """Decode a PNG we can verify pixel-by-pixel without the encoder:
+    a horizontal gradient where pixel (y, x) == (x * 16) % 256."""
+    import numpy as np
+
+    from research_data_pipeline_spark.multimodal.png import decode_png, encode_png
+
+    img = np.fromfunction(lambda y, x: (x * 16) % 256, (8, 16)).astype(np.uint8)
+    out = decode_png(encode_png(img, filter_type=1))
+    assert out.shape == (8, 16)
+    assert out[3, 5] == 80 and out[0, 15] == 240
+    np.testing.assert_array_equal(out, img)
+
+
+def test_png_rejects_unsupported():
+    from research_data_pipeline_spark.multimodal.png import decode_png
+
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"\xff\xd8\xff\xe0notapng")
+
+
+def test_decode_image_real_live_png_branch():
+    """decode_image_real is no longer a stub for PNG payloads."""
+    import numpy as np
+
+    from research_data_pipeline_spark.multimodal.png import encode_png
+
+    img = _rng_image((6, 6, 3), 42)
+    out = ops.decode_image_real(encode_png(img, filter_type=4))
+    np.testing.assert_array_equal(out, img)
+    # non-PNG bytes still hit the loud codec gate
+    with pytest.raises(NotImplementedError):
+        ops.decode_image_real(b"\xff\xd8\xff\xe0")
+
+
+def test_real_decode_stats_spark_end_to_end(spark):
+    """Real PNGs through the Spark mapInPandas operator: per-image pixel
+    stats must match numpy ground truth computed on the driver."""
+    import numpy as np
+
+    from research_data_pipeline_spark.multimodal.png import encode_png
+
+    imgs = {
+        1: _rng_image((9, 4), 1),        # gray
+        2: _rng_image((3, 8, 3), 2),     # rgb
+        3: _rng_image((5, 5, 4), 3),     # rgba
+    }
+    rows = [
+        (doc_id, "image", bytearray(encode_png(img, filter_type=doc_id % 5)))
+        for doc_id, img in imgs.items()
+    ] + [(99, "audio", bytearray(b"\x00\x01"))]  # pruned before the UDF
+    media = spark.createDataFrame(
+        rows, "doc_id bigint, kind string, payload binary"
+    )
+    got = {r.doc_id: r for r in ops.real_decode_stats(media).collect()}
+    assert set(got) == set(imgs)
+    for doc_id, img in imgs.items():
+        r = got[doc_id]
+        h, w = img.shape[:2]
+        ch = 1 if img.ndim == 2 else img.shape[2]
+        assert (r.width, r.height, r.channels) == (w, h, ch)
+        assert r.n_pixels == h * w
+        assert r.pixel_sum == int(img.sum(dtype=np.int64))
+        assert r.max_pixel == int(img.max())
