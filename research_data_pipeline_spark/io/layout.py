@@ -79,8 +79,20 @@ def compact_parquet(
     from . import fs
     from ..tables import invalidate_scan_units
 
+    tmp = path.rstrip("/") + "__compact_tmp"
+    old = path.rstrip("/") + "__compact_old"
     total = fs.size_bytes(spark, path)
     if total == 0:
+        # An orphaned temp/old sibling means a previous compaction died
+        # mid-swap and the data lives ONLY there — silently returning 0
+        # would mask the half-finished state forever. Fail loudly with
+        # the recovery hint instead.
+        if fs.exists(spark, tmp) or fs.exists(spark, old):
+            raise IOError(
+                f"compact_parquet: {path} is empty but a leftover "
+                f"{tmp if fs.exists(spark, tmp) else old} exists — a prior "
+                "compaction crashed mid-swap; rename it back to recover"
+            )
         return 0
     n_files = max(1, math.ceil(total / target_file_bytes))
     df = spark.read.parquet(path)
@@ -88,12 +100,22 @@ def compact_parquet(
         df = df.repartition(n_files).sortWithinPartitions(*sort_within_by)
     else:
         df = df.repartition(n_files)
-    tmp = path.rstrip("/") + "__compact_tmp"
     df.write.mode("overwrite").parquet(tmp)
-    fs.delete(spark, path)
+    # Swap order matters for crash safety: park the live dir aside FIRST,
+    # promote the temp, then drop the parked copy. A crash between any
+    # two steps leaves the data intact under exactly one of path /
+    # path__compact_old / path__compact_tmp — never deleted-with-tmp-only
+    # (the advisor's failure mode for the old delete-then-rename order).
     jfs, src = fs._fs_and_path(spark, tmp)
     _, dst = fs._fs_and_path(spark, path)
+    _, parked = fs._fs_and_path(spark, old)
+    fs.delete(spark, old)  # clear any stale parked copy from a crash
+    if not jfs.rename(dst, parked):
+        raise IOError(f"compact_parquet: rename {path} -> {old} failed")
     if not jfs.rename(src, dst):
+        # roll back so the table stays readable at its original path
+        jfs.rename(parked, dst)
         raise IOError(f"compact_parquet: rename {tmp} -> {path} failed")
+    fs.delete(spark, old)
     invalidate_scan_units(path)
     return n_files

@@ -1444,7 +1444,9 @@ def q36_fuzzy_name_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     selfp = names.where(F.col("cnt") >= 2).select(
         "blk",
         F.lit(0).alias("dist"),
-        (F.col("cnt") * (F.col("cnt") - 1) / 2).cast("bigint").alias("mult"),
+        # integer C(cnt,2): `div` keeps the product/quotient in BIGINT —
+        # float `/` is only exact below 2^53 (advisor round-5 note)
+        F.expr("cnt * (cnt - 1) div 2").alias("mult"),
     )
     return (
         cross.unionByName(selfp)

@@ -266,7 +266,9 @@ _GREEN_ROUNDS: dict[str, frozenset[str]] = {
 _REWRITTEN_SINCE_GREEN: set[str] = {
     # (r05 verified all round-4/5 rewrites — d06/d07/d19/g02/g05/q08 all
     # have post-rewrite green rows in CORRECTNESS_r05.json; set cleared.)
-    # Add round-6 rewrites here as they land.
+    # round 6: q36's self-pair multiplicity switched from float-div-cast
+    # to integer `div` (advisor note) after its r05 green row
+    "q36_fuzzy_name_blocks",
 }
 
 

@@ -97,3 +97,27 @@ def test_compact_parquet_sorted_stats_become_selective(spark, tmp_path):
     for f in glob.glob(f"{path}/*.parquet"):
         ks = pq.read_table(f, columns=["k"]).column("k").to_pylist()
         assert ks == sorted(ks), f
+
+
+def test_compact_parquet_orphan_tmp_is_an_error_not_a_noop(spark, tmp_path):
+    """A crash between the old delete-then-rename steps left data only in
+    __compact_tmp; rerunning must fail loudly, not silently return 0."""
+    from research_data_pipeline_spark.io.layout import compact_parquet
+
+    path = str(tmp_path / "crashed")
+    spark.range(0, 100).write.parquet(path + "__compact_tmp")
+    with pytest.raises(IOError, match="crashed mid-swap"):
+        compact_parquet(spark, path)
+
+
+def test_compact_parquet_swap_never_orphans_live_data(spark, tmp_path):
+    """After a successful compact there is exactly one directory (the
+    table path) and no parked/tmp siblings."""
+    import glob
+    from research_data_pipeline_spark.io.layout import compact_parquet
+
+    path = str(tmp_path / "swap")
+    spark.range(0, 1000).repartition(8).write.parquet(path)
+    compact_parquet(spark, path, target_file_bytes=1 << 30)
+    assert not glob.glob(path + "__compact_*")
+    assert spark.read.parquet(path).count() == 1000

@@ -171,4 +171,12 @@ def test_batch4_queries_stay_jvm_side(spark, sf_dir):
         assert "EvalPython" not in plan, name
         assert "CartesianProduct" not in plan, name
     plan = _plan(spark, sf_dir, "q36_fuzzy_name_blocks")
-    assert "blk" in plan  # the block key reaches the join, not the filter
+    # the block key must be a JOIN key (the formatted plan's "Left keys"
+    # list under a hash/sort-merge join node), not merely survive in a
+    # post-join Filter/Project — a regression to cartesian-plus-filter
+    # would still contain the substring 'blk'
+    assert re.search(
+        r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"
+        r"[\s\S]{0,200}?Left keys \[\d+\]: \[blk#",
+        plan,
+    ), plan[:2000]
