@@ -1534,6 +1534,141 @@ def d32_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# d32b: ITERATED BPE training — the actual tokenizer-training inner loop,
+# not just one candidate ranking: K rounds of (count adjacent symbol
+# pairs weighted by word frequency → take the top pair → greedily merge
+# it left-to-right in every word). Returns the K merges in training
+# order with their pre-merge corpus counts — the start of a merges.txt.
+#
+# Scale shape: the corpus-sized work (word-frequency table) happens
+# ONCE; every round after that runs on the VOCABULARY (distinct words),
+# which is what makes industrial BPE trainers feasible — and the same
+# property holds here: K-1 of the K rounds touch only |V| rows. The
+# top-1 pair is a 1-row broadcast into the merge step, so the whole
+# K-round loop is one lazy plan with no driver collect.
+#
+# Greedy merge semantics (both engines, verified property-tested): fold
+# left-to-right over the word's symbols; when the accumulator's last
+# symbol == left and the next symbol == right, replace the last symbol
+# with left||right (consuming both), else append. "aaa" + (a,a) →
+# [aa, a], never [a, aa] — the standard non-overlapping BPE scan. The
+# DuckDB oracle folds into a US-separator-joined string (list_reduce's
+# accumulator must be scalar); symbols never contain chr(31), so the
+# separator test is an exact last-symbol match.
+_BPE_ITERS = 5
+
+
+def _bpe_oracle(k: int) -> str:
+    parts = [f"""
+    WITH tok AS (SELECT unnest({_TOKS}) AS t FROM documents),
+    tf AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS f FROM tok
+           WHERE t <> '' GROUP BY t),
+    w0 AS (SELECT list_transform(generate_series(1, length(t)),
+                                 i -> substring(t, i, 1)) AS s, f FROM tf)"""]
+    for i in range(1, k + 1):
+        parts.append(f""",
+    p{i} AS (
+        SELECT s[i] AS lhs, s[i + 1] AS rhs, CAST(SUM(f) AS BIGINT) AS n
+        FROM w{i - 1}, UNNEST(generate_series(1, len(s) - 1)) AS g(i)
+        GROUP BY 1, 2
+    ),
+    t{i} AS (SELECT lhs, rhs, n FROM p{i} ORDER BY n DESC, lhs, rhs LIMIT 1),
+    w{i} AS (
+        SELECT string_split(
+            list_reduce(s, (acc, x) ->
+                CASE WHEN (acc = t{i}.lhs
+                           OR ends_with(acc, chr(31) || t{i}.lhs))
+                          AND x = t{i}.rhs
+                     THEN acc || t{i}.rhs
+                     ELSE acc || chr(31) || x END),
+            chr(31)) AS s, f
+        FROM w{i - 1} CROSS JOIN t{i}
+    )""")
+    sel = "\n    UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS step, lhs, rhs, n AS n_occurrences "
+        f"FROM t{i}" for i in range(1, k + 1)
+    )
+    parts.append(f"\n    {sel}")
+    return "".join(parts)
+
+
+_BPE_ITER_ORACLE = _bpe_oracle(_BPE_ITERS)
+
+
+def _bpe_merge_round(words: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """One BPE round on a (s: array<string>, f: bigint) vocabulary table:
+    returns (top1 pair DataFrame, merged vocabulary DataFrame)."""
+    starts = F.when(
+        F.size("s") >= 2, F.sequence(F.lit(1), F.size("s") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    pairs = words.select(F.explode(starts).alias("i"), "s", "f").select(
+        F.element_at("s", F.col("i")).alias("lhs"),
+        F.element_at("s", F.col("i") + 1).alias("rhs"),
+        "f",
+    )
+    top1 = (
+        pairs.groupBy("lhs", "rhs")
+        .agg(F.sum("f").alias("n"))
+        .orderBy(F.col("n").desc(), "lhs", "rhs")
+        .limit(1)
+    )
+    j = words.crossJoin(F.broadcast(top1.select("lhs", "rhs")))
+    # greedy left-to-right fold; F.get is the ANSI-safe last-element probe
+    # (NULL on the empty accumulator, no out-of-bounds error)
+    merged = j.select(
+        F.aggregate(
+            "s",
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.get(acc, F.size(acc) - 1) == F.col("lhs"))
+                & (x == F.col("rhs")),
+                F.concat(
+                    F.slice(acc, F.lit(1), F.size(acc) - 1),
+                    F.array(F.concat(F.col("lhs"), F.col("rhs"))),
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        ).alias("s"),
+        "f",
+    )
+    return top1, merged
+
+
+@REGISTRY.add("d32b_bpe_training", _BPE_ITER_ORACLE, "text", "tokenizer")
+def d32b_bpe_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First ``_BPE_ITERS`` BPE merges learned from the corpus: per round,
+    the winning (lhs, rhs) pair and its frequency-weighted count."""
+    d = load(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(T.tokens(F.col("text"))).alias("t"))
+        .where(F.col("t") != "")
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    words = tf.select(
+        F.transform(
+            F.sequence(F.lit(1), F.length("t")),
+            lambda i: F.col("t").substr(i, F.lit(1)),
+        ).alias("s"),
+        "f",
+    )
+    steps = []
+    for step in range(1, _BPE_ITERS + 1):
+        top1, words = _bpe_merge_round(words)
+        steps.append(
+            top1.select(
+                F.lit(step).cast("bigint").alias("step"),
+                "lhs",
+                "rhs",
+                F.col("n").cast("bigint").alias("n_occurrences"),
+            )
+        )
+    out = steps[0]
+    for s in steps[1:]:
+        out = out.unionByName(s)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # d33: per-source TF-IDF top terms — the "what characterizes this slice
 # of the corpus" keyword profile (source auditing: a crawl whose top
 # terms are boilerplate names its extraction bug; per-domain profiles

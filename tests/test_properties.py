@@ -634,3 +634,79 @@ def test_fuzzy_block_compression_matches_rowlevel(spark, names):
     lhs = sorted(map(tuple, naive.collect()))
     rhs = sorted(map(tuple, compressed.collect()))
     assert lhs == rhs
+
+
+def _bpe_reference(words: dict[str, int], k: int) -> list[tuple]:
+    """Plain-Python BPE trainer: greedy left-to-right merge, top pair by
+    (count desc, lhs asc, rhs asc). The ground truth for d32b."""
+    vocab = {tuple(w): f for w, f in words.items()}
+    merges = []
+    for step in range(1, k + 1):
+        counts: dict[tuple, int] = {}
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] = counts.get(
+                    (syms[i], syms[i + 1]), 0
+                ) + f
+        if not counts:
+            break
+        (lhs, rhs), n = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((step, lhs, rhs, n))
+        new_vocab: dict[tuple, int] = {}
+        for syms, f in vocab.items():
+            out: list[str] = []
+            for s in syms:
+                if out and out[-1] == lhs and s == rhs:
+                    out[-1] = lhs + rhs
+                else:
+                    out.append(s)
+            t = tuple(out)
+            new_vocab[t] = new_vocab.get(t, 0) + f
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_training_matches_reference_on_overlap_heavy_corpus(spark, tmp_path):
+    """Overlap-heavy words (aaa, abab, aabaa) are exactly where a wrong
+    merge scan diverges: greedy left-to-right must give aaa+(a,a)->[aa,a].
+    Run d32b's Spark loop on a crafted corpus vs the Python reference."""
+    from research_data_pipeline_spark.queries.docs import (
+        _bpe_merge_round,
+        _BPE_ITERS,
+    )
+    from pyspark.sql import functions as F
+
+    corpus = {
+        "aaa": 50, "aaaa": 30, "abab": 40, "aabaa": 20,
+        "banana": 25, "low": 60, "lower": 35, "lowest": 15, "a": 10,
+    }
+    words = spark.createDataFrame(
+        [(list(w), f) for w, f in corpus.items()], "s array<string>, f bigint"
+    )
+    got = []
+    for step in range(1, _BPE_ITERS + 1):
+        top1, words = _bpe_merge_round(words)
+        r = top1.collect()[0]
+        got.append((step, r.lhs, r.rhs, int(r.n)))
+    assert got == _bpe_reference(corpus, _BPE_ITERS)
+    # the vocabulary itself must match after all merges
+    final_ref = {}
+    vocab = {tuple(w): f for w, f in corpus.items()}
+    for step, lhs, rhs, _ in got:
+        nv = {}
+        for syms, f in vocab.items():
+            out = []
+            for s in syms:
+                if out and out[-1] == lhs and s == rhs:
+                    out[-1] = lhs + rhs
+                else:
+                    out.append(s)
+            nv[tuple(out)] = nv.get(tuple(out), 0) + f
+        vocab = nv
+    got_vocab = {
+        tuple(r.s): int(r.f)
+        for r in words.groupBy("s").agg(F.sum("f").alias("f")).collect()
+    }
+    assert got_vocab == vocab
