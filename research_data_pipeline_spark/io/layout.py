@@ -43,6 +43,35 @@ def n_exchanges(df: DataFrame) -> int:
     return plan.count("Exchange")
 
 
+def shuffle_metrics(df: DataFrame) -> dict[str, int]:
+    """Execute ``df`` and sum shuffle metrics across every Exchange node
+    of the EXECUTED plan: {"bytes": shuffleBytesWritten, "records":
+    shuffleRecordsWritten, "exchanges": n}.
+
+    The measured counterpart to :func:`n_exchanges` — plan-text
+    assertions prove an Exchange disappeared, this proves how many bytes
+    it was moving. Run with AQE disabled for a stable node tree
+    (AdaptiveSparkPlanExec hides its final children from py4j traversal).
+    """
+    df.collect()
+    totals = {"bytes": 0, "records": 0, "exchanges": 0}
+
+    def walk(node) -> None:
+        if "Exchange" in node.nodeName():
+            totals["exchanges"] += 1
+            m = node.metrics()
+            for key, out in (("shuffleBytesWritten", "bytes"),
+                             ("shuffleRecordsWritten", "records")):
+                if m.contains(key):
+                    totals[out] += int(m.apply(key).value())
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return totals
+
+
 def formatted_plan(df: DataFrame) -> str:
     """The ``explain("formatted")`` text as a string (test/diagnostic):
     shows PushedFilters, ReadSchema, join strategies, codegen spans."""

@@ -44,7 +44,10 @@ _PCT = 10.0
 
 
 def star_tables(
-    spark: SparkSession, sf_dir: str, full_author: bool = False
+    spark: SparkSession,
+    sf_dir: str,
+    full_author: bool = False,
+    authorship: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
     """(author, authorship, article, journal) star schema from TPC-H.
 
@@ -64,14 +67,20 @@ def star_tables(
     fact-scale shuffle each) — only dwh4 reads those columns, so the
     other queries skip that work entirely (column pruning can't remove a
     join that was already planned)."""
-    l = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
     n = load(spark, sf_dir, "nation")
 
-    authorship = l.select(
-        F.col("l_orderkey").alias("article_id"), F.col("l_suppkey").alias("author_id")
-    ).distinct()
+    if authorship is None:
+        l = load(spark, sf_dir, "lineitem")
+        authorship = l.select(
+            F.col("l_orderkey").alias("article_id"),
+            F.col("l_suppkey").alias("author_id"),
+        ).distinct()
+    # else: caller supplies a materialized authorship — typically a table
+    # bucketed on author_id (io.layout.write_bucketed), which makes the
+    # per-author aggregation below exchange-free (tests/test_layout.py
+    # proves the Exchange disappears and measures the shuffle-bytes win)
     article = (
         o.join(c, o["o_custkey"] == c["c_custkey"])
         .select(

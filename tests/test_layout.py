@@ -121,3 +121,46 @@ def test_compact_parquet_swap_never_orphans_live_data(spark, tmp_path):
     compact_parquet(spark, path, target_file_bytes=1 << 30)
     assert not glob.glob(path + "__compact_*")
     assert spark.read.parquet(path).count() == 1000
+
+
+def test_bucketed_authorship_makes_author_aggs_exchange_free(warehouse, sf_dir):
+    """The star schema's hottest repeated shape — per-author aggregation
+    over the fact-scale authorship table (dwh1-dwh3's base) — loses its
+    Exchange entirely when authorship is written bucketed on author_id,
+    and the measured shuffle drops to zero bytes."""
+    from research_data_pipeline_spark.io.layout import shuffle_metrics
+    from research_data_pipeline_spark.queries.dwh_star import star_tables
+
+    spark = warehouse
+    spark.sql("DROP TABLE IF EXISTS b_authorship")
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    authorship = l.select(
+        F.col("l_orderkey").alias("article_id"),
+        F.col("l_suppkey").alias("author_id"),
+    ).distinct()
+    write_bucketed(authorship, "b_authorship", ["author_id"], n_buckets=8)
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        plain_agg = authorship.groupBy("author_id").count()
+        bucketed_agg = spark.table("b_authorship").groupBy("author_id").count()
+        plain = shuffle_metrics(plain_agg)
+        bucketed = shuffle_metrics(bucketed_agg)
+        # same answer, zero shuffle on the bucketed side
+        assert bucketed["bytes"] == 0 and bucketed["exchanges"] == 0
+        assert plain["bytes"] > 0 and plain["exchanges"] >= 1
+        assert sorted(map(tuple, plain_agg.collect())) == sorted(
+            map(tuple, bucketed_agg.collect())
+        )
+        # end-to-end: the dwh author table built from the bucketed input
+        # plans strictly fewer exchanges than from the raw scan
+        author_plain, *_ = star_tables(spark, sf_dir)
+        author_bucketed, *_ = star_tables(
+            spark, sf_dir, authorship=spark.table("b_authorship")
+        )
+        assert n_exchanges(author_bucketed) < n_exchanges(author_plain)
+        assert sorted(map(tuple, author_bucketed.collect())) == sorted(
+            map(tuple, author_plain.collect())
+        )
+    finally:
+        spark.conf.unset("spark.sql.adaptive.enabled")
+        spark.sql("DROP TABLE IF EXISTS b_authorship")
