@@ -900,3 +900,37 @@ def e22_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n"),
         F.expr("(n * 1000000) div out_n").cast("bigint").alias("p_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# e23: watermark-SCOPED streaming dedup with duplicate replay — the
+# state-bounded production variant of e07 (whose dropDuplicates state
+# grows forever on an infinite stream). Batch 1 streams the whole
+# fixture; batch 2 replays event_id % 100 == 0 at arrival time max_ts.
+# Keys first seen before max_ts - 2×7d have had their state evicted →
+# the replay re-emits (n_emits = 2, at-least-once); keys inside the
+# horizon dedup silently (n_emits = 1). The ±1 day exclusion band around
+# the eviction boundary keeps both engines' answers identical without
+# pinning Spark's internal <= vs < eviction compare.
+_WM_DEDUP_ORACLE = """
+    WITH mx AS (SELECT MAX(ts) AS max_ts FROM events),
+    re AS (
+        SELECT event_id FROM events, mx
+        WHERE event_id % 100 = 0 AND ts < max_ts - INTERVAL 15 DAY
+    )
+    SELECT event_id, CAST(COUNT(*) AS BIGINT) AS n_emits FROM (
+        SELECT event_id FROM events
+        UNION ALL SELECT event_id FROM re
+    ) GROUP BY event_id
+"""
+
+
+@REGISTRY.add("e23_watermark_dedup_replay", _WM_DEDUP_ORACLE, "events",
+              "streaming", "dedup")
+def e23_watermark_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark under a real duplicate replay: every
+    key emits once, plus a second emission for replayed keys whose dedup
+    state the 7-day watermark horizon already evicted."""
+    from ..streaming.jobs import run_watermark_dedup_replay
+
+    return run_watermark_dedup_replay(spark, f"{sf_dir}/events.parquet")

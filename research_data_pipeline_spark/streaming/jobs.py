@@ -65,14 +65,20 @@ def _stream_state_partitions(spark: SparkSession, events_path: str) -> int:
 
 
 def _run_stream_to_batch(spark: SparkSession, events_path: str, transform,
-                         output_mode: str, sentinel: DataFrame | None = None) -> DataFrame:
+                         output_mode: str,
+                         sentinel: DataFrame | list[DataFrame] | None = None,
+                         reader_options: dict[str, str] | None = None) -> DataFrame:
     """Run ``transform(stream_df)`` as a real streaming query over the
     parquet file and return the drained result as a batch DataFrame.
 
-    ``sentinel`` rows (if given) are staged as a second source file: their
+    ``sentinel`` rows (if given) are staged as later source files: their
     event time advances the watermark past every real session/window so
     append-mode state flushes deterministically on drain. Callers filter
-    the sentinel keys back out.
+    the sentinel keys back out. A LIST of DataFrames stages each as its
+    own strictly-later file (modification-time order), so that with
+    ``maxFilesPerTrigger=1`` each becomes its own micro-batch — the knob
+    replay/eviction tests need, since stateful operators evict expired
+    state at the END of the batch in which the watermark passed it.
 
     The staged-source and checkpoint temp dirs are removed on exit, and
     the memory-sink table is dropped once its rows are copied into a
@@ -96,8 +102,26 @@ def _run_stream_to_batch(spark: SparkSession, events_path: str, transform,
         except OSError:
             shutil.copyfile(events_path, staged)
         if sentinel is not None:
-            sentinel.write.mode("append").parquet(src_dir)
-        stream = normalize_nanos(spark.readStream.schema(schema).parquet(src_dir))
+            sentinels = sentinel if isinstance(sentinel, list) else [sentinel]
+            # the file source orders by modification time; stamp each
+            # sentinel file strictly after the staged input (and after
+            # the previous sentinel) so batch splitting via
+            # maxFilesPerTrigger=1 is deterministic even on the copyfile
+            # fallback, where everything shares the current clock second
+            staged_mtime = os.stat(staged).st_mtime
+            seen = {staged}
+            for i, s in enumerate(sentinels, start=1):
+                s.write.mode("append").parquet(src_dir)
+                t = staged_mtime + 60 * i
+                for fn in os.listdir(src_dir):
+                    p = os.path.join(src_dir, fn)
+                    if p not in seen and fn.endswith(".parquet"):
+                        os.utime(p, (t, t))
+                        seen.add(p)
+        reader = spark.readStream.schema(schema)
+        for k, v in (reader_options or {}).items():
+            reader = reader.option(k, v)
+        stream = normalize_nanos(reader.parquet(src_dir))
         name = f"stream_{uuid.uuid4().hex[:8]}"
         spark.conf.set(
             "spark.sql.shuffle.partitions",
@@ -148,6 +172,72 @@ def streaming_dedup(df: DataFrame, keys: list[str], late: str = "10 minutes") ->
     """Stateful exact dedup on a stream: watermark bounds the dedup state
     (reference's ON CONFLICT DO NOTHING idempotency, streaming form)."""
     return df.withWatermark("ts", late).dropDuplicates(keys)
+
+
+def run_watermark_dedup_replay(spark: SparkSession, events_path: str,
+                               delay: str = "7 days") -> DataFrame:
+    """``dropDuplicatesWithinWatermark`` with a real duplicate REPLAY —
+    the state-BOUNDED production variant of ``run_dedup_stream_to_batch``
+    (whose ``dropDuplicates`` state grows forever on an infinite stream).
+
+    Three micro-batches (``maxFilesPerTrigger=1``): batch 1 is the
+    events file (emits every key's first arrival; its max event time
+    sets the next watermark to ``max_ts - delay``); batch 2 is a single
+    advancer row — stateful operators evict expired state at the END of
+    the batch in which the watermark has passed it, so this batch is
+    what actually evicts (verified: a replay arriving in batch 2 still
+    deduped against stale state); batch 3 replays a deterministic subset
+    of keys (``event_id % 100 == 0``) at arrival time ``max_ts``. Keys whose
+    first arrival was older than ``max_ts - 2·delay`` have had their
+    dedup state EVICTED, so the replay is re-emitted (the at-least-once
+    cost of bounding state); keys still inside the horizon dedup
+    silently. The replay set excludes a ±1 day band around the eviction
+    boundary so both engines agree without pinning Spark's <= vs <
+    eviction comparison; each behavior is asserted non-empty in
+    tests/test_streaming_semantics.py.
+
+    Output: (event_id, n_emits) — n_emits is 2 for evicted-then-replayed
+    keys, 1 otherwise. Returns a batch DataFrame after drain.
+    """
+    from ..session import apply_runtime_confs
+    from ..tables import normalize_nanos
+
+    apply_runtime_confs(spark)
+    ev = normalize_nanos(spark.read.parquet(events_path))
+    # one scalar to the driver (bounded): the fixture's max event time
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    replay = (
+        ev.where(
+            (F.col("event_id") % 100 == 0)
+            & (
+                (F.col("ts") < F.lit(max_ts) - F.expr("INTERVAL 15 DAYS"))
+                | (F.col("ts") > F.lit(max_ts) - F.expr("INTERVAL 13 DAYS"))
+            )
+        )
+        .withColumn("ts", F.lit(max_ts))
+        .coalesce(1)
+    )
+    advancer = (
+        ev.limit(1)
+        .withColumn("event_id", F.lit(-1).cast("long"))
+        .withColumn("ts", F.lit(max_ts))
+        .coalesce(1)
+    )
+    emitted = _run_stream_to_batch(
+        spark,
+        events_path,
+        lambda s: s.withWatermark("ts", delay)
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id"),
+        "append",
+        sentinel=[advancer, replay],
+        reader_options={"maxFilesPerTrigger": "1"},
+    )
+    return (
+        emitted.where(F.col("event_id") >= 0)
+        .groupBy("event_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_emits"))
+    )
 
 
 def sliding_agg(df: DataFrame, window: str = "10 minutes", slide: str = "5 minutes",

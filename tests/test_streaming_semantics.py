@@ -75,3 +75,25 @@ def test_stream_lands_in_date_partitions(spark, sf_dir, tmp_path):
     # date filters prune at the directory level
     one_day = back.where(F.col("event_date") == back.select("event_date").first()[0])
     assert one_day.count() > 0
+
+
+def test_watermark_dedup_replay_shows_both_behaviors(spark, sf_dir):
+    """The watermark-scoped dedup must exhibit BOTH production behaviors
+    on the fixture: replayed keys inside the state horizon dedup
+    (n_emits=1), keys past it re-emit after eviction (n_emits=2) — and
+    nothing emits more than twice."""
+    from research_data_pipeline_spark.streaming.jobs import (
+        run_watermark_dedup_replay,
+    )
+    from pyspark.sql import functions as F
+
+    out = run_watermark_dedup_replay(spark, f"{sf_dir}/events.parquet")
+    counts = {r.n_emits: r.n for r in
+              out.groupBy("n_emits").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts.get(2, 0) > 0, "no eviction re-emission observed"
+    assert counts.get(1, 0) > 0
+    assert set(counts) == {1, 2}
+    # every event_id of the fixture appears (first arrivals always emit)
+    n_ids = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id").distinct().count()
+    assert out.count() == n_ids
