@@ -177,6 +177,10 @@ def scalable_prefix_sum(
     for pid in sorted(totals):
         offsets[pid] = run
         run += totals[pid] or 0
+    if not offsets:
+        # empty input: a zero-arg create_map() types as MAP<VOID,VOID> and
+        # fails analysis on the int lookup — there is nothing to offset
+        return local.withColumn(out, F.col("_local")).drop("_pid", "_local")
     omap = F.create_map(
         *[lit for pid, off in offsets.items() for lit in (F.lit(pid), F.lit(off))]
     )

@@ -82,15 +82,19 @@ def enrich_articles_resumable(
 
     The driver loop commits one ``checkpoint_every``-DOI chunk at a time —
     Spark's output committer makes each chunk append all-or-nothing, so a
-    crash loses at most the in-flight chunk. Collecting the pending DOI
-    list to the driver is fine at any corpus scale: the fetch set is
-    bounded by the external API's throughput (the reference spends hours
-    on 18k DOIs), never by table size.
+    crash loses at most the in-flight chunk. The worklist is computed
+    DISTRIBUTED: a two-phase global row number (``scalable_prefix_sum``
+    over doi order — no single-partition window) assigns each pending DOI
+    a chunk id, and only the distinct chunk ids reach the driver
+    (|todo| / checkpoint_every values — 9 for the reference's 18k-DOI
+    run), never the DOI strings themselves. The fetch itself runs as
+    ``mapInPandas`` over each chunk's partitions.
     """
     import math
 
     spark = article.sparkSession
     from ..io import fs
+    from ..operators.ranks import scalable_prefix_sum
 
     pending = (
         article.where(F.col("type").isNull() & F.col("doi").isNotNull())
@@ -103,7 +107,16 @@ def enrich_articles_resumable(
         todo = pending.join(done, "doi", "left_anti")
     else:
         todo = pending
-    dois = sorted(r[0] for r in todo.collect())
+    chunked = scalable_prefix_sum(
+        todo.withColumn("_one", F.lit(1)), "doi", "_one", out="_rn"
+    ).select(
+        "doi",
+        F.expr(f"(_rn - 1) div {int(checkpoint_every)}").alias("_chunk"),
+    )
+    # bounded driver state: one value per chunk, not per DOI
+    chunk_ids = sorted(
+        r[0] for r in chunked.select("_chunk").distinct().collect()
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -120,10 +133,12 @@ def enrich_articles_resumable(
                 }
             )
 
-    for start in range(0, len(dois), checkpoint_every):
-        chunk = dois[start : start + checkpoint_every]
-        cdf = spark.createDataFrame([(d,) for d in chunk], "doi string").repartition(
-            max(1, math.ceil(len(chunk) / batch_size))
+    n_parts = max(1, math.ceil(checkpoint_every / batch_size))
+    for cid in chunk_ids:
+        cdf = (
+            chunked.where(F.col("_chunk") == cid)
+            .select("doi")
+            .repartition(n_parts)
         )
         cdf.mapInPandas(run, schema=_CACHE_SCHEMA).write.mode("append").parquet(cache_path)
 
