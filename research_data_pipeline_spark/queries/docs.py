@@ -1425,6 +1425,110 @@ def d29_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# d30: mixture RESAMPLING — the loader-side consumer of d29's weights:
+# given a global token budget (⅕ of the corpus), derive each source's
+# target token count from its temperature weight, convert to a
+# per-source acceptance threshold in integer ppm, and accept documents
+# by deterministic md5 bucket (the same engine-portable sampler as
+# s01/s06 — rerunnable, resumable, no RNG state). Output is the per-
+# source audit row a curation run logs: targets vs what the hash
+# actually kept. All arithmetic is BIGINT (ppm + floor division);
+# production corpora near 2^63/1e6 tokens would lift the ppm math to
+# DECIMAL(38,0), noted here rather than hidden.
+_RESAMPLE_ORACLE = f"""
+    WITH pd AS (
+        SELECT doc_id, source,
+               CAST(len({_TOKS}) AS BIGINT) AS n_tok
+        FROM documents
+    ),
+    s AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+               CAST(FLOOR(sqrt(CAST(SUM(n_tok) AS DOUBLE)) * 1000000.0)
+                    AS BIGINT) AS w_e6
+        FROM pd GROUP BY source
+    ),
+    t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+                 CAST(SUM(w_e6) AS BIGINT) AS total_w FROM s),
+    s3 AS (
+        SELECT source, n_docs, n_tokens,
+               ((total_tokens // 5) * w_e6) // total_w AS target_tokens,
+               LEAST(1000000,
+                     ((((total_tokens // 5) * w_e6) // total_w) * 1000000)
+                     // n_tokens) AS accept_ppm
+        FROM s CROSS JOIN t
+    ),
+    k AS (
+        SELECT pd.source, CAST(COUNT(*) AS BIGINT) AS kept_docs,
+               CAST(SUM(pd.n_tok) AS BIGINT) AS kept_tokens
+        FROM pd JOIN s3 USING (source)
+        WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+              % 1000000 < s3.accept_ppm
+        GROUP BY pd.source
+    )
+    SELECT s3.source, s3.n_docs, s3.n_tokens, s3.target_tokens,
+           s3.accept_ppm,
+           COALESCE(k.kept_docs, 0) AS kept_docs,
+           COALESCE(k.kept_tokens, 0) AS kept_tokens
+    FROM s3 LEFT JOIN k ON s3.source = k.source
+"""
+
+
+@REGISTRY.add("d30_mixture_resample", _RESAMPLE_ORACLE, "text", "sampling")
+def d30_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-deterministic per-source resample hitting d29's temperature
+    targets under a ⅕-corpus token budget: per source, the target vs the
+    tokens the md5-bucket sampler actually kept. Two groupBys on source
+    plus one broadcast of the dictionary-sized mixture table — the accept
+    test itself is a stateless per-row predicate, so the kept set is
+    reproducible shard-by-shard at any scale."""
+    from .sampling import md5_bucket
+
+    d = load(spark, sf_dir, "documents")
+    pd_ = d.select(
+        "doc_id", "source", T.token_count(F.col("text")).alias("n_tok")
+    )
+    s = pd_.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+    ).withColumn(
+        "w_e6",
+        F.floor(F.sqrt(F.col("n_tokens").cast("double")) * F.lit(1000000.0)),
+    )
+    t = s.agg(
+        F.sum("n_tokens").alias("total_tokens"), F.sum("w_e6").alias("total_w")
+    )
+    s3 = s.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.expr("((total_tokens div 5) * w_e6) div total_w").alias("target_tokens"),
+    ).withColumn(
+        "accept_ppm",
+        F.least(F.lit(1000000).cast("bigint"),
+                F.expr("(target_tokens * 1000000) div n_tokens")),
+    )
+    kept = (
+        pd_.join(F.broadcast(s3.select("source", "accept_ppm")), "source")
+        .where(md5_bucket(F.col("doc_id")) % 1000000 < F.col("accept_ppm"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("kept_docs"),
+            F.sum("n_tok").alias("kept_tokens"),
+        )
+    )
+    return s3.join(kept, "source", "left").select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "target_tokens",
+        "accept_ppm",
+        F.coalesce("kept_docs", F.lit(0)).cast("bigint").alias("kept_docs"),
+        F.coalesce("kept_tokens", F.lit(0)).cast("bigint").alias("kept_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # d31: per-document n-gram NOVELTY — what fraction of a doc's distinct
 # 3-word shingles appear in NO other document. The inverse lens of the
 # pairwise overlap ops (d08 finds similar pairs, d18/d23 cross-source
