@@ -1856,3 +1856,103 @@ def d33_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("bigint").alias("rnk"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# d34: SQ8 scalar quantization of the embedding column — the compression
+# step an ANN index (IVF+SQ8) applies before storing vectors: per-vector
+# min/max range, 8-bit code per dimension, and the reconstruction-error
+# audit a quantization job must emit (a silently lossy quantizer is a
+# recall bug found months later). One elementwise pass, no shuffle at
+# all: every output row is a function of its input row, so the operator
+# scales embarrassingly at any corpus size.
+#
+# Numeric discipline: q = LEAST(CAST(FLOOR((x-mn)/scale + 0.5) AS
+# BIGINT), 255) is one IEEE double chain then one floor — identical in
+# both engines; q_sum is an exact BIGINT signature of the whole code
+# array (so the hash compare covers every dimension, not just min/max);
+# the max reconstruction error is floored to integer nano-units.
+_SQ8_ORACLE = """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    m AS (SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx FROM e),
+    q AS (
+        SELECT vec_id, v, mn, mx,
+               CASE WHEN mx = mn
+                    THEN list_transform(v, x -> CAST(0 AS BIGINT))
+                    ELSE list_transform(v, x -> LEAST(CAST(FLOOR(
+                         (x - mn) / ((mx - mn) / 255.0) + 0.5) AS BIGINT),
+                         255)) END AS qv
+        FROM m
+    ),
+    r AS (
+        SELECT vec_id, qv,
+               CASE WHEN mx = mn
+                    THEN list_transform(v, x -> 0.0)
+                    ELSE list_transform(list_zip(qv, v), p ->
+                         abs((mn + CAST(p[1] AS DOUBLE)
+                              * ((mx - mn) / 255.0)) - p[2])) END AS errs
+        FROM q
+    )
+    SELECT vec_id,
+           CAST(len(qv) AS BIGINT) AS n_dims,
+           CAST(list_min(qv) AS BIGINT) AS q_min,
+           CAST(list_max(qv) AS BIGINT) AS q_max,
+           CAST(list_sum(qv) AS BIGINT) AS q_sum,
+           CAST(FLOOR(list_max(errs) * 1000000000.0) AS BIGINT)
+               AS max_err_e9
+    FROM r
+"""
+
+
+@REGISTRY.add("d34_sq8_quantization", _SQ8_ORACLE, "embedding", "ann")
+def d34_sq8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector SQ8 quantization audit: dimension count, code range,
+    exact integer code-array checksum, and max reconstruction error in
+    nano-units. Pure map — zero shuffles (asserted in test_plans.py)."""
+    e = load(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    m = e.select(
+        "vec_id",
+        v.alias("v"),
+        F.array_min(v).alias("mn"),
+        F.array_max(v).alias("mx"),
+    )
+    scale = (F.col("mx") - F.col("mn")) / F.lit(255.0)
+    qv = F.when(
+        F.col("mx") == F.col("mn"),
+        F.transform("v", lambda x: F.lit(0).cast("bigint")),
+    ).otherwise(
+        F.transform(
+            "v",
+            lambda x: F.least(
+                F.floor((x - F.col("mn")) / scale + F.lit(0.5)).cast("bigint"),
+                F.lit(255).cast("bigint"),
+            ),
+        )
+    )
+    q = m.withColumn("qv", qv)
+    errs = F.when(
+        F.col("mx") == F.col("mn"),
+        F.transform("v", lambda x: F.lit(0.0)),
+    ).otherwise(
+        F.zip_with(
+            "qv",
+            "v",
+            lambda qi, x: F.abs(
+                (F.col("mn") + qi.cast("double") * scale) - x
+            ),
+        )
+    )
+    r = q.withColumn("errs", errs)
+    return r.select(
+        "vec_id",
+        F.size("qv").cast("bigint").alias("n_dims"),
+        F.array_min("qv").cast("bigint").alias("q_min"),
+        F.array_max("qv").cast("bigint").alias("q_max"),
+        F.aggregate(
+            "qv", F.lit(0).cast("bigint"), lambda acc, x: acc + x
+        ).alias("q_sum"),
+        F.floor(F.array_max("errs") * F.lit(1000000000.0))
+        .cast("bigint")
+        .alias("max_err_e9"),
+    )

@@ -180,3 +180,15 @@ def test_batch4_queries_stay_jvm_side(spark, sf_dir):
         r"[\s\S]{0,200}?Left keys \[\d+\]: \[blk#",
         plan,
     ), plan[:2000]
+
+
+def test_d34_quantization_is_shuffle_free(spark, sf_dir):
+    """SQ8 quantization is a pure map — any keyed Exchange in its plan
+    means a scale regression (the operator's 100 TB story is 'no shuffle
+    at all'). The only allowed Exchange is ensure_parallelism's gated
+    round-robin scan repartition, which never fires on real multi-row-
+    group inputs."""
+    plan = _plan(spark, sf_dir, "d34_sq8_quantization")
+    assert "Exchange hashpartitioning" not in plan, plan[:1500]
+    assert "Exchange rangepartitioning" not in plan, plan[:1500]
+    assert "EvalPython" not in plan  # stays JVM-side, no UDF
