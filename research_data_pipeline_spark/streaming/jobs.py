@@ -96,20 +96,38 @@ def _run_stream_to_batch(spark: SparkSession, events_path: str, transform,
     ckpt_dir = tempfile.mkdtemp(prefix="rdp_stream_ckpt_")
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     try:
-        staged = os.path.join(src_dir, os.path.basename(events_path))
-        try:
-            os.symlink(events_path, staged)
-        except OSError:
-            shutil.copyfile(events_path, staged)
+        # absolutize: a relative source path would make the symlink
+        # resolve relative to the TEMP dir and dangle (hit by the sf1/sf3
+        # scale datasets, which live under the repo as relative paths)
+        events_abs = os.path.abspath(events_path)
+        if os.path.isdir(events_abs):
+            # multi-file parquet dataset: stage each part flat into the
+            # landing dir (the file stream source does not recurse)
+            parts = sorted(
+                f for f in os.listdir(events_abs) if f.endswith(".parquet")
+            )
+            for f in parts:
+                os.symlink(os.path.join(events_abs, f),
+                           os.path.join(src_dir, f))
+        else:
+            staged = os.path.join(src_dir, os.path.basename(events_abs))
+            try:
+                os.symlink(events_abs, staged)
+            except OSError:
+                shutil.copyfile(events_abs, staged)
         if sentinel is not None:
             sentinels = sentinel if isinstance(sentinel, list) else [sentinel]
             # the file source orders by modification time; stamp each
-            # sentinel file strictly after the staged input (and after
-            # the previous sentinel) so batch splitting via
-            # maxFilesPerTrigger=1 is deterministic even on the copyfile
+            # sentinel file strictly after EVERY staged input part (and
+            # after the previous sentinel) so batch splitting via
+            # maxFilesPerTrigger is deterministic even on the copyfile
             # fallback, where everything shares the current clock second
-            staged_mtime = os.stat(staged).st_mtime
-            seen = {staged}
+            seen = {
+                os.path.join(src_dir, f)
+                for f in os.listdir(src_dir)
+                if f.endswith(".parquet")
+            }
+            staged_mtime = max(os.stat(p).st_mtime for p in seen)
             for i, s in enumerate(sentinels, start=1):
                 s.write.mode("append").parquet(src_dir)
                 t = staged_mtime + 60 * i
@@ -217,11 +235,22 @@ def run_watermark_dedup_replay(spark: SparkSession, events_path: str,
         .withColumn("ts", F.lit(max_ts))
         .coalesce(1)
     )
+    # the trigger must swallow the WHOLE input as batch 1: per-part
+    # batches would advance the watermark mid-input and drop keys whose
+    # first arrival lands in a later part as late data. So the trigger
+    # size is the input's file count, and the advancer is padded to a
+    # full batch of (mostly empty) part files.
+    abs_path = os.path.abspath(events_path)
+    n_input = (
+        len([f for f in os.listdir(abs_path) if f.endswith(".parquet")])
+        if os.path.isdir(abs_path)
+        else 1
+    )
     advancer = (
         ev.limit(1)
         .withColumn("event_id", F.lit(-1).cast("long"))
         .withColumn("ts", F.lit(max_ts))
-        .coalesce(1)
+        .repartition(n_input)
     )
     emitted = _run_stream_to_batch(
         spark,
@@ -230,8 +259,8 @@ def run_watermark_dedup_replay(spark: SparkSession, events_path: str,
         .dropDuplicatesWithinWatermark(["event_id"])
         .select("event_id"),
         "append",
-        sentinel=[advancer, replay],
-        reader_options={"maxFilesPerTrigger": "1"},
+        sentinel=[advancer, replay.repartition(n_input)],
+        reader_options={"maxFilesPerTrigger": str(n_input)},
     )
     return (
         emitted.where(F.col("event_id") >= 0)
