@@ -1956,3 +1956,95 @@ def d34_sq8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("max_err_e9"),
     )
+
+
+# ---------------------------------------------------------------------------
+# d35: sliding-window CHUNKING with overlap — the retrieval/context
+# chunker (64-token windows, stride 48 → 16-token overlap) that turns
+# documents into index units. Distinct from d14 (which PACKS documents
+# into fixed budgets): this SPLITS each document, and the overlap is the
+# point — boundary-spanning text appears in two chunks so a retriever
+# can't lose it. Scale shape: explode over a per-doc chunk-count
+# sequence (pure map, no shuffle until the optional downstream dedup);
+# chunk count is integer math, the chunk signature is the portable
+# first-8-hex md5 over the space-joined window.
+_CHUNK_W = 64
+_CHUNK_S = 48
+_CHUNK_ORACLE = f"""
+    WITH d AS (
+        SELECT doc_id, {_TOKS} AS toks,
+               CAST(len({_TOKS}) AS BIGINT) AS n_tok
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, toks, n_tok,
+               CAST(g.k AS BIGINT) AS chunk_idx,
+               CAST(g.k * {_CHUNK_S} + 1 AS BIGINT) AS start_tok
+        FROM d, UNNEST(generate_series(
+            0, (GREATEST(n_tok - {_CHUNK_W}, 0) + {_CHUNK_S} - 1)
+               // {_CHUNK_S})) AS g(k)
+    )
+    SELECT doc_id, chunk_idx, start_tok,
+           LEAST({_CHUNK_W}, n_tok - start_tok + 1) AS chunk_len,
+           ('0x' || substr(md5(array_to_string(
+               toks[start_tok:start_tok
+                    + LEAST({_CHUNK_W}, n_tok - start_tok + 1) - 1],
+               ' ')), 1, 8))::UBIGINT AS chunk_sig
+    FROM c
+"""
+
+
+@REGISTRY.add("d35_overlap_chunks", _CHUNK_ORACLE, "text", "chunking")
+def d35_overlap_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document overlapping chunks: index, global token offset,
+    length, and a portable md5 signature per 64-token window at stride
+    48. One explode over integer chunk counts — no shuffle, no UDF."""
+    d = load(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        T.tokens(F.col("text")).alias("toks"),
+        F.size(T.tokens(F.col("text"))).cast("bigint").alias("n_tok"),
+    )
+    n_chunks_minus1 = F.expr(
+        f"(greatest(n_tok - {_CHUNK_W}, 0L) + {_CHUNK_S} - 1) div {_CHUNK_S}"
+    )
+    c = base.select(
+        "doc_id",
+        "toks",
+        "n_tok",
+        F.explode(
+            F.sequence(F.lit(0).cast("bigint"), n_chunks_minus1)
+        ).alias("chunk_idx"),
+    ).withColumn(
+        "start_tok", F.col("chunk_idx") * _CHUNK_S + 1
+    ).withColumn(
+        "chunk_len",
+        F.least(F.lit(_CHUNK_W).cast("bigint"),
+                F.col("n_tok") - F.col("start_tok") + 1),
+    )
+    return c.select(
+        "doc_id",
+        "chunk_idx",
+        "start_tok",
+        "chunk_len",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.array_join(
+                        F.slice(
+                            "toks",
+                            F.col("start_tok").cast("int"),
+                            F.col("chunk_len").cast("int"),
+                        ),
+                        " ",
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("chunk_sig"),
+    )
