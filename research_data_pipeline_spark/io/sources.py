@@ -47,6 +47,91 @@ def read_csv_tolerant(
     return reader.csv(path)
 
 
+def read_parquet_evolving(
+    spark: SparkSession,
+    path: str,
+    target_schema: T.StructType,
+    renames: dict[str, str] | None = None,
+) -> DataFrame:
+    """Read a parquet dataset whose schema DRIFTED over its lifetime and
+    reconcile every file to ``target_schema``.
+
+    A table appended to for years accumulates files with added columns,
+    widened types, and renamed fields; a plain read either fails or
+    silently serves whichever footer Spark sampled first. This reader:
+
+    - merges footers (``mergeSchema``) so added columns survive,
+    - applies ``renames`` (old → new) for columns that changed name —
+      when both the old and new name exist in the merged schema the new
+      one wins per row via coalesce (the rename-era boundary),
+    - fills columns absent from the merged schema entirely with typed
+      NULLs,
+    - casts every column to the target type (widened ints, string→date),
+    - returns columns in ``target_schema`` order, extra columns dropped.
+
+    Type WIDENING (int→bigint era boundaries) is beyond parquet's
+    ``mergeSchema`` (CANNOT_MERGE_SCHEMAS); on that failure the reader
+    falls back to grouping the files by footer schema — one footer read
+    per file, the same cost mergeSchema itself pays — reconciling each
+    era group independently, and unioning. ``mergeSchema`` reads every
+    footer either way — acceptable as an explicit opt-in for evolving
+    tables; stable tables should keep the cheap single-footer path of
+    ``spark.read.parquet``.
+    """
+    try:
+        df = spark.read.option("mergeSchema", True).parquet(path)
+        return _reconcile(df, target_schema, renames)
+    except Exception as ex:
+        if "CANNOT_MERGE_SCHEMAS" not in str(ex):
+            raise
+    from . import fs
+
+    jfs, p = fs._fs_and_path(spark, path)
+    it = jfs.listFiles(p, True)
+    by_schema: dict[str, list[str]] = {}
+    while it.hasNext():
+        f = it.next().getPath().toString()
+        name = f.rsplit("/", 1)[-1]
+        if not name.endswith(".parquet") or name.startswith(("_", ".")):
+            continue
+        key = spark.read.parquet(f).schema.simpleString()  # footer only
+        by_schema.setdefault(key, []).append(f)
+    eras = [
+        _reconcile(spark.read.parquet(*files), target_schema, renames)
+        for files in by_schema.values()
+    ]
+    out = eras[0]
+    for e in eras[1:]:
+        out = out.unionByName(e)
+    return out
+
+
+def _reconcile(
+    df: DataFrame,
+    target_schema: T.StructType,
+    renames: dict[str, str] | None,
+) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    have = set(df.columns)
+    for old, new in (renames or {}).items():
+        if old in have and new in have:
+            df = df.withColumn(new, F.coalesce(F.col(new), F.col(old)))
+        elif old in have:
+            df = df.withColumnRenamed(old, new)
+        have = set(df.columns)
+    return df.select(
+        *[
+            (
+                F.col(f.name).cast(f.dataType)
+                if f.name in have
+                else F.lit(None).cast(f.dataType)
+            ).alias(f.name)
+            for f in target_schema.fields
+        ]
+    )
+
+
 def read_orc(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
     """ORC scan — columnar like parquet (predicate pushdown, column
     pruning, vectorized read all apply); the schema argument prunes the

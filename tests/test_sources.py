@@ -149,3 +149,41 @@ def test_scan_units_cache_invalidated_on_rewrite(spark, tmp_path):
         "Repartition"
         not in out2._jdf.queryExecution().logical().toString()
     )
+
+
+def test_parquet_schema_evolution_reconciles_three_eras(spark, tmp_path):
+    """v1 files lack a column, v2 adds it, v3 renames one and widens a
+    type — read_parquet_evolving serves all three eras under one target
+    schema with typed NULLs where history has no data."""
+    from pyspark.sql import types as T
+    from research_data_pipeline_spark.io.sources import read_parquet_evolving
+
+    path = str(tmp_path / "evolving")
+    # era 1: (id int, name string)
+    spark.createDataFrame([(1, "a"), (2, "b")], "id int, name string") \
+        .write.mode("append").parquet(path)
+    # era 2: adds score
+    spark.createDataFrame([(3, "c", 10)], "id int, name string, score int") \
+        .write.mode("append").parquet(path)
+    # era 3: name renamed to full_name, score widened to bigint
+    spark.createDataFrame(
+        [(4, "d", 20)], "id int, full_name string, score bigint"
+    ).write.mode("append").parquet(path)
+
+    target = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("full_name", T.StringType()),
+        T.StructField("score", T.LongType()),
+        T.StructField("tag", T.StringType()),  # never existed: typed NULL
+    ])
+    out = read_parquet_evolving(
+        spark, path, target, renames={"name": "full_name"}
+    )
+    assert [f.simpleString() for f in out.schema.fields] == [
+        "id:bigint", "full_name:string", "score:bigint", "tag:string",
+    ]
+    rows = {r.id: (r.full_name, r.score, r.tag) for r in out.collect()}
+    assert rows == {
+        1: ("a", None, None), 2: ("b", None, None),
+        3: ("c", 10, None), 4: ("d", 20, None),
+    }
