@@ -61,6 +61,59 @@ def decode_image_real(payload: bytes) -> np.ndarray:
     return np.asarray(pil.open(io.BytesIO(payload)))  # pragma: no cover
 
 
+def decode_audio_real(payload: bytes):
+    """Decode real audio to (samples, sample_rate).
+
+    WAV/PCM decodes LIVE via the stdlib codec in :mod:`.wav`; compressed
+    formats (MP3/AAC/FLAC) need a real codec library and keep the loud
+    ``require_codec`` gate."""
+    payload = bytes(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        from .wav import decode_wav
+
+        return decode_wav(payload)
+    require_codec("librosa")  # pragma: no cover
+    raise AssertionError("unreachable")  # pragma: no cover
+
+
+def real_audio_stats(media: DataFrame) -> DataFrame:
+    """Decode REAL audio payloads (WAV/PCM) and emit per-clip stats:
+    (doc_id, sample_rate, n_frames, n_channels, duration_ms,
+    sum_abs_sample, peak_abs_sample) — the loudness/duration audit an
+    audio-curation pass computes. Same Arrow-batched single-pass shape as
+    the image path; only kind='audio' bytes ship to Python."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .wav import decode_wav
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "sample_rate": [], "n_frames": [],
+                "n_channels": [], "duration_ms": [], "sum_abs_sample": [],
+                "peak_abs_sample": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                samples, rate = decode_wav(bytes(payload))
+                frames = samples.shape[0]
+                ch = 1 if samples.ndim == 1 else samples.shape[1]
+                absd = np.abs(samples.astype(np.int64))
+                out["doc_id"].append(doc_id)
+                out["sample_rate"].append(rate)
+                out["n_frames"].append(frames)
+                out["n_channels"].append(ch)
+                out["duration_ms"].append(frames * 1000 // rate)
+                out["sum_abs_sample"].append(int(absd.sum()))
+                out["peak_abs_sample"].append(int(absd.max()) if frames else 0)
+            yield pd.DataFrame(out)
+
+    return media.where("kind = 'audio'").select("doc_id", "payload").mapInPandas(
+        run,
+        schema="doc_id bigint, sample_rate bigint, n_frames bigint, "
+        "n_channels bigint, duration_ms bigint, sum_abs_sample bigint, "
+        "peak_abs_sample bigint",
+    )
+
+
 def real_decode_stats(media: DataFrame) -> DataFrame:
     """Decode REAL image payloads (PNG) and emit per-image pixel stats:
     (doc_id, width, height, channels, n_pixels, pixel_sum, max_pixel).

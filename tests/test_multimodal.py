@@ -129,3 +129,65 @@ def test_real_decode_stats_spark_end_to_end(spark):
         assert r.n_pixels == h * w
         assert r.pixel_sum == int(img.sum(dtype=np.int64))
         assert r.max_pixel == int(img.max())
+
+
+# ---------------------------------------------------------------------------
+# Real WAV codec (multimodal/wav.py): stdlib PCM decode — the live
+# audio branch, symmetric with the PNG image path.
+
+def test_wav_roundtrip_mono_and_stereo():
+    import numpy as np
+
+    from research_data_pipeline_spark.multimodal.wav import decode_wav, encode_wav
+
+    rng = np.random.RandomState(7)
+    mono = (rng.randint(-32768, 32768, 500)).astype(np.int16)
+    out, rate = decode_wav(encode_wav(mono, 16000))
+    assert rate == 16000
+    np.testing.assert_array_equal(out, mono)
+    stereo = rng.randint(-32768, 32768, (300, 2)).astype(np.int16)
+    out2, rate2 = decode_wav(encode_wav(stereo, 44100))
+    assert rate2 == 44100 and out2.shape == (300, 2)
+    np.testing.assert_array_equal(out2, stereo)
+
+
+def test_decode_audio_real_live_wav_branch():
+    import numpy as np
+
+    from research_data_pipeline_spark.multimodal.wav import encode_wav
+
+    tone = (np.sin(np.linspace(0, 20, 200)) * 20000).astype(np.int16)
+    samples, rate = ops.decode_audio_real(encode_wav(tone, 8000))
+    np.testing.assert_array_equal(samples, tone)
+    assert rate == 8000
+    with pytest.raises(NotImplementedError):  # non-WAV → codec gate
+        ops.decode_audio_real(b"\xff\xfb\x90\x00mp3frame")
+
+
+def test_real_audio_stats_spark_end_to_end(spark):
+    import numpy as np
+
+    from research_data_pipeline_spark.multimodal.wav import encode_wav
+
+    rng = np.random.RandomState(3)
+    clips = {
+        1: (rng.randint(-1000, 1000, 1600).astype(np.int16), 16000),
+        2: (rng.randint(-128, 128, (441, 2)).astype(np.int16), 44100),
+    }
+    rows = [
+        (doc_id, "audio", bytearray(encode_wav(s, r)))
+        for doc_id, (s, r) in clips.items()
+    ] + [(99, "image", bytearray(b"\x89PNGnotaudio"))]  # pruned pre-UDF
+    media = spark.createDataFrame(
+        rows, "doc_id bigint, kind string, payload binary"
+    )
+    got = {r.doc_id: r for r in ops.real_audio_stats(media).collect()}
+    assert set(got) == set(clips)
+    for doc_id, (s, rate) in clips.items():
+        r = got[doc_id]
+        frames = s.shape[0]
+        assert (r.sample_rate, r.n_frames) == (rate, frames)
+        assert r.n_channels == (1 if s.ndim == 1 else s.shape[1])
+        assert r.duration_ms == frames * 1000 // rate
+        assert r.sum_abs_sample == int(np.abs(s.astype(np.int64)).sum())
+        assert r.peak_abs_sample == int(np.abs(s.astype(np.int64)).max())
