@@ -132,6 +132,25 @@ def _reconcile(
     )
 
 
+def read_parquet_tolerant(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """Parquet scan that SKIPS corrupt files instead of failing the job.
+
+    At fleet scale some object is always truncated (killed writer,
+    partial upload) — one bad file must not kill a 100 TB scan. This is
+    the explicit opt-in: per-read ``ignoreCorruptFiles`` (scoped to this
+    reader, NOT the session-wide SQL conf, so correctness-critical reads
+    elsewhere still fail loudly). Pass ``schema`` to also survive the
+    case where the corrupt file is the one footer Spark would have
+    sampled for inference.
+    """
+    reader = spark.read.option("ignoreCorruptFiles", True)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(path)
+
+
 def read_orc(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
     """ORC scan — columnar like parquet (predicate pushdown, column
     pruning, vectorized read all apply); the schema argument prunes the

@@ -187,3 +187,20 @@ def test_parquet_schema_evolution_reconciles_three_eras(spark, tmp_path):
         1: ("a", None, None), 2: ("b", None, None),
         3: ("c", 10, None), 4: ("d", 20, None),
     }
+
+
+def test_parquet_tolerant_skips_corrupt_file(spark, tmp_path):
+    """A truncated/garbage object in the dataset directory must not kill
+    the scan — and the strict default reader must still fail loudly."""
+    from research_data_pipeline_spark.io.sources import read_parquet_tolerant
+
+    path = str(tmp_path / "fleet")
+    good = spark.createDataFrame([(i,) for i in range(100)], "id bigint")
+    good.write.parquet(path)
+    with open(f"{path}/part-corrupt.parquet", "wb") as f:
+        f.write(b"PAR1 this is not a parquet file at all")
+
+    out = read_parquet_tolerant(spark, path, good.schema)
+    assert out.count() == 100
+    with pytest.raises(Exception):
+        spark.read.schema(good.schema).parquet(path).count()
