@@ -618,7 +618,7 @@ def test_fuzzy_block_compression_matches_rowlevel(spark, names):
     selfp = nm.where(F.col("cnt") >= 2).select(
         "blk",
         F.lit(0).alias("dist"),
-        (F.col("cnt") * (F.col("cnt") - 1) / 2).cast("bigint").alias("mult"),
+        F.expr("cnt * (cnt - 1) div 2").alias("mult"),
     )
     compressed = (
         cross.unionByName(selfp)
