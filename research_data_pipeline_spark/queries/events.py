@@ -934,3 +934,38 @@ def e23_watermark_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.jobs import run_watermark_dedup_replay
 
     return run_watermark_dedup_replay(spark, f"{sf_dir}/events.parquet")
+
+
+# ---------------------------------------------------------------------------
+# e24: per-user record-breaking events on Spark 4's transformWithState
+# API (streaming/jobs.py:record_break_stats) — typed ValueState, the
+# successor surface to e08's applyInPandasWithState. The oracle is the
+# batch window form: an event "breaks the record" when its value exceeds
+# the running max of all earlier events (event-time order, event_id
+# tie-break).
+_RECORD_ORACLE = """
+    WITH w AS (
+        SELECT user_id, value,
+               MAX(value) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS prev_max
+        FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) FILTER (WHERE prev_max IS NULL OR value > prev_max)
+                AS BIGINT) AS n_records,
+           MAX(value) AS max_value
+    FROM w GROUP BY user_id
+"""
+
+
+@REGISTRY.add("e24_record_high_counts", _RECORD_ORACLE, "events",
+              "streaming", "stateful")
+def e24_record_high_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High-water-mark monitor per user: how many events set a new
+    all-time value record, and the final record — run as a real
+    transformWithStateInPandas streaming query drained to batch."""
+    from ..streaming.jobs import run_record_breaks_to_batch
+
+    return run_record_breaks_to_batch(spark, f"{sf_dir}/events.parquet")

@@ -340,6 +340,121 @@ def run_stateful_stats_to_batch(spark: SparkSession, events_path: str) -> DataFr
     return _run_stream_to_batch(spark, events_path, stateful_user_stats, "update")
 
 
+def _tws_available() -> bool:
+    """Spark 4's ``transformWithStateInPandas`` talks to a state server
+    over protobuf; without a working ``google.protobuf`` the streaming
+    runner crashes at query start. Probe once so the operator can choose
+    the API up front instead of dying mid-stream."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def record_break_stats(stream: DataFrame) -> DataFrame:
+    """Per-user record-breaking-event tracker — the canonical
+    high-water-mark monitor (fraud ceilings, leaderboard breaks, SLA
+    worst-cases). State is two scalars per user (running max, record
+    count).
+
+    Uses Spark 4's ``transformWithStateInPandas`` (typed ValueState,
+    TTL/timers available) when its protobuf dependency is present;
+    otherwise the same semantics on ``applyInPandasWithState`` (e08's
+    surface, no extra dependency) — both walked in (ts, event_id) order
+    within the key's batch slice, so the record count is the event-time
+    answer for the drained single-batch harness.
+    """
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    state_schema = StructType([
+        StructField("cur_max", DoubleType()),
+        StructField("n_records", LongType()),
+    ])
+    out_schema = StructType([
+        StructField("user_id", LongType()),
+        StructField("n_records", LongType()),
+        StructField("max_value", DoubleType()),
+    ])
+
+    def _walk(batch, cur_max, n_records):
+        for v in batch.sort_values(["ts", "event_id"])["value"]:
+            v = float(v)
+            if cur_max is None or v > cur_max:
+                cur_max = v
+                n_records += 1
+        return cur_max, n_records
+
+    src = stream.select("user_id", "ts", "event_id", "value")
+
+    if _tws_available():  # pragma: no cover - needs protobuf
+        from pyspark.sql.streaming.stateful_processor import (
+            StatefulProcessor,
+            StatefulProcessorHandle,
+        )
+
+        class RecordBreaks(StatefulProcessor):
+            def init(self, handle: StatefulProcessorHandle) -> None:
+                self._state = handle.getValueState("hwm", state_schema)
+
+            def handleInputRows(self, key, rows, timerValues):
+                import pandas as pd
+
+                cur_max, n_records = (
+                    self._state.get() if self._state.exists() else (None, 0)
+                )
+                cur_max, n_records = _walk(
+                    pd.concat(list(rows)), cur_max, n_records
+                )
+                self._state.update((cur_max, n_records))
+                yield pd.DataFrame(
+                    {"user_id": [key[0]], "n_records": [n_records],
+                     "max_value": [cur_max]}
+                )
+
+            def close(self) -> None:
+                pass
+
+        return src.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=RecordBreaks(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        cur_max, n_records = state.get if state.exists else (None, 0)
+        for pdf in pdfs:
+            cur_max, n_records = _walk(pdf, cur_max, n_records)
+        state.update((cur_max, n_records))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_records": [n_records],
+             "max_value": [cur_max]}
+        )
+
+    return src.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_record_breaks_to_batch(spark: SparkSession, events_path: str) -> DataFrame:
+    """Drain the transformWithState operator over the file source; the
+    single-batch source makes the update-mode emission the exact
+    per-user event-time answer."""
+    return _run_stream_to_batch(spark, events_path, record_break_stats, "update")
+
+
 SESSION_GAP_US = 30 * 60 * 1_000_000
 
 
