@@ -137,6 +137,7 @@ _VERIFY_COST_S = {
     "q33_unpivot_balances": 0.5, "d31_ngram_novelty": 0.8,
     "d32_bpe_merge_candidates": 0.6, "d32b_bpe_training": 11.0,
     "e19_user_gap_stats": 0.6, "e23_watermark_dedup_replay": 11.0,
+    "e24_record_high_counts": 3.0,
     "s11_equiwidth_histogram": 0.4, "e22_transition_matrix": 0.5,
     "q36_fuzzy_name_blocks": 0.7,
 }
