@@ -76,3 +76,59 @@ def run_star_schema_checks(tables: dict[str, DataFrame]) -> list[CheckResult]:
         check_referential(t["article_category"], "category_id", t["category"], "category_id"),
         check_referential(t["article"], "journal_issn", t["journal"], "journal_issn"),
     ]
+
+
+def quality_report(tables: dict[str, DataFrame],
+                   fks: list[tuple[str, str, str, str]],
+                   uniques: list[tuple[str, str]],
+                   not_nulls: list[tuple[str, str]]) -> DataFrame:
+    """One DataFrame of (tbl, chk, n_violations) for a whole schema —
+    the ANALYZE/dbt-test style report the per-check helpers above don't
+    compose into. All checks are single aggregations or anti-join
+    counts; nothing is collected. Deterministic, so it is itself
+    oracle-checkable (registered as s12).
+
+    fks: (child_tbl, child_key, parent_tbl, parent_key)
+    uniques: (tbl, key); not_nulls: (tbl, col)
+    """
+    frames = []
+    for tbl, key in uniques:
+        frames.append(
+            tables[tbl].agg(
+                (F.count(F.lit(1)) - F.count_distinct(F.col(key)))
+                .cast("bigint").alias("n_violations")
+            ).select(
+                F.lit(tbl).alias("tbl"),
+                F.lit(f"unique_{key}").alias("chk"),
+                "n_violations",
+            )
+        )
+    for tbl, col in not_nulls:
+        frames.append(
+            tables[tbl].agg(
+                F.coalesce(F.sum(F.col(col).isNull().cast("bigint")), F.lit(0))
+                .cast("bigint").alias("n_violations")
+            ).select(
+                F.lit(tbl).alias("tbl"),
+                F.lit(f"not_null_{col}").alias("chk"),
+                "n_violations",
+            )
+        )
+    for child, ckey, parent, pkey in fks:
+        orphans = tables[child].join(
+            tables[parent].select(F.col(pkey).alias(ckey)).distinct(),
+            ckey,
+            "left_anti",
+        )
+        frames.append(
+            orphans.agg(F.count(F.lit(1)).cast("bigint").alias("n_violations"))
+            .select(
+                F.lit(child).alias("tbl"),
+                F.lit(f"fk_{ckey}_to_{parent}").alias("chk"),
+                "n_violations",
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out

@@ -566,3 +566,58 @@ def s11_equiwidth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("cents").cast("bigint").alias("bin_min_cents"),
         F.max("cents").cast("bigint").alias("bin_max_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# s12: schema-wide data-quality report — the dbt-test/Deequ-style
+# constraint audit the reference delegates to Postgres PKs and Neo4j
+# uniqueness constraints. One row per (table, check): PK uniqueness,
+# NOT-NULL, and FK orphan counts, every check a single aggregation or
+# anti-join count (quality.quality_report). The TPC-H fixture is clean,
+# so violations are 0 — the CHECK is that both engines compute the same
+# zeros the same way; tests/test_pipeline.py-style dirty-data unit tests
+# cover the non-zero paths.
+_QUALITY_ORACLE = """
+    SELECT 'orders' AS tbl, 'unique_o_orderkey' AS chk,
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'customer', 'unique_c_custkey',
+           CAST(COUNT(*) - COUNT(DISTINCT c_custkey) AS BIGINT)
+    FROM customer
+    UNION ALL
+    SELECT 'customer', 'not_null_c_acctbal',
+           CAST(COALESCE(SUM(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT)
+    FROM customer
+    UNION ALL
+    SELECT 'lineitem', 'not_null_l_quantity',
+           CAST(COALESCE(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem', 'fk_l_orderkey_to_orders',
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'orders', 'fk_o_custkey_to_customer',
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+"""
+
+
+@REGISTRY.add("s12_quality_report", _QUALITY_ORACLE, "quality", "profiling")
+def s12_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint audit over the TPC-H schema: PK uniqueness, NOT NULL,
+    FK orphans — one (tbl, chk, n_violations) row each."""
+    from ..quality import quality_report
+
+    tables = {name: load(spark, sf_dir, name)
+              for name in ("orders", "customer", "lineitem")}
+    return quality_report(
+        tables,
+        fks=[("lineitem", "l_orderkey", "orders", "o_orderkey"),
+             ("orders", "o_custkey", "customer", "c_custkey")],
+        uniques=[("orders", "o_orderkey"), ("customer", "c_custkey")],
+        not_nulls=[("customer", "c_acctbal"), ("lineitem", "l_quantity")],
+    )

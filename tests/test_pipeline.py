@@ -297,3 +297,27 @@ def test_graph_build_and_queries(pipeline_tables):
     assert g["PUBLISHED_IN"].count() == pipeline_tables["article"].where(
         F.col("journal_issn").isNotNull()
     ).count()
+
+
+def test_quality_report_counts_violations_on_dirty_data(spark):
+    """The s12 report's non-zero paths: dup keys, nulls, FK orphans all
+    counted exactly."""
+    from research_data_pipeline_spark.quality import quality_report
+
+    parent = spark.createDataFrame([(1, "a"), (2, "b"), (2, "c")],
+                                   "pk bigint, v string")
+    child = spark.createDataFrame(
+        [(1, None), (1, 5.0), (9, 1.0), (8, None)], "fk bigint, x double"
+    )
+    out = {
+        (r.tbl, r.chk): r.n_violations
+        for r in quality_report(
+            {"p": parent, "c": child},
+            fks=[("c", "fk", "p", "pk")],
+            uniques=[("p", "pk")],
+            not_nulls=[("c", "x")],
+        ).collect()
+    }
+    assert out[("p", "unique_pk")] == 1       # 3 rows, 2 distinct
+    assert out[("c", "not_null_x")] == 2
+    assert out[("c", "fk_fk_to_p")] == 2      # fk 9 and 8 orphaned
