@@ -321,3 +321,63 @@ def test_quality_report_counts_violations_on_dirty_data(spark):
     assert out[("p", "unique_pk")] == 1       # 3 rows, 2 distinct
     assert out[("c", "not_null_x")] == 2
     assert out[("c", "fk_fk_to_p")] == 2      # fk 9 and 8 orphaned
+
+
+def test_checkpointed_pipeline_resumes_after_crash(spark, raw_path, tmp_path):
+    """Stage-checkpointed pipeline: a crash during enrichment reruns ONLY
+    the missing stages — the ingest checkpoints survive and the fetch is
+    not repeated once the enriched checkpoint exists."""
+    import os
+
+    from research_data_pipeline_spark.transforms.pipeline import (
+        run_pipeline,
+        run_pipeline_checkpointed,
+    )
+    from .fixtures import fake_fetcher
+
+    names_genders = spark.createDataFrame(
+        names_genders_rows(),
+        "first_name string, alph_value string, gender string, prob string",
+    )
+    cwts = spark.createDataFrame(
+        cwts_rows(),
+        "source_title string, print_issn string, electronic_issn string, "
+        "snip double, year int",
+    ).where(F.col("year") == 2021)
+    ckpt = str(tmp_path / "ckpt")
+    log = tmp_path / "fetchlog"
+    log.mkdir()
+    log_dir = str(log)  # fetchers run on executors: count via marker files
+
+    def dying_fetcher(dois):
+        raise RuntimeError("api down")
+
+    def counting_fetcher(dois):
+        for d in dois:
+            open(os.path.join(log_dir, d.replace("/", "_")), "w").close()
+        return fake_fetcher(dois)
+
+    with pytest.raises(Exception):
+        run_pipeline_checkpointed(
+            spark, raw_path, names_genders, cwts, dying_fetcher, ckpt
+        )
+    # ingest checkpoints committed before the crash
+    assert os.path.exists(f"{ckpt}/raw_article/_SUCCESS")
+    assert not os.path.exists(f"{ckpt}/enriched/_SUCCESS")
+
+    out = run_pipeline_checkpointed(
+        spark, raw_path, names_genders, cwts, counting_fetcher, ckpt
+    )
+    fetches_first_complete = len(os.listdir(log_dir))
+    assert fetches_first_complete > 1  # the resume actually fetched
+
+    # third run: everything checkpointed — zero new fetches, same tables
+    out2 = run_pipeline_checkpointed(
+        spark, raw_path, names_genders, cwts, counting_fetcher, ckpt
+    )
+    assert len(os.listdir(log_dir)) == fetches_first_complete
+    plain = run_pipeline(spark, raw_path, names_genders, cwts, fake_fetcher)
+    for name in ("article", "journal", "authorship", "author"):
+        assert sorted(map(tuple, out2[name].collect())) == sorted(
+            map(tuple, plain[name].collect())
+        ), name
