@@ -244,3 +244,34 @@ def m07_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     before any bytes reach Python)."""
     m = media_table(load(spark, sf_dir, "documents"))
     return ops.frame_hash_stats(m)
+
+
+# ---------------------------------------------------------------------------
+# m08: the REAL PNG codec on fleet data — encode each image payload (as a
+# 4-row gray bitmap) to an actual PNG, decode it back through
+# multimodal/png.py, and emit decode-side pixel stats plus a
+# pixel-exact roundtrip flag. The oracle computes the same stats from
+# the source bytes directly: lossless encode→decode means any codec bug
+# (wrong unfilter, bad IDAT split) shifts pixel_sum or flips
+# roundtrip_ok. Filters rotate per doc (doc_id % 5) so None/Sub/Up/
+# Average/Paeth all run on real data, not just in unit tests.
+_PNG_ORACLE = f"""
+    WITH media AS ({MEDIA_CTE}), {_BYTES_CTE}
+    SELECT m.doc_id,
+           CAST(m.n_bytes / 4 AS BIGINT) AS width,
+           CAST(4 AS BIGINT) AS height,
+           CAST(SUM(b.b) * m.r AS BIGINT) AS pixel_sum,
+           CAST(MAX(b.b) AS BIGINT) AS max_pixel,
+           TRUE AS roundtrip_ok
+    FROM media m JOIN bytes b ON b.doc_id = m.doc_id
+    WHERE m.kind = 'image'
+    GROUP BY m.doc_id, m.n_bytes, m.r
+"""
+
+
+@REGISTRY.add("m08_png_roundtrip", _PNG_ORACLE, "multimodal", "codec")
+def m08_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real PNG encode→decode over every image payload with pixel-exact
+    verification (multimodal/ops.png_roundtrip_stats)."""
+    m = media_table(load(spark, sf_dir, "documents"))
+    return ops.png_roundtrip_stats(m)
