@@ -365,3 +365,43 @@ def png_roundtrip_stats(media: DataFrame) -> DataFrame:
         schema="doc_id bigint, width bigint, height bigint, "
         "pixel_sum bigint, max_pixel bigint, roundtrip_ok boolean",
     )
+
+
+def wav_roundtrip_stats(media: DataFrame) -> DataFrame:
+    """Drive the REAL WAV codec distributed: each audio payload is
+    interpreted as little-endian int16 PCM samples, encoded to an actual
+    WAV at the row's sample_rate, decoded back, and verified
+    sample-for-sample. Emits (doc_id, sample_rate, n_samples, sum_abs,
+    peak_abs, roundtrip_ok); stats are decode-side so a codec bug can't
+    hide. The audio twin of :func:`png_roundtrip_stats`."""
+    from .wav import decode_wav, encode_wav
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "sample_rate": [], "n_samples": [],
+                "sum_abs": [], "peak_abs": [], "roundtrip_ok": [],
+            }
+            for doc_id, payload, rate in zip(
+                pdf["doc_id"], pdf["payload"], pdf["sample_rate"]
+            ):
+                arr = np.frombuffer(bytes(payload), dtype="<i2")
+                dec, out_rate = decode_wav(encode_wav(arr, int(rate)))
+                absd = np.abs(dec.astype(np.int64))
+                out["doc_id"].append(doc_id)
+                out["sample_rate"].append(out_rate)
+                out["n_samples"].append(len(dec))
+                out["sum_abs"].append(int(absd.sum()))
+                out["peak_abs"].append(int(absd.max()))
+                out["roundtrip_ok"].append(
+                    out_rate == int(rate) and bool((dec == arr).all())
+                )
+            yield pd.DataFrame(out)
+
+    return media.where("kind = 'audio'").select(
+        "doc_id", "payload", "sample_rate"
+    ).mapInPandas(
+        run,
+        schema="doc_id bigint, sample_rate bigint, n_samples bigint, "
+        "sum_abs bigint, peak_abs bigint, roundtrip_ok boolean",
+    )

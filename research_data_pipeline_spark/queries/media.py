@@ -275,3 +275,44 @@ def m08_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification (multimodal/ops.png_roundtrip_stats)."""
     m = media_table(load(spark, sf_dir, "documents"))
     return ops.png_roundtrip_stats(m)
+
+
+# ---------------------------------------------------------------------------
+# m09: the REAL WAV codec on fleet data — audio payload bytes as
+# little-endian int16 PCM, encoded to an actual WAV container at the
+# row's sample_rate, decoded back, verified sample-exact. The oracle
+# recomputes the |sample| stats from the md5 byte pairs directly
+# (sample_i = b(2i-1) + 256·b(2i), two's complement), so a byte-order or
+# header bug in the codec shifts sum_abs / flips roundtrip_ok.
+_WAV_ORACLE = f"""
+    WITH media AS ({MEDIA_CTE}),
+    samples AS (
+        SELECT m.doc_id, m.sample_rate, m.r, m.n_bytes,
+               {md5_byte_sql('m.text', '((2*s.i - 2) % 16) + 1')}
+               + 256 * {md5_byte_sql('m.text', '((2*s.i - 1) % 16) + 1')} AS u
+        FROM media m,
+             UNNEST(generate_series(1, CAST(m.n_bytes / 2 AS BIGINT))) AS s(i)
+        WHERE m.kind = 'audio'
+    ),
+    signed AS (
+        SELECT doc_id, sample_rate, n_bytes,
+               u - CASE WHEN u >= 32768 THEN 65536 ELSE 0 END AS v
+        FROM samples
+    )
+    SELECT doc_id,
+           CAST(sample_rate AS BIGINT) AS sample_rate,
+           CAST(n_bytes / 2 AS BIGINT) AS n_samples,
+           CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
+           CAST(MAX(ABS(v)) AS BIGINT) AS peak_abs,
+           TRUE AS roundtrip_ok
+    FROM signed
+    GROUP BY doc_id, sample_rate, n_bytes
+"""
+
+
+@REGISTRY.add("m09_wav_roundtrip", _WAV_ORACLE, "multimodal", "codec")
+def m09_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real WAV encode→decode over every audio payload with sample-exact
+    verification (multimodal/ops.wav_roundtrip_stats)."""
+    m = media_table(load(spark, sf_dir, "documents"))
+    return ops.wav_roundtrip_stats(m)
