@@ -799,3 +799,125 @@ def semantic_dedup(
             F.coalesce(F.col("dup_of"), F.lit(-1)).cast("bigint").alias("dup_of"),
         )
     )
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    m_sub: int = 8,
+    n_codes: int = 16,
+    query_mod: int = 20,
+) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (ADC): split each vector into ``m_sub`` contiguous subvectors,
+    quantize every subvector to the nearest of ``n_codes`` codebook
+    entries (per-subspace codebooks seeded from the vectors with
+    id < n_codes — the same deterministic-seed convention as
+    ``ann_topk_ivf``), then answer the query batch (ids divisible by
+    ``query_mod``) by scanning the CODES, not the vectors: the distance
+    from query q to database vector x is the sum over subspaces of q's
+    precomputed lookup-table entry for x's code.
+
+    Returns (query_id, neighbor_id, rank, adc_e9) — the top ``k``
+    neighbors per query by ADC distance, ascending, ties broken toward
+    the smaller neighbor id. ``adc_e9`` is the ADC distance where every
+    per-subspace squared-L2 term was floored to integer nano-units
+    BEFORE summing, so both the code assignment (argmin over integers)
+    and the ADC sum (integer addition, order-free) are exactly
+    reproducible in any engine — no float-accumulation-order hazard.
+
+    Scale shape: the codebook side is ``n_codes`` rows (broadcast); the
+    encode pass is one broadcast join producing n·n_codes rows that
+    immediately collapse back to n via the per-subspace argmin aggregate
+    — the code table it emits is m_sub bytes-ish per vector, the 8-32x
+    compression that makes a 100 TB corpus scannable. The query LUTs are
+    one map-column row per query (n_codes × m_sub ints), broadcast
+    against the code table; the scan itself never touches the original
+    vectors. At real scale you compose this with the IVF cell pruning of
+    ``ann_topk_ivf`` (scan only probed cells); this operator is the
+    in-cell ADC kernel. Mirrors FAISS IVFADC (Jegou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011) re-expressed
+    as DataFrame algebra.
+    """
+    _require_integral_id(df, id_col)
+    e = df.select(F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v"))
+    seeds = (
+        e.where(F.col("vid") < n_codes)
+        .select(F.col("vid").alias("cid"), F.col("v").alias("cv"))
+    )
+
+    def subdist(m: int, width: Column) -> Column:
+        # left-fold squared L2 over subspace m in doubles, floored to
+        # integer nano-units — identical op order to the SQL oracle
+        a = F.slice("v", (F.lit(m) * width + 1).cast("int"), width.cast("int"))
+        b = F.slice("cv", (F.lit(m) * width + 1).cast("int"), width.cast("int"))
+        d = F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.floor(d * F.lit(1000000000.0)).cast("bigint")
+
+    width = (F.size("v") / F.lit(m_sub)).cast("bigint")
+    sub = e.join(F.broadcast(seeds)).select(
+        "vid",
+        "cid",
+        F.array(*[subdist(m, width) for m in range(m_sub)]).alias("subd"),
+    )
+
+    codes = sub.groupBy("vid").agg(
+        *[
+            F.min(
+                F.struct(
+                    F.element_at("subd", m + 1).alias("d"),
+                    F.col("cid").alias("cid"),
+                )
+            ).alias(f"c{m}")
+            for m in range(m_sub)
+        ]
+    ).select(
+        "vid", F.array(*[F.col(f"c{m}.cid") for m in range(m_sub)]).alias("code")
+    )
+
+    lutq = (
+        sub.where(F.col("vid") % query_mod == 0)
+        .groupBy("vid")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("cid"), F.col("subd")))
+            ).alias("lut")
+        )
+        .select(F.col("vid").alias("query_id"), "lut")
+    )
+
+    pairs = codes.join(
+        F.broadcast(lutq), F.col("vid") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vid").alias("neighbor_id"),
+        F.aggregate(
+            F.sequence(F.lit(0), F.lit(m_sub - 1)),
+            F.lit(0).cast("bigint"),
+            lambda acc, mm: acc
+            + F.element_at(
+                F.element_at("lut", F.element_at("code", (mm + 1).cast("int"))),
+                (mm + 1).cast("int"),
+            ),
+        ).alias("adc_e9"),
+    )
+
+    w = W.partitionBy("query_id").orderBy(
+        F.col("adc_e9").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            "adc_e9",
+        )
+    )

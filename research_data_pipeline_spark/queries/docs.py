@@ -2048,3 +2048,63 @@ def d35_overlap_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("chunk_sig"),
     )
+
+
+# ---------------------------------------------------------------------------
+# d36: product-quantization ANN with asymmetric distance computation —
+# the compressed-index complement to d13's IVF cell pruning and d34's
+# SQ8 range audit (FAISS-style IVFADC = d13's cells + this kernel).
+# Numeric discipline: each per-subspace squared-L2 term is a left-fold
+# double chain floored to integer NANO-units before anything else, so
+# code assignment is an integer argmin (tie -> smaller centroid id) and
+# the ADC distance is an order-free BIGINT sum — exact cross-engine
+# parity with no float-accumulation hazard.
+_PQ_M, _PQ_CODES, _PQ_K, _PQ_QMOD = 8, 16, 5, 20
+_PQ_SUBD = """CAST(FLOOR(1000000000.0 * list_sum(list_transform(
+               list_zip(e.v[t.m*w+1 : t.m*w+w], s.cv[t.m*w+1 : t.m*w+w]),
+               x -> (x[1]-x[2])*(x[1]-x[2])))) AS BIGINT)"""
+_PQ_ORACLE = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                      len(embedding) // {_PQ_M} AS w
+               FROM embeddings),
+    seeds AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {_PQ_CODES}),
+    sub AS (
+        SELECT e.vec_id, s.cid, t.m, {_PQ_SUBD} AS d_e9
+        FROM e CROSS JOIN seeds s CROSS JOIN range({_PQ_M}) t(m)
+    ),
+    codes AS (
+        SELECT vec_id, m, cid FROM (
+            SELECT vec_id, m, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                      ORDER BY d_e9 ASC, cid ASC) AS rn
+            FROM sub) WHERE rn = 1
+    ),
+    adc AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               CAST(SUM(l.d_e9) AS BIGINT) AS adc_e9
+        FROM (SELECT vec_id FROM e WHERE vec_id % {_PQ_QMOD} = 0) q
+        JOIN codes c ON c.vec_id <> q.vec_id
+        JOIN sub l ON l.vec_id = q.vec_id AND l.m = c.m AND l.cid = c.cid
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, adc_e9,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY adc_e9 ASC, neighbor_id ASC) AS rank
+        FROM adc
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, adc_e9
+    FROM ranked WHERE rank <= {_PQ_K}
+"""
+
+
+@REGISTRY.add("d36_pq_adc_topk", _PQ_ORACLE, "similarity", "ann", "pq")
+def d36_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC top-5: 8 subspaces x 16 deterministic seed codebooks,
+    integer-nano-unit subdistances, code-table scan for the query batch
+    (ids divisible by 20). See operators/similarity.pq_adc_topk."""
+    e = load(spark, sf_dir, "embeddings")
+    return sim.pq_adc_topk(
+        e, "vec_id", "embedding",
+        k=_PQ_K, m_sub=_PQ_M, n_codes=_PQ_CODES, query_mod=_PQ_QMOD,
+    )

@@ -192,3 +192,14 @@ def test_d34_quantization_is_shuffle_free(spark, sf_dir):
     assert "Exchange hashpartitioning" not in plan, plan[:1500]
     assert "Exchange rangepartitioning" not in plan, plan[:1500]
     assert "EvalPython" not in plan  # stays JVM-side, no UDF
+
+
+def test_d36_pq_adc_stays_jvm_and_broadcast(spark, sf_dir):
+    # the encode pass and the ADC scan must both ride broadcasts of the
+    # bounded sides (16-row codebook; query-batch LUTs) — a cartesian or
+    # a shuffled join here would re-materialize the n^2 pair space the
+    # PQ code table exists to avoid
+    plan = _plan(spark, sf_dir, "d36_pq_adc_topk")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # codes x broadcast(LUTs)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
