@@ -479,3 +479,75 @@ def ngram_jaccard_pairs(
         out = out.localCheckpoint()
         exploded.unpersist()
     return out
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold_ppm: int = 100_000,
+    materialize: bool = True,
+) -> DataFrame:
+    """Directed n-gram-shingle CONTAINMENT pairs: |A∩B| / |A| ≥ threshold,
+    where A is the source doc's distinct shingle set. The asymmetric
+    companion to ``ngram_jaccard_pairs`` — a short document quoted inside
+    a long one scores near 1.0 here while its Jaccard stays tiny (the
+    union is dominated by the long doc), so this is the detector for
+    subset duplication: boilerplate blocks, quoted passages, chunk-level
+    plagiarism surviving inside larger pages (Broder's containment
+    measure, "On the resemblance and containment of documents", 1997).
+
+    Returns (i, j, n_shared, n_i, containment_ppm) for every ORDERED pair
+    i≠j with containment(i→j) ≥ threshold — integer parts-per-million
+    (n_shared·10⁶ div n_i), so the threshold cut and the emitted score
+    are exact in any engine; no float division anywhere.
+
+    Scale shape is d08's inverted shingle index verbatim: candidates come
+    from the shingle-keyed self-join (a pair with containment > 0 shares
+    ≥1 shingle), so the pair space is Σ posting² per shingle — never
+    all-pairs — and both directions of each colliding pair fall out of
+    one groupBy. Join rides a 64-bit shingle hash, not shingle text.
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(id_col).orderBy("pos")
+    exploded = (
+        df.select(F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("pos", "token"))
+        .select(F.col(id_col), "pos", "token",
+                *[F.lead("token", i).over(w).alias(f"_t{i}") for i in range(1, n)])
+        .where(F.col(f"_t{n-1}").isNotNull())
+        .select(F.col(id_col),
+                F.concat_ws(" ", "token", *[f"_t{i}" for i in range(1, n)]).alias("sh_text"))
+        .dropDuplicates([id_col, "sh_text"])
+        .select(F.col(id_col), F.xxhash64("sh_text").alias("shingle"))
+        .cache()  # read 3x: sizes + both join branches
+    )
+    sh_sizes = exploded.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = exploded.select(F.col(id_col).alias("i"), F.col("shingle"))
+    b = exploded.select(F.col(id_col).alias("j"), F.col("shingle"))
+    shared = (
+        a.join(b, ["shingle"])
+        .where(F.col("i") != F.col("j"))
+        .groupBy("i", "j")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    si = sh_sizes.select(F.col(id_col).alias("i"), F.col("n_sh").alias("n_i"))
+    out = (
+        shared.join(si, "i")
+        .withColumn(
+            "containment_ppm",
+            F.expr("n_shared * 1000000 div n_i").cast("bigint"),
+        )
+        .where(F.col("containment_ppm") >= threshold_ppm)
+        .select(
+            "i", "j",
+            F.col("n_shared").cast("bigint").alias("n_shared"),
+            F.col("n_i").cast("bigint").alias("n_i"),
+            "containment_ppm",
+        )
+    )
+    if materialize:  # eager result, cache released (see minhash_lsh_pairs)
+        out = out.localCheckpoint()
+        exploded.unpersist()
+    return out

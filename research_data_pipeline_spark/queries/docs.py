@@ -2108,3 +2108,45 @@ def d36_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, "vec_id", "embedding",
         k=_PQ_K, m_sub=_PQ_M, n_codes=_PQ_CODES, query_mod=_PQ_QMOD,
     )
+
+
+# ---------------------------------------------------------------------------
+# d37: directed shingle-containment pairs — the asymmetric dedup measure
+# Jaccard misses (a chunk quoted inside a long page: containment ~1,
+# Jaccard ~0). Integer-ppm score (n_shared·10⁶ div n_i): exact threshold
+# cut, no float division in either engine.
+_CONT_N, _CONT_T_PPM = 3, 100_000
+_CONT_SHINGLES = (
+    f"list_distinct(list_transform(range(1, len({_TOKS}) - {_CONT_N - 2}), "
+    f"i -> array_to_string(({_TOKS})[i:i+{_CONT_N - 1}], ' ')))"
+)
+_CONT_ORACLE = f"""
+    WITH sh AS (
+        SELECT doc_id, {_CONT_SHINGLES} AS shingles FROM documents
+        WHERE len({_TOKS}) >= {_CONT_N}
+    ), sizes AS (
+        SELECT doc_id, len(shingles) AS n_sh FROM sh
+    ), ex AS (
+        SELECT doc_id, unnest(shingles) AS shingle FROM sh
+    ), shared AS (
+        SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS n_shared
+        FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT s.i, s.j,
+           CAST(s.n_shared AS BIGINT) AS n_shared,
+           CAST(si.n_sh AS BIGINT) AS n_i,
+           CAST(s.n_shared * 1000000 // si.n_sh AS BIGINT) AS containment_ppm
+    FROM shared s JOIN sizes si ON si.doc_id = s.i
+    WHERE s.n_shared * 1000000 // si.n_sh >= {_CONT_T_PPM}
+"""
+
+
+@REGISTRY.add("d37_containment_pairs", _CONT_ORACLE, "dedup", "ngram")
+def d37_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed 3-shingle containment pairs ≥ 0.1 (integer ppm) — the
+    subset-duplication detector. See operators/text_dedup.containment_pairs."""
+    d = load(spark, sf_dir, "documents")
+    return dd.containment_pairs(
+        d, "doc_id", "text", n=_CONT_N, threshold_ppm=_CONT_T_PPM
+    )
