@@ -1699,9 +1699,13 @@ def _bpe_oracle(k: int) -> str:
 _BPE_ITER_ORACLE = _bpe_oracle(_BPE_ITERS)
 
 
-def _bpe_merge_round(words: DataFrame) -> tuple[DataFrame, DataFrame]:
+def _bpe_merge_round(
+    words: DataFrame, carry: tuple[str, ...] = ()
+) -> tuple[DataFrame, DataFrame]:
     """One BPE round on a (s: array<string>, f: bigint) vocabulary table:
-    returns (top1 pair DataFrame, merged vocabulary DataFrame)."""
+    returns (top1 pair DataFrame, merged vocabulary DataFrame). ``carry``
+    names extra vocabulary columns (e.g. the source word) preserved
+    through the merge — they never reach the pair counts."""
     starts = F.when(
         F.size("s") >= 2, F.sequence(F.lit(1), F.size("s") - 1)
     ).otherwise(F.array().cast("array<int>"))
@@ -1720,6 +1724,7 @@ def _bpe_merge_round(words: DataFrame) -> tuple[DataFrame, DataFrame]:
     # greedy left-to-right fold; F.get is the ANSI-safe last-element probe
     # (NULL on the empty accumulator, no out-of-bounds error)
     merged = j.select(
+        *carry,
         F.aggregate(
             "s",
             F.array().cast("array<string>"),
@@ -2149,4 +2154,103 @@ def d37_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     return dd.containment_pairs(
         d, "doc_id", "text", n=_CONT_N, threshold_ppm=_CONT_T_PPM
+    )
+
+
+# ---------------------------------------------------------------------------
+# d38: BPE ENCODE — the application half of the tokenizer loop d32b
+# trains: re-learn the same K merges, apply them (training order,
+# same greedy left-to-right fold) to every DISTINCT word, then join the
+# vocabulary-sized encode table back to the corpus for per-document
+# token counts. Closes the train→encode loop: d32b emits merges.txt,
+# d38 is the tokenizer run that consumes it.
+#
+# Scale shape: merges are learned and applied on the VOCABULARY
+# (distinct words), never per occurrence — the corpus-sized work is one
+# word-frequency pass plus one word-keyed join back (AQE broadcasts the
+# encode table when the vocab is small; at web scale it's a keyed hash
+# join, still |V| rows). saved_ppm is exact integer arithmetic.
+def _bpe_encode_oracle(k: int) -> str:
+    parts = [f"""
+    WITH tok AS (SELECT unnest({_TOKS}) AS t FROM documents),
+    tf AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS f FROM tok
+           WHERE t <> '' GROUP BY t),
+    w0 AS (SELECT t, list_transform(generate_series(1, length(t)),
+                                    i -> substring(t, i, 1)) AS s, f FROM tf)"""]
+    for i in range(1, k + 1):
+        parts.append(f""",
+    p{i} AS (
+        SELECT s[i] AS lhs, s[i + 1] AS rhs, CAST(SUM(f) AS BIGINT) AS n
+        FROM w{i - 1}, UNNEST(generate_series(1, len(s) - 1)) AS g(i)
+        GROUP BY 1, 2
+    ),
+    t{i} AS (SELECT lhs, rhs, n FROM p{i} ORDER BY n DESC, lhs, rhs LIMIT 1),
+    w{i} AS (
+        SELECT t, string_split(
+            list_reduce(s, (acc, x) ->
+                CASE WHEN (acc = t{i}.lhs
+                           OR ends_with(acc, chr(31) || t{i}.lhs))
+                          AND x = t{i}.rhs
+                     THEN acc || t{i}.rhs
+                     ELSE acc || chr(31) || x END),
+            chr(31)) AS s, f
+        FROM w{i - 1} CROSS JOIN t{i}
+    )""")
+    parts.append(f""",
+    enc AS (SELECT t, CAST(len(s) AS BIGINT) AS n_sym FROM w{k}),
+    dt AS (SELECT doc_id, unnest({_TOKS}) AS t FROM documents)
+    SELECT dt.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(length(dt.t)) AS BIGINT) AS n_chars,
+           CAST(SUM(enc.n_sym) AS BIGINT) AS n_tokens_bpe,
+           CAST((SUM(length(dt.t)) - SUM(enc.n_sym)) * 1000000
+                // SUM(length(dt.t)) AS BIGINT) AS saved_ppm
+    FROM dt JOIN enc ON dt.t = enc.t
+    WHERE dt.t <> ''
+    GROUP BY dt.doc_id""")
+    return "".join(parts)
+
+
+_BPE_ENC_ORACLE = _bpe_encode_oracle(_BPE_ITERS)
+
+
+@REGISTRY.add("d38_bpe_encode", _BPE_ENC_ORACLE, "text", "tokenizer")
+def d38_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document BPE token counts after the d32b-learned K merges:
+    (doc_id, n_words, n_chars, n_tokens_bpe, saved_ppm)."""
+    d = load(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(T.tokens(F.col("text"))).alias("t"))
+        .where(F.col("t") != "")
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    words = tf.select(
+        "t",
+        F.transform(
+            F.sequence(F.lit(1), F.length("t")),
+            lambda i: F.col("t").substr(i, F.lit(1)),
+        ).alias("s"),
+        "f",
+    )
+    for _ in range(_BPE_ITERS):
+        _, words = _bpe_merge_round(words, carry=("t",))
+    enc = words.select("t", F.size("s").cast("bigint").alias("n_sym"))
+    dt = d.select(
+        "doc_id", F.explode(T.tokens(F.col("text"))).alias("t")
+    ).where(F.col("t") != "")
+    return (
+        dt.join(enc, "t")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum(F.length("t")).cast("bigint").alias("n_chars"),
+            F.sum("n_sym").cast("bigint").alias("n_tokens_bpe"),
+        )
+        .withColumn(
+            "saved_ppm",
+            F.expr(
+                "(n_chars - n_tokens_bpe) * 1000000 div n_chars"
+            ).cast("bigint"),
+        )
     )
