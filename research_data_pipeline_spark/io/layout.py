@@ -148,3 +148,120 @@ def compact_parquet(
     fs.delete(spark, old)
     invalidate_scan_units(path)
     return n_files
+
+
+def zorder_value(cols: list, bits: int = 16):
+    """Morton/Z-order key over pre-scaled integer columns.
+
+    Each input column must already be an integer in [0, 2**bits); the
+    result interleaves their bits (column 0 owns the lowest bit). A
+    multi-dimensional sort on this single key keeps rows that are close
+    in EVERY dimension close in the file, so parquet row-group min/max
+    stats prune selective predicates on ANY of the interleaved columns —
+    a plain sort gives that to its leading column only. Pure bit
+    arithmetic, whole-stage-codegen'd, no UDF.
+    """
+    from pyspark.sql import functions as F
+
+    n = len(cols)
+    z = F.lit(0).cast("bigint")
+    for b in range(bits):
+        for ci, c in enumerate(cols):
+            z = z + (
+                F.shiftleft(
+                    F.shiftright(F.col(c) if isinstance(c, str) else c, b)
+                    .bitwiseAND(F.lit(1))
+                    .cast("bigint"),
+                    b * n + ci,
+                )
+            )
+    return z
+
+
+def scale_to_bits(col, mn, mx, bits: int = 16):
+    """Affinely map a numeric column with known [mn, mx] bounds onto the
+    integer grid [0, 2**bits) — the normalization step before
+    ``zorder_value``. Bounds come from a one-row aggregate of the input
+    (cheap: column stats), not per-row shuffles."""
+    from pyspark.sql import functions as F
+
+    span = F.lit(mx).cast("double") - F.lit(mn).cast("double")
+    unit = (col.cast("double") - F.lit(mn).cast("double")) / (span + F.lit(1e-9))
+    cell = F.floor(unit * F.lit(float(1 << bits))).cast("bigint")
+    return F.least(F.greatest(cell, F.lit(0)), F.lit((1 << bits) - 1))
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 16,
+    n_files: int = 8,
+    row_group_bytes: int | None = None,
+) -> None:
+    """Write ``df`` as parquet Z-ORDERED on ``cols``: scale each column
+    to the [0, 2**bits) grid using its global min/max, interleave into a
+    Morton key, range-partition + sort by it, drop the key, write.
+
+    This is the multi-dimensional clustering step a 100 TB fact table
+    needs when queries filter on several independent columns (user AND
+    time, part AND date): one physical order serves them all, and the
+    judge of that claim is ``row_groups_pruned`` below — footer stats,
+    not plans. ``row_group_bytes`` shrinks parquet row groups in tests
+    so pruning is observable on small data.
+    """
+    from pyspark.sql import functions as F
+
+    bounds = df.agg(
+        *[F.min(c).alias(f"_mn_{c}") for c in cols],
+        *[F.max(c).alias(f"_mx_{c}") for c in cols],
+    ).collect()[0]
+    scaled = [
+        scale_to_bits(F.col(c), bounds[f"_mn_{c}"], bounds[f"_mx_{c}"], bits).alias(
+            f"_z_{c}"
+        )
+        for c in cols
+    ]
+    zdf = (
+        df.select("*", *scaled)
+        .withColumn("_z", zorder_value([f"_z_{c}" for c in cols], bits))
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z", *[f"_z_{c}" for c in cols])
+    )
+    writer = zdf.write.mode("overwrite")
+    if row_group_bytes:
+        # page size must shrink with the block size or the writer's
+        # per-page floor keeps row groups coarse on small test data
+        writer = writer.option("parquet.block.size", str(row_group_bytes)).option(
+            "parquet.page.size", str(max(1024, row_group_bytes // 2))
+        )
+    writer.parquet(path)
+
+
+def row_groups_pruned(path: str, col: str, lo, hi) -> tuple[int, int]:
+    """(kept, total) parquet row groups whose [min, max] footer stats
+    overlap the closed predicate range [lo, hi] — engine-independent
+    ground truth for what ANY stats-aware scanner (Spark, DuckDB, Trino)
+    must read for ``col BETWEEN lo AND hi``."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    files = (
+        [os.path.join(path, f) for f in sorted(os.listdir(path)) if f.endswith(".parquet")]
+        if os.path.isdir(path)
+        else [path]
+    )
+    kept = total = 0
+    for f in files:
+        meta = pq.ParquetFile(f).metadata
+        idx = {meta.schema.column(i).name: i for i in range(meta.num_columns)}[col]
+        for rg in range(meta.num_row_groups):
+            st = meta.row_group(rg).column(idx).statistics
+            total += 1
+            if st is None or st.min is None:
+                kept += 1
+            elif not (st.max < lo or st.min > hi):
+                kept += 1
+    return kept, total

@@ -164,3 +164,56 @@ def test_bucketed_authorship_makes_author_aggs_exchange_free(warehouse, sf_dir):
     finally:
         spark.conf.unset("spark.sql.adaptive.enabled")
         spark.sql("DROP TABLE IF EXISTS b_authorship")
+
+
+def test_zorder_prunes_row_groups_on_both_dimensions(spark, sf_dir, tmp_path):
+    """The 100 TB clustering claim, judged by parquet footer stats: a
+    Z-ordered layout lets a stats-aware scanner skip row groups for
+    selective range predicates on EITHER interleaved column, while a
+    single-column sort serves only its leading column."""
+    from research_data_pipeline_spark.io.layout import (
+        row_groups_pruned,
+        write_zordered,
+    )
+
+    # sf0.01 (10k events): sf0.001's ~1k rows make only ~11 row groups at
+    # the writer's 100-record floor — too coarse to observe pruning
+    e = spark.read.parquet("/root/testdata/sf0.01/events.parquet").select(
+        "event_id", "user_id", "value"
+    )
+    zpath, spath = str(tmp_path / "z"), str(tmp_path / "s")
+    write_zordered(
+        e, zpath, ["user_id", "event_id"], bits=8, n_files=2,
+        row_group_bytes=2048,
+    )
+    # baseline: clustered on event_id alone (the "sort by time" default)
+    (
+        e.repartitionByRange(2, "event_id")
+        .sortWithinPartitions("event_id")
+        .write.mode("overwrite")
+        .option("parquet.block.size", "2048")
+        .option("parquet.page.size", "1024")
+        .parquet(spath)
+    )
+
+    u_kept, u_total = row_groups_pruned(zpath, "user_id", 10, 19)
+    t_kept, t_total = row_groups_pruned(zpath, "event_id", 1000, 1999)
+    assert u_total >= 8, "row groups too coarse to measure pruning"
+    # Z-order: BOTH predicates skip most of the file
+    assert u_kept / u_total <= 0.5, (u_kept, u_total)
+    assert t_kept / t_total <= 0.5, (t_kept, t_total)
+
+    su_kept, su_total = row_groups_pruned(spath, "user_id", 10, 19)
+    st_kept, st_total = row_groups_pruned(spath, "event_id", 1000, 1999)
+    # single-column sort: its own column prunes, the other reads ~all
+    assert st_kept / st_total <= 0.5, (st_kept, st_total)
+    assert su_kept / su_total >= 0.9, (su_kept, su_total)
+
+    # layout is lossless: same rows come back under the predicate
+    got = (
+        spark.read.parquet(zpath)
+        .where(F.col("user_id").between(10, 19))
+        .count()
+    )
+    want = e.where(F.col("user_id").between(10, 19)).count()
+    assert got == want
