@@ -969,3 +969,61 @@ def e24_record_high_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.jobs import run_record_breaks_to_batch
 
     return run_record_breaks_to_batch(spark, f"{sf_dir}/events.parquet")
+
+
+# ---------------------------------------------------------------------------
+# e25: interval (range) join — "who else was active while user u warmed
+# up": each user's opening window [first event, +30 min] joined against
+# EVERY other user's events falling inside it. A raw BETWEEN join is a
+# nested-loop at scale; the engine's binned_interval_join discretizes
+# time into 10-minute bins so the range predicate rides an equi-join on
+# the bin id (operators/rangejoin.py — the Databricks-range-join-hint /
+# spatial-binning trick as a composable operator). Counts are exact:
+# each qualifying pair meets in exactly one bin.
+_IVL_LEN_US = 30 * 60 * 1_000_000
+_IVL_BIN_US = 10 * 60 * 1_000_000
+_INTERVAL_ORACLE = f"""
+    WITH firsts AS (
+        SELECT user_id, epoch_us(MIN(ts)) AS win_start_us,
+               epoch_us(MIN(ts)) + {_IVL_LEN_US} AS win_end_us
+        FROM events GROUP BY user_id
+    )
+    SELECT f.user_id, f.win_start_us, f.win_end_us,
+           CAST(COUNT(e.event_id) AS BIGINT) AS n_other_events,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_other_users
+    FROM firsts f
+    JOIN events e
+      ON epoch_us(e.ts) BETWEEN f.win_start_us AND f.win_end_us
+     AND e.user_id <> f.user_id
+    GROUP BY 1, 2, 3
+"""
+
+
+@REGISTRY.add("e25_interval_overlap_counts", _INTERVAL_ORACLE, "events",
+              "range-join")
+def e25_interval_overlap_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user opening-window overlap: events and distinct users from
+    OTHER users inside [first_ts, first_ts + 30 min], via the binned
+    interval join (10-minute bins — no nested-loop in the plan,
+    asserted in test_plans.py)."""
+    from ..operators.rangejoin import binned_interval_join
+    from ..tables import epoch_us
+
+    e = load(spark, sf_dir, "events")
+    firsts = (
+        e.groupBy("user_id")
+        .agg(F.min(epoch_us(F.col("ts"))).alias("win_start_us"))
+        .withColumn("win_end_us", F.col("win_start_us") + F.lit(_IVL_LEN_US))
+    )
+    pts = e.select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("p_event_id"),
+        epoch_us(F.col("ts")).alias("t_us"),
+    )
+    joined = binned_interval_join(
+        firsts, pts, "win_start_us", "win_end_us", "t_us", _IVL_BIN_US
+    ).where(F.col("p_user_id") != F.col("user_id"))
+    return joined.groupBy("user_id", "win_start_us", "win_end_us").agg(
+        F.count("p_event_id").cast("bigint").alias("n_other_events"),
+        F.countDistinct("p_user_id").cast("bigint").alias("n_other_users"),
+    )

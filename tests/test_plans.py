@@ -203,3 +203,12 @@ def test_d36_pq_adc_stays_jvm_and_broadcast(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # codes x broadcast(LUTs)
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_e25_interval_join_is_equi_not_nested_loop(spark, sf_dir):
+    # the whole point of binned_interval_join: the BETWEEN predicate must
+    # ride a hash join on the bin id, never a nested-loop/cartesian scan
+    plan = _plan(spark, sf_dir, "e25_interval_overlap_counts")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "_bin" in plan  # the equi key actually reaches the join
