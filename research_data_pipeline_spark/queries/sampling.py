@@ -621,3 +621,119 @@ def s12_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         uniques=[("orders", "o_orderkey"), ("customer", "c_custkey")],
         not_nulls=[("customer", "c_acctbal"), ("lineitem", "l_quantity")],
     )
+
+
+# ---------------------------------------------------------------------------
+# s13: mergeable HLL-style distinct sketch with EXACT integer registers.
+# Spark's approx_count_distinct hides its HLL++ registers in the JVM;
+# a 100 TB pipeline wants the registers as DATA — per-shard sketch rows
+# it can persist, ship, and merge later without re-reading the shard
+# (the same persistable-state design as the d21 signature store and s10
+# CMS). Everything is integer: the md5-derived 60-bit hash splits into
+# a 6-bit bucket and a 54-bit suffix whose leading-zero rank comes from
+# the binary-string length (no log2 — libm rounding is not portable);
+# s55 = Σ_buckets 2^(55−M_b) is the estimator's denominator as one exact
+# BIGINT (≤ 2^61). The '__union__' row is computed by MERGING the
+# per-type register tables (bucketwise MAX) while the oracle computes it
+# DIRECTLY from the raw rows — their equality under the hash gate is the
+# proof that the sketch merge is lossless. n_exact_users is the audit
+# column (computed exactly, like d34's reconstruction error).
+_HLL_M = 64  # 6-bit bucket index, 2^6 registers
+
+
+def _hll_regs(ev: DataFrame) -> DataFrame:
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    day = F.date_format(F.col("ts"), "yyyy-MM-dd")
+    z = F.expr(f"h div {_HLL_M}")
+    rank = F.when(z == 0, F.lit(55)).otherwise(
+        F.lit(55) - F.length(F.bin(z))
+    )
+    return (
+        ev.select(day.alias("day"), h.alias("h"))
+        .select(
+            "day",
+            (F.col("h") % _HLL_M).alias("bucket"),
+            rank.alias("rank"),
+        )
+        .groupBy("day", "bucket")
+        .agg(F.max("rank").alias("m"))
+    )
+
+
+def _hll_row(regs: DataFrame, scope_col) -> DataFrame:
+    grp = regs.groupBy(scope_col.alias("scope"))
+    return grp.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets_hit"),
+        (
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(55 - m AS INT))"))
+            + (F.lit(_HLL_M) - F.count(F.lit(1)))
+            * F.lit(1 << 55).cast("bigint")
+        ).cast("bigint").alias("s55"),
+    )
+
+
+_HLL_ORACLE = f"""
+    WITH b AS (
+        SELECT strftime(ts, '%Y-%m-%d') AS day, user_id,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                   ::UBIGINT::BIGINT AS h
+        FROM events
+    ), r AS (
+        SELECT day, user_id, h % {_HLL_M} AS bucket,
+               CASE WHEN h // {_HLL_M} = 0 THEN 55
+                    ELSE 55 - length(bin(h // {_HLL_M})) END AS rank
+        FROM b
+    ), regs AS (
+        SELECT day, bucket, MAX(rank) AS m FROM r GROUP BY 1, 2
+    ), per_day AS (
+        SELECT day AS scope,
+               CAST(COUNT(*) AS BIGINT) AS n_buckets_hit,
+               CAST(SUM(1::BIGINT << (55 - m))
+                    + ({_HLL_M} - COUNT(*)) * (1::BIGINT << 55) AS BIGINT) AS s55
+        FROM regs GROUP BY 1
+    ), u_regs AS (
+        SELECT bucket, MAX(rank) AS m FROM r GROUP BY 1
+    ), u_row AS (
+        SELECT '__union__' AS scope,
+               CAST(COUNT(*) AS BIGINT) AS n_buckets_hit,
+               CAST(SUM(1::BIGINT << (55 - m))
+                    + ({_HLL_M} - COUNT(*)) * (1::BIGINT << 55) AS BIGINT) AS s55
+        FROM u_regs
+    ), ex AS (
+        SELECT strftime(ts, '%Y-%m-%d') AS scope,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact_users
+        FROM events GROUP BY 1
+        UNION ALL
+        SELECT '__union__', CAST(COUNT(DISTINCT user_id) AS BIGINT)
+        FROM events
+    )
+    SELECT s.scope, s.n_buckets_hit, s.s55, ex.n_exact_users
+    FROM (SELECT * FROM per_day UNION ALL SELECT * FROM u_row) s
+    JOIN ex ON ex.scope = s.scope
+"""
+
+
+@REGISTRY.add("s13_hll_registers", _HLL_ORACLE, "sketch", "distinct")
+def s13_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DAY HLL register sketches (64 buckets, exact integer s55
+    denominator) plus the '__union__' row obtained by MERGING the 30
+    daily register tables — bucketwise MAX, the shard-then-merge shape a
+    daily 100 TB ingest uses; the oracle computes the union DIRECTLY
+    from raw rows, so hash equality proves the merge is lossless."""
+    ev = load(spark, sf_dir, "events").select("ts", "user_id")
+    regs = _hll_regs(ev).localCheckpoint()  # read 2x: per-day + merge
+    per_day = _hll_row(regs, F.col("day"))
+    merged = regs.groupBy("bucket").agg(F.max("m").alias("m"))
+    union_row = _hll_row(merged, F.lit("__union__"))
+    exact = (
+        ev.groupBy(F.date_format(F.col("ts"), "yyyy-MM-dd").alias("scope"))
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_exact_users"))
+        .unionByName(
+            ev.agg(
+                F.countDistinct("user_id").cast("bigint").alias("n_exact_users")
+            ).select(F.lit("__union__").alias("scope"), "n_exact_users")
+        )
+    )
+    return per_day.unionByName(union_row).join(exact, "scope")
