@@ -1458,3 +1458,69 @@ def q36_fuzzy_name_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("dist") * F.col("mult")).cast("bigint").alias("sum_dist"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q37: snapshot diff (CDC) — two deterministic "versions" of orders are
+# derived from the base table (v1 drops hash-bucket 0, v2 drops bucket 1
+# and doubles every 7th order's price), then diffed with ONE full-outer
+# join on the key. Change detection is column-wise NULL-safe equality,
+# never a row-hash over stringified floats (engine-dependent rendering).
+# The summary emits per-status row counts plus an exact key checksum, so
+# the hash gate covers WHICH rows got each status, not just how many.
+_DIFF_BUCKETS = 10
+
+
+@REGISTRY.add(
+    "q37_snapshot_diff",
+    f"""
+    WITH v1 AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::UBIGINT
+              % {_DIFF_BUCKETS} <> 0
+    ), v2 AS (
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders
+        WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::UBIGINT
+              % {_DIFF_BUCKETS} <> 1
+    ), d AS (
+        SELECT COALESCE(v1.o_orderkey, v2.o_orderkey) AS k,
+               CASE WHEN v1.o_orderkey IS NULL THEN 'added'
+                    WHEN v2.o_orderkey IS NULL THEN 'removed'
+                    WHEN v1.o_orderstatus IS NOT DISTINCT FROM v2.o_orderstatus
+                         AND v1.o_totalprice IS NOT DISTINCT FROM v2.o_totalprice
+                    THEN 'unchanged'
+                    ELSE 'modified' END AS status
+        FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+    )
+    SELECT status, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(k) AS BIGINT) AS key_checksum
+    FROM d GROUP BY status
+    """,
+    "relational",
+    "cdc",
+)
+def q37_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-status diff summary between two derived order snapshots —
+    see operators/diff.snapshot_diff for the row-level operator."""
+    from ..operators.diff import snapshot_diff
+    from .sampling import md5_bucket
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    bucket = md5_bucket(F.col("o_orderkey")) % _DIFF_BUCKETS
+    v1 = o.where(bucket != 0)
+    v2 = o.where(bucket != 1).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") * 2
+        ).otherwise(F.col("o_totalprice")),
+    )
+    d = snapshot_diff(v1, v2, ["o_orderkey"], ["o_orderstatus", "o_totalprice"])
+    return d.groupBy("status").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("o_orderkey").cast("bigint").alias("key_checksum"),
+    )
