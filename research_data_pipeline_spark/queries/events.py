@@ -1027,3 +1027,57 @@ def e25_interval_overlap_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("p_event_id").cast("bigint").alias("n_other_events"),
         F.countDistinct("p_user_id").cast("bigint").alias("n_other_users"),
     )
+
+
+# ---------------------------------------------------------------------------
+# e26: incremental aggregate maintenance — the materialized-view shape:
+# per-user stats over the first 25 days exist as a persisted STATE
+# table; the last days arrive as a delta batch. The engine computes the
+# partial state of each side and MERGES them (count ⊕ sum ⊕ min ⊕ max —
+# the algebraic combine, one union + re-agg over state-sized rows, never
+# re-reading the base facts), while the oracle aggregates the full table
+# directly: hash equality proves the maintenance algebra, exactly the
+# s13-sketch / d21-dedup pattern for general aggregates. Decimal(12,4)
+# sums keep the merge bit-exact; avg is derived at read time from the
+# merged (sum, count), never maintained itself (non-algebraic).
+_INC_SPLIT = "2024-01-26"
+_INC_AGG_ORACLE = f"""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE)
+               AS total_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events
+    GROUP BY user_id
+"""
+
+
+@REGISTRY.add("e26_incremental_agg_merge", _INC_AGG_ORACLE, "events",
+              "incremental")
+def e26_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user stats via base-state ⊕ delta-state merge (split at
+    2024-01-26) — must equal the direct full-table aggregation."""
+    ev = load(spark, sf_dir, "events").select("ts", "user_id", "value")
+    split = F.to_timestamp(F.lit(_INC_SPLIT))
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast(D)).alias("sum_dec"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+
+    base = partial(ev.where(F.col("ts") < split))
+    delta = partial(ev.where(F.col("ts") >= split))
+    return (
+        base.unionByName(delta)
+        .groupBy("user_id")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_events"),
+            F.sum("sum_dec").cast("double").alias("total_value"),
+            F.min("mn").alias("min_value"),
+            F.max("mx").alias("max_value"),
+        )
+    )
