@@ -617,24 +617,42 @@ def _ivf_broadcast_topk(assigned: DataFrame, id_col: str, k: int) -> DataFrame:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
+            # batch queries by probe-set signature: every query sharing a
+            # probe set scores against the same candidate matrix, so the
+            # dominant cost (the query x candidate cosine block) runs as
+            # ONE numpy matmul per distinct probe set instead of one
+            # GEMV per query row (nprobe-of-n_cells sets are few, and
+            # co-partitioned queries repeat them constantly)
             out = {"query_id": [], "neighbor_id": [], "cell": [], "rank": [], "cosine": []}
+            groups: dict[tuple, list[int]] = {}
             for r in range(len(pdf)):
-                qid = int(pdf[id_col].iloc[r])
-                qv = np.asarray(list(pdf["_v"].iloc[r]), dtype=np.float64)
-                qn = float(pdf["norm"].iloc[r])
+                groups.setdefault(tuple(pdf["probes"].iloc[r]), []).append(r)
+            for probes, rws in groups.items():
                 cand = np.concatenate(
-                    [cidx.get(int(c), np.empty(0, dtype=np.int64)) for c in pdf["probes"].iloc[r]]
+                    [cidx.get(int(c), np.empty(0, dtype=np.int64)) for c in probes]
                 )
-                cand = cand[ids_all[cand] != qid]
                 if len(cand) == 0:
                     continue
-                S = _cosine_block(qv[None, :], Mm[cand])[0] / (qn * nn[cand])
-                order = np.lexsort((ids_all[cand], -S))[:k]
-                out["query_id"].extend([qid] * len(order))
-                out["neighbor_id"].extend(ids_all[cand][order])
-                out["cell"].extend(cc[cand][order])
-                out["rank"].extend(range(1, len(order) + 1))
-                out["cosine"].extend(S[order])
+                Q = np.array(
+                    [list(pdf["_v"].iloc[r]) for r in rws], dtype=np.float64
+                )
+                qn = np.fromiter(
+                    (pdf["norm"].iloc[r] for r in rws), dtype=np.float64, count=len(rws)
+                )
+                S_all = _cosine_block(Q, Mm[cand]) / np.outer(qn, nn[cand])
+                for gi, r in enumerate(rws):
+                    qid = int(pdf[id_col].iloc[r])
+                    keep = ids_all[cand] != qid
+                    if not keep.any():
+                        continue
+                    S = S_all[gi][keep]
+                    kcand = cand[keep]
+                    order = np.lexsort((ids_all[kcand], -S))[:k]
+                    out["query_id"].extend([qid] * len(order))
+                    out["neighbor_id"].extend(ids_all[kcand][order])
+                    out["cell"].extend(cc[kcand][order])
+                    out["rank"].extend(range(1, len(order) + 1))
+                    out["cosine"].extend(S[order])
             yield pd.DataFrame(out)
 
     return assigned.mapInPandas(

@@ -271,6 +271,12 @@ _REWRITTEN_SINCE_GREEN: set[str] = {
     # round 6: q36's self-pair multiplicity switched from float-div-cast
     # to integer `div` (advisor note) after its r05 green row
     "q36_fuzzy_name_blocks",
+    # round 6 (late): _ivf_broadcast_topk vectorized by probe-set groups
+    # (verdict's weak item) after d13/d13b's green rows; d32b's merge
+    # round grew a carry param (no behavior change, parity re-proven)
+    "d13_ann_ivf",
+    "d13b_ivf_lloyd_recall",
+    "d32b_bpe_training",
 }
 
 
