@@ -597,3 +597,76 @@ def g11_weighted_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bounded_min_cost(
         edges, seed=_WSP_SEED, max_hops=_WSP_MAX_HOPS
     )
+
+
+# ---------------------------------------------------------------------------
+# g12: HITS hubs & authorities on the BIPARTITE purchase graph
+# (customer → supplier, one edge per distinct buying relationship).
+# Kleinberg's iteration without the float normalization step: with a
+# fixed iteration count the l2-normalizer is a positive scalar that
+# never changes the RANKING, so dropping it keeps every step an exact
+# BIGINT sum (the same fixed-point discipline as g06's PageRank —
+# magnitudes stay ≤ degree³ ≪ 2^63 at any plausible scale; renormalize
+# only when persisting floats for humans). auth₁ = indegree,
+# hub₁ = Σ auth₁ over the customer's suppliers, auth₂ = Σ hub₁ —
+# two keyed-join + groupBy rounds on the edge list, no driver state.
+_HITS_ORACLE = """
+    WITH edges AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ), a1 AS (
+        SELECT s, CAST(COUNT(*) AS BIGINT) AS a FROM edges GROUP BY s
+    ), h1 AS (
+        SELECT e.c, CAST(SUM(a1.a) AS BIGINT) AS h
+        FROM edges e JOIN a1 ON a1.s = e.s GROUP BY e.c
+    ), a2 AS (
+        SELECT e.s, CAST(SUM(h1.h) AS BIGINT) AS a
+        FROM edges e JOIN h1 ON h1.c = e.c GROUP BY e.s
+    )
+    SELECT sup.s_suppkey AS node,
+           COALESCE(a1.a, 0) AS indegree,
+           COALESCE(a2.a, 0) AS authority_fp
+    FROM supplier sup
+    LEFT JOIN a1 ON a1.s = sup.s_suppkey
+    LEFT JOIN a2 ON a2.s = sup.s_suppkey
+"""
+
+
+@REGISTRY.add("g12_hits_authorities", _HITS_ORACLE, "graph", "iterative")
+def g12_hits_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-round integer HITS authority scores for suppliers over the
+    customer→supplier bipartite graph; isolated suppliers score 0."""
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem")
+    sup = load(spark, sf_dir, "supplier")
+    edges = (
+        o.select("o_orderkey", "o_custkey")
+        .join(l.select("l_orderkey", "l_suppkey"),
+              F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+        .localCheckpoint()  # reused by all three rounds
+    )
+    a1 = edges.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("a1"))
+    h1 = (
+        edges.join(a1, "s")
+        .groupBy("c")
+        .agg(F.sum("a1").cast("bigint").alias("h1"))
+    )
+    a2 = (
+        edges.join(h1, "c")
+        .groupBy("s")
+        .agg(F.sum("h1").cast("bigint").alias("a2"))
+    )
+    return (
+        sup.select(F.col("s_suppkey").alias("node"))
+        .join(a1, F.col("node") == a1["s"], "left")
+        .drop("s")
+        .join(a2, F.col("node") == a2["s"], "left")
+        .drop("s")
+        .select(
+            "node",
+            F.coalesce("a1", F.lit(0)).cast("bigint").alias("indegree"),
+            F.coalesce("a2", F.lit(0)).cast("bigint").alias("authority_fp"),
+        )
+    )
