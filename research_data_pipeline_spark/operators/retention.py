@@ -1,0 +1,74 @@
+"""Right-to-be-forgotten cascade purge.
+
+Deleting a user from a 100 TB lake is not one DELETE: the forget set
+must propagate down the FK graph (customer → orders → lineitem) and the
+job must emit an auditable account of what it removed — regulators ask
+for the receipt, not the absence. Each hop is one semi-join (to find
+the doomed rows) plus one anti-join on the same key (to keep the rest),
+all keyed shuffles; driver state grows with the number of tables only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def cascade_purge(
+    tables: dict[str, DataFrame],
+    root_table: str,
+    root_keys: DataFrame,
+    cascades: list[tuple[str, str, str, str]],
+) -> tuple[dict[str, DataFrame], DataFrame]:
+    """Purge ``root_keys`` (a 1-column DataFrame named after the root
+    table's key column) from ``root_table`` and cascade through
+    ``cascades`` = [(child_table, child_fk_col, parent_table,
+    parent_key_col), ...] ordered parent-first.
+
+    Returns (purged tables dict — untouched tables pass through, and an
+    audit DataFrame with one row per purged table: tbl, n_before,
+    n_purged, n_after). A child's doomed rows are those whose FK points
+    at a doomed parent row — the transitive closure of the forget set.
+    """
+    [root_key_col] = root_keys.columns
+    doomed: dict[str, DataFrame] = {
+        root_table: tables[root_table].join(root_keys, root_key_col, "left_semi")
+    }
+    kill_keys: dict[str, DataFrame] = {root_table: root_keys}
+    for child, fk, parent, pk in cascades:  # parent-first order required
+        if parent not in doomed:
+            raise ValueError(f"cascade for {child} names unpurged parent {parent}")
+        keys = doomed[parent].select(F.col(pk).alias(fk)).distinct()
+        kill_keys[child] = keys
+        doomed[child] = tables[child].join(keys, fk, "left_semi")
+
+    purged: dict[str, DataFrame] = {}
+    audits = []
+    for name, df in tables.items():
+        if name == root_table:
+            keep = df.join(root_keys, root_key_col, "left_anti")
+        elif name in kill_keys:
+            [fk_col] = kill_keys[name].columns
+            keep = df.join(kill_keys[name], fk_col, "left_anti")
+        else:
+            purged[name] = df
+            continue
+        # a USING-join moves the key column first; a purge must hand back
+        # the table with its schema untouched
+        purged[name] = keep.select(*df.columns)
+        audits.append(
+            df.agg(F.count(F.lit(1)).alias("n_before"))
+            .crossJoin(doomed[name].agg(F.count(F.lit(1)).alias("n_purged")))
+            .select(
+                F.lit(name).alias("tbl"),
+                F.col("n_before").cast("bigint"),
+                F.col("n_purged").cast("bigint"),
+                (F.col("n_before") - F.col("n_purged"))
+                .cast("bigint")
+                .alias("n_after"),
+            )
+        )
+    audit = audits[0]
+    for a in audits[1:]:
+        audit = audit.unionByName(a)
+    return purged, audit

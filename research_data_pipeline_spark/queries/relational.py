@@ -1524,3 +1524,73 @@ def q37_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.sum("o_orderkey").cast("bigint").alias("key_checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q38: right-to-be-forgotten cascade purge — a deterministic 2%% forget
+# set of customers (md5 bucket 0 of 50) propagated customer → orders →
+# lineitem via operators/retention.cascade_purge, emitting the audit
+# receipt (tbl, n_before, n_purged, n_after) a regulator actually asks
+# for. Every hop is a keyed semi/anti-join; nothing driver-side scales
+# with data.
+_PURGE_BUCKETS = 50
+
+
+@REGISTRY.add(
+    "q38_retention_purge",
+    f"""
+    WITH forget AS (
+        SELECT c_custkey FROM customer
+        WHERE ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8))::UBIGINT
+              % {_PURGE_BUCKETS} = 0
+    ), doomed_o AS (
+        SELECT o_orderkey FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM forget)
+    )
+    SELECT 'customer' AS tbl,
+           (SELECT COUNT(*) FROM customer) AS n_before,
+           (SELECT COUNT(*) FROM forget) AS n_purged,
+           (SELECT COUNT(*) FROM customer) - (SELECT COUNT(*) FROM forget)
+               AS n_after
+    UNION ALL
+    SELECT 'orders',
+           (SELECT COUNT(*) FROM orders),
+           (SELECT COUNT(*) FROM doomed_o),
+           (SELECT COUNT(*) FROM orders) - (SELECT COUNT(*) FROM doomed_o)
+    UNION ALL
+    SELECT 'lineitem',
+           (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM doomed_o)),
+           (SELECT COUNT(*) FROM lineitem)
+           - (SELECT COUNT(*) FROM lineitem
+              WHERE l_orderkey IN (SELECT o_orderkey FROM doomed_o))
+    """,
+    "relational",
+    "retention",
+)
+def q38_retention_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cascade-purge audit for the md5-bucket-0 customer forget set —
+    see operators/retention.cascade_purge."""
+    from ..operators.retention import cascade_purge
+    from .sampling import md5_bucket
+
+    tables = {
+        name: load(spark, sf_dir, name)
+        for name in ("customer", "orders", "lineitem")
+    }
+    forget = (
+        tables["customer"]
+        .where(md5_bucket(F.col("c_custkey")) % _PURGE_BUCKETS == 0)
+        .select("c_custkey")
+    )
+    _, audit = cascade_purge(
+        tables,
+        root_table="customer",
+        root_keys=forget,
+        cascades=[
+            ("orders", "o_custkey", "customer", "c_custkey"),
+            ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ],
+    )
+    return audit
