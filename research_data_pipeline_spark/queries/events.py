@@ -1081,3 +1081,85 @@ def e26_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("mx").alias("max_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# e27: distribution-drift report — the feature-monitoring pass a training
+# pipeline runs before trusting a new data drop: per event_type, the
+# `value` distribution of the month's FIRST half vs its second half over
+# 10 equi-width bins of the GLOBAL [min, max]. Outputs are exact
+# integers (counts + ppm shares + delta); no PSI/KL scalar because ln()
+# is libm-dependent — the per-bin ppm deltas carry the same signal and
+# survive the cross-engine hash gate. Two scans' worth of work in ONE
+# pass (conditional aggregation on the half flag); the min/max is a
+# 1-row broadcast.
+_DRIFT_SPLIT = "2024-01-16"
+_DRIFT_BINS = 10
+_DRIFT_ORACLE = f"""
+    WITH b AS (SELECT MIN(value) AS mn, MAX(value) AS mx FROM events),
+    binned AS (
+        SELECT e.event_type,
+               LEAST(CAST(FLOOR((e.value - b.mn) / (b.mx - b.mn)
+                                * {_DRIFT_BINS}) AS BIGINT),
+                     {_DRIFT_BINS - 1}) AS bin,
+               CASE WHEN e.ts < TIMESTAMP '{_DRIFT_SPLIT}' THEN 1 ELSE 0 END
+                   AS early
+        FROM events e CROSS JOIN b
+    ), counts AS (
+        SELECT event_type, bin,
+               CAST(SUM(early) AS BIGINT) AS n_early,
+               CAST(COUNT(*) - SUM(early) AS BIGINT) AS n_late
+        FROM binned GROUP BY 1, 2
+    ), tot AS (
+        SELECT event_type,
+               SUM(n_early) AS t_early, SUM(n_late) AS t_late
+        FROM counts GROUP BY 1
+    )
+    SELECT c.event_type, c.bin, c.n_early, c.n_late,
+           CAST(c.n_early * 1000000 // t.t_early AS BIGINT) AS share_early_ppm,
+           CAST(c.n_late * 1000000 // t.t_late AS BIGINT) AS share_late_ppm,
+           CAST(c.n_early * 1000000 // t.t_early
+                - c.n_late * 1000000 // t.t_late AS BIGINT) AS delta_ppm
+    FROM counts c JOIN tot t ON t.event_type = c.event_type
+"""
+
+
+@REGISTRY.add("e27_distribution_drift", _DRIFT_ORACLE, "events", "quality")
+def e27_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type early-vs-late value-distribution drift over 10 global
+    equi-width bins: counts, ppm shares, ppm delta — all exact."""
+    ev = load(spark, sf_dir, "events").select("ts", "event_type", "value")
+    b = ev.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    split = F.to_timestamp(F.lit(_DRIFT_SPLIT))
+    binned = ev.crossJoin(F.broadcast(b)).select(
+        "event_type",
+        F.least(
+            F.floor(
+                (F.col("value") - F.col("mn"))
+                / (F.col("mx") - F.col("mn"))
+                * F.lit(_DRIFT_BINS)
+            ).cast("bigint"),
+            F.lit(_DRIFT_BINS - 1).cast("bigint"),
+        ).alias("bin"),
+        F.when(F.col("ts") < split, 1).otherwise(0).alias("early"),
+    )
+    counts = binned.groupBy("event_type", "bin").agg(
+        F.sum("early").cast("bigint").alias("n_early"),
+        (F.count(F.lit(1)) - F.sum("early")).cast("bigint").alias("n_late"),
+    )
+    tot = counts.groupBy("event_type").agg(
+        F.sum("n_early").alias("t_early"), F.sum("n_late").alias("t_late")
+    )
+    return (
+        counts.join(tot, "event_type")
+        .select(
+            "event_type", "bin", "n_early", "n_late",
+            F.expr("n_early * 1000000 div t_early").cast("bigint")
+            .alias("share_early_ppm"),
+            F.expr("n_late * 1000000 div t_late").cast("bigint")
+            .alias("share_late_ppm"),
+            F.expr(
+                "n_early * 1000000 div t_early - n_late * 1000000 div t_late"
+            ).cast("bigint").alias("delta_ppm"),
+        )
+    )
