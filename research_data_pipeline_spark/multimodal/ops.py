@@ -405,3 +405,42 @@ def wav_roundtrip_stats(media: DataFrame) -> DataFrame:
         schema="doc_id bigint, sample_rate bigint, n_samples bigint, "
         "sum_abs bigint, peak_abs bigint, roundtrip_ok boolean",
     )
+
+
+def thumbnail_stats(media: DataFrame) -> DataFrame:
+    """RESIZE on real pixels: decode each image payload through the REAL
+    PNG codec (encode→decode, filter rotated per doc like
+    :func:`png_roundtrip_stats`), then 2×2 box-downsample with exact
+    integer means (sum of the four source pixels ``div`` 4) — the
+    thumbnail step of an image-curation pipeline, with no float
+    resampling kernel so the result is bit-reproducible on any engine.
+    Emits (doc_id, thumb_w, thumb_h, thumb_sum, thumb_max); stats are
+    computed on the POOLED pixels after the codec trip, so both a codec
+    bug and a pooling bug shift thumb_sum."""
+    from .png import decode_png, encode_png
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "thumb_w": [], "thumb_h": [],
+                "thumb_sum": [], "thumb_max": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = _bytes(payload).reshape(4, -1)
+                dec = decode_png(encode_png(arr, filter_type=int(doc_id) % 5))
+                p = dec.astype(np.int64)
+                t = (
+                    p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2]
+                ) // 4
+                out["doc_id"].append(doc_id)
+                out["thumb_w"].append(t.shape[1])
+                out["thumb_h"].append(t.shape[0])
+                out["thumb_sum"].append(int(t.sum(dtype=np.int64)))
+                out["thumb_max"].append(int(t.max()))
+            yield pd.DataFrame(out)
+
+    return media.where("kind = 'image'").select("doc_id", "payload").mapInPandas(
+        run,
+        schema="doc_id bigint, thumb_w bigint, thumb_h bigint, "
+        "thumb_sum bigint, thumb_max bigint",
+    )

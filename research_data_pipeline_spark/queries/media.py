@@ -316,3 +316,46 @@ def m09_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification (multimodal/ops.wav_roundtrip_stats)."""
     m = media_table(load(spark, sf_dir, "documents"))
     return ops.wav_roundtrip_stats(m)
+
+
+# ---------------------------------------------------------------------------
+# m10: RESIZE on real pixels — the thumbnail step of an image-curation
+# pipeline: decode through the real PNG codec, then 2×2 box-downsample
+# with exact integer means (sum div 4, no float kernel). The oracle
+# pools the same 2×2 neighborhoods straight from the md5-derived source
+# bytes: pixel (i,j) of the 4×W bitmap is payload byte i·W+j (0-based),
+# so each thumbnail cell is four byte lookups and one integer div —
+# codec and pooling bugs both shift thumb_sum.
+_THUMB_ORACLE = f"""
+    WITH media AS ({MEDIA_CTE}),
+    img AS (
+        SELECT doc_id, text, CAST(n_bytes / 4 AS BIGINT) AS w
+        FROM media WHERE kind = 'image'
+    ),
+    cells AS (
+        SELECT m.doc_id, m.w,
+               ({md5_byte_sql('m.text', '(((2*i.i) * m.w + 2*j.j) % 16) + 1')}
+                + {md5_byte_sql('m.text', '(((2*i.i) * m.w + 2*j.j + 1) % 16) + 1')}
+                + {md5_byte_sql('m.text', '(((2*i.i + 1) * m.w + 2*j.j) % 16) + 1')}
+                + {md5_byte_sql('m.text', '(((2*i.i + 1) * m.w + 2*j.j + 1) % 16) + 1')}
+               ) // 4 AS tp
+        FROM img m,
+             UNNEST(generate_series(0, 1)) AS i(i),
+             UNNEST(generate_series(0, CAST(m.w / 2 AS BIGINT) - 1)) AS j(j)
+    )
+    SELECT doc_id,
+           CAST(w / 2 AS BIGINT) AS thumb_w,
+           CAST(2 AS BIGINT) AS thumb_h,
+           CAST(SUM(tp) AS BIGINT) AS thumb_sum,
+           CAST(MAX(tp) AS BIGINT) AS thumb_max
+    FROM cells
+    GROUP BY doc_id, w
+"""
+
+
+@REGISTRY.add("m10_thumbnail", _THUMB_ORACLE, "multimodal", "codec")
+def m10_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2×2 integer box-downsample of every image after a real PNG codec
+    trip (multimodal/ops.thumbnail_stats)."""
+    m = media_table(load(spark, sf_dir, "documents"))
+    return ops.thumbnail_stats(m)
