@@ -737,3 +737,128 @@ def s13_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return per_day.unionByName(union_row).join(exact, "scope")
+
+
+# ---------------------------------------------------------------------------
+# s14: Poisson bootstrap — THE resampling scheme for massive data
+# (Chamandy et al., "Estimating uncertainty for massive data streams",
+# Google 2012): classic bootstrap needs a global n-sized resample index
+# per replicate (impossible shuffle at 100 TB); Poisson(1) weights make
+# every row's contribution to every replicate a pure function of the
+# row itself, so B replicates ride ONE scan + one 50-group aggregation.
+# Determinism: the weight is inverse-CDF'd from an md5 ppm draw per
+# (row, replicate) — exact integer thresholds, no RNG; the statistic is
+# exact integer cents; the CI bounds are exact order statistics of the
+# replicate means. Any engine reproduces the identical table.
+_BOOT_B = 50
+# Poisson(1) CDF in ppm: P(0)=.367879, P(≤1)=.735759, P(≤2)=.919699,
+# P(≤3)=.981012; remainder draws weight 4 (tail capped)
+_BOOT_T = (367879, 735759, 919699, 981012)
+_BOOT_W_SQL = f"""CASE
+    WHEN u < {_BOOT_T[0]} THEN 0 WHEN u < {_BOOT_T[1]} THEN 1
+    WHEN u < {_BOOT_T[2]} THEN 2 WHEN u < {_BOOT_T[3]} THEN 3
+    ELSE 4 END"""
+_BOOT_ORACLE = f"""
+    WITH draws AS (
+        SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   AS cents,
+               b.b,
+               ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '-'
+                                   || CAST(b.b AS VARCHAR)), 1, 8))
+                   ::UBIGINT % 1000000 AS u
+        FROM orders, UNNEST(generate_series(1, {_BOOT_B})) AS b(b)
+    ), reps AS (
+        SELECT b, CAST(SUM(w) AS BIGINT) AS n,
+               CAST(SUM(w * cents) AS BIGINT) AS total_cents,
+               CAST(SUM(w * cents) // SUM(w) AS BIGINT) AS mean_cents
+        FROM (SELECT b, cents, {_BOOT_W_SQL} AS w FROM draws)
+        GROUP BY b
+    ), ranked AS (
+        SELECT mean_cents,
+               ROW_NUMBER() OVER (ORDER BY mean_cents ASC) AS r
+        FROM reps
+    )
+    SELECT CAST({_BOOT_B} AS BIGINT) AS n_reps,
+           (SELECT CAST(SUM(mean_cents) // {_BOOT_B} AS BIGINT) FROM reps)
+               AS mean_of_means_cents,
+           (SELECT mean_cents FROM ranked WHERE r = 3) AS p05_mean_cents,
+           (SELECT mean_cents FROM ranked WHERE r = 48) AS p95_mean_cents
+"""
+
+
+@REGISTRY.add("s14_poisson_bootstrap", _BOOT_ORACLE, "sketch", "resampling")
+def s14_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """90% bootstrap CI for the mean order price: 50 Poisson-weighted
+    replicates in one scan, exact integer cents, order-statistic bounds
+    (ranks 3 and 48 = ceil(.05·50), ceil(.95·50))."""
+    from pyspark.sql import Window as W
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    draws = o.select(
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+        F.explode(F.sequence(F.lit(1), F.lit(_BOOT_B))).alias("b"),
+        F.col("o_orderkey"),
+    ).select(
+        "cents",
+        "b",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "-",
+                            F.col("o_orderkey").cast("string"),
+                            F.col("b").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 1000000
+        ).alias("u"),
+    )
+    w = (
+        F.when(F.col("u") < _BOOT_T[0], 0)
+        .when(F.col("u") < _BOOT_T[1], 1)
+        .when(F.col("u") < _BOOT_T[2], 2)
+        .when(F.col("u") < _BOOT_T[3], 3)
+        .otherwise(4)
+    )
+    reps = (
+        draws.select("b", "cents", w.alias("w"))
+        .groupBy("b")
+        .agg(
+            F.sum("w").cast("bigint").alias("n"),
+            F.sum(F.col("w") * F.col("cents")).cast("bigint").alias("total_cents"),
+        )
+        .select(
+            "b", F.expr("total_cents div n").cast("bigint").alias("mean_cents")
+        )
+    )
+    ranked = reps.select(
+        "mean_cents",
+        F.row_number().over(W.orderBy(F.col("mean_cents").asc())).alias("r"),
+    )  # B rows total — the single-partition window is replicate-sized, not data-sized
+    return (
+        reps.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_reps"),
+            F.expr(f"CAST(sum(mean_cents) div {_BOOT_B} AS BIGINT)").alias(
+                "mean_of_means_cents"
+            ),
+        )
+        .crossJoin(
+            ranked.where(F.col("r") == 3).select(
+                F.col("mean_cents").alias("p05_mean_cents")
+            )
+        )
+        .crossJoin(
+            ranked.where(F.col("r") == 48).select(
+                F.col("mean_cents").alias("p95_mean_cents")
+            )
+        )
+    )
