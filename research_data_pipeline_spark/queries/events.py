@@ -1163,3 +1163,52 @@ def e27_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("delta_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# e28: gaps-and-islands — per-user consecutive-active-day streaks, the
+# classic interval-compression primitive (SCD-2 builders, session
+# coalescing, uptime reports all reduce to it). The trick is pure
+# algebra: rank active days per user, subtract the rank (in days) from
+# the day itself, and consecutive runs collapse onto one anchor date —
+# no iteration, one distinct + one window + one groupBy. Dates are
+# grouped as DATE values end to end (no epoch math to drift).
+_STREAK_ORACLE = """
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), anchored AS (
+        SELECT user_id, day,
+               day - CAST(ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY day) AS INTEGER) AS anchor
+        FROM days
+    )
+    SELECT user_id,
+           CAST(strftime(MIN(day), '%Y-%m-%d') AS VARCHAR) AS streak_start,
+           CAST(strftime(MAX(day), '%Y-%m-%d') AS VARCHAR) AS streak_end,
+           CAST(COUNT(*) AS BIGINT) AS n_days
+    FROM anchored
+    GROUP BY user_id, anchor
+"""
+
+
+@REGISTRY.add("e28_activity_streaks", _STREAK_ORACLE, "events", "windows")
+def e28_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user consecutive-day activity streaks via the rank-subtraction
+    islands trick; emits (user_id, streak_start, streak_end, n_days)."""
+    ev = load(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    anchored = days.select(
+        "user_id",
+        "day",
+        F.date_sub(
+            "day",
+            F.row_number()
+            .over(W.partitionBy("user_id").orderBy("day"))
+            .cast("int"),
+        ).alias("anchor"),
+    )
+    return anchored.groupBy("user_id", "anchor").agg(
+        F.date_format(F.min("day"), "yyyy-MM-dd").alias("streak_start"),
+        F.date_format(F.max("day"), "yyyy-MM-dd").alias("streak_end"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+    ).drop("anchor")
