@@ -212,3 +212,25 @@ def test_e25_interval_join_is_equi_not_nested_loop(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "_bin" in plan  # the equi key actually reaches the join
+
+
+def test_session_batch5_queries_stay_jvm_side(spark, sf_dir):
+    # the round's relational/sketch additions: all pure DataFrame algebra
+    # — no Python evaluator, no cartesian anywhere (m10 is the sanctioned
+    # mapInPandas codec pass and is excluded; d36's broadcast-NLJ ADC
+    # scan has its own dedicated assertion above)
+    for name in (
+        "d37_containment_pairs",
+        "d38_bpe_encode",
+        "e26_incremental_agg_merge",
+        "e27_distribution_drift",
+        "e28_activity_streaks",
+        "g12_hits_authorities",
+        "q37_snapshot_diff",
+        "q38_retention_purge",
+        "s13_hll_registers",
+        "s14_poisson_bootstrap",
+    ):
+        plan = _plan(spark, sf_dir, name)
+        assert "EvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
