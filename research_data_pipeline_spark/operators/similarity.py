@@ -939,3 +939,57 @@ def pq_adc_topk(
             "adc_e9",
         )
     )
+
+
+def ann_topk_multiprobe_lsh(
+    df: DataFrame, id_col: str, vec_col: str, k: int = 3, n_planes: int = 8
+) -> DataFrame:
+    """Multi-probe sign-LSH top-k: each QUERY probes its own bucket plus
+    every bucket at Hamming distance 1 (one sign flipped) — the
+    Lv et al. multi-probe trick (VLDB'07): recall of many hash tables
+    from ONE index, paying query-side fan-out (n_planes+1 probes)
+    instead of (n_planes+1)× index storage. Candidates still come from
+    an equi-join on the bucket key (the scale path — never all-pairs);
+    the probe fan-out is an explode on the query side only, so the
+    INDEX side of the join is identical to ``ann_topk_lsh``'s.
+
+    A vector sitting just across one hyperplane from its near-duplicate
+    — the classic LSH miss — is recovered here; ties and ranking follow
+    the exact-cosine discipline of the single-probe variant.
+    """
+    e = with_norm(df, vec_col).select(
+        F.col(id_col),
+        F.col("_v"),
+        F.col("norm"),
+        sign_lsh_bucket(F.col(vec_col), n_planes).alias("bucket"),
+    )
+    probes = F.array(
+        F.col("bucket"),
+        *[
+            F.col("bucket").bitwiseXOR(F.lit(1 << p)).cast("bigint")
+            for p in range(n_planes)
+        ],
+    )
+    a = e.select(
+        F.col(id_col).alias("query_id"), F.col("_v").alias("va"),
+        F.col("norm").alias("na"), F.explode(probes).alias("bucket"),
+    )
+    b = e.select(
+        F.col(id_col).alias("neighbor_id"), F.col("_v").alias("vb"),
+        F.col("norm").alias("nb"), F.col("bucket"),
+    )
+    cos = _dot_kernel(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        a.join(b, ["bucket"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id",
+            F.col("rank").cast("bigint").alias("rank"), "cosine",
+        )
+    )

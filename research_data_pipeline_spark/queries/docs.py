@@ -2254,3 +2254,43 @@ def d38_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# d39: multi-probe LSH ANN — Lv et al.'s recall fix for d11's classic
+# failure mode (a near-duplicate sitting one hyperplane away hashes to a
+# different bucket): each query probes its bucket plus all 8 Hamming-1
+# flips, paying query-side fan-out instead of 9x index storage. A
+# neighbor's single bucket matches at most one probe, so no pair dedup
+# is needed; ranking is the exact-cosine discipline of d10/d11.
+_MP_K = 3
+_MP_FLIPS = "[" + ", ".join(str(f) for f in [0] + [1 << p for p in range(_LSH_PLANES)]) + "]"
+_ANN_MP_ORACLE = f"""
+    WITH e AS (
+        SELECT vec_id, v, norm, CAST({_bucket_sql} AS BIGINT) AS bucket
+        FROM ({_E_CTE})
+    ), p AS (
+        SELECT vec_id, v, norm, xor(bucket, t.f) AS bucket
+        FROM e, UNNEST({_MP_FLIPS}) AS t(f)
+    ), pairs AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               {_DOT.format(a='a.v', b='b.v')} / (a.norm * b.norm) AS cosine
+        FROM p a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        FROM pairs
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine
+    FROM ranked WHERE rank <= {_MP_K}
+"""
+
+
+@REGISTRY.add("d39_ann_multiprobe_lsh", _ANN_MP_ORACLE, "similarity", "ann", "lsh")
+def d39_ann_multiprobe_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe sign-LSH top-3 (own bucket + 8 Hamming-1 probes).
+    See operators/similarity.ann_topk_multiprobe_lsh."""
+    e = load(spark, sf_dir, "embeddings")
+    return sim.ann_topk_multiprobe_lsh(
+        e, "vec_id", "embedding", k=_MP_K, n_planes=_LSH_PLANES
+    )
