@@ -1594,3 +1594,61 @@ def q38_retention_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     return audit
+
+
+# ---------------------------------------------------------------------------
+# q39: smoothed target encoding — the leakage-safe categorical feature a
+# training pipeline materializes: each (nation, segment) cell encodes to
+# (sum + m·global_mean) / (n + m), shrinking small cells toward the
+# prior (m = 10 virtual rows). Everything in exact integer cents with
+# `div`; the global mean is a 1-row broadcast, the cell stats one
+# groupBy — two scans' worth of signal in one shuffle.
+_TENC_M = 10
+
+
+@REGISTRY.add(
+    "q39_target_encoding",
+    f"""
+    WITH g AS (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2)) * 100) AS BIGINT)
+                   // COUNT(*) AS gmean_cents
+        FROM customer
+    ), cells AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2)) * 100) AS BIGINT)
+                   AS sum_cents
+        FROM customer GROUP BY 1, 2
+    )
+    SELECT c.c_nationkey, c.c_mktsegment, c.n,
+           CAST((c.sum_cents + {_TENC_M} * g.gmean_cents)
+                // (c.n + {_TENC_M}) AS BIGINT) AS enc_cents
+    FROM cells c CROSS JOIN g
+    """,
+    "relational",
+    "feature",
+)
+def q39_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed target encoding of (nation, segment) → mean acctbal in
+    exact integer cents, shrunk toward the global prior."""
+    c = load(spark, sf_dir, "customer")
+    cents = (F.col("c_acctbal").cast("decimal(12,2)") * 100).cast("bigint")
+    g = c.agg(
+        F.expr(
+            "CAST(sum(CAST(c_acctbal AS DECIMAL(12,2)) * 100 ) AS BIGINT)"
+            " div count(*)"
+        ).alias("gmean_cents")
+    )
+    cells = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(cents).cast("bigint").alias("sum_cents"),
+    )
+    return cells.crossJoin(F.broadcast(g)).select(
+        "c_nationkey",
+        "c_mktsegment",
+        "n",
+        F.expr(
+            f"CAST((sum_cents + {_TENC_M} * gmean_cents)"
+            f" div (n + {_TENC_M}) AS BIGINT)"
+        ).alias("enc_cents"),
+    )
