@@ -827,6 +827,7 @@ def pq_adc_topk(
     m_sub: int = 8,
     n_codes: int = 16,
     query_mod: int = 20,
+    max_query_id: int | None = 2000,
 ) -> DataFrame:
     """Product-quantization ANN with asymmetric distance computation
     (ADC): split each vector into ``m_sub`` contiguous subvectors,
@@ -900,7 +901,19 @@ def pq_adc_topk(
     )
 
     lutq = (
-        sub.where(F.col("vid") % query_mod == 0)
+        # the query BATCH must not scale with the corpus — an ADC scan is
+        # O(n_queries · n_codes_scanned), so tying queries to n makes the
+        # registered query quadratic at scale (measured: 2.7 s → 93 s at
+        # 10×). max_query_id pins a fixed deterministic batch, the real
+        # ANN-serving shape; pass None to rank every query_mod-th vector.
+        sub.where(
+            (F.col("vid") % query_mod == 0)
+            & (
+                F.lit(True)
+                if max_query_id is None
+                else F.col("vid") < max_query_id
+            )
+        )
         .groupBy("vid")
         .agg(
             F.map_from_entries(

@@ -2065,6 +2065,10 @@ def d35_overlap_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the ADC distance is an order-free BIGINT sum — exact cross-engine
 # parity with no float-accumulation hazard.
 _PQ_M, _PQ_CODES, _PQ_K, _PQ_QMOD = 8, 16, 5, 20
+# fixed deterministic query batch: an ADC scan is O(n_q · n_codes), so
+# the batch must NOT grow with the corpus (2.7 s → 93 s at 10× when it
+# did); ids < 2000 ∧ divisible by 20 = 100 queries at sf0.1 and above
+_PQ_QMAX = 2000
 _PQ_SUBD = """CAST(FLOOR(1000000000.0 * list_sum(list_transform(
                list_zip(e.v[t.m*w+1 : t.m*w+w], s.cv[t.m*w+1 : t.m*w+w]),
                x -> (x[1]-x[2])*(x[1]-x[2])))) AS BIGINT)"""
@@ -2087,7 +2091,8 @@ _PQ_ORACLE = f"""
     adc AS (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                CAST(SUM(l.d_e9) AS BIGINT) AS adc_e9
-        FROM (SELECT vec_id FROM e WHERE vec_id % {_PQ_QMOD} = 0) q
+        FROM (SELECT vec_id FROM e
+              WHERE vec_id % {_PQ_QMOD} = 0 AND vec_id < {_PQ_QMAX}) q
         JOIN codes c ON c.vec_id <> q.vec_id
         JOIN sub l ON l.vec_id = q.vec_id AND l.m = c.m AND l.cid = c.cid
         GROUP BY 1, 2
@@ -2112,6 +2117,7 @@ def d36_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.pq_adc_topk(
         e, "vec_id", "embedding",
         k=_PQ_K, m_sub=_PQ_M, n_codes=_PQ_CODES, query_mod=_PQ_QMOD,
+        max_query_id=_PQ_QMAX,
     )
 
 
