@@ -217,3 +217,28 @@ def test_zorder_prunes_row_groups_on_both_dimensions(spark, sf_dir, tmp_path):
     )
     want = e.where(F.col("user_id").between(10, 19)).count()
     assert got == want
+
+
+def test_hive_partition_pruning_reaches_scan(spark, sf_dir, tmp_path):
+    """Directory-level pruning: a filter on the hive partition column
+    must appear as a PartitionFilter on the scan (pruned BEFORE reading
+    any file footer — the coarsest and cheapest skip a 100 TB lake has),
+    and only the matching partition's files may be listed."""
+    import os
+
+    from research_data_pipeline_spark.io.layout import formatted_plan
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type", "value"
+    )
+    dest = str(tmp_path / "by_type")
+    e.write.mode("overwrite").partitionBy("event_type").parquet(dest)
+    assert any(d.startswith("event_type=") for d in os.listdir(dest))
+
+    q = spark.read.parquet(dest).where(F.col("event_type") == "click")
+    plan = formatted_plan(q)
+    assert "PartitionFilters" in plan
+    assert "event_type" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+    # correctness: pruned read equals the unpartitioned filter
+    want = e.where(F.col("event_type") == "click").count()
+    assert q.count() == want
