@@ -2300,3 +2300,91 @@ def d39_ann_multiprobe_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ann_topk_multiprobe_lsh(
         e, "vec_id", "embedding", k=_MP_K, n_planes=_LSH_PLANES
     )
+
+
+# ---------------------------------------------------------------------------
+# d40: Johnson-Lindenstrauss random projection — the dimensionality cut
+# an embedding pipeline applies before LSH/clustering when 64-d vectors
+# are still too wide for the index. The ±1 projection matrix (Achlioptas
+# 2003: Rademacher entries preserve JL guarantees, no gaussians needed)
+# is derived from md5("j-i") at BUILD time in Python — hashlib.md5 and
+# SQL md5 are the same function, so both engines share the constant
+# matrix verbatim (asserted in tests). Each projected component is a
+# dimension-ordered fold of ±v_i: the exact IEEE sequence both engines
+# produce; norm_ratio_e6 (projected/original, scaled by 1/√k) is floored
+# to integer ppm — JL promises it concentrates near 1.
+_JL_K, _JL_DIM = 4, 64
+
+
+def _jl_signs() -> list[list[int]]:
+    import hashlib
+
+    return [
+        [
+            1 if hashlib.md5(f"{j}-{i}".encode()).digest()[0] < 128 else -1
+            for i in range(_JL_DIM)
+        ]
+        for j in range(_JL_K)
+    ]
+
+
+_JL_S = _jl_signs()
+_JL_PROJ_SQL = ", ".join(
+    "list_sum(list_transform(list_zip(v, ["
+    + ", ".join(f"{s}.0" for s in _JL_S[j])
+    + "]), x -> x[1] * x[2])) AS p_{j}".format(j=j)
+    for j in range(_JL_K)
+)
+_JL_NORM2_SQL = " + ".join(f"p_{j} * p_{j}" for j in range(_JL_K))
+_JL_ORACLE = f"""
+    WITH e AS ({_E_CTE}),
+    p AS (SELECT vec_id, norm, {_JL_PROJ_SQL} FROM e)
+    SELECT vec_id, {", ".join(f"p_{j}" for j in range(_JL_K))},
+           CAST(FLOOR(1000000.0 * (sqrt({_JL_NORM2_SQL}) / sqrt({_JL_K}.0))
+                      / norm) AS BIGINT) AS norm_ratio_e6
+    FROM p
+"""
+
+
+@REGISTRY.add("d40_random_projection", _JL_ORACLE, "similarity", "projection")
+def d40_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL projection 64→4 dims with the shared ±1 md5 matrix; emits the
+    projected components and the integer-ppm norm-preservation ratio."""
+    e = load(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    base = e.select("vec_id", v.alias("v")).withColumn(
+        "norm",
+        F.sqrt(
+            F.aggregate(
+                F.zip_with("v", "v", lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ),
+    )
+    projs = [
+        F.aggregate(
+            F.zip_with(
+                "v",
+                F.array(*[F.lit(float(s)) for s in _JL_S[j]]),
+                lambda x, s: x * s,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias(f"p_{j}")
+        for j in range(_JL_K)
+    ]
+    p = base.select("vec_id", "norm", *projs)
+    norm2 = None
+    for j in range(_JL_K):
+        t = F.col(f"p_{j}") * F.col(f"p_{j}")
+        norm2 = t if norm2 is None else norm2 + t
+    return p.select(
+        "vec_id",
+        *[f"p_{j}" for j in range(_JL_K)],
+        F.floor(
+            F.lit(1000000.0)
+            * (F.sqrt(norm2) / F.sqrt(F.lit(float(_JL_K))))
+            / F.col("norm")
+        ).cast("bigint").alias("norm_ratio_e6"),
+    )
