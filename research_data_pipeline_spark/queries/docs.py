@@ -780,7 +780,7 @@ def d18_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 # merges distinct documents; 0.95 is the conventional keep-one-per-cluster
 # bar. (On this corpus: 953k pairs at >=0.9 vs 191k at >=0.95.)
 _CLUSTER_T = 0.95
-_CLUSTER_ORACLE = f"""
+_CLUSTER_CTES = f"""
     WITH RECURSIVE toks AS (
         SELECT doc_id, {_DTOKS} AS tokens FROM documents
     ), tok AS (
@@ -816,7 +816,9 @@ _CLUSTER_ORACLE = f"""
     ), comp AS (
         SELECT node AS doc_id, MIN(label) AS canonical_id
         FROM walk GROUP BY node
-    )
+    )"""
+
+_CLUSTER_ORACLE = f"""{_CLUSTER_CTES}
     SELECT CAST(doc_id AS BIGINT) AS doc_id,
            CAST(canonical_id AS BIGINT) AS canonical_id,
            CAST(COUNT(*) OVER (PARTITION BY canonical_id) AS BIGINT)
@@ -2387,4 +2389,56 @@ def d40_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (F.sqrt(norm2) / F.sqrt(F.lit(float(_JL_K))))
             / F.col("norm")
         ).cast("bigint").alias("norm_ratio_e6"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# d41: dedup SAVINGS audit — the number a data lead actually asks for
+# after a dedup run: per source, how many documents and training TOKENS
+# does keep-one-per-cluster remove? Pure composition: d19's cluster
+# assignments (shared LSH pair stream — zero recompute in-session)
+# joined back to the corpus for token accounting; the oracle reuses
+# d19's recursive-CTE clustering verbatim (_CLUSTER_CTES) plus the
+# summary join, so the two queries cannot drift apart.
+_SAVINGS_ORACLE = f"""{_CLUSTER_CTES}
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) FILTER (WHERE c.doc_id = c.canonical_id) AS BIGINT)
+               AS n_kept,
+           CAST(SUM(len({_TOKS})) AS BIGINT) AS tok_total,
+           CAST(SUM(len({_TOKS})) FILTER (WHERE c.doc_id = c.canonical_id)
+                AS BIGINT) AS tok_kept,
+           CAST((SUM(len({_TOKS}))
+                 - SUM(len({_TOKS})) FILTER (WHERE c.doc_id = c.canonical_id))
+                * 1000000 // SUM(len({_TOKS})) AS BIGINT) AS saved_ppm
+    FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+    GROUP BY d.source
+"""
+
+
+@REGISTRY.add("d41_dedup_savings", _SAVINGS_ORACLE, "dedup", "lsh", "audit")
+def d41_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document/token savings of keep-one-per-cluster dedup
+    (d19's clusters, shared pair stream)."""
+    d = load(spark, sf_dir, "documents")
+    clusters = d19_dedup_clusters(spark, sf_dir).select(
+        "doc_id", "is_canonical"
+    )
+    n_tok = F.size(F.split("text", " ")).cast("bigint")
+    kept = F.when(F.col("is_canonical"), F.lit(1)).otherwise(F.lit(0))
+    return (
+        d.select("doc_id", "source", n_tok.alias("n_tok"))
+        .join(clusters, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(kept).cast("bigint").alias("n_kept"),
+            F.sum("n_tok").cast("bigint").alias("tok_total"),
+            F.sum(F.col("n_tok") * kept).cast("bigint").alias("tok_kept"),
+        )
+        .withColumn(
+            "saved_ppm",
+            F.expr("(tok_total - tok_kept) * 1000000 div tok_total")
+            .cast("bigint"),
+        )
     )
