@@ -710,3 +710,88 @@ def test_bpe_training_matches_reference_on_overlap_heavy_corpus(spark, tmp_path)
         for r in words.groupBy("s").agg(F.sum("f").alias("f")).collect()
     }
     assert got_vocab == vocab
+
+
+# ---------------------------------------------------------------------------
+# binned_interval_join ≡ naive BETWEEN join, including bin-boundary
+# points, zero-length intervals, and bin widths smaller/larger than the
+# intervals (the two degradation modes the docstring promises stay
+# correct)
+
+
+ivl_rows = st.lists(
+    st.tuples(st.integers(0, 5), st.integers(0, 100), st.integers(0, 40)),
+    min_size=1, max_size=10,
+)
+pt_rows = st.lists(
+    st.tuples(st.integers(100, 199), st.integers(0, 140)),
+    min_size=0, max_size=15,
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(ivls=ivl_rows, pts=pt_rows, bin_width=st.sampled_from([1, 7, 50, 1000]))
+def test_binned_interval_join_matches_naive(spark, ivls, pts, bin_width):
+    from research_data_pipeline_spark.operators.rangejoin import (
+        binned_interval_join,
+    )
+
+    intervals = spark.createDataFrame(
+        [(k, s, s + l) for k, s, l in ivls], "ikey long, lo long, hi long"
+    )
+    points = spark.createDataFrame(pts, "pkey long, t long")
+    got = sorted(
+        map(
+            tuple,
+            binned_interval_join(intervals, points, "lo", "hi", "t", bin_width)
+            .select("ikey", "lo", "hi", "pkey", "t")
+            .collect(),
+        )
+    )
+    want = sorted(
+        (k, lo, hi, pk, t)
+        for (k, lo, l) in [(k, s, l) for k, s, l in ivls]
+        for hi in [lo + l]
+        for (pk, t) in pts
+        if lo <= t <= hi
+    )
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    docs=st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=24), min_size=2, max_size=8
+    )
+)
+def test_containment_pairs_match_python_sets(spark, docs):
+    """containment_ppm equals the exact set computation |A∩B|·10⁶ div |A|
+    over 3-gram shingle sets, for every ordered pair above threshold."""
+    from research_data_pipeline_spark.operators.text_dedup import (
+        containment_pairs,
+    )
+
+    def shingles(text: str) -> set:
+        toks = text.split(" ")
+        return {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        } if len(toks) >= 3 else set()
+
+    df = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id long, text string"
+    )
+    got = {
+        (r["i"], r["j"]): r["containment_ppm"]
+        for r in containment_pairs(
+            df, "doc_id", "text", n=3, threshold_ppm=1
+        ).collect()
+    }
+    want = {}
+    sh = {i: shingles(t) for i, t in enumerate(docs)}
+    for i in sh:
+        for j in sh:
+            if i != j and sh[i] and (sh[i] & sh[j]):
+                ppm = len(sh[i] & sh[j]) * 1_000_000 // len(sh[i])
+                if ppm >= 1:
+                    want[(i, j)] = ppm
+    assert got == want
