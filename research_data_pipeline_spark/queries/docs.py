@@ -2442,3 +2442,92 @@ def d41_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# d43: the LLM corpus-prep FUNNEL — the whole curation story as one
+# auditable report: per source, document attrition through quality
+# filtering (d20's verdict) → near-dup dedup (d19's canonical
+# selection) → benchmark decontamination (d23), plus the final token
+# yield. Pure composition of three verified stages; the oracle nests
+# each stage's own oracle verbatim (d20/d23 as WITH-subqueries, d19 via
+# _CLUSTER_CTES), so the funnel cannot drift from the stages it
+# reports on. Stage predicates are ANDed in fixed order — the counting
+# semantics of a funnel dashboard, not a re-run of each stage on the
+# previous stage's survivors (canonical selection is corpus-wide, as in
+# an incremental production pipeline where the dedup index precedes any
+# per-batch filter).
+_FUNNEL_ORACLE = f"""{_CLUSTER_CTES},
+    q AS (SELECT doc_id, verdict FROM ({_CURATE_ORACLE}) t),
+    ct AS (SELECT doc_id, contaminated FROM ({_DECON_ORACLE}) t),
+    j AS (
+        SELECT d.source, len({_TOKS}) AS n_tok,
+               q.verdict = 'kept' AS ok_q,
+               q.verdict = 'kept' AND c.doc_id = c.canonical_id AS ok_qd,
+               q.verdict = 'kept' AND c.doc_id = c.canonical_id
+                   AND NOT COALESCE(ct.contaminated, FALSE) AS ok_all
+        FROM documents d
+        JOIN q ON q.doc_id = d.doc_id
+        JOIN comp c ON c.doc_id = d.doc_id
+        LEFT JOIN ct ON ct.doc_id = d.doc_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) FILTER (WHERE ok_q) AS BIGINT) AS n_quality,
+           CAST(COUNT(*) FILTER (WHERE ok_qd) AS BIGINT) AS n_deduped,
+           CAST(COUNT(*) FILTER (WHERE ok_all) AS BIGINT) AS n_final,
+           CAST(COALESCE(SUM(n_tok) FILTER (WHERE ok_all), 0) AS BIGINT)
+               AS tok_final,
+           CAST(COALESCE(SUM(n_tok) FILTER (WHERE ok_all), 0) * 1000000
+                // SUM(n_tok) AS BIGINT) AS yield_ppm
+    FROM j GROUP BY source
+"""
+
+
+@REGISTRY.add("d43_corpus_funnel", _FUNNEL_ORACLE, "dedup", "curation", "audit")
+def d43_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation funnel: quality → dedup → decontamination
+    attrition counts and final token yield (composition of d19/d20/d23)."""
+    d = load(spark, sf_dir, "documents")
+    q = d20_curation_filter(spark, sf_dir).select("doc_id", "verdict")
+    c = d19_dedup_clusters(spark, sf_dir).select("doc_id", "is_canonical")
+    ct = d23_benchmark_decontamination(spark, sf_dir).select(
+        "doc_id", "contaminated"
+    )
+    n_tok = F.size(F.split("text", " ")).cast("bigint")
+    j = (
+        d.select("doc_id", "source", n_tok.alias("n_tok"))
+        .join(q, "doc_id")
+        .join(c, "doc_id")
+        .join(ct, "doc_id", "left")
+        .select(
+            "source",
+            "n_tok",
+            (F.col("verdict") == "kept").alias("ok_q"),
+            ((F.col("verdict") == "kept") & F.col("is_canonical")).alias("ok_qd"),
+            (
+                (F.col("verdict") == "kept")
+                & F.col("is_canonical")
+                & ~F.coalesce(F.col("contaminated"), F.lit(False))
+            ).alias("ok_all"),
+        )
+    )
+    flag = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            flag(F.col("ok_q")).alias("n_quality"),
+            flag(F.col("ok_qd")).alias("n_deduped"),
+            flag(F.col("ok_all")).alias("n_final"),
+            F.coalesce(
+                F.sum(F.when(F.col("ok_all"), F.col("n_tok"))), F.lit(0)
+            ).cast("bigint").alias("tok_final"),
+            F.sum("n_tok").alias("_tok_total"),
+        )
+        .withColumn(
+            "yield_ppm",
+            F.expr("tok_final * 1000000 div _tok_total").cast("bigint"),
+        )
+        .drop("_tok_total")
+    )
