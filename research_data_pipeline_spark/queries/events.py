@@ -1212,3 +1212,64 @@ def e28_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.max("day"), "yyyy-MM-dd").alias("streak_end"),
         F.count(F.lit(1)).cast("bigint").alias("n_days"),
     ).drop("anchor")
+
+
+# ---------------------------------------------------------------------------
+# e29: robust outlier detection — median/MAD, the screen that survives
+# the contamination that wrecks mean/stddev z-scores (one bad sensor
+# shifts a mean; it cannot shift a median). Two exact interpolated
+# medians (value, then |value − median|, the q17/q26-proven parity) and
+# a 3·MAD cut. Two grouped percentile passes + one broadcast-back join —
+# no window over the full data.
+_MAD_CUT = 3.0
+_MAD_ORACLE = """
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.50) AS med
+        FROM events GROUP BY 1
+    ), mad AS (
+        SELECT e.event_type,
+               quantile_cont(abs(e.value - m.med), 0.50) AS mad
+        FROM events e JOIN med m ON m.event_type = e.event_type
+        GROUP BY 1
+    )
+    SELECT e.event_type, m.med AS median_value, d.mad AS mad_value,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(*) FILTER (WHERE abs(e.value - m.med) > 3.0 * d.mad)
+                AS BIGINT) AS n_outliers
+    FROM events e
+    JOIN med m ON m.event_type = e.event_type
+    JOIN mad d ON d.event_type = e.event_type
+    GROUP BY 1, 2, 3
+"""
+
+
+@REGISTRY.add("e29_mad_outliers", _MAD_ORACLE, "events", "quality")
+def e29_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type median/MAD and the 3·MAD outlier count — the robust
+    data-quality screen."""
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type")
+    mad = dev.groupBy("event_type").agg(
+        F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy(
+            "event_type",
+            F.col("med").alias("median_value"),
+            F.col("mad").alias("mad_value"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("value") - F.col("med"))
+                    > F.lit(_MAD_CUT) * F.col("mad"),
+                    1,
+                ).otherwise(0)
+            ).cast("bigint").alias("n_outliers"),
+        )
+    )
