@@ -444,3 +444,46 @@ def thumbnail_stats(media: DataFrame) -> DataFrame:
         schema="doc_id bigint, thumb_w bigint, thumb_h bigint, "
         "thumb_sum bigint, thumb_max bigint",
     )
+
+
+def audio_downsample_stats(media: DataFrame) -> DataFrame:
+    """RESAMPLE on real samples: decode each audio payload through the
+    REAL WAV codec (encode→decode at the row's sample_rate, like
+    :func:`wav_roundtrip_stats`), then decimate 2:1 by pair-averaging
+    with FLOOR division ((s₂ᵢ+s₂ᵢ₊₁) floor-div 2 — floor, not truncate:
+    engines disagree on negative integer division, floor is the one
+    both can express exactly). Emits (doc_id, out_rate, n_out_samples,
+    out_sum, out_peak_abs); stats are post-codec AND post-decimation so
+    either stage's bug shifts out_sum."""
+    from .wav import decode_wav, encode_wav
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "out_rate": [], "n_out_samples": [],
+                "out_sum": [], "out_peak_abs": [],
+            }
+            for doc_id, payload, rate in zip(
+                pdf["doc_id"], pdf["payload"], pdf["sample_rate"]
+            ):
+                arr = np.frombuffer(bytes(payload), dtype="<i2")
+                dec, in_rate = decode_wav(encode_wav(arr, int(rate)))
+                s = dec.astype(np.int64)
+                n2 = (len(s) // 2) * 2
+                ds = np.floor_divide(s[0:n2:2] + s[1:n2:2], 2)
+                out["doc_id"].append(doc_id)
+                out["out_rate"].append(in_rate // 2)
+                out["n_out_samples"].append(len(ds))
+                out["out_sum"].append(int(ds.sum(dtype=np.int64)))
+                out["out_peak_abs"].append(
+                    int(np.abs(ds).max()) if len(ds) else 0
+                )
+            yield pd.DataFrame(out)
+
+    return media.where("kind = 'audio'").select(
+        "doc_id", "payload", "sample_rate"
+    ).mapInPandas(
+        run,
+        schema="doc_id bigint, out_rate bigint, n_out_samples bigint, "
+        "out_sum bigint, out_peak_abs bigint",
+    )

@@ -359,3 +359,50 @@ def m10_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
     trip (multimodal/ops.thumbnail_stats)."""
     m = media_table(load(spark, sf_dir, "documents"))
     return ops.thumbnail_stats(m)
+
+
+# ---------------------------------------------------------------------------
+# m11: RESAMPLE on real samples — the audio twin of m10's image resize:
+# decode through the real WAV codec, decimate 2:1 by pair-averaging
+# with FLOOR division (truncation differs between engines on negative
+# samples; floor is exactly expressible in both). The oracle rebuilds
+# the int16 samples from the md5 byte pairs (m09's derivation) and
+# floors the same pair means.
+_ADS_ORACLE = f"""
+    WITH media AS ({MEDIA_CTE}),
+    samples AS (
+        SELECT m.doc_id, m.sample_rate, m.n_bytes, s.i,
+               {md5_byte_sql('m.text', '((2*s.i - 2) % 16) + 1')}
+               + 256 * {md5_byte_sql('m.text', '((2*s.i - 1) % 16) + 1')} AS u
+        FROM media m,
+             UNNEST(generate_series(1, CAST(m.n_bytes / 2 AS BIGINT))) AS s(i)
+        WHERE m.kind = 'audio'
+    ),
+    signed AS (
+        SELECT doc_id, sample_rate, n_bytes, i,
+               u - CASE WHEN u >= 32768 THEN 65536 ELSE 0 END AS v
+        FROM samples
+    ),
+    pairs AS (
+        SELECT a.doc_id, a.sample_rate, a.n_bytes,
+               CAST(FLOOR((a.v + b.v) / 2.0) AS BIGINT) AS ds
+        FROM signed a JOIN signed b
+          ON b.doc_id = a.doc_id AND b.i = a.i + 1
+        WHERE a.i % 2 = 1
+    )
+    SELECT doc_id,
+           CAST(sample_rate / 2 AS BIGINT) AS out_rate,
+           CAST(n_bytes / 4 AS BIGINT) AS n_out_samples,
+           CAST(SUM(ds) AS BIGINT) AS out_sum,
+           CAST(MAX(ABS(ds)) AS BIGINT) AS out_peak_abs
+    FROM pairs
+    GROUP BY doc_id, sample_rate, n_bytes
+"""
+
+
+@REGISTRY.add("m11_audio_downsample", _ADS_ORACLE, "multimodal", "codec")
+def m11_audio_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2:1 decimation of every audio payload after a real WAV codec trip
+    (multimodal/ops.audio_downsample_stats)."""
+    m = media_table(load(spark, sf_dir, "documents"))
+    return ops.audio_downsample_stats(m)
