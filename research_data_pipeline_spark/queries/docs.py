@@ -2531,3 +2531,96 @@ def d43_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("_tok_total")
     )
+
+
+# ---------------------------------------------------------------------------
+# d44: contrastive pair MINING — the training-data side of embedding
+# models: within each IVF cell (cheap candidate structure, d13's
+# deterministic seed assignment), label pairs as 'positive' (cos ≥
+# 0.45) or 'hard_negative' (0.30 ≤ cos < 0.45 — close enough to teach
+# the margin, far enough to be a true negative). The cell join keeps
+# the pair space at Σ cell_pop², never n²; cosines are the d10-proven
+# exact fold. Thresholds sit inside the data's observed within-cell
+# band (max ≈ 0.49 at sf0.01) so both labels are populated.
+_CP_POS, _CP_NEG_LO = 0.45, 0.30
+_CONTRAST_ORACLE = f"""
+    WITH e AS ({_E_CTE}),
+    cents AS (SELECT vec_id AS cid, v AS cv, norm AS cn FROM e
+              WHERE vec_id < {_IVF_CELLS}),
+    pr AS (
+        SELECT e.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                   {_DOT.format(a='e.v', b='c.cv')} / (e.norm * c.cn) DESC,
+                   c.cid ASC) AS rn
+        FROM e CROSS JOIN cents c
+    ),
+    assign AS (SELECT vec_id, cid AS cell FROM pr WHERE rn = 1),
+    pairs AS (
+        SELECT a.vec_id AS i, b.vec_id AS j, a.cell,
+               {_DOT.format(a='a2.v', b='b2.v')} / (a2.norm * b2.norm) AS cosine
+        FROM assign a
+        JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        JOIN e a2 ON a2.vec_id = a.vec_id
+        JOIN e b2 ON b2.vec_id = b.vec_id
+    )
+    SELECT i, j, cell, cosine,
+           CASE WHEN cosine >= {_CP_POS} THEN 'positive'
+                ELSE 'hard_negative' END AS label
+    FROM pairs
+    WHERE cosine >= {_CP_NEG_LO}
+"""
+
+
+@REGISTRY.add("d44_contrastive_pairs", _CONTRAST_ORACLE, "similarity",
+              "training-data")
+def d44_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-cell positive / hard-negative pair mining for contrastive
+    embedding training."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    dot = lambda a, b: F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    base = e.select("vec_id", v.alias("v")).withColumn(
+        "norm", F.sqrt(dot(F.col("v"), F.col("v")))
+    )
+    cents = base.where(F.col("vec_id") < _IVF_CELLS).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv"),
+        F.col("norm").alias("cn"),
+    )
+    scored = base.crossJoin(F.broadcast(cents)).withColumn(
+        "ccos", dot(F.col("v"), F.col("cv")) / (F.col("norm") * F.col("cn"))
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("vec_id").orderBy(
+            F.col("ccos").desc(), F.col("cid").asc()
+        )
+    )
+    assign = (
+        scored.withColumn("rn", rn)
+        .where(F.col("rn") == 1)
+        .select("vec_id", F.col("cid").alias("cell"), "v", "norm")
+    )
+    a = assign.select(
+        F.col("vec_id").alias("i"), "cell",
+        F.col("v").alias("va"), F.col("norm").alias("na"),
+    )
+    b = assign.select(
+        F.col("vec_id").alias("j"), F.col("cell").alias("cellb"),
+        F.col("v").alias("vb"), F.col("norm").alias("nb"),
+    )
+    pairs = (
+        a.join(b, (F.col("cell") == F.col("cellb")) & (F.col("i") < F.col("j")))
+        .withColumn(
+            "cosine", dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+        )
+        .where(F.col("cosine") >= _CP_NEG_LO)
+    )
+    return pairs.select(
+        "i", "j", "cell", "cosine",
+        F.when(F.col("cosine") >= _CP_POS, "positive")
+        .otherwise("hard_negative")
+        .alias("label"),
+    )
