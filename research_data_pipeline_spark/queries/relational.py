@@ -1652,3 +1652,34 @@ def q39_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" div (n + {_TENC_M}) AS BIGINT)"
         ).alias("enc_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q40: the spark.sql SURFACE exercised end-to-end — one query authored
+# as ANSI SQL text over tables.register_views (the entry point for
+# users coming from the reference's Postgres workflow), not DataFrame
+# calls. Catalyst compiles both APIs to the same plans; this registered
+# query is the standing proof the SQL path resolves the same normalized
+# schemas and returns hash-identical results. The statement itself is a
+# region × priority revenue matrix (two broadcast dims + the fact scan).
+_Q40_SQL = """
+    SELECT r.r_name AS region, o.o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100) AS BIGINT)
+               AS revenue_cents
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    GROUP BY 1, 2
+"""
+
+
+@REGISTRY.add("q40_sql_surface", _Q40_SQL, "relational", "sql-api")
+def q40_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Region × priority revenue via raw ``spark.sql`` over registered
+    views — oracle and engine share the SQL text verbatim."""
+    from ..tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q40_SQL)
