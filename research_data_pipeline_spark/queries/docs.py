@@ -2624,3 +2624,87 @@ def d44_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("hard_negative")
         .alias("label"),
     )
+
+
+# ---------------------------------------------------------------------------
+# d45: T5-style SPAN CORRUPTION — the deterministic masking pass a
+# denoising-pretraining pipeline applies: tokens are grouped into
+# 3-token spans, each span masks with p=0.15 drawn from md5(doc-span)
+# integer ppm (reproducible across engines AND retries — an RNG-based
+# masker silently changes the training set under task re-execution).
+# One pure map: the mask decision, rebuild, and signature are all
+# per-row expressions — no shuffle anywhere in the plan.
+_SPAN_W, _SPAN_P_PPM = 3, 150_000
+_SPAN_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), pos AS (
+        SELECT doc_id, i, t[i] AS tok, (i - 1) // {_SPAN_W} AS span
+        FROM toks, UNNEST(generate_series(1, len(t))) AS g(i)
+    ), dec AS (
+        SELECT doc_id, i, tok,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-' ||
+                                   CAST(span AS VARCHAR)), 1, 8))::UBIGINT
+                   % 1000000 < {_SPAN_P_PPM} AS masked
+        FROM pos
+    ), rebuilt AS (
+        SELECT doc_id,
+               string_agg(CASE WHEN masked THEN '<X>' ELSE tok END,
+                          ' ' ORDER BY i) AS corrupted,
+               CAST(COUNT(*) AS BIGINT) AS n_tok,
+               CAST(COUNT(*) FILTER (WHERE masked) AS BIGINT) AS n_masked
+        FROM dec GROUP BY doc_id
+    )
+    SELECT doc_id, n_tok, n_masked,
+           substr(md5(corrupted), 1, 16) AS corrupted_sig
+    FROM rebuilt
+"""
+
+
+@REGISTRY.add("d45_span_corruption", _SPAN_ORACLE, "text", "augmentation")
+def d45_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 3-token-span masking at p=0.15 with a portable md5
+    signature of the corrupted text — zero-shuffle pure map."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+
+    def masked(i):  # i = 0-based token index from the transform lambda
+        span = F.floor(i / F.lit(_SPAN_W)).cast("bigint")
+        u = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "-",
+                        F.col("doc_id").cast("string"),
+                        span.cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint") % 1000000
+        return u < _SPAN_P_PPM
+
+    corrupted = F.array_join(
+        F.transform(
+            toks,
+            lambda tok, i: F.when(masked(i), F.lit("<X>")).otherwise(tok),
+        ),
+        " ",
+    )
+    n_masked = F.aggregate(
+        F.transform(
+            toks,
+            lambda tok, i: F.when(masked(i), 1).otherwise(0).cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tok"),
+        n_masked.alias("n_masked"),
+        F.substring(F.md5(corrupted), 1, 16).alias("corrupted_sig"),
+    )
