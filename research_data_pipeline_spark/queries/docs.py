@@ -2708,3 +2708,47 @@ def d45_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_masked.alias("n_masked"),
         F.substring(F.md5(corrupted), 1, 16).alias("corrupted_sig"),
     )
+
+
+# ---------------------------------------------------------------------------
+# d46: regex PRETOKENIZATION counts — the GPT-2-style pre-tokenizer pass
+# (letter runs / digit runs / single punctuation, the class-based core
+# of the tiktoken pattern) as a corpus accounting query: per doc, token
+# count by class plus distinct-token count. Both engines run the same
+# class-based pattern (character classes behave identically in Java
+# regex and RE2 — no lookarounds, which RE2 lacks). Pure map + one
+# per-doc distinct, no corpus-wide shuffle.
+_PRETOK_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+_PRETOK_ORACLE = f"""
+    WITH t AS (
+        SELECT doc_id,
+               regexp_extract_all(text, '{_PRETOK_RE}') AS toks
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(toks, x -> x ~ '^[a-z]+$')) AS BIGINT)
+               AS n_word,
+           CAST(len(list_filter(toks, x -> x ~ '^[0-9]+$')) AS BIGINT)
+               AS n_number,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct
+    FROM t
+"""
+
+
+@REGISTRY.add("d46_regex_pretokenizer", _PRETOK_ORACLE, "text", "tokenizer")
+def d46_regex_pretokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc pretokenizer accounting: total / word-run / digit-run /
+    distinct token counts under the shared class-based pattern."""
+    d = load(spark, sf_dir, "documents")
+    # idx=0 = whole match (Spark defaults to capture group 1; DuckDB to 0)
+    toks = F.regexp_extract_all("text", F.lit(_PRETOK_RE), 0)
+    is_word = lambda x: x.rlike("^[a-z]+$")
+    is_num = lambda x: x.rlike("^[0-9]+$")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.filter(toks, is_word)).cast("bigint").alias("n_word"),
+        F.size(F.filter(toks, is_num)).cast("bigint").alias("n_number"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
+    )
