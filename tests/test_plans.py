@@ -234,3 +234,30 @@ def test_session_batch5_queries_stay_jvm_side(spark, sf_dir):
         plan = _plan(spark, sf_dir, name)
         assert "EvalPython" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_session_batch6_queries_stay_jvm_side(spark, sf_dir):
+    # late-session additions: all JVM expression plans (d45's masking is
+    # a higher-order transform, not a UDF; q40 goes through spark.sql);
+    # d39 is excluded from the no-Python check — its cosines ride the
+    # sanctioned Arrow _dot_kernel like d11's — but still must keep the
+    # bucket equi-join (asserted below)
+    for name in (
+        "d40_random_projection",
+        "d41_dedup_savings",
+        "d45_span_corruption",
+        "d46_regex_pretokenizer",
+        "e29_mad_outliers",
+        "q39_target_encoding",
+        "q40_sql_surface",
+    ):
+        plan = _plan(spark, sf_dir, name)
+        assert "EvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+    # d45's claim is stronger: a pure map — no exchange of any kind
+    plan = _plan(spark, sf_dir, "d45_span_corruption")
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    plan = _plan(spark, sf_dir, "d39_ann_multiprobe_lsh")
+    assert "CartesianProduct" not in plan
+    assert "bucket" in plan  # probe fan-out joins on the bucket key
