@@ -1273,3 +1273,19 @@ def e29_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("n_outliers"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# e30: the STREAMING materialized view — e26's algebraic state merge run
+# as a real multi-micro-batch foreachBatch query maintaining a parquet
+# state table (tmp-then-swap writes, last-applied-batch-id idempotence
+# for foreachBatch's at-least-once replays). The drained state must
+# equal the one-shot batch aggregation — the same oracle as e26.
+@REGISTRY.add("e30_stream_agg_merge", _INC_AGG_ORACLE, "events",
+              "streaming", "incremental")
+def e30_stream_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user stats maintained as a streaming materialized view
+    (streaming/jobs.run_stream_agg_merge_to_batch)."""
+    from ..streaming.jobs import run_stream_agg_merge_to_batch
+
+    return run_stream_agg_merge_to_batch(spark, f"{sf_dir}/events.parquet")

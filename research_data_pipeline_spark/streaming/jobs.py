@@ -765,3 +765,114 @@ def run_stream_stream_outer_join_to_batch(
     )
     out = _run_stream_to_batch(spark, events_path, transform, "append", sentinel=sent)
     return out.where(F.col("user_id") >= 0)
+
+
+def run_stream_agg_merge_to_batch(
+    spark: SparkSession, events_path: str, n_source_files: int = 3
+) -> DataFrame:
+    """Streaming MATERIALIZED VIEW: maintain per-user (count, sum, min,
+    max) in a parquet state table, merged algebraically by
+    ``foreachBatch`` micro-batch — the streaming twin of the batch
+    incremental-agg query (e26), and the continuous form of a 100 TB
+    daily ingest's rollup maintenance.
+
+    Mechanics: the source is staged as ``n_source_files`` parquet files
+    with ``maxFilesPerTrigger=1`` under an available-now trigger, so the
+    stream really processes multiple micro-batches. Each batch computes
+    its partial state (batch-sized agg) and merges it with the persisted
+    state (state-sized union + re-agg — base facts are never re-read),
+    writing tmp-then-swap so a crash never leaves half a state table.
+    Idempotence: the state directory carries the last applied batch id;
+    a replayed batch (foreachBatch is at-least-once under retries) is
+    skipped instead of double-counted. Decimal(12,4) sums keep the
+    merge bit-exact; the drained result equals the one-shot batch
+    aggregation, which is exactly what the oracle computes.
+    """
+    import json
+
+    from pyspark.sql import functions as F
+
+    from ..session import apply_runtime_confs
+
+    apply_runtime_confs(spark)
+    src_dir = tempfile.mkdtemp(prefix="rdp_mv_src_")
+    ckpt_dir = tempfile.mkdtemp(prefix="rdp_mv_ckpt_")
+    state_root = tempfile.mkdtemp(prefix="rdp_mv_state_")
+    state_dir = os.path.join(state_root, "state")
+    meta_path = os.path.join(state_root, "meta.json")
+    D = "decimal(12,4)"
+    try:
+        (
+            spark.read.parquet(os.path.abspath(events_path))
+            .select("user_id", "value")
+            .repartition(n_source_files)
+            .write.mode("overwrite")
+            .parquet(src_dir)
+        )
+        schema = spark.read.parquet(src_dir).schema
+
+        def partial(df: DataFrame) -> DataFrame:
+            return df.groupBy("user_id").agg(
+                F.count(F.lit(1)).cast("bigint").alias("cnt"),
+                F.sum(F.col("value").cast(D)).cast(D).alias("sum_dec"),
+                F.min("value").alias("mn"),
+                F.max("value").alias("mx"),
+            )
+
+        def merge(batch: DataFrame, batch_id: int) -> None:
+            applied = -1
+            if os.path.exists(meta_path):
+                applied = json.load(open(meta_path))["last_batch_id"]
+            if batch_id <= applied:
+                return  # replay: already folded into state, skip
+            part = partial(batch)
+            if os.path.exists(state_dir):
+                state = batch.sparkSession.read.parquet(state_dir)
+                merged = (
+                    state.unionByName(part)
+                    .groupBy("user_id")
+                    .agg(
+                        F.sum("cnt").cast("bigint").alias("cnt"),
+                        F.sum("sum_dec").cast(D).alias("sum_dec"),
+                        F.min("mn").alias("mn"),
+                        F.max("mx").alias("mx"),
+                    )
+                )
+            else:
+                merged = part
+            tmp = state_dir + f"__tmp{batch_id}"
+            merged.write.mode("overwrite").parquet(tmp)
+            if os.path.exists(state_dir):
+                old = state_dir + f"__old{batch_id}"
+                os.rename(state_dir, old)
+                os.rename(tmp, state_dir)
+                shutil.rmtree(old)
+            else:
+                os.rename(tmp, state_dir)
+            json.dump({"last_batch_id": batch_id}, open(meta_path, "w"))
+
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+            .writeStream.foreachBatch(merge)
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = (
+            spark.read.parquet(state_dir)
+            .select(
+                "user_id",
+                F.col("cnt").alias("n_events"),
+                F.col("sum_dec").cast("double").alias("total_value"),
+                F.col("mn").alias("min_value"),
+                F.col("mx").alias("max_value"),
+            )
+            .localCheckpoint()
+        )
+        return out
+    finally:
+        for d in (src_dir, ckpt_dir, state_root):
+            shutil.rmtree(d, ignore_errors=True)
