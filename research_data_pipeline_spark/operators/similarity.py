@@ -1006,3 +1006,82 @@ def ann_topk_multiprobe_lsh(
             F.col("rank").cast("bigint").alias("rank"), "cosine",
         )
     )
+
+
+def contrastive_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    pos_threshold: float = 0.45,
+    neg_lo: float = 0.30,
+    n_cells: int | None = None,
+    target_cell_rows: int = 512,
+) -> DataFrame:
+    """Within-cell contrastive pair mining: assign every vector to its
+    cosine-nearest deterministic seed centroid (id < n_cells, the
+    ``ann_topk_ivf`` convention), then label same-cell pairs 'positive'
+    (cos ≥ ``pos_threshold``) or 'hard_negative' (``neg_lo`` ≤ cos <
+    ``pos_threshold``) — the training-data miner for embedding models.
+
+    Scale contract (the d26 lesson, enforced here at the OPERATOR
+    layer): the pair space is Σ cell_pop², so ``n_cells=None`` sizes the
+    cell count as ceil(n / target_cell_rows) — per-cell population, and
+    thus pair work per row, stays constant as the corpus grows, where a
+    fixed cell count degrades quadratically (measured 10.5× wall at 10×
+    rows with 16 fixed cells — SCALE.md). Pass an explicit ``n_cells``
+    only when cell identity must be reproducible across corpus sizes
+    (the oracle-checked registered query does).
+
+    Everything stays in JVM expressions with the dimension-ordered
+    left-fold cosine, so results are engine-exact.
+    """
+    _require_integral_id(df, id_col)
+    if n_cells is None:
+        n_cells = max(16, -(-df.count() // target_cell_rows))
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    base = df.select(
+        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v")
+    ).withColumn("norm", F.sqrt(dot(F.col("v"), F.col("v"))))
+    cents = base.where(F.col("vid") < n_cells).select(
+        F.col("vid").alias("cid"), F.col("v").alias("cv"),
+        F.col("norm").alias("cn"),
+    )
+    scored = base.join(F.broadcast(cents)).withColumn(
+        "ccos", dot(F.col("v"), F.col("cv")) / (F.col("norm") * F.col("cn"))
+    )
+    rn = F.row_number().over(
+        W.partitionBy("vid").orderBy(F.col("ccos").desc(), F.col("cid").asc())
+    )
+    assign = (
+        scored.withColumn("rn", rn)
+        .where(F.col("rn") == 1)
+        .select("vid", F.col("cid").alias("cell"), "v", "norm")
+    )
+    a = assign.select(
+        F.col("vid").alias("i"), "cell",
+        F.col("v").alias("va"), F.col("norm").alias("na"),
+    )
+    b = assign.select(
+        F.col("vid").alias("j"), F.col("cell").alias("cellb"),
+        F.col("v").alias("vb"), F.col("norm").alias("nb"),
+    )
+    return (
+        a.join(b, (F.col("cell") == F.col("cellb")) & (F.col("i") < F.col("j")))
+        .withColumn(
+            "cosine", dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+        )
+        .where(F.col("cosine") >= neg_lo)
+        .select(
+            "i", "j", "cell", "cosine",
+            F.when(F.col("cosine") >= pos_threshold, "positive")
+            .otherwise("hard_negative")
+            .alias("label"),
+        )
+    )

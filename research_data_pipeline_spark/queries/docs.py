@@ -2575,54 +2575,13 @@ _CONTRAST_ORACLE = f"""
               "training-data")
 def d44_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-cell positive / hard-negative pair mining for contrastive
-    embedding training."""
-    from pyspark.sql import Window
-
+    embedding training. Fixed n_cells for oracle comparability across
+    scale factors; production sizing (n_cells=None) keeps per-cell
+    population constant — see operators/similarity.contrastive_pairs."""
     e = load(spark, sf_dir, "embeddings")
-    v = F.transform("embedding", lambda x: x.cast("double"))
-    dot = lambda a, b: F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
-    base = e.select("vec_id", v.alias("v")).withColumn(
-        "norm", F.sqrt(dot(F.col("v"), F.col("v")))
-    )
-    cents = base.where(F.col("vec_id") < _IVF_CELLS).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv"),
-        F.col("norm").alias("cn"),
-    )
-    scored = base.crossJoin(F.broadcast(cents)).withColumn(
-        "ccos", dot(F.col("v"), F.col("cv")) / (F.col("norm") * F.col("cn"))
-    )
-    rn = F.row_number().over(
-        Window.partitionBy("vec_id").orderBy(
-            F.col("ccos").desc(), F.col("cid").asc()
-        )
-    )
-    assign = (
-        scored.withColumn("rn", rn)
-        .where(F.col("rn") == 1)
-        .select("vec_id", F.col("cid").alias("cell"), "v", "norm")
-    )
-    a = assign.select(
-        F.col("vec_id").alias("i"), "cell",
-        F.col("v").alias("va"), F.col("norm").alias("na"),
-    )
-    b = assign.select(
-        F.col("vec_id").alias("j"), F.col("cell").alias("cellb"),
-        F.col("v").alias("vb"), F.col("norm").alias("nb"),
-    )
-    pairs = (
-        a.join(b, (F.col("cell") == F.col("cellb")) & (F.col("i") < F.col("j")))
-        .withColumn(
-            "cosine", dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-        )
-        .where(F.col("cosine") >= _CP_NEG_LO)
-    )
-    return pairs.select(
-        "i", "j", "cell", "cosine",
-        F.when(F.col("cosine") >= _CP_POS, "positive")
-        .otherwise("hard_negative")
-        .alias("label"),
+    return sim.contrastive_pairs(
+        e, "vec_id", "embedding",
+        pos_threshold=_CP_POS, neg_lo=_CP_NEG_LO, n_cells=_IVF_CELLS,
     )
 
 
