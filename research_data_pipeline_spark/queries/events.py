@@ -1289,3 +1289,64 @@ def e30_stream_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.jobs import run_stream_agg_merge_to_batch
 
     return run_stream_agg_merge_to_batch(spark, f"{sf_dir}/events.parquet")
+
+
+# ---------------------------------------------------------------------------
+# e31: mergeable second MOMENTS — the variance companion to e26's
+# count/sum/min/max maintenance. Welford/Chan float combines are
+# order-sensitive (not reproducible across merge trees); the exact
+# alternative is sufficient statistics in integer units: v_e4 =
+# decimal(12,4)·10⁴ is an exact BIGINT, so (n, Σv, Σv²) merge by plain
+# integer addition — any merge order, any shard count, bit-identical.
+# Variance derives at read time as (n·Σv² − (Σv)²) div n² in e8 units.
+# (Magnitudes here stay far inside int64; a 100 TB deployment lifts the
+# sums to decimal(38,0) — same algebra.)
+_MOM_ORACLE = f"""
+    WITH v AS (
+        SELECT user_id,
+               CAST(CAST(value AS DECIMAL(12,4)) * 10000 AS BIGINT) AS v_e4
+        FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(v_e4) AS BIGINT) AS s1_e4,
+           CAST(SUM(v_e4 * v_e4) AS BIGINT) AS s2_e8,
+           CAST(SUM(v_e4) // COUNT(*) AS BIGINT) AS mean_e4,
+           CAST((COUNT(*) * SUM(v_e4 * v_e4) - SUM(v_e4) * SUM(v_e4))
+                // (COUNT(*) * COUNT(*)) AS BIGINT) AS var_e8
+    FROM v GROUP BY user_id
+"""
+
+
+@REGISTRY.add("e31_incremental_moments", _MOM_ORACLE, "events", "incremental")
+def e31_incremental_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user moment sufficient statistics assembled by MERGING
+    base-state ⊕ delta-state integer sums (split at 2024-01-26, as
+    e26) — must equal the direct full-table computation."""
+    ev = load(spark, sf_dir, "events").select("ts", "user_id", "value")
+    split = F.to_timestamp(F.lit(_INC_SPLIT))
+    v_e4 = (F.col("value").cast("decimal(12,4)") * 10000).cast("bigint")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.select("user_id", v_e4.alias("v")).groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("v").cast("bigint").alias("s1"),
+            F.sum(F.col("v") * F.col("v")).cast("bigint").alias("s2"),
+        )
+
+    merged = (
+        partial(ev.where(F.col("ts") < split))
+        .unionByName(partial(ev.where(F.col("ts") >= split)))
+        .groupBy("user_id")
+        .agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.sum("s1").cast("bigint").alias("s1_e4"),
+            F.sum("s2").cast("bigint").alias("s2_e8"),
+        )
+    )
+    return merged.select(
+        "user_id", "n", "s1_e4", "s2_e8",
+        F.expr("s1_e4 div n").cast("bigint").alias("mean_e4"),
+        F.expr("(n * s2_e8 - s1_e4 * s1_e4) div (n * n)")
+        .cast("bigint").alias("var_e8"),
+    )
