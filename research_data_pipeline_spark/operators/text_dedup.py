@@ -188,6 +188,8 @@ def _dictionary_minhash_table(
 def _mask_intersection_size(ma, mb, n_words: int) -> F.Column:
     # unrolled at plan time: plain codegen expressions, no interpreted
     # higher-order functions in the per-pair hot path
+    if n_words == 0:  # empty corpus: no vocabulary, no mask words
+        return F.lit(0)
     terms = [
         F.bit_count(F.element_at(ma, w + 1).bitwiseAND(F.element_at(mb, w + 1)))
         for w in range(n_words)

@@ -266,6 +266,11 @@ def g06_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ed = edges.join(deg, "src").localCheckpoint()  # reused every iteration
 
     n = s.count()
+    if n == 0:  # empty graph: no nodes, no ranks (not a crash)
+        return s.select(
+            F.col("s_suppkey").alias("node"),
+            F.lit(0).cast("bigint").alias("pagerank_fp"),
+        )
     base = (15 * (_PR_SCALE // n)) // 100
     pr = s.select(
         F.col("s_suppkey").alias("node"),

@@ -1,0 +1,43 @@
+"""Empty-input robustness: a production job must survive an empty
+partition / day-zero table, not crash. A representative query from
+every family runs against schema-only copies of all ten tables and must
+return an (empty or seeded) DataFrame, never raise."""
+
+from __future__ import annotations
+
+import pytest
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+SAMPLE = [
+    "q01_pricing_summary", "q04_top_order_per_customer",
+    "q26_acctbal_quartiles", "q37_snapshot_diff", "q38_retention_purge",
+    "d01_token_stats", "d04_fingerprint_dedup", "d08_ngram_jaccard",
+    "d19_dedup_clusters", "d29_source_mixture", "d36_pq_adc_topk",
+    "d38_bpe_encode", "d43_corpus_funnel",
+    "e01_tumbling_counts", "e25_interval_overlap_counts",
+    "e27_distribution_drift", "e28_activity_streaks", "e29_mad_outliers",
+    "g01_label_counts", "g06_pagerank", "g12_hits_authorities",
+    "s01_hash_sample", "s13_hll_registers", "s14_poisson_bootstrap",
+]
+
+
+@pytest.fixture(scope="module")
+def empty_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("empty_tables"))
+    for t in TABLES:
+        (
+            spark.read.parquet(f"/root/testdata/sf0.001/{t}.parquet")
+            .limit(0)
+            .write.parquet(f"{d}/{t}.parquet")
+        )
+    return d
+
+
+@pytest.mark.parametrize("name", SAMPLE)
+def test_query_survives_empty_tables(spark, empty_dir, name):
+    from research_data_pipeline_spark.registry import all_specs
+
+    n = all_specs()[name].fn(spark, empty_dir).count()
+    assert n >= 0  # no crash; row count is whatever the semantics say
