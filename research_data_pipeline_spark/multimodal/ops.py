@@ -106,7 +106,7 @@ def real_audio_stats(media: DataFrame) -> DataFrame:
                 out["peak_abs_sample"].append(int(absd.max()) if frames else 0)
             yield pd.DataFrame(out)
 
-    return media.where("kind = 'audio'").select("doc_id", "payload").mapInPandas(
+    return media.where("kind = 'audio' AND payload IS NOT NULL").select("doc_id", "payload").mapInPandas(
         run,
         schema="doc_id bigint, sample_rate bigint, n_frames bigint, "
         "n_channels bigint, duration_ms bigint, sum_abs_sample bigint, "
@@ -142,7 +142,7 @@ def real_decode_stats(media: DataFrame) -> DataFrame:
                 out["max_pixel"].append(int(arr.max()))
             yield pd.DataFrame(out)
 
-    return media.where("kind = 'image'").select("doc_id", "payload").mapInPandas(
+    return media.where("kind = 'image' AND payload IS NOT NULL").select("doc_id", "payload").mapInPandas(
         run,
         schema="doc_id bigint, width bigint, height bigint, channels bigint, "
         "n_pixels bigint, pixel_sum bigint, max_pixel bigint",
@@ -182,7 +182,9 @@ def decode_stats(media: DataFrame) -> DataFrame:
                 }
             )
 
-    return media.select("doc_id", "kind", "payload").mapInPandas(
+    return media.where("payload IS NOT NULL").select(
+        "doc_id", "kind", "payload"
+    ).mapInPandas(
         run, schema="doc_id bigint, kind string, n_bytes bigint, mean_byte double, "
         "max_byte bigint, byte_sum bigint"
     )
@@ -218,7 +220,7 @@ def sample_frames(media: DataFrame, every: int = 2) -> DataFrame:
             yield pd.DataFrame(out)
 
     return (
-        media.where("kind = 'video'")
+        media.where("kind = 'video' AND payload IS NOT NULL")
         .select("doc_id", "payload", "n_frames")
         .mapInPandas(
             run,
@@ -273,7 +275,7 @@ def resize_thumbnail(media: DataFrame, out_len: int = 8) -> DataFrame:
                 {"doc_id": pdf["doc_id"], "thumb": thumbs, "thumb_hex": hexes}
             )
 
-    return media.where("kind = 'image'").select("doc_id", "payload").mapInPandas(
+    return media.where("kind = 'image' AND payload IS NOT NULL").select("doc_id", "payload").mapInPandas(
         run, schema="doc_id bigint, thumb binary, thumb_hex string"
     )
 
@@ -312,7 +314,7 @@ def frame_hash_stats(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     stats = (
-        media.where("kind = 'video'")
+        media.where("kind = 'video' AND payload IS NOT NULL")
         .select("doc_id", "payload", "n_frames")
         .mapInPandas(
             run,
@@ -360,7 +362,7 @@ def png_roundtrip_stats(media: DataFrame) -> DataFrame:
                 out["roundtrip_ok"].append(bool((dec == arr).all()))
             yield pd.DataFrame(out)
 
-    return media.where("kind = 'image'").select("doc_id", "payload").mapInPandas(
+    return media.where("kind = 'image' AND payload IS NOT NULL").select("doc_id", "payload").mapInPandas(
         run,
         schema="doc_id bigint, width bigint, height bigint, "
         "pixel_sum bigint, max_pixel bigint, roundtrip_ok boolean",
@@ -398,7 +400,7 @@ def wav_roundtrip_stats(media: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(out)
 
-    return media.where("kind = 'audio'").select(
+    return media.where("kind = 'audio' AND payload IS NOT NULL").select(
         "doc_id", "payload", "sample_rate"
     ).mapInPandas(
         run,
@@ -439,7 +441,7 @@ def thumbnail_stats(media: DataFrame) -> DataFrame:
                 out["thumb_max"].append(int(t.max()))
             yield pd.DataFrame(out)
 
-    return media.where("kind = 'image'").select("doc_id", "payload").mapInPandas(
+    return media.where("kind = 'image' AND payload IS NOT NULL").select("doc_id", "payload").mapInPandas(
         run,
         schema="doc_id bigint, thumb_w bigint, thumb_h bigint, "
         "thumb_sum bigint, thumb_max bigint",
@@ -480,7 +482,7 @@ def audio_downsample_stats(media: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(out)
 
-    return media.where("kind = 'audio'").select(
+    return media.where("kind = 'audio' AND payload IS NOT NULL").select(
         "doc_id", "payload", "sample_rate"
     ).mapInPandas(
         run,

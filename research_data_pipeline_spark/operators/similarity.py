@@ -44,6 +44,15 @@ def _require_integral_id(df: DataFrame, id_col: str) -> None:
         )
 
 
+def _drop_null_vectors(df: DataFrame, vec_col: str) -> DataFrame:
+    """A NULL embedding cannot participate in similarity: every matrix
+    kernel would die on the inhomogeneous Arrow batch and every JVM fold
+    would silently propagate NULL. Dropping at the API boundary is the
+    documented contract (rows with missing features are not indexed);
+    callers that must account for them anti-join against the result."""
+    return df.where(F.col(vec_col).isNotNull())
+
+
 def _dot(a: Column, b: Column) -> Column:
     """Left-fold dot product in JVM expressions — exact but interpreted
     (~10µs/row: higher-order lambdas don't enter codegen). Use only for
@@ -136,6 +145,7 @@ def cosine_pairs(
     from .decisions import record
 
     _require_integral_id(df, id_col)
+    df = _drop_null_vectors(df, vec_col)
     if n is None:
         n = df.count()
     record(
@@ -292,6 +302,7 @@ def ann_topk_bruteforce(
     from .decisions import record
 
     _require_integral_id(df, id_col)
+    df = _drop_null_vectors(df, vec_col)
     if n is None:
         n = df.count()
     record(
@@ -506,6 +517,7 @@ def ann_topk_ivf(
     import pandas as pd
 
     _require_integral_id(df, id_col)
+    df = _drop_null_vectors(df, vec_col)
     crows = sorted(
         df.where(F.col(id_col) < n_cells).select(id_col, vec_col).collect(),
         key=lambda r: r[0],
@@ -745,6 +757,7 @@ def semantic_dedup(
     dimension-ordered left fold, so assignment is bit-exact vs the SQL.
     """
     _require_integral_id(df, id_col)
+    df = _drop_null_vectors(df, vec_col)
     if n_cells is None:
         n_cells = max(16, -(-df.count() // target_cell_rows))
     crows = sorted(
@@ -861,6 +874,7 @@ def pq_adc_topk(
     as DataFrame algebra.
     """
     _require_integral_id(df, id_col)
+    df = _drop_null_vectors(df, vec_col)
     e = df.select(F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v"))
     seeds = (
         e.where(F.col("vid") < n_codes)
@@ -1036,6 +1050,7 @@ def contrastive_pairs(
     left-fold cosine, so results are engine-exact.
     """
     _require_integral_id(df, id_col)
+    df = _drop_null_vectors(df, vec_col)
     if n_cells is None:
         n_cells = max(16, -(-df.count() // target_cell_rows))
 

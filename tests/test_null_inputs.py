@@ -1,0 +1,62 @@
+"""NULL-payload robustness: rows with a NULL embedding / media payload /
+value must be DROPPED by the feature operators (documented contract),
+never crash an Arrow kernel with an inhomogeneous batch."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+NULLABLE = {
+    "documents": ("text", "doc_id"),
+    "embeddings": ("embedding", "vec_id"),
+    "events": ("value", "event_id"),
+    "orders": ("o_totalprice", "o_orderkey"),
+}
+
+SAMPLE = [
+    "d09_embedding_near_dups", "d10_ann_topk", "d13_ann_ivf",
+    "d26_semantic_dedup", "d36_pq_adc_topk", "d44_contrastive_pairs",
+    "m02_media_decode_stats", "m08_png_roundtrip", "m10_thumbnail",
+    "m11_audio_downsample", "e29_mad_outliers", "s14_poisson_bootstrap",
+]
+
+
+@pytest.fixture(scope="module")
+def nulled_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("nulled_tables"))
+    for t in TABLES:
+        df = spark.read.parquet(f"/root/testdata/sf0.001/{t}.parquet")
+        if t in NULLABLE:
+            col, key = NULLABLE[t]
+            df = df.withColumn(
+                col,
+                F.when(F.col(key) % 7 == 0, None).otherwise(F.col(col)),
+            )
+        df.write.parquet(f"{d}/{t}.parquet")
+    return d
+
+
+@pytest.mark.parametrize("name", SAMPLE)
+def test_query_survives_null_payloads(spark, nulled_dir, name):
+    from research_data_pipeline_spark.registry import all_specs
+
+    assert all_specs()[name].fn(spark, nulled_dir).count() >= 0
+
+
+def test_null_vectors_are_dropped_not_scored(spark, nulled_dir):
+    # contract: a NULL embedding is absent from similarity output
+    from research_data_pipeline_spark.operators.similarity import (
+        ann_topk_bruteforce,
+    )
+    from research_data_pipeline_spark.tables import load
+
+    e = load(spark, nulled_dir, "embeddings")
+    out = ann_topk_bruteforce(e, "vec_id", "embedding", k=3)
+    null_ids = {r[0] for r in e.where(F.col("embedding").isNull())
+                .select("vec_id").collect()}
+    got_ids = {r[0] for r in out.select("query_id").distinct().collect()}
+    assert null_ids and not (null_ids & got_ids)
