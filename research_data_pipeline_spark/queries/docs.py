@@ -2711,3 +2711,73 @@ def d46_regex_pretokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter(toks, is_num)).cast("bigint").alias("n_number"),
         F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# d47: scorer AGREEMENT audit — does the heuristic quality score (d03)
+# rank documents the way the bigram-LM naturalness score (d28) does?
+# Spearman rank correlation with deterministic dense ranking
+# (row_number, doc_id tie-break — average-rank ties would need float
+# rank arithmetic) in EXACT integers: Σd² is a BIGINT, ρ·10⁶ derives by
+# integer division of n(n²−1). Both global ranks use the two-phase
+# range-partitioned prefix sum — no single-partition window over the
+# corpus exists in the plan. The oracle nests d03's and d28's own
+# oracles verbatim, so the audit can't drift from the scorers.
+_AGREE_ORACLE = f"""
+    WITH q AS (SELECT doc_id, quality
+               FROM ({REGISTRY.specs()["d03_quality_score"].oracle}) t),
+    l AS (SELECT doc_id, nll_e6 // n_bigrams AS anll
+          FROM ({_search.BIGRAM_NLL_ORACLE}) t),
+    j AS (SELECT q.doc_id, q.quality, l.anll FROM q JOIN l USING (doc_id)),
+    r AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY quality DESC, doc_id ASC) AS rq,
+               ROW_NUMBER() OVER (ORDER BY anll ASC, doc_id ASC) AS rn
+        FROM j
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM((rq - rn) * (rq - rn)) AS BIGINT) AS sum_d2,
+           CAST((1000000 * (COUNT(*) * (COUNT(*) * COUNT(*) - 1))
+                 - 6000000 * SUM((rq - rn) * (rq - rn)))
+                // (COUNT(*) * (COUNT(*) * COUNT(*) - 1)) AS BIGINT)
+               AS rho_e6
+    FROM r
+"""
+
+
+@REGISTRY.add("d47_scorer_agreement", _AGREE_ORACLE, "text", "quality",
+              "audit")
+def d47_scorer_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman agreement between d03's heuristic quality and d28's
+    LM naturalness, in exact integer micro-units."""
+    from ..operators.ranks import scalable_prefix_sum
+
+    q = d03_quality_score(spark, sf_dir).select("doc_id", "quality")
+    l = d28_bigram_lm_nll(spark, sf_dir).select(
+        "doc_id", F.expr("nll_e6 div n_bigrams").alias("anll")
+    )
+    j = (
+        q.join(l, "doc_id")
+        .withColumn("_one", F.lit(1).cast("bigint"))
+        .withColumn("negq", -F.col("quality"))
+    )
+    rq = scalable_prefix_sum(
+        j, "negq", "_one", out="rq", tiebreak=["doc_id"]
+    ).select("doc_id", "rq")
+    rn = scalable_prefix_sum(
+        j, "anll", "_one", out="rn", tiebreak=["doc_id"]
+    ).select("doc_id", "rn")
+    d = rq.join(rn, "doc_id").select(
+        ((F.col("rq") - F.col("rn")) * (F.col("rq") - F.col("rn"))).alias("d2")
+    )
+    return d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("d2").cast("bigint").alias("sum_d2"),
+    ).select(
+        "n",
+        "sum_d2",
+        F.expr(
+            "CAST((1000000 * (n * (n * n - 1)) - 6000000 * sum_d2)"
+            " div (n * (n * n - 1)) AS BIGINT)"
+        ).alias("rho_e6"),
+    )
