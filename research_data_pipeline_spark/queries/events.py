@@ -1350,3 +1350,58 @@ def e31_incremental_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(n * s2_e8 - s1_e4 * s1_e4) div (n * n)")
         .cast("bigint").alias("var_e8"),
     )
+
+
+# ---------------------------------------------------------------------------
+# e32: out-of-order ARRIVAL audit — the number that sizes a stream's
+# watermark: per user, how many events arrive (event_id = ingest
+# sequence) with an event time EARLIER than something already seen, and
+# how late the worst one is. Partitioned running max (user-keyed window,
+# never a global one) + integer µs lateness.
+_OOO_ORACLE = """
+    WITH w AS (
+        SELECT user_id, event_id,
+               epoch_us(ts) AS t_us,
+               MAX(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS seen_max_us
+        FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(*) FILTER (WHERE t_us < seen_max_us) AS BIGINT)
+               AS n_out_of_order,
+           CAST(COALESCE(MAX(seen_max_us - t_us)
+                         FILTER (WHERE t_us < seen_max_us), 0) AS BIGINT)
+               AS max_lateness_us
+    FROM w GROUP BY user_id
+"""
+
+
+@REGISTRY.add("e32_out_of_order_audit", _OOO_ORACLE, "events", "quality",
+              "streaming")
+def e32_out_of_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user out-of-order arrival counts and worst lateness in µs —
+    the watermark-sizing audit."""
+    from ..tables import epoch_us
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", epoch_us(F.col("ts")).alias("t_us")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    audited = ev.withColumn("seen_max_us", F.max("t_us").over(w))
+    late = F.col("t_us") < F.col("seen_max_us")
+    return audited.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.when(late, 1).otherwise(0)).cast("bigint")
+        .alias("n_out_of_order"),
+        F.coalesce(
+            F.max(F.when(late, F.col("seen_max_us") - F.col("t_us"))),
+            F.lit(0),
+        ).cast("bigint").alias("max_lateness_us"),
+    )
