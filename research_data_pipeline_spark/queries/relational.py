@@ -1683,3 +1683,105 @@ def q40_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_Q40_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q41: SURVIVORSHIP (golden-record) merge — the MDM primitive: several
+# versions of each customer exist (CRM import, web form, support edit),
+# columns are sparsely populated, and the golden record takes each
+# column's value from the highest-priority version that HAS one. The
+# per-column rule is one aggregate — max over (priority, value) structs
+# built only when the value is non-null — so merging v versions of any
+# width is a single groupBy, no per-column self-joins. Versions are
+# synthesized deterministically (md5 ppm nulls, version-stamped values)
+# so the whole thing is oracle-checkable.
+_SURV_V, _SURV_NULL_PPM = 3, 400_000
+
+
+@REGISTRY.add(
+    "q41_survivorship_merge",
+    f"""
+    WITH versions AS (
+        SELECT c.c_custkey, v.v,
+               CASE WHEN ('0x' || substr(md5(CAST(c.c_custkey AS VARCHAR)
+                        || '-s-' || CAST(v.v AS VARCHAR)), 1, 8))::UBIGINT
+                        % 1000000 < {_SURV_NULL_PPM} THEN NULL
+                    ELSE c.c_mktsegment || '#' || CAST(v.v AS VARCHAR)
+               END AS seg,
+               CASE WHEN ('0x' || substr(md5(CAST(c.c_custkey AS VARCHAR)
+                        || '-b-' || CAST(v.v AS VARCHAR)), 1, 8))::UBIGINT
+                        % 1000000 < {_SURV_NULL_PPM} THEN NULL
+                    ELSE CAST(CAST(c.c_acctbal AS DECIMAL(12,2)) * 100
+                              AS BIGINT) + v.v
+               END AS bal_cents
+        FROM customer c, UNNEST(generate_series(1, {_SURV_V})) AS v(v)
+    )
+    SELECT c_custkey,
+           (MAX(CASE WHEN seg IS NOT NULL
+                     THEN {{'p': v, 'x': seg}} END)).x AS golden_seg,
+           (MAX(CASE WHEN bal_cents IS NOT NULL
+                     THEN {{'p': v, 'x': bal_cents}} END)).x
+               AS golden_bal_cents,
+           CAST(COUNT(seg) AS BIGINT) AS n_seg_present,
+           CAST(COUNT(bal_cents) AS BIGINT) AS n_bal_present
+    FROM versions GROUP BY c_custkey
+    """,
+    "relational",
+    "mdm",
+)
+def q41_survivorship_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden record per customer: per-column highest-priority non-null
+    survivorship over three synthesized sparse versions."""
+    from .sampling import md5_bucket
+
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    versions = c.select(
+        "c_custkey", "c_mktsegment", "c_acctbal",
+        F.explode(F.sequence(F.lit(1), F.lit(_SURV_V))).alias("v"),
+    )
+
+    def null_ppm(tag: str):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("c_custkey").cast("string"),
+                            F.lit(f"-{tag}-"),
+                            F.col("v").cast("string"),
+                        )
+                    ),
+                    1, 8,
+                ),
+                16, 10,
+            ).cast("bigint") % 1000000
+            < _SURV_NULL_PPM
+        )
+
+    versions = versions.select(
+        "c_custkey", "v",
+        F.when(null_ppm("s"), None).otherwise(
+            F.concat("c_mktsegment", F.lit("#"), F.col("v").cast("string"))
+        ).alias("seg"),
+        F.when(null_ppm("b"), None).otherwise(
+            (F.col("c_acctbal").cast("decimal(12,2)") * 100).cast("bigint")
+            + F.col("v")
+        ).alias("bal_cents"),
+    )
+
+    def survive(col: str):
+        return F.max(
+            F.when(
+                F.col(col).isNotNull(),
+                F.struct(F.col("v").alias("p"), F.col(col).alias("x")),
+            )
+        )["x"]
+
+    return versions.groupBy("c_custkey").agg(
+        survive("seg").alias("golden_seg"),
+        survive("bal_cents").alias("golden_bal_cents"),
+        F.count("seg").cast("bigint").alias("n_seg_present"),
+        F.count("bal_cents").cast("bigint").alias("n_bal_present"),
+    )
