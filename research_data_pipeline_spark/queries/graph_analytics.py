@@ -9,6 +9,7 @@ vertex/edge DataFrames. Here the same shapes run on the test star schema
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..graph.build import co_occurrence_edges, vertices_from
@@ -674,4 +675,100 @@ def g12_hits_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("a1", F.lit(0)).cast("bigint").alias("indegree"),
             F.coalesce("a2", F.lit(0)).cast("bigint").alias("authority_fp"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# g13: COMMUNITY detection by synchronous majority-label propagation —
+# distinct from g05's connected components (which spreads the MIN label
+# to everything reachable): here each node adopts the most COMMON label
+# among its neighbors (tie → smallest label), so densely-knit groups
+# converge to one label while bridges don't bleed labels across. Three
+# synchronized rounds from label=node-id, fully deterministic — the
+# async/randomized LPA variants are not reproducible, the sync+tiebreak
+# form is. Each round = one edge⋈label join + one (node,label) count +
+# one argmax: all keyed shuffles on the same edge list (localCheckpoint
+# reused), no driver state.
+_LP_ROUNDS = 3
+
+
+def _lp_iter_sql(k: int) -> str:
+    return f"""
+    c{k} AS (
+        SELECT e.dst AS node, l.label, COUNT(*) AS cnt
+        FROM e JOIN l{k - 1} l ON l.node = e.src
+        GROUP BY 1, 2
+    ),
+    w{k} AS (
+        SELECT node, label,
+               ROW_NUMBER() OVER (PARTITION BY node
+                                  ORDER BY cnt DESC, label ASC) AS rn
+        FROM c{k}
+    ),
+    l{k} AS (
+        SELECT s.node, COALESCE(w.label, s.label) AS label
+        FROM l{k - 1} s LEFT JOIN w{k} w ON w.node = s.node AND w.rn = 1
+    )"""
+
+
+_LP_ORACLE = (
+    f"""WITH
+    pairs AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    e AS (
+        SELECT a.l_suppkey AS src, b.l_suppkey AS dst
+        FROM pairs a JOIN pairs b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= {_CC_MIN_SHARED}
+    ),
+    l0 AS (SELECT s_suppkey AS node, s_suppkey AS label FROM supplier),"""
+    + ",".join(_lp_iter_sql(k) for k in range(1, _LP_ROUNDS + 1))
+    + f"""
+    SELECT node, CAST(label AS BIGINT) AS community,
+           CAST(COUNT(*) OVER (PARTITION BY label) AS BIGINT)
+               AS community_size
+    FROM l{_LP_ROUNDS}"""
+)
+
+
+@REGISTRY.add("g13_label_prop_communities", _LP_ORACLE, "graph", "iterative")
+def g13_label_prop_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous majority-LPA communities on the strong co-supplier
+    graph: 3 deterministic rounds, tie → smallest label."""
+    from ..graph.build import co_occurrence_edges
+
+    l = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    edges = (
+        co_occurrence_edges(l, item_col="l_orderkey", actor_col="l_suppkey")
+        .where(F.col("n_shared_orders") >= _CC_MIN_SHARED)
+        .select("src", "dst")
+        .localCheckpoint()  # reused every round
+    )
+    labels = s.select(
+        F.col("s_suppkey").alias("node"), F.col("s_suppkey").alias("label")
+    )
+    for _ in range(_LP_ROUNDS):
+        counts = (
+            edges.join(labels, edges["src"] == labels["node"])
+            .select(F.col("dst").alias("n2"), "label")
+            .groupBy("n2", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        # argmax with (cnt desc, label asc): max over (cnt, -label)
+        best = counts.groupBy("n2").agg(
+            (-F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("nl")))["nl"])
+            .alias("new_label")
+        )
+        labels = (
+            labels.join(best, labels["node"] == best["n2"], "left")
+            .select(
+                "node",
+                F.coalesce("new_label", "label").cast("bigint").alias("label"),
+            )
+        )
+    w = W.partitionBy("label")
+    return labels.select(
+        "node",
+        F.col("label").alias("community"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("community_size"),
     )
