@@ -1405,3 +1405,42 @@ def e32_out_of_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0),
         ).cast("bigint").alias("max_lateness_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# e33: cumulative user GROWTH — the running-distinct curve every
+# dashboard wants, computed WITHOUT a running-distinct (which would
+# carry a per-day set): each user's first-seen day reduces the problem
+# to a per-day count + a cumulative sum over the DAY table (30 rows —
+# the only window is calendar-sized, never data-sized).
+_GROWTH_ORACLE = """
+    WITH firsts AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+        FROM events GROUP BY user_id
+    ), daily AS (
+        SELECT first_day AS day, COUNT(*) AS n_new FROM firsts GROUP BY 1
+    )
+    SELECT CAST(strftime(day, '%Y-%m-%d') AS VARCHAR) AS day,
+           CAST(n_new AS BIGINT) AS n_new_users,
+           CAST(SUM(n_new) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS n_cum_users
+    FROM daily
+"""
+
+
+@REGISTRY.add("e33_user_growth", _GROWTH_ORACLE, "events", "windows")
+def e33_user_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new and cumulative distinct users via the first-seen-day
+    reduction; the cumulative window runs over calendar days only."""
+    ev = load(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("first_day"))
+    daily = firsts.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("n_new").cast("bigint").alias("n_new_users"),
+        F.sum("n_new").over(w).cast("bigint").alias("n_cum_users"),
+    )

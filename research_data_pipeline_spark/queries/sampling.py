@@ -862,3 +862,45 @@ def s14_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# s15: guaranteed-coverage eval sample — "at least k per stratum" where
+# fraction-based sampling (s05) can return zero rows for a rare class:
+# rank every row inside its stratum by the portable md5 order and keep
+# rank ≤ k. Deterministic across engines, retries, and repartitionings;
+# the within-stratum window is bounded by stratum population.
+_EVAL_K = 20
+
+
+@REGISTRY.add(
+    "s15_stratified_topk_sample",
+    f"""
+    SELECT o_orderkey, o_orderpriority, o_totalprice FROM (
+        SELECT o_orderkey, o_orderpriority, o_totalprice,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)),
+                             1, 8))::UBIGINT, o_orderkey) AS rn
+        FROM orders)
+    WHERE rn <= {_EVAL_K}
+    """,
+    "sketch",
+    "sampling",
+)
+def s15_stratified_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly min(k, n) rows per priority class by md5 order — the
+    eval-set cut with guaranteed per-class coverage."""
+    from pyspark.sql import Window as W
+
+    o = load(spark, sf_dir, "orders")
+    rn = F.row_number().over(
+        W.partitionBy("o_orderpriority").orderBy(
+            md5_bucket(F.col("o_orderkey")), F.col("o_orderkey")
+        )
+    )
+    return (
+        o.withColumn("rn", rn)
+        .where(F.col("rn") <= _EVAL_K)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    )
