@@ -2781,3 +2781,67 @@ def d47_scorer_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (n * (n * n - 1)) AS BIGINT)"
         ).alias("rho_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# d48: QUALITY-aware canonical selection — d19 keeps min-doc-id per
+# near-dup cluster (stable, cheap); a production corpus keeps the BEST
+# member: canonical = argmax d03-quality, tie → smaller doc_id. One
+# max-over-(quality, -doc_id)-structs per cluster on top of d19's
+# clusters (shared LSH pair stream — no recompute in-session); emits
+# per-doc rows with both policies so the swap is auditable: how many
+# clusters change canonical under the quality rule. Oracles nested
+# verbatim (cluster CTEs + d03), as in d41/d43.
+_QCANON_ORACLE = f"""{_CLUSTER_CTES},
+    q AS (SELECT doc_id, quality
+          FROM ({REGISTRY.specs()["d03_quality_score"].oracle}) t),
+    m AS (
+        SELECT c.canonical_id AS cluster_id, c.doc_id, q.quality
+        FROM comp c JOIN q ON q.doc_id = c.doc_id
+    ),
+    best AS (
+        SELECT cluster_id,
+               (MAX({{'q': quality, 'negid': -doc_id}})).negid * -1
+                   AS quality_canonical
+        FROM m GROUP BY cluster_id
+    )
+    SELECT m.doc_id,
+           CAST(m.cluster_id AS BIGINT) AS cluster_id,
+           CAST(b.quality_canonical AS BIGINT) AS quality_canonical,
+           m.doc_id = b.quality_canonical AS is_quality_canonical,
+           b.quality_canonical <> m.cluster_id AS canonical_changed
+    FROM m JOIN best b ON b.cluster_id = m.cluster_id
+"""
+
+
+@REGISTRY.add("d48_quality_canonicals", _QCANON_ORACLE, "dedup", "lsh",
+              "curation")
+def d48_quality_canonicals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-quality-member canonical per near-dup cluster (tie → smaller
+    id), with the min-id-vs-quality policy delta flagged per row."""
+    clusters = d19_dedup_clusters(spark, sf_dir).select(
+        "doc_id", F.col("canonical_id").alias("cluster_id")
+    )
+    q = d03_quality_score(spark, sf_dir)
+    m = clusters.join(q, "doc_id")
+    best = m.groupBy("cluster_id").agg(
+        (
+            -F.max(
+                F.struct(
+                    F.col("quality").alias("q"),
+                    (-F.col("doc_id")).alias("negid"),
+                )
+            )["negid"]
+        ).cast("bigint").alias("quality_canonical")
+    )
+    return m.join(best, "cluster_id").select(
+        "doc_id",
+        F.col("cluster_id").cast("bigint").alias("cluster_id"),
+        "quality_canonical",
+        (F.col("doc_id") == F.col("quality_canonical")).alias(
+            "is_quality_canonical"
+        ),
+        (F.col("quality_canonical") != F.col("cluster_id")).alias(
+            "canonical_changed"
+        ),
+    )
