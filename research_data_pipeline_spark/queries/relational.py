@@ -1785,3 +1785,60 @@ def q41_survivorship_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("seg").cast("bigint").alias("n_seg_present"),
         F.count("bal_cents").cast("bigint").alias("n_bal_present"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q42: k-ANONYMITY audit — the privacy companion to q38's purge: before
+# sharing a table, every quasi-identifier combination (nation × market
+# segment here) must cover at least k individuals, or those rows are
+# re-identifiable. One groupBy for the equivalence classes + one
+# broadcast-back summary; the per-class rows carry the violation flag,
+# a final row ('__total__') carries the table-level verdict counts.
+_KANON_K = 25
+
+
+@REGISTRY.add(
+    "q42_k_anonymity",
+    f"""
+    WITH classes AS (
+        SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n
+        FROM customer GROUP BY 1, 2
+    )
+    SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+           c_mktsegment AS segment,
+           n,
+           n >= {_KANON_K} AS k_anonymous
+    FROM classes
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT), '__total__',
+           CAST(SUM(CASE WHEN n < {_KANON_K} THEN n ELSE 0 END) AS BIGINT),
+           SUM(CASE WHEN n < {_KANON_K} THEN 1 ELSE 0 END) = 0
+    FROM classes
+    """,
+    "relational",
+    "privacy",
+)
+def q42_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equivalence-class sizes for the (nation, segment) quasi-identifier
+    with per-class k≥{_KANON_K} flags and a '__total__' violating-row count."""
+    c = load(spark, sf_dir, "customer")
+    classes = c.groupBy(
+        F.col("c_nationkey").cast("bigint").alias("nationkey"),
+        F.col("c_mktsegment").alias("segment"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    per_class = classes.select(
+        "nationkey", "segment", "n",
+        (F.col("n") >= _KANON_K).alias("k_anonymous"),
+    )
+    total = classes.agg(
+        F.sum(F.when(F.col("n") < _KANON_K, F.col("n")).otherwise(0))
+        .cast("bigint").alias("n"),
+        (F.sum(F.when(F.col("n") < _KANON_K, 1).otherwise(0)) == 0)
+        .alias("k_anonymous"),
+    ).select(
+        F.lit(-1).cast("bigint").alias("nationkey"),
+        F.lit("__total__").alias("segment"),
+        "n",
+        "k_anonymous",
+    )
+    return per_class.unionByName(total)
