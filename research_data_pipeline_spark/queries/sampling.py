@@ -904,3 +904,58 @@ def s15_stratified_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= _EVAL_K)
         .select("o_orderkey", "o_orderpriority", "o_totalprice")
     )
+
+
+# ---------------------------------------------------------------------------
+# s16: exact WEIGHTED median — the estimator quantile_cont can't give
+# you (every engine's percentile treats rows equally; a 100 TB fact
+# wants value-by-importance). Definition: smallest value whose
+# cumulative weight reaches half the total — integer-exact via the
+# cum·2 ≥ total comparison on BIGINT weights, and tie-proof because
+# weights are pre-aggregated per DISTINCT value before the cumulative
+# walk (no within-value ordering exists to matter). The window runs
+# over distinct values per group; at open-domain scale the two-phase
+# prefix rank (operators/ranks.py) is the drop-in replacement.
+_WMED_ORACLE = """
+    WITH w AS (
+        SELECT l_returnflag AS flag, l_extendedprice AS price,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS wgt
+        FROM lineitem GROUP BY 1, 2
+    ), c AS (
+        SELECT flag, price, wgt,
+               SUM(wgt) OVER (PARTITION BY flag ORDER BY price
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               SUM(wgt) OVER (PARTITION BY flag) AS total
+        FROM w
+    )
+    SELECT flag,
+           CAST(MAX(total) AS BIGINT) AS total_weight,
+           MIN(price) FILTER (WHERE cum * 2 >= total) AS weighted_median
+    FROM c GROUP BY flag
+"""
+
+
+@REGISTRY.add("s16_weighted_median", _WMED_ORACLE, "sketch", "stats")
+def s16_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median extended price per return flag."""
+    from pyspark.sql import Window as W
+
+    l = load(spark, sf_dir, "lineitem")
+    w = l.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("price"),
+    ).agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("wgt"))
+    win = W.partitionBy("flag").orderBy("price").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    tot = W.partitionBy("flag")
+    c = w.select(
+        "flag", "price", "wgt",
+        F.sum("wgt").over(win).alias("cum"),
+        F.sum("wgt").over(tot).alias("total"),
+    )
+    return c.groupBy("flag").agg(
+        F.max("total").cast("bigint").alias("total_weight"),
+        F.min(F.when(F.col("cum") * 2 >= F.col("total"), F.col("price")))
+        .alias("weighted_median"),
+    )
