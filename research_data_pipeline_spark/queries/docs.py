@@ -2737,9 +2737,11 @@ _AGREE_ORACLE = f"""
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n,
            CAST(SUM((rq - rn) * (rq - rn)) AS BIGINT) AS sum_d2,
-           CAST((1000000 * (COUNT(*) * (COUNT(*) * COUNT(*) - 1))
-                 - 6000000 * SUM((rq - rn) * (rq - rn)))
-                // (COUNT(*) * (COUNT(*) * COUNT(*) - 1)) AS BIGINT)
+           CAST((1000000::HUGEINT * (COUNT(*)::HUGEINT * (COUNT(*)::HUGEINT
+                     * COUNT(*)::HUGEINT - 1))
+                 - 6000000::HUGEINT * SUM((rq - rn) * (rq - rn))::HUGEINT)
+                // (COUNT(*)::HUGEINT * (COUNT(*)::HUGEINT
+                     * COUNT(*)::HUGEINT - 1)) AS BIGINT)
                AS rho_e6
     FROM r
 """
@@ -2776,9 +2778,14 @@ def d47_scorer_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "n",
         "sum_d2",
+        # 128-bit-safe: n³·10⁶ passes 2⁶³ near n = 45k docs (hit live at
+        # the sf1 scale check) — the whole chain rides DECIMAL(38,0),
+        # where `div` is still exact integral division
         F.expr(
-            "CAST((1000000 * (n * (n * n - 1)) - 6000000 * sum_d2)"
-            " div (n * (n * n - 1)) AS BIGINT)"
+            "CAST((CAST(1000000 AS DECIMAL(38,0))"
+            " * (CAST(n AS DECIMAL(38,0)) * n * n - n)"
+            " - CAST(6000000 AS DECIMAL(38,0)) * CAST(sum_d2 AS DECIMAL(38,0)))"
+            " div (CAST(n AS DECIMAL(38,0)) * n * n - n) AS BIGINT)"
         ).alias("rho_e6"),
     )
 
