@@ -2852,3 +2852,88 @@ def d48_quality_canonicals(spark: SparkSession, sf_dir: str) -> DataFrame:
             "canonical_changed"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# d49: WINNOWING fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
+# the MOSS algorithm): hash every k-token shingle, slide a w-position
+# window over the hash sequence, keep each window's MINIMUM — the
+# selected set is a position-robust document fingerprint guaranteeing
+# any match of length ≥ w+k−1 shares a fingerprint. Complements d04
+# (whole-doc sorted-token fingerprint: exact-dup only) with the
+# partial-overlap detector. Hashes are the portable 32-bit md5 prefix;
+# the rolling min is a bounded ROWS frame (w positions), never a
+# data-sized window; DISTINCT collapses runs where one minimum serves
+# many windows. Output is per-doc: fingerprint count + exact BIGINT
+# checksum so the hash gate covers the selected SET.
+_WIN_K, _WIN_W = 4, 5
+_WINNOW_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS} AS t FROM documents
+        WHERE len({_TOKS}) >= {_WIN_K}
+    ), grams AS (
+        SELECT doc_id, i,
+               ('0x' || substr(md5(array_to_string(t[i:i+{_WIN_K - 1}], ' ')),
+                               1, 8))::UBIGINT::BIGINT AS h
+        FROM toks, UNNEST(generate_series(1, len(t) - {_WIN_K - 1})) AS g(i)
+    ), wins AS (
+        SELECT doc_id,
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN CURRENT ROW AND {_WIN_W - 1} FOLLOWING)
+                   AS wmin,
+               COUNT(*) OVER (PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN CURRENT ROW AND {_WIN_W - 1} FOLLOWING)
+                   AS wsize
+        FROM grams
+    ), fps AS (
+        SELECT DISTINCT doc_id, wmin FROM wins WHERE wsize = {_WIN_W}
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
+           CAST(SUM(wmin) AS BIGINT) AS fp_checksum,
+           CAST(MIN(wmin) AS BIGINT) AS fp_min
+    FROM fps GROUP BY doc_id
+"""
+
+
+@REGISTRY.add("d49_winnowing_fingerprints", _WINNOW_ORACLE, "dedup",
+              "fingerprint")
+def d49_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprint summaries: k=4-token shingles,
+    w=5 windows, per-doc selected-set count/checksum/min."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    base = d.select("doc_id", toks.alias("t")).where(F.size("t") >= _WIN_K)
+    grams = base.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - (_WIN_K - 1)),
+                lambda i: F.conv(
+                    F.substring(
+                        F.md5(F.array_join(F.slice("t", i, _WIN_K), " ")),
+                        1, 8,
+                    ),
+                    16, 10,
+                ).cast("bigint"),
+            )
+        ).alias("pos", "h"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(0, _WIN_W - 1)
+    )
+    wins = grams.select(
+        "doc_id",
+        F.min("h").over(w).alias("wmin"),
+        F.count(F.lit(1)).over(w).alias("wsize"),
+    ).where(F.col("wsize") == _WIN_W)
+    fps = wins.select("doc_id", "wmin").distinct()
+    return fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_fingerprints"),
+        F.sum("wmin").cast("bigint").alias("fp_checksum"),
+        F.min("wmin").cast("bigint").alias("fp_min"),
+    )
