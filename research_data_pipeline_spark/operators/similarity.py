@@ -747,9 +747,11 @@ def semantic_dedup(
     so the cell count must GROW with the corpus: ``n_cells=None`` sizes
     it as ceil(n / target_cell_rows), keeping per-cell population — and
     thus pair work per row — constant, where a fixed k silently degrades
-    to O(n²/k). Pass an explicit ``n_cells`` only when cell identity must
-    be reproducible across corpus sizes (the oracle-checked registered
-    query does, to stay comparable to its SQL).
+    to O(n²/k). The oracle-checked registered query (d26) uses
+    ``n_cells=None`` too — its SQL derives the same max(16, ceil(n/512))
+    from COUNT(*), so auto-sizing and cross-engine comparability coexist.
+    Pass an explicit ``n_cells`` only when cell identity must be pinned
+    independently of corpus size.
 
     Ties in centroid distance break toward the smaller centroid id
     (np.lexsort on (cid, -ccos)), matching the oracle's
@@ -1042,9 +1044,10 @@ def contrastive_pairs(
     cell count as ceil(n / target_cell_rows) — per-cell population, and
     thus pair work per row, stays constant as the corpus grows, where a
     fixed cell count degrades quadratically (measured 10.5× wall at 10×
-    rows with 16 fixed cells — SCALE.md). Pass an explicit ``n_cells``
-    only when cell identity must be reproducible across corpus sizes
-    (the oracle-checked registered query does).
+    rows with 16 fixed cells — SCALE.md). The registered query (d44)
+    uses auto-sizing too; its oracle derives the identical count from
+    COUNT(*). Pass an explicit ``n_cells`` only when cell identity must
+    be pinned independently of corpus size.
 
     Everything stays in JVM expressions with the dimension-ordered
     left-fold cosine, so results are engine-exact.

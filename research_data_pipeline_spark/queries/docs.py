@@ -1330,11 +1330,19 @@ def d28_bigram_lm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
 # as a duplicate of the smallest such id. Unlike d09 (global pair list)
 # this emits a per-vector KEEP/DROP verdict and never leaves the cell key,
 # which is what makes it the 100 TB path: candidate generation is a
-# keyed self-join, not a pair scan. Operator: similarity.semantic_dedup.
-_SEM_CELLS, _SEM_T = 16, 0.4
+# keyed self-join, not a pair scan. The cell count is DERIVED FROM THE
+# CORPUS COUNT in both engines — max(16, ceil(n/512)), the operator's
+# auto-sizing — so per-cell population (and thus pair work per row) stays
+# constant at any sf instead of the old fixed-16-cell O(n²/16) asymptote,
+# while the oracle computes the identical value and stays comparable.
+# Operator: similarity.semantic_dedup.
+_SEM_ROWS, _SEM_T = 512, 0.4
 _SEM_ORACLE = f"""
     WITH e AS ({_E_CTE}),
-    cents AS (SELECT vec_id AS cid, v AS cv, norm AS cn FROM e WHERE vec_id < {_SEM_CELLS}),
+    nc AS (SELECT GREATEST(16, CAST(CEIL(COUNT(*) / {_SEM_ROWS}.0) AS BIGINT)) AS n
+           FROM e),
+    cents AS (SELECT vec_id AS cid, v AS cv, norm AS cn FROM e
+              WHERE vec_id < (SELECT n FROM nc)),
     scored AS (
         SELECT e.vec_id, c.cid, {_DOT.format(a='e.v', b='c.cv')} / (e.norm * c.cn) AS ccos
         FROM e CROSS JOIN cents c
@@ -1365,10 +1373,14 @@ _SEM_ORACLE = f"""
 @REGISTRY.add("d26_semantic_dedup", _SEM_ORACLE, "dedup", "embedding", "ivf")
 def d26_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector semantic KEEP/DROP: cosine-nearest seed centroid cell,
-    dup when an earlier same-cell vector sits at cosine ≥ 0.4."""
+    dup when an earlier same-cell vector sits at cosine ≥ 0.4. Cell count
+    auto-sizes with the corpus (n_cells=None → max(16, ceil(n/512)));
+    the oracle derives the identical count, so the registered artifact
+    carries no fixed-cell quadratic asymptote."""
     e = load(spark, sf_dir, "embeddings")
     return sim.semantic_dedup(
-        e, "vec_id", "embedding", n_cells=_SEM_CELLS, threshold=_SEM_T
+        e, "vec_id", "embedding", n_cells=None, threshold=_SEM_T,
+        target_cell_rows=_SEM_ROWS,
     )
 
 
@@ -2541,12 +2553,18 @@ def d43_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the margin, far enough to be a true negative). The cell join keeps
 # the pair space at Σ cell_pop², never n²; cosines are the d10-proven
 # exact fold. Thresholds sit inside the data's observed within-cell
-# band (max ≈ 0.49 at sf0.01) so both labels are populated.
-_CP_POS, _CP_NEG_LO = 0.45, 0.30
+# band (max ≈ 0.49 at sf0.01) so both labels are populated. The cell
+# count derives from the corpus count in BOTH engines — max(16,
+# ceil(n/512)), the operator's auto-sizing — so per-cell population
+# stays constant at any sf (the old fixed-16-cell variant measured
+# 10.5× wall at 10× rows; SCALE.md).
+_CP_POS, _CP_NEG_LO, _CP_ROWS = 0.45, 0.30, 512
 _CONTRAST_ORACLE = f"""
     WITH e AS ({_E_CTE}),
+    nc AS (SELECT GREATEST(16, CAST(CEIL(COUNT(*) / {_CP_ROWS}.0) AS BIGINT)) AS n
+           FROM e),
     cents AS (SELECT vec_id AS cid, v AS cv, norm AS cn FROM e
-              WHERE vec_id < {_IVF_CELLS}),
+              WHERE vec_id < (SELECT n FROM nc)),
     pr AS (
         SELECT e.vec_id, c.cid,
                ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
@@ -2575,13 +2593,15 @@ _CONTRAST_ORACLE = f"""
               "training-data")
 def d44_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-cell positive / hard-negative pair mining for contrastive
-    embedding training. Fixed n_cells for oracle comparability across
-    scale factors; production sizing (n_cells=None) keeps per-cell
-    population constant — see operators/similarity.contrastive_pairs."""
+    embedding training. Cell count auto-sizes with the corpus
+    (n_cells=None → max(16, ceil(n/512))); the oracle derives the same
+    count, so comparability holds at every sf with no fixed-cell
+    asymptote — see operators/similarity.contrastive_pairs."""
     e = load(spark, sf_dir, "embeddings")
     return sim.contrastive_pairs(
         e, "vec_id", "embedding",
-        pos_threshold=_CP_POS, neg_lo=_CP_NEG_LO, n_cells=_IVF_CELLS,
+        pos_threshold=_CP_POS, neg_lo=_CP_NEG_LO, n_cells=None,
+        target_cell_rows=_CP_ROWS,
     )
 
 
