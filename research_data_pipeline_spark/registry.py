@@ -304,6 +304,10 @@ _REWRITTEN_SINCE_GREEN: set[str] = {
     "d13_ann_ivf",
     "d13b_ivf_lloyd_recall",
     "d32b_bpe_training",
+    # round 7: registered d26/d44 switched from fixed n_cells=16 to
+    # corpus-derived auto-sizing (both engines) after their r06 greens
+    "d26_semantic_dedup",
+    "d44_contrastive_pairs",
 }
 
 
