@@ -175,13 +175,24 @@ def bigram_nll(
         ).alias("bg"),
     ).select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
 
-    c2 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    # Model tables DERIVE from occ, which is MATERIALIZED once
+    # (localCheckpoint — MEMORY_AND_DISK, executor-resident, spillable;
+    # a cluster run would persist the same intermediate): the earlier
+    # form re-tokenized + exploded + shuffled the whole corpus once per
+    # consumer branch (three corpus-sized exchanges — ReuseExchange does
+    # not fire here because column pruning and pushed notnull filters
+    # de-canonicalize the branches). Now the single (doc, w1, w2) agg is
+    # the only corpus-sized exchange; c2/c1 are bounded re-aggs of it.
+    occ = (
+        pairs.groupBy(id_col, "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .localCheckpoint()
+    )
+    c2 = occ.groupBy("w1", "w2").agg(F.sum("n_occ").alias("c2"))
     c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
     vocab = docs.select(
         F.explode(T.tokens(F.col(text_col))).alias("w")
     ).agg(F.countDistinct("w").alias("v"))
-
-    occ = pairs.groupBy(id_col, "w1", "w2").agg(F.count(F.lit(1)).alias("n_occ"))
     nll_pos_e6 = F.floor(
         F.log(
             (F.col("c1").cast("double") + F.col("v").cast("double"))

@@ -2783,13 +2783,14 @@ def d47_scorer_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("_one", F.lit(1).cast("bigint"))
         .withColumn("negq", -F.col("quality"))
     )
-    rq = scalable_prefix_sum(
-        j, "negq", "_one", out="rq", tiebreak=["doc_id"]
-    ).select("doc_id", "rq")
-    rn = scalable_prefix_sum(
-        j, "anll", "_one", out="rn", tiebreak=["doc_id"]
-    ).select("doc_id", "rn")
-    d = rq.join(rn, "doc_id").select(
+    # Chain the second rank pass over the FIRST pass's output: pass 1
+    # localCheckpoints j-with-rq, so d03+d28 run once (not once per rank
+    # branch) and rq rides along into pass 2 — no rq⋈rn re-join exists.
+    # Two range-partitioned sorts remain (two different orderings), which
+    # is the information-theoretic floor for two global ranks.
+    r1 = scalable_prefix_sum(j, "negq", "_one", out="rq", tiebreak=["doc_id"])
+    r2 = scalable_prefix_sum(r1, "anll", "_one", out="rn", tiebreak=["doc_id"])
+    d = r2.select(
         ((F.col("rq") - F.col("rn")) * (F.col("rq") - F.col("rn"))).alias("d2")
     )
     return d.agg(

@@ -308,6 +308,11 @@ _REWRITTEN_SINCE_GREEN: set[str] = {
     # corpus-derived auto-sizing (both engines) after their r06 greens
     "d26_semantic_dedup",
     "d44_contrastive_pairs",
+    # round 7: bigram-LM model tables now derive from one materialized
+    # occ aggregate (was 3 corpus exchanges); d47 chains its second rank
+    # pass over the first's output (no rq⋈rn re-join, scorers run once)
+    "d28_bigram_lm_nll",
+    "d47_scorer_agreement",
 }
 
 
