@@ -34,22 +34,55 @@ def cascade_purge(
     doomed: dict[str, DataFrame] = {
         root_table: tables[root_table].join(root_keys, root_key_col, "left_semi")
     }
-    kill_keys: dict[str, DataFrame] = {root_table: root_keys}
+    # A child may appear in SEVERAL cascade entries (multi-FK / diamond
+    # schemas: a row is doomed if ANY of its FKs points at a doomed
+    # parent). Keep every (fk, keys) pair per child — the earlier
+    # single-slot dict let a second entry overwrite the first, silently
+    # under-purging rows doomed only via the first FK (and descendants
+    # derived from the truncated doomed set missed them too).
+    kill_keys: dict[str, list[tuple[str, DataFrame]]] = {
+        root_table: [(root_key_col, root_keys)]
+    }
+    used_as_parent: set[str] = set()
     for child, fk, parent, pk in cascades:  # parent-first order required
         if parent not in doomed:
             raise ValueError(f"cascade for {child} names unpurged parent {parent}")
+        if child in used_as_parent:
+            # a descendant already derived its kill keys from this
+            # child's (then-incomplete) doomed set — reordering the
+            # cascade list is the fix; proceeding would under-purge
+            raise ValueError(
+                f"cascade entry for {child} arrives after {child} was "
+                "already used as a parent; list all FKs of a child before "
+                "any of its descendants"
+            )
+        used_as_parent.add(parent)
         keys = doomed[parent].select(F.col(pk).alias(fk)).distinct()
-        kill_keys[child] = keys
-        doomed[child] = tables[child].join(keys, fk, "left_semi")
+        prior = kill_keys.setdefault(child, [])
+        prior.append((fk, keys))
+        # doomed[child] = rows matching ANY kill-key set, built as a
+        # DISJOINT union (anti-join all earlier key sets, semi-join this
+        # one) so no row is double-counted and no row-identity dedup is
+        # needed — every term is a chain of keyed shuffles.
+        df = tables[child]
+        parts = []
+        for i, (fk_i, keys_i) in enumerate(prior):
+            term = df
+            for fk_j, keys_j in prior[:i]:
+                term = term.join(keys_j, fk_j, "left_anti")
+            parts.append(term.join(keys_i, fk_i, "left_semi"))
+        d = parts[0]
+        for p in parts[1:]:
+            d = d.unionByName(p)
+        doomed[child] = d
 
     purged: dict[str, DataFrame] = {}
     audits = []
     for name, df in tables.items():
-        if name == root_table:
-            keep = df.join(root_keys, root_key_col, "left_anti")
-        elif name in kill_keys:
-            [fk_col] = kill_keys[name].columns
-            keep = df.join(kill_keys[name], fk_col, "left_anti")
+        if name in kill_keys:
+            keep = df
+            for fk_col, keys in kill_keys[name]:
+                keep = keep.join(keys, fk_col, "left_anti")
         else:
             purged[name] = df
             continue
