@@ -160,10 +160,22 @@ def zorder_value(cols: list, bits: int = 16):
     stats prune selective predicates on ANY of the interleaved columns —
     a plain sort gives that to its leading column only. Pure bit
     arithmetic, whole-stage-codegen'd, no UDF.
+
+    ``bits * len(cols)`` must fit in the 63 value bits of a BIGINT: the
+    top interleaved bit of 4×16 lands on bit 63 (sign — keys wrap
+    negative) and Spark's shiftleft masks its shift count mod 64, so 5+
+    columns would silently wrap bits onto low positions. Either way the
+    Morton order is wrong, so over-wide keys fail loudly here instead.
     """
     from pyspark.sql import functions as F
 
     n = len(cols)
+    if bits * n > 63:
+        raise ValueError(
+            f"zorder_value: bits*len(cols) = {bits}*{n} = {bits * n} "
+            "exceeds the 63 value bits of BIGINT; lower bits (e.g. "
+            f"bits={63 // n}) or interleave fewer columns"
+        )
     z = F.lit(0).cast("bigint")
     for b in range(bits):
         for ci, c in enumerate(cols):

@@ -313,6 +313,9 @@ _REWRITTEN_SINCE_GREEN: set[str] = {
     # pass over the first's output (no rq⋈rn re-join, scorers run once)
     "d28_bigram_lm_nll",
     "d47_scorer_agreement",
+    # round 7: e30's applied-batch marker moved inside the swapped state
+    # dir (crash-window fix) — fold logic extracted to _fold_state_batch
+    "e30_stream_agg_merge",
 }
 
 

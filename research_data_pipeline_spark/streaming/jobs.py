@@ -767,6 +767,63 @@ def run_stream_stream_outer_join_to_batch(
     return out.where(F.col("user_id") >= 0)
 
 
+# the applied-batch marker lives INSIDE the atomically-swapped state dir
+# (leading underscore = invisible to the parquet reader, like _SUCCESS):
+# state rows and marker commit in ONE rename, so no crash point exists
+# where state is updated but the batch id unrecorded (a separate meta.json
+# written after the swap had exactly that window — a foreachBatch replay
+# of the batch would then fold it into state a second time).
+_STATE_MARKER = "_applied_batch.json"
+
+
+def _fold_state_batch(state_dir: str, part: DataFrame, batch_id: int) -> bool:
+    """Fold one micro-batch's partial aggregate ``part`` (user_id, cnt,
+    sum_dec, mn, mx) into the persisted state table, tmp-then-swap, with
+    replay idempotence: returns False (no-op) when ``batch_id`` was
+    already committed — the marker rides inside the swapped directory,
+    so the skip decision and the state content can never disagree."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    D = "decimal(12,4)"
+    marker_path = os.path.join(state_dir, _STATE_MARKER)
+    applied = -1
+    if os.path.exists(marker_path):
+        applied = json.load(open(marker_path))["last_batch_id"]
+    if batch_id <= applied:
+        return False  # replay: already folded into state, skip
+    if os.path.exists(state_dir):
+        state = part.sparkSession.read.parquet(state_dir)
+        merged = (
+            state.unionByName(part)
+            .groupBy("user_id")
+            .agg(
+                F.sum("cnt").cast("bigint").alias("cnt"),
+                F.sum("sum_dec").cast(D).alias("sum_dec"),
+                F.min("mn").alias("mn"),
+                F.max("mx").alias("mx"),
+            )
+        )
+    else:
+        merged = part
+    tmp = state_dir + f"__tmp{batch_id}"
+    merged.write.mode("overwrite").parquet(tmp)
+    # marker written into tmp BEFORE the swap: the rename below commits
+    # state rows and applied-batch id atomically
+    json.dump(
+        {"last_batch_id": batch_id}, open(os.path.join(tmp, _STATE_MARKER), "w")
+    )
+    if os.path.exists(state_dir):
+        old = state_dir + f"__old{batch_id}"
+        os.rename(state_dir, old)
+        os.rename(tmp, state_dir)
+        shutil.rmtree(old)
+    else:
+        os.rename(tmp, state_dir)
+    return True
+
+
 def run_stream_agg_merge_to_batch(
     spark: SparkSession, events_path: str, n_source_files: int = 3
 ) -> DataFrame:
@@ -788,8 +845,6 @@ def run_stream_agg_merge_to_batch(
     merge bit-exact; the drained result equals the one-shot batch
     aggregation, which is exactly what the oracle computes.
     """
-    import json
-
     from pyspark.sql import functions as F
 
     from ..session import apply_runtime_confs
@@ -799,7 +854,6 @@ def run_stream_agg_merge_to_batch(
     ckpt_dir = tempfile.mkdtemp(prefix="rdp_mv_ckpt_")
     state_root = tempfile.mkdtemp(prefix="rdp_mv_state_")
     state_dir = os.path.join(state_root, "state")
-    meta_path = os.path.join(state_root, "meta.json")
     D = "decimal(12,4)"
     try:
         (
@@ -820,36 +874,7 @@ def run_stream_agg_merge_to_batch(
             )
 
         def merge(batch: DataFrame, batch_id: int) -> None:
-            applied = -1
-            if os.path.exists(meta_path):
-                applied = json.load(open(meta_path))["last_batch_id"]
-            if batch_id <= applied:
-                return  # replay: already folded into state, skip
-            part = partial(batch)
-            if os.path.exists(state_dir):
-                state = batch.sparkSession.read.parquet(state_dir)
-                merged = (
-                    state.unionByName(part)
-                    .groupBy("user_id")
-                    .agg(
-                        F.sum("cnt").cast("bigint").alias("cnt"),
-                        F.sum("sum_dec").cast(D).alias("sum_dec"),
-                        F.min("mn").alias("mn"),
-                        F.max("mx").alias("mx"),
-                    )
-                )
-            else:
-                merged = part
-            tmp = state_dir + f"__tmp{batch_id}"
-            merged.write.mode("overwrite").parquet(tmp)
-            if os.path.exists(state_dir):
-                old = state_dir + f"__old{batch_id}"
-                os.rename(state_dir, old)
-                os.rename(tmp, state_dir)
-                shutil.rmtree(old)
-            else:
-                os.rename(tmp, state_dir)
-            json.dump({"last_batch_id": batch_id}, open(meta_path, "w"))
+            _fold_state_batch(state_dir, partial(batch), batch_id)
 
         q = (
             spark.readStream.schema(schema)

@@ -166,6 +166,23 @@ def test_bucketed_authorship_makes_author_aggs_exchange_free(warehouse, sf_dir):
         spark.sql("DROP TABLE IF EXISTS b_authorship")
 
 
+def test_zorder_rejects_keys_wider_than_bigint(spark):
+    """4×16 puts the top bit on the BIGINT sign bit and 5+ columns wrap
+    shiftleft's mod-64 shift count — both silently corrupt the Morton
+    order, so the key builder must fail loudly (advisor round-6)."""
+    import pytest
+
+    from research_data_pipeline_spark.io.layout import zorder_value
+
+    with pytest.raises(ValueError, match="63 value bits"):
+        zorder_value(["a", "b", "c", "d"], bits=16)
+    with pytest.raises(ValueError, match="63 value bits"):
+        zorder_value(["a", "b", "c", "d", "e"], bits=16)
+    # 4 cols fit at bits<=15, 2 cols at the default 16
+    zorder_value(["a", "b", "c", "d"], bits=15)
+    zorder_value(["a", "b"], bits=16)
+
+
 def test_zorder_prunes_row_groups_on_both_dimensions(spark, sf_dir, tmp_path):
     """The 100 TB clustering claim, judged by parquet footer stats: a
     Z-ordered layout lets a stats-aware scanner skip row groups for

@@ -97,3 +97,49 @@ def test_watermark_dedup_replay_shows_both_behaviors(spark, sf_dir):
     n_ids = spark.read.parquet(f"{sf_dir}/events.parquet").select(
         "event_id").distinct().count()
     assert out.count() == n_ids
+
+
+def test_fold_state_batch_marker_commits_atomically_with_state(spark, tmp_path):
+    """e30's replay idempotence (advisor round-6): the applied-batch
+    marker rides INSIDE the atomically-swapped state directory, so state
+    content and skip decision can never disagree — a replayed batch is a
+    no-op, and there is no crash window between 'state swapped' and
+    'batch id recorded'."""
+    import json
+    import os
+
+    from research_data_pipeline_spark.streaming.jobs import (
+        _STATE_MARKER,
+        _fold_state_batch,
+    )
+
+    D = "decimal(12,4)"
+    state_dir = str(tmp_path / "state")
+
+    def part(rows):
+        return spark.createDataFrame(
+            rows, "user_id int, cnt bigint, mn double, mx double, sum_raw double"
+        ).select(
+            "user_id", "cnt", F.col("sum_raw").cast(D).alias("sum_dec"),
+            "mn", "mx",
+        )
+
+    assert _fold_state_batch(state_dir, part([(1, 2, 1.0, 3.0, 4.0)]), 0)
+    marker = json.load(open(os.path.join(state_dir, _STATE_MARKER)))
+    assert marker == {"last_batch_id": 0}
+    # the marker file is parquet-invisible: reading the dir sees state rows
+    assert spark.read.parquet(state_dir).count() == 1
+
+    # replay of batch 0 is a committed no-op — same rows, same marker
+    assert not _fold_state_batch(state_dir, part([(1, 2, 1.0, 3.0, 4.0)]), 0)
+    row = spark.read.parquet(state_dir).collect()[0]
+    assert (row["cnt"], float(row["sum_dec"])) == (2, 4.0)
+
+    # a NEW batch folds in and advances the marker in the same swap
+    assert _fold_state_batch(state_dir, part([(1, 1, 0.5, 9.0, 2.0)]), 1)
+    marker = json.load(open(os.path.join(state_dir, _STATE_MARKER)))
+    assert marker == {"last_batch_id": 1}
+    row = spark.read.parquet(state_dir).collect()[0]
+    assert (row["cnt"], float(row["sum_dec"]), row["mn"], row["mx"]) == (
+        3, 6.0, 0.5, 9.0,
+    )
