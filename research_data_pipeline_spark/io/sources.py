@@ -96,8 +96,17 @@ def read_parquet_evolving(
             continue
         key = spark.read.parquet(f).schema.simpleString()  # footer only
         by_schema.setdefault(key, []).append(f)
+    # basePath anchors each era group's leaf files to the dataset root so
+    # hive-style partition columns (values that exist only in directory
+    # names) are still derived — a bare per-file read would drop them and
+    # _reconcile would silently backfill typed NULLs for partitioned
+    # evolving tables
     eras = [
-        _reconcile(spark.read.parquet(*files), target_schema, renames)
+        _reconcile(
+            spark.read.option("basePath", path).parquet(*files),
+            target_schema,
+            renames,
+        )
         for files in by_schema.values()
     ]
     out = eras[0]

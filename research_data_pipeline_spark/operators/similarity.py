@@ -895,7 +895,27 @@ def pq_adc_topk(
         )
         return F.floor(d * F.lit(1000000000.0)).cast("bigint")
 
-    width = (F.size("v") / F.lit(m_sub)).cast("bigint")
+    # the vector length must split evenly into m_sub subspaces: width
+    # truncates otherwise, so dims >= m_sub*width would silently never
+    # enter any subspace distance (e.g. 100-d with m_sub=8 drops 4 dims
+    # of signal). Fail loudly, in-plan (no extra validation pass).
+    width = (
+        F.when(
+            F.size("v") % F.lit(m_sub) == 0, F.size("v") / F.lit(m_sub)
+        )
+        .otherwise(
+            F.raise_error(
+                F.format_string(
+                    "pq_adc_topk: vector length %s is not divisible by "
+                    "m_sub=%s; trailing dimensions would be silently "
+                    "dropped — pick m_sub dividing the dimension",
+                    F.size("v").cast("string"),
+                    F.lit(m_sub).cast("string"),
+                )
+            ).cast("double")
+        )
+        .cast("bigint")
+    )
     sub = e.join(F.broadcast(seeds)).select(
         "vid",
         "cid",

@@ -118,3 +118,21 @@ def test_lloyd_refinement_improves_ivf_recall(spark):
     )
     assert refined > seed, (seed, refined)
     assert refined >= 0.9, refined
+
+
+def test_pq_adc_rejects_indivisible_dimension(spark):
+    """m_sub must divide the vector dimension: width truncation would
+    silently drop trailing dims from every subspace distance (advisor
+    round-6). The guard is in-plan (raise_error), no validation pass."""
+    import pytest
+
+    from research_data_pipeline_spark.operators.similarity import pq_adc_topk
+
+    bad = spark.createDataFrame(
+        [(i, [float(i + j) for j in range(10)]) for i in range(40)],
+        "vec_id bigint, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="not divisible"):
+        pq_adc_topk(
+            bad, "vec_id", "embedding", m_sub=3, k=2, n_codes=8, query_mod=10
+        ).count()

@@ -189,6 +189,37 @@ def test_parquet_schema_evolution_reconciles_three_eras(spark, tmp_path):
     }
 
 
+def test_parquet_evolution_fallback_keeps_hive_partition_columns(
+    spark, tmp_path
+):
+    """The CANNOT_MERGE_SCHEMAS fallback reads leaf files individually;
+    hive-style partition values exist only in directory names, so each
+    era group must anchor to the dataset root via basePath — a bare
+    per-file read silently backfilled those columns with typed NULLs
+    (advisor round-6)."""
+    from pyspark.sql import types as T
+    from research_data_pipeline_spark.io.sources import read_parquet_evolving
+
+    path = str(tmp_path / "evolving_part")
+    # era 1: score int, partitioned by src
+    spark.createDataFrame(
+        [(1, 10, "web"), (2, 20, "api")], "id int, score int, src string"
+    ).write.partitionBy("src").mode("append").parquet(path)
+    # era 2: score widened to bigint -> mergeSchema fails, fallback runs
+    spark.createDataFrame(
+        [(3, 30, "web")], "id int, score bigint, src string"
+    ).write.partitionBy("src").mode("append").parquet(path)
+
+    target = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("score", T.LongType()),
+        T.StructField("src", T.StringType()),
+    ])
+    out = read_parquet_evolving(spark, path, target)
+    rows = {r.id: (r.score, r.src) for r in out.collect()}
+    assert rows == {1: (10, "web"), 2: (20, "api"), 3: (30, "web")}
+
+
 def test_parquet_tolerant_skips_corrupt_file(spark, tmp_path):
     """A truncated/garbage object in the dataset directory must not kill
     the scan — and the strict default reader must still fail loudly."""
