@@ -2958,3 +2958,85 @@ def d49_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("wmin").cast("bigint").alias("fp_checksum"),
         F.min("wmin").cast("bigint").alias("fp_min"),
     )
+
+
+# ---------------------------------------------------------------------------
+# d50: EXACT SUBSTRING-SPAN dedup (the Lee et al., "Deduplicating
+# Training Data Makes Language Models Better", ACL'22 result, re-shaped
+# for DataFrame algebra): find, per document, every MAXIMAL token span
+# of length >= k that appears verbatim in at least one OTHER document.
+# d22 fixes chunk granularity and d49 fingerprints partial overlap
+# approximately; this is the exact span remover a dedup pipeline
+# actually cuts with. Mechanics: hash every k-token shingle with its
+# position (inverted shingle index, as d08), keep shingles shared by
+# >= 2 distinct docs (ONE hash groupBy — the pair space never
+# materializes, unlike a suffix-array join), then compress each doc's
+# shared positions into maximal runs via gaps-and-islands (pos −
+# row_number, e28's idiom): a run of r consecutive shared shingle
+# starts is a duplicated span of exactly r+k−1 tokens. Every stage is
+# a keyed shuffle on doc_id or shingle hash; windows are per-doc.
+_SPAN_K = 8
+_SUBSTR_SPAN_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS} AS t FROM documents
+        WHERE len({_TOKS}) >= {_SPAN_K}
+    ), sh AS (
+        SELECT doc_id, i AS pos,
+               md5(array_to_string(t[i:i+{_SPAN_K - 1}], ' ')) AS h
+        FROM toks, UNNEST(generate_series(1, len(t) - {_SPAN_K - 1})) AS g(i)
+    ), shared AS (
+        SELECT h FROM sh GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+    ), marked AS (
+        SELECT s.doc_id, s.pos,
+               s.pos - ROW_NUMBER() OVER (PARTITION BY s.doc_id
+                                          ORDER BY s.pos) AS grp
+        FROM sh s JOIN shared USING (h)
+    )
+    SELECT doc_id,
+           CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(pos) + {_SPAN_K - 1} AS BIGINT) AS span_end,
+           CAST(MAX(pos) - MIN(pos) + {_SPAN_K} AS BIGINT) AS span_len
+    FROM marked GROUP BY doc_id, grp
+"""
+
+
+@REGISTRY.add("d50_substring_spans", _SUBSTR_SPAN_ORACLE, "dedup",
+              "substring")
+def d50_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal per-doc token regions (1-based, inclusive) covered by
+    >= 8-token shingles each shared verbatim with another document —
+    the UNION of duplicated regions, i.e. Lee et al.'s removal
+    semantics (adjacent regions shared with different partners merge
+    into one span). The exact-span counterpart of d49's approximate
+    fingerprints."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    base = d.select("doc_id", toks.alias("t")).where(F.size("t") >= _SPAN_K)
+    sh = base.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - (_SPAN_K - 1)),
+                lambda i: F.md5(F.array_join(F.slice("t", i, _SPAN_K), " ")),
+            )
+        ).alias("p0", "h"),
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "h")
+    shared = (
+        sh.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("h")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    marked = sh.join(shared, "h", "left_semi").withColumn(
+        "grp", F.col("pos") - F.row_number().over(w)
+    )
+    return marked.groupBy("doc_id", "grp").agg(
+        F.min("pos").cast("bigint").alias("span_start"),
+        (F.max("pos") + (_SPAN_K - 1)).cast("bigint").alias("span_end"),
+        (F.max("pos") - F.min("pos") + _SPAN_K).cast("bigint").alias(
+            "span_len"
+        ),
+    ).drop("grp")

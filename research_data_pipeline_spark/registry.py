@@ -140,7 +140,7 @@ _VERIFY_COST_S = {
     "e19_user_gap_stats": 0.6, "e23_watermark_dedup_replay": 11.0,
     "e24_record_high_counts": 3.0,
     "s11_equiwidth_histogram": 0.4, "e22_transition_matrix": 0.5,
-    "q36_fuzzy_name_blocks": 0.7,
+    "q36_fuzzy_name_blocks": 0.7, "d50_substring_spans": 1.5,
 }
 _DEFAULT_COST_S = 0.45
 

@@ -261,3 +261,22 @@ def test_session_batch6_queries_stay_jvm_side(spark, sf_dir):
     plan = _plan(spark, sf_dir, "d39_ann_multiprobe_lsh")
     assert "CartesianProduct" not in plan
     assert "bucket" in plan  # probe fan-out joins on the bucket key
+
+
+def test_final_r6_and_r7_queries_stay_jvm_side(spark, sf_dir):
+    # the remaining round-6 family (d49 winnowing, s15/s16 sampling) plus
+    # round-7's d50 substring spans: pure DataFrame algebra — no Python
+    # evaluator, no cartesian; windows are per-doc/per-stratum keyed
+    for name in (
+        "d49_winnowing_fingerprints",
+        "d50_substring_spans",
+        "s15_stratified_topk_sample",
+        "s16_weighted_median",
+    ):
+        plan = _plan(spark, sf_dir, name)
+        assert "EvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+    # d50's shared-shingle detection must stay a keyed aggregation +
+    # semi-join on the hash — never a pairwise join of shingle streams
+    plan = _plan(spark, sf_dir, "d50_substring_spans")
+    assert "LeftSemi" in plan
