@@ -94,6 +94,10 @@ def bm25_topk(
         )
     )
     topk = scored.orderBy(F.col("score_e6").desc(), F.col(id_col)).limit(k)
+    # unpartitioned window, DELIBERATE: ranks only the <= k limit
+    # survivors (TakeOrderedAndProject already cut the corpus); the
+    # "No Partition Defined" warning is benign here — a constant
+    # partitionBy(lit(0)) is folded away and does not hush it
     w = Window.orderBy(F.col("score_e6").desc(), F.col(id_col))
     return topk.withColumn("rank", F.row_number().over(w).cast("bigint"))
 

@@ -1647,6 +1647,10 @@ def d32_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = pairs.groupBy("pair").agg(F.sum("f").alias("n_occurrences"))
     topk = agg.orderBy(F.col("n_occurrences").desc(), F.col("pair")).limit(_BPE_K)
+    # unpartitioned window, DELIBERATE: it ranks only the <= _BPE_K
+    # survivors of the limit above (TakeOrderedAndProject already cut the
+    # corpus), so the "No Partition Defined" warning it logs is benign —
+    # a constant partitionBy(lit(0)) is folded away and does not hush it
     w = Window.orderBy(F.col("n_occurrences").desc(), F.col("pair"))
     return topk.withColumn("rank", F.row_number().over(w).cast("bigint"))
 

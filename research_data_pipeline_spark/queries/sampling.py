@@ -414,6 +414,10 @@ def s09_weighted_sample_wor(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("key_e9"),
     )
     topk = keyed.orderBy(F.col("key_e9").desc(), F.col("doc_id")).limit(_ES_K)
+    # unpartitioned window, DELIBERATE: ranks only the <= _ES_K limit
+    # survivors (TakeOrderedAndProject already cut the corpus); the
+    # "No Partition Defined" warning is benign here — a constant
+    # partitionBy(lit(0)) is folded away and does not hush it
     w = Window.orderBy(F.col("key_e9").desc(), F.col("doc_id"))
     return topk.withColumn("rank", F.row_number().over(w).cast("bigint"))
 
