@@ -3044,3 +3044,208 @@ def d50_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             "span_len"
         ),
     ).drop("grp")
+
+
+# ---------------------------------------------------------------------------
+# d51: GOPHER-rule quality GATE (Rae et al., "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", 2021, App. A —
+# the MassiveText filter): unlike d03's blended score, production
+# curation cuts with per-rule BOOLEAN gates so every drop is
+# attributable. Word-level rules (this corpus has no newlines, so the
+# line-based rules are vacuous and omitted): word-count band, mean
+# word length band, alphabetic-word fraction, minimum stopword count,
+# and a repetition gate on the top-bigram share (the word-level analog
+# of Gopher's duplicate-line fraction). Everything is one row-local
+# projection except the bigram share (one per-doc keyed agg pair);
+# ratios compare exact-integer-derived doubles, identical in both
+# engines. Emits per-rule booleans + verdict + n_failed.
+_GOP_MIN_W, _GOP_MAX_W = 20, 80
+_GOP_MWL_LO, _GOP_MWL_HI = 3.0, 10.0
+_GOP_ALPHA, _GOP_STOPS, _GOP_TOPBG = 0.8, 2, 0.07
+_GOPHER_ORACLE = f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS w, text FROM documents
+    ), bg AS (
+        SELECT doc_id, w[i] || ' ' || w[i + 1] AS b
+        FROM t, UNNEST(generate_series(1, len(w) - 1)) AS g(i)
+    ), bgc AS (
+        SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY doc_id, b
+    ), share AS (
+        SELECT doc_id, MAX(c) * 1.0 / SUM(c) AS top_bg FROM bgc GROUP BY doc_id
+    ), m AS (
+        SELECT t.doc_id,
+               len(w) AS n_words,
+               (LENGTH(text) - (len(w) - 1)) * 1.0 / len(w) AS mwl,
+               len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]')))
+                   * 1.0 / len(w) AS alpha_frac,
+               len(list_filter(w, x -> x IN ({_STOP_LST}))) AS stop_n,
+               COALESCE(s.top_bg, 0.0) AS top_bg
+        FROM t LEFT JOIN share s ON s.doc_id = t.doc_id
+    ), r AS (
+        SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+               n_words BETWEEN {_GOP_MIN_W} AND {_GOP_MAX_W} AS ok_word_count,
+               mwl BETWEEN {_GOP_MWL_LO} AND {_GOP_MWL_HI} AS ok_mean_word_len,
+               alpha_frac >= {_GOP_ALPHA} AS ok_alpha_words,
+               stop_n >= {_GOP_STOPS} AS ok_stopwords,
+               top_bg <= {_GOP_TOPBG} AS ok_repetition
+        FROM m
+    )
+    SELECT doc_id, n_words, ok_word_count, ok_mean_word_len,
+           ok_alpha_words, ok_stopwords, ok_repetition,
+           CASE WHEN ok_word_count AND ok_mean_word_len AND ok_alpha_words
+                     AND ok_stopwords AND ok_repetition
+                THEN 'kept' ELSE 'dropped' END AS verdict,
+           CAST((NOT ok_word_count)::INT + (NOT ok_mean_word_len)::INT
+                + (NOT ok_alpha_words)::INT + (NOT ok_stopwords)::INT
+                + (NOT ok_repetition)::INT AS BIGINT) AS n_failed
+    FROM r
+"""
+
+
+@REGISTRY.add("d51_gopher_rules", _GOPHER_ORACLE, "text", "quality",
+              "curation")
+def d51_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-rule Gopher quality gates with an attributable verdict:
+    word-count / mean-word-length bands, alphabetic-word fraction,
+    stopword minimum, top-bigram-share repetition cap."""
+    d = load(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    base = d.select("doc_id", "text", w.alias("w"))
+    n = F.size("w")
+    bg = base.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice("w", 1, F.greatest(n - 1, F.lit(0))),
+                F.slice("w", 2, F.greatest(n - 1, F.lit(0))),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("b"),
+    )
+    share = (
+        bg.groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            (F.max("c").cast("double") / F.sum("c").cast("double")).alias(
+                "top_bg"
+            )
+        )
+    )
+    is_alpha = lambda x: x.rlike("[a-zA-Z]")
+    is_stop = lambda x: x.isin(*sorted(T.STOPWORDS))
+    m = base.select(
+        "doc_id",
+        n.alias("n_words"),
+        (
+            (F.length("text") - (n - 1)).cast("double") / n.cast("double")
+        ).alias("mwl"),
+        (
+            F.size(F.filter("w", is_alpha)).cast("double") / n.cast("double")
+        ).alias("alpha_frac"),
+        F.size(F.filter("w", is_stop)).alias("stop_n"),
+    ).join(share, "doc_id", "left").withColumn(
+        "top_bg", F.coalesce(F.col("top_bg"), F.lit(0.0))
+    )
+    ok_wc = F.col("n_words").between(_GOP_MIN_W, _GOP_MAX_W)
+    ok_mwl = F.col("mwl").between(_GOP_MWL_LO, _GOP_MWL_HI)
+    ok_alpha = F.col("alpha_frac") >= _GOP_ALPHA
+    ok_stop = F.col("stop_n") >= _GOP_STOPS
+    ok_rep = F.col("top_bg") <= _GOP_TOPBG
+    oks = [ok_wc, ok_mwl, ok_alpha, ok_stop, ok_rep]
+    names = ["ok_word_count", "ok_mean_word_len", "ok_alpha_words",
+             "ok_stopwords", "ok_repetition"]
+    all_ok = oks[0]
+    for o in oks[1:]:
+        all_ok = all_ok & o
+    n_failed = sum(
+        (F.when(o, 0).otherwise(1) for o in oks), F.lit(0)
+    ).cast("bigint")
+    return m.select(
+        "doc_id",
+        F.col("n_words").cast("bigint").alias("n_words"),
+        *[o.alias(nm) for o, nm in zip(oks, names)],
+        F.when(all_ok, "kept").otherwise("dropped").alias("verdict"),
+        n_failed.alias("n_failed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# d52: per-source unigram KL DIVERGENCE vs the corpus — the CCNet-style
+# domain-drift audit ("which source's language deviates most from the
+# pool?"), the token-level counterpart of e27's numeric drift. Support-
+# restricted KL: sum over words PRESENT in the source of
+# P_s(w)·ln(P_s(w)/Q(w)) with P_s = c_s/n_s and corpus Q = c/n — every
+# ratio is a quotient of exact BIGINTs, each term floored to integer
+# micro-nats BEFORE the per-source sum (terms can be negative; floor
+# agrees in both engines), so the aggregate is an exact BIGINT no
+# shuffle order can perturb. Scale shape: one (source, word) agg and
+# one (word) agg — model tables scale with vocabulary, the (source,
+# word) join is keyed on the word, and the per-source scalars cross by
+# broadcast. No corpus-sized join anywhere.
+_SRCKL_ORACLE = """
+    WITH tok AS (
+        SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+    ), sw AS (
+        SELECT source, w, COUNT(*) AS c_s FROM tok GROUP BY source, w
+    ), cw AS (
+        SELECT w, COUNT(*) AS c FROM tok GROUP BY w
+    ), ns AS (
+        SELECT source, CAST(SUM(c_s) AS BIGINT) AS n_s,
+               CAST(COUNT(*) AS BIGINT) AS n_types
+        FROM sw GROUP BY source
+    ), tot AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n FROM cw
+    )
+    SELECT sw.source,
+           ns.n_s AS n_tokens,
+           ns.n_types,
+           CAST(SUM(CAST(FLOOR(
+               (CAST(sw.c_s AS DOUBLE) / ns.n_s)
+               * ln((CAST(sw.c_s AS DOUBLE) * t.n)
+                    / (CAST(ns.n_s AS DOUBLE) * cw.c))
+               * 1000000.0
+           ) AS BIGINT)) AS BIGINT) AS kl_e6
+    FROM sw
+    JOIN cw USING (w)
+    JOIN ns ON ns.source = sw.source
+    CROSS JOIN tot t
+    GROUP BY sw.source, ns.n_s, ns.n_types
+"""
+
+
+@REGISTRY.add("d52_source_kl_divergence", _SRCKL_ORACLE, "text", "quality",
+              "audit")
+def d52_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Support-restricted unigram KL(source ‖ corpus) per source, in
+    exact integer micro-nats, with per-source token/type counts."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(F.split("text", " ")).alias("w"))
+    sw = tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c_s"))
+    cw = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    ns = sw.groupBy("source").agg(
+        F.sum("c_s").cast("bigint").alias("n_s"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+    )
+    tot = cw.agg(F.sum("c").cast("bigint").alias("n"))
+    term_e6 = F.floor(
+        (F.col("c_s").cast("double") / F.col("n_s"))
+        * F.log(
+            (F.col("c_s").cast("double") * F.col("n"))
+            / (F.col("n_s").cast("double") * F.col("c"))
+        )
+        * F.lit(1000000.0)
+    ).cast("bigint")
+    return (
+        sw.join(cw, "w")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("source", "n_s", "n_types")
+        .agg(F.sum(term_e6).cast("bigint").alias("kl_e6"))
+        .select(
+            "source",
+            F.col("n_s").alias("n_tokens"),
+            "n_types",
+            "kl_e6",
+        )
+    )

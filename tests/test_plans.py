@@ -270,6 +270,8 @@ def test_final_r6_and_r7_queries_stay_jvm_side(spark, sf_dir):
     for name in (
         "d49_winnowing_fingerprints",
         "d50_substring_spans",
+        "d51_gopher_rules",
+        "d52_source_kl_divergence",
         "s15_stratified_topk_sample",
         "s16_weighted_median",
     ):
