@@ -489,3 +489,56 @@ def audio_downsample_stats(media: DataFrame) -> DataFrame:
         schema="doc_id bigint, out_rate bigint, n_out_samples bigint, "
         "out_sum bigint, out_peak_abs bigint",
     )
+
+
+def audio_quality_stats(
+    media: DataFrame,
+    clip_abs: int = 30000,
+    silent_abs: int = 1000,
+) -> DataFrame:
+    """Audio QUALITY GATE on real samples — the media twin of the text
+    quality rules (d51): decode each payload through the REAL WAV codec
+    (encode→decode at the row's sample_rate), then compute the gate
+    statistics a speech-data pipeline cuts with: exact sum of squares
+    (for RMS), peak amplitude, near-clipped sample count (|s| >=
+    ``clip_abs``) and near-silent sample count (|s| <= ``silent_abs``).
+    Verdict: kept iff NO clipped and NO silent samples. All counters are
+    exact int64 sums computed on the DECODED samples, so a codec bug
+    shifts them. Emits (doc_id, n_samples, sumsq, peak_abs, clipped_n,
+    silent_n, verdict)."""
+    from .wav import decode_wav, encode_wav
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "n_samples": [], "sumsq": [], "peak_abs": [],
+                "clipped_n": [], "silent_n": [], "verdict": [],
+            }
+            for doc_id, payload, rate in zip(
+                pdf["doc_id"], pdf["payload"], pdf["sample_rate"]
+            ):
+                arr = np.frombuffer(bytes(payload), dtype="<i2")
+                dec, _ = decode_wav(encode_wav(arr, int(rate)))
+                s = dec.astype(np.int64)
+                a = np.abs(s)
+                clipped = int((a >= clip_abs).sum())
+                silent = int((a <= silent_abs).sum())
+                out["doc_id"].append(doc_id)
+                out["n_samples"].append(len(s))
+                out["sumsq"].append(int((s * s).sum()))
+                out["peak_abs"].append(int(a.max()) if len(s) else 0)
+                out["clipped_n"].append(clipped)
+                out["silent_n"].append(silent)
+                out["verdict"].append(
+                    "kept" if clipped == 0 and silent == 0 else "dropped"
+                )
+            yield pd.DataFrame(out)
+
+    return media.where("kind = 'audio' AND payload IS NOT NULL").select(
+        "doc_id", "payload", "sample_rate"
+    ).mapInPandas(
+        run,
+        schema="doc_id bigint, n_samples bigint, sumsq bigint, "
+        "peak_abs bigint, clipped_n bigint, silent_n bigint, "
+        "verdict string",
+    )

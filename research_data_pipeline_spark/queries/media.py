@@ -406,3 +406,56 @@ def m11_audio_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     (multimodal/ops.audio_downsample_stats)."""
     m = media_table(load(spark, sf_dir, "documents"))
     return ops.audio_downsample_stats(m)
+
+
+# ---------------------------------------------------------------------------
+# m12: audio QUALITY GATE on real decoded samples — the media twin of
+# d51's text rules: near-clipped / near-silent sample counts, exact
+# sum-of-squares (RMS numerator) and peak, computed AFTER a real WAV
+# encode→decode trip so a codec bug shifts every stat. The oracle
+# reconstructs the same int16 little-endian samples straight from the
+# md5-derived payload bytes (8 distinct samples per 16-byte block,
+# repeated r times — so every aggregate is the one-block aggregate
+# scaled by r) and applies identical thresholds.
+_AQ_CLIP, _AQ_SILENT = 30000, 1000
+_AQ_ORACLE = f"""
+    WITH media AS ({MEDIA_CTE}),
+    aud AS (SELECT doc_id, text, r FROM media WHERE kind = 'audio'),
+    smp AS (
+        SELECT doc_id, r,
+               CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS v
+        FROM (
+            SELECT doc_id, r,
+                   {md5_byte_sql('text', '2*g.i+1')}
+                   + 256 * {md5_byte_sql('text', '2*g.i+2')} AS u
+            FROM aud, UNNEST(generate_series(0, 7)) AS g(i)
+        )
+    ),
+    agg AS (
+        SELECT doc_id, MAX(r) AS r,
+               SUM(v * v) AS sq, MAX(ABS(v)) AS pk,
+               SUM(CASE WHEN ABS(v) >= {_AQ_CLIP} THEN 1 ELSE 0 END) AS cl,
+               SUM(CASE WHEN ABS(v) <= {_AQ_SILENT} THEN 1 ELSE 0 END) AS si
+        FROM smp GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(8 * r AS BIGINT) AS n_samples,
+           CAST(r * sq AS BIGINT) AS sumsq,
+           CAST(pk AS BIGINT) AS peak_abs,
+           CAST(r * cl AS BIGINT) AS clipped_n,
+           CAST(r * si AS BIGINT) AS silent_n,
+           CASE WHEN cl = 0 AND si = 0 THEN 'kept' ELSE 'dropped' END
+               AS verdict
+    FROM agg
+"""
+
+
+@REGISTRY.add("m12_audio_quality", _AQ_ORACLE, "multimodal", "codec",
+              "quality")
+def m12_audio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clipping/silence/RMS gate over every audio payload after a real
+    WAV codec trip (multimodal/ops.audio_quality_stats)."""
+    m = media_table(load(spark, sf_dir, "documents"))
+    return ops.audio_quality_stats(
+        m, clip_abs=_AQ_CLIP, silent_abs=_AQ_SILENT
+    )
