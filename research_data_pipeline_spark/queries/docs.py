@@ -3249,3 +3249,79 @@ def d52_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kl_e6",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# d53: cross-source near-dup LEAKAGE matrix — the provenance audit a
+# multi-source corpus needs before mixing: which source pairs share
+# near-duplicate content (same-source pairs = internal redundancy,
+# cross-source pairs = syndication/mirroring that silently upweights a
+# document through two "independent" sources). Pure composition over
+# d06's verified LSH pairs (the SHARED in-session pair stream — no
+# recompute) + one label join + two keyed aggs; the oracle nests d06's
+# oracle verbatim so the audit can't drift from the dedup it audits.
+_XSRC_ORACLE = f"""
+    WITH p AS (
+        SELECT i, j FROM ({REGISTRY.specs()["d06_minhash_lsh"].oracle}) t
+    ),
+    lab AS (SELECT doc_id, source FROM documents),
+    e AS (
+        SELECT LEAST(a.source, b.source) AS source_i,
+               GREATEST(a.source, b.source) AS source_j,
+               p.i, p.j
+        FROM p
+        JOIN lab a ON a.doc_id = p.i
+        JOIN lab b ON b.doc_id = p.j
+    ),
+    pa AS (
+        SELECT source_i, source_j, CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM e GROUP BY source_i, source_j
+    ),
+    da AS (
+        SELECT source_i, source_j,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM (
+            SELECT source_i, source_j, i AS doc_id FROM e
+            UNION ALL
+            SELECT source_i, source_j, j AS doc_id FROM e
+        ) GROUP BY source_i, source_j
+    )
+    SELECT pa.source_i, pa.source_j, pa.n_pairs, da.n_docs,
+           pa.source_i <> pa.source_j AS is_cross_source
+    FROM pa JOIN da USING (source_i, source_j)
+"""
+
+
+@REGISTRY.add("d53_cross_source_leakage", _XSRC_ORACLE, "dedup", "audit",
+              "provenance")
+def d53_cross_source_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair counts per unordered source pair (plus distinct
+    docs involved): internal redundancy on the diagonal, cross-source
+    syndication off it."""
+    pairs = d06_minhash_lsh(spark, sf_dir).select("i", "j")
+    lab = load(spark, sf_dir, "documents").select("doc_id", "source")
+    e = (
+        pairs.join(lab.select(F.col("doc_id").alias("i"),
+                              F.col("source").alias("sa")), "i")
+        .join(lab.select(F.col("doc_id").alias("j"),
+                         F.col("source").alias("sb")), "j")
+        .select(
+            F.least("sa", "sb").alias("source_i"),
+            F.greatest("sa", "sb").alias("source_j"),
+            "i", "j",
+        )
+    )
+    pa = e.groupBy("source_i", "source_j").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    )
+    da = (
+        e.select("source_i", "source_j", F.col("i").alias("doc_id"))
+        .unionByName(
+            e.select("source_i", "source_j", F.col("j").alias("doc_id"))
+        )
+        .groupBy("source_i", "source_j")
+        .agg(F.countDistinct("doc_id").cast("bigint").alias("n_docs"))
+    )
+    return pa.join(da, ["source_i", "source_j"]).withColumn(
+        "is_cross_source", F.col("source_i") != F.col("source_j")
+    )
