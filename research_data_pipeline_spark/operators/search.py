@@ -192,11 +192,27 @@ def bigram_nll(
         .agg(F.count(F.lit(1)).alias("n_occ"))
         .localCheckpoint()
     )
-    c2 = occ.groupBy("w1", "w2").agg(F.sum("n_occ").alias("c2"))
+    c2 = (
+        occ.groupBy("w1", "w2")
+        .agg(F.sum("n_occ").alias("c2"))
+        .localCheckpoint()  # vocab-squared-bounded; read by c1/vocab/join
+    )
     c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
-    vocab = docs.select(
+    # |vocabulary| WITHOUT re-exploding the corpus: every token of a doc
+    # with >= 2 tokens appears as some bigram's w1 or w2 (both already in
+    # the bounded c2 table); only single-token docs contribute tokens no
+    # bigram carries — a filtered scan whose explode touches those rows
+    # alone. The countDistinct input shrinks from corpus-token-sized to
+    # ~2|c2| + singletons.
+    singletons = docs.where(F.size(T.tokens(F.col(text_col))) == 1).select(
         F.explode(T.tokens(F.col(text_col))).alias("w")
-    ).agg(F.countDistinct("w").alias("v"))
+    )
+    vocab = (
+        c2.select(F.col("w1").alias("w"))
+        .unionByName(c2.select(F.col("w2").alias("w")))
+        .unionByName(singletons)
+        .agg(F.countDistinct("w").alias("v"))
+    )
     nll_pos_e6 = F.floor(
         F.log(
             (F.col("c1").cast("double") + F.col("v").cast("double"))

@@ -533,6 +533,23 @@ def test_bigram_nll_matches_python_reference(spark, texts):
     assert got == ref
 
 
+def test_bigram_nll_counts_singleton_doc_tokens_in_vocab(spark):
+    """V derives from the c2 table plus single-token docs (round-7 vocab
+    optimization): a token appearing ONLY in a 1-token doc is in no
+    bigram, but must still enlarge V for every smoothed denominator."""
+    import math
+
+    from research_data_pipeline_spark.operators.search import SCALE, bigram_nll
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, "zeta"), (3, "beta gamma")],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: r.nll_e6 for r in bigram_nll(df).collect()}
+    # V = {alpha, beta, gamma, zeta} = 4; doc 3: ln((c1(beta)+4)/(1+1))
+    assert got[3] == math.floor(math.log((2 + 4) / 2.0) * SCALE)
+
+
 @settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 @given(
     stored=st.lists(st.text(min_size=1, max_size=8), min_size=1, max_size=30, unique=True),
