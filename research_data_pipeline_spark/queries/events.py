@@ -1444,3 +1444,78 @@ def e33_user_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_new").cast("bigint").alias("n_new_users"),
         F.sum("n_new").over(w).cast("bigint").alias("n_cum_users"),
     )
+
+
+# ---------------------------------------------------------------------------
+# e34: SCD TYPE-2 interval build — the warehouse-history twin of q37's
+# snapshot CDC: collapse each user's event-type sequence into versioned
+# validity intervals (valid_from/valid_to, half-open; the current
+# version has NULL valid_to). Gaps-and-islands over a deterministic
+# (ts, event_id) order: change flag -> running version number -> one
+# keyed agg per island -> LEAD for the closing edge. Every window is
+# per-user; timestamps cross engines as epoch microseconds.
+_SCD2_ORACLE = """
+    WITH o AS (
+        SELECT user_id, event_id, event_type, ts,
+               CASE WHEN LAG(event_type) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id)
+                        IS DISTINCT FROM event_type
+                    THEN 1 ELSE 0 END AS chg
+        FROM events
+    ), runs AS (
+        SELECT user_id, event_type, ts,
+               SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS version
+        FROM o
+    ), island AS (
+        SELECT user_id, CAST(version AS BIGINT) AS version,
+               MIN(event_type) AS state,
+               epoch_us(MIN(ts)) AS valid_from_us,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM runs GROUP BY user_id, version
+    )
+    SELECT user_id, version, state, valid_from_us,
+           LEAD(valid_from_us) OVER (PARTITION BY user_id ORDER BY version)
+               AS valid_to_us,
+           LEAD(valid_from_us) OVER (PARTITION BY user_id ORDER BY version)
+               IS NULL AS is_current,
+           n_events
+    FROM island
+"""
+
+
+@REGISTRY.add("e34_scd2_intervals", _SCD2_ORACLE, "events", "warehouse",
+              "cdc")
+def e34_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned SCD2 validity intervals of each user's event-type state
+    (valid_to NULL on the open current version)."""
+    from ..tables import epoch_us
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    wo = W.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = F.lag("event_type").over(wo)
+    chg = F.when(
+        lagged.isNull() | (lagged != F.col("event_type")), 1
+    ).otherwise(0)
+    runs = ev.withColumn(
+        "version",
+        F.sum(chg).over(wo.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    island = runs.groupBy("user_id", "version").agg(
+        F.min("event_type").alias("state"),
+        epoch_us(F.min("ts")).alias("valid_from_us"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    wv = W.partitionBy("user_id").orderBy("version")
+    nxt = F.lead("valid_from_us").over(wv)
+    return island.select(
+        "user_id",
+        F.col("version").cast("bigint").alias("version"),
+        "state",
+        "valid_from_us",
+        nxt.alias("valid_to_us"),
+        nxt.isNull().alias("is_current"),
+        "n_events",
+    )
