@@ -3325,3 +3325,56 @@ def d53_cross_source_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pa.join(da, ["source_i", "source_j"]).withColumn(
         "is_cross_source", F.col("source_i") != F.col("source_j")
     )
+
+
+# ---------------------------------------------------------------------------
+# d54: tokenizer FERTILITY audit per source — the standard tokenizer-
+# evaluation table (how many BPE tokens per word / bytes per token does
+# each source pay under the learned vocabulary?): high-fertility
+# sources dominate the token budget and signal vocabulary mismatch.
+# Pure composition over d38's per-doc BPE encoding (oracle nested
+# verbatim) + one label join + one keyed agg; ratios are integer ppm
+# (floored BIGINT division — exact in both engines).
+_FERT_ORACLE = f"""
+    WITH enc AS (
+        SELECT doc_id, n_words, n_chars, n_tokens_bpe
+        FROM ({_BPE_ENC_ORACLE}) t
+    ),
+    lab AS (SELECT doc_id, source FROM documents)
+    SELECT lab.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(enc.n_words) AS BIGINT) AS n_words,
+           CAST(SUM(enc.n_tokens_bpe) AS BIGINT) AS n_tokens_bpe,
+           CAST(SUM(enc.n_tokens_bpe) * 1000000
+                // SUM(enc.n_words) AS BIGINT) AS fertility_ppm,
+           CAST(SUM(enc.n_chars) * 1000000
+                // SUM(enc.n_tokens_bpe) AS BIGINT) AS chars_per_token_ppm
+    FROM enc JOIN lab USING (doc_id)
+    GROUP BY lab.source
+"""
+
+
+@REGISTRY.add("d54_tokenizer_fertility", _FERT_ORACLE, "text", "tokenizer",
+              "audit")
+def d54_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source BPE fertility (tokens per word) and compression
+    (chars per token) in integer ppm under the d32b-learned merges."""
+    enc = d38_bpe_encode(spark, sf_dir).select(
+        "doc_id", "n_words", "n_chars", "n_tokens_bpe"
+    )
+    lab = load(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        enc.join(lab, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("n_words"),
+            F.sum("n_tokens_bpe").cast("bigint").alias("n_tokens_bpe"),
+            F.expr(
+                "CAST(sum(n_tokens_bpe) * 1000000 div sum(n_words) AS BIGINT)"
+            ).alias("fertility_ppm"),
+            F.expr(
+                "CAST(sum(n_chars) * 1000000 div sum(n_tokens_bpe) AS BIGINT)"
+            ).alias("chars_per_token_ppm"),
+        )
+    )

@@ -143,7 +143,7 @@ _VERIFY_COST_S = {
     "q36_fuzzy_name_blocks": 0.7, "d50_substring_spans": 1.5,
     "d51_gopher_rules": 0.9, "d52_source_kl_divergence": 0.8,
     "m12_audio_quality": 0.6, "d53_cross_source_leakage": 3.5,
-    "e34_scd2_intervals": 0.7,
+    "e34_scd2_intervals": 0.7, "d54_tokenizer_fertility": 1.0,
 }
 _DEFAULT_COST_S = 0.45
 
