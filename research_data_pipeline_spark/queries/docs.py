@@ -3378,3 +3378,260 @@ def d54_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chars_per_token_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# d55: sketch CALIBRATION audit — how well does the 16-bit SimHash
+# hamming distance predict exact token-set Jaccard on the pairs it
+# surfaces? Production dedup tunes the hamming cutoff from exactly this
+# table (per-hamming pair counts, mean/min/max exact similarity, and
+# how many pairs clear the 0.9 near-dup bar). Pure composition: d07's
+# verified pair stream + one join per side to the distinct-token
+# arrays + one 3-group agg. Everything crosses engines as exact
+# integers (ppm via BIGINT floor division) — no float comparisons.
+_CALIB_ORACLE = f"""
+    WITH pairs AS (
+        SELECT i, j, hamming FROM ({_SIMHASH_ORACLE}) t
+    ), toks AS (
+        SELECT doc_id, {_DTOKS} AS tokens FROM documents
+    ), scored AS (
+        SELECT p.hamming,
+               CAST(1000000 * len(list_intersect(ta.tokens, tb.tokens))
+                    // (len(ta.tokens) + len(tb.tokens)
+                        - len(list_intersect(ta.tokens, tb.tokens)))
+                    AS BIGINT) AS jaccard_ppm
+        FROM pairs p
+        JOIN toks ta ON ta.doc_id = p.i
+        JOIN toks tb ON tb.doc_id = p.j
+    )
+    SELECT hamming,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(jaccard_ppm) // COUNT(*) AS BIGINT) AS avg_jaccard_ppm,
+           CAST(MIN(jaccard_ppm) AS BIGINT) AS min_jaccard_ppm,
+           CAST(MAX(jaccard_ppm) AS BIGINT) AS max_jaccard_ppm,
+           CAST(SUM(CASE WHEN jaccard_ppm >= 900000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_near_dup
+    FROM scored GROUP BY hamming
+"""
+
+
+@REGISTRY.add("d55_sketch_calibration", _CALIB_ORACLE, "dedup", "audit",
+              "simhash")
+def d55_sketch_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-Jaccard calibration of the SimHash candidates, per hamming
+    distance: pair counts, mean/min/max exact similarity (integer ppm),
+    and how many clear the 0.9 near-dup threshold.
+
+    Scale shape: the pair table is the (already banded, never all-pairs)
+    d07 output; each side joins to the per-doc distinct-token array —
+    two keyed shuffles on doc_id — then one agg over ≤ max_hamming+1
+    groups. No new pair space is created."""
+    pairs = d07_simhash_pairs(spark, sf_dir).select("i", "j", "hamming")
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("tokens")
+    )
+    scored = (
+        pairs.join(toks.select(F.col("doc_id").alias("i"),
+                               F.col("tokens").alias("ta")), "i")
+        .join(toks.select(F.col("doc_id").alias("j"),
+                          F.col("tokens").alias("tb")), "j")
+        .select(
+            "hamming",
+            F.expr(
+                "CAST(1000000 * size(array_intersect(ta, tb)) div "
+                "(size(ta) + size(tb) - size(array_intersect(ta, tb))) "
+                "AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+    )
+    return scored.groupBy("hamming").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.expr("CAST(sum(jaccard_ppm) div count(*) AS BIGINT)").alias(
+            "avg_jaccard_ppm"
+        ),
+        F.min("jaccard_ppm").cast("bigint").alias("min_jaccard_ppm"),
+        F.max("jaccard_ppm").cast("bigint").alias("max_jaccard_ppm"),
+        F.sum(F.when(F.col("jaccard_ppm") >= 900000, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_near_dup"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# d56: DSIR-style IMPORTANCE selection (Xie et al. 2023, public arXiv
+# 2302.03169): score every document by the unigram log-likelihood ratio
+# between a target domain (source 'src0' plays the high-quality seed)
+# and the raw corpus, keep documents the ratio favors. Per-token score
+# is FLOOR(ln(ratio)·1e6) — the same fixed-point ln discipline d28's
+# bigram NLL already pins across engines — summed per doc over exact
+# BIGINT occurrence counts, so the doc score is integer-exact. The
+# selection threshold is LR > 1 (score > 0): a pure per-row filter —
+# no global sort/quantile pass exists anywhere in the plan.
+_DSIR_ORACLE = f"""
+    WITH tok AS (
+        SELECT doc_id, source, unnest({_TOKS}) AS token FROM documents
+    ), occ AS (
+        SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS n_occ
+        FROM tok GROUP BY doc_id, token
+    ), cnt AS (
+        SELECT token,
+               CAST(COUNT(*) AS BIGINT) AS c_corpus,
+               CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c_target
+        FROM tok GROUP BY token
+    ), tot AS (
+        SELECT CAST(SUM(c_corpus) AS BIGINT) AS n_corpus,
+               CAST(SUM(c_target) AS BIGINT) AS n_target,
+               CAST(COUNT(*) AS BIGINT) AS v
+        FROM cnt
+    ), score AS (
+        SELECT cnt.token,
+               CAST(FLOOR(ln(
+                   ((CAST(cnt.c_target AS DOUBLE) + 1.0)
+                        * (CAST(tot.n_corpus AS DOUBLE) + CAST(tot.v AS DOUBLE)))
+                   / ((CAST(cnt.c_corpus AS DOUBLE) + 1.0)
+                        * (CAST(tot.n_target AS DOUBLE) + CAST(tot.v AS DOUBLE)))
+               ) * 1000000) AS BIGINT) AS score_e6
+        FROM cnt CROSS JOIN tot
+    )
+    SELECT o.doc_id,
+           MIN(d.source) AS source,
+           CAST(SUM(o.n_occ) AS BIGINT) AS n_tok,
+           CAST(SUM(o.n_occ * s.score_e6) AS BIGINT) AS importance_e6,
+           CAST(SUM(o.n_occ * s.score_e6) AS BIGINT) > 0 AS kept
+    FROM occ o
+    JOIN score s USING (token)
+    JOIN documents d ON d.doc_id = o.doc_id
+    GROUP BY o.doc_id
+"""
+
+
+@REGISTRY.add("d56_dsir_importance", _DSIR_ORACLE, "text", "curation",
+              "mixture")
+def d56_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR unigram importance: per-doc log-likelihood ratio (target
+    'src0' vs raw corpus, add-1 smoothed, fixed-point µ-nats) and the
+    LR>1 keep decision.
+
+    Scale shape: one token explode feeds BOTH count tables (corpus and
+    target counts come from one conditional agg), the per-token score
+    table is vocabulary-sized (broadcast join back onto doc-token
+    occurrences), and selection is a per-row comparison — the 100 TB
+    plan is two keyed shuffles (doc-token agg, token agg) and zero
+    global sorts."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", "source",
+                   F.explode(F.split("text", " ")).alias("token"))
+    occ = tok.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occ")
+    )
+    cnt = tok.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_corpus"),
+        F.sum(F.when(F.col("source") == "src0", 1).otherwise(0))
+        .cast("bigint")
+        .alias("c_target"),
+    )
+    tot = cnt.agg(
+        F.sum("c_corpus").cast("bigint").alias("n_corpus"),
+        F.sum("c_target").cast("bigint").alias("n_target"),
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+    )
+    score = cnt.crossJoin(F.broadcast(tot)).select(
+        "token",
+        F.floor(
+            F.log(
+                ((F.col("c_target").cast("double") + F.lit(1.0))
+                 * (F.col("n_corpus").cast("double") + F.col("v").cast("double")))
+                / ((F.col("c_corpus").cast("double") + F.lit(1.0))
+                   * (F.col("n_target").cast("double") + F.col("v").cast("double")))
+            ) * F.lit(1000000)
+        ).cast("bigint").alias("score_e6"),
+    )
+    imp = (
+        occ.join(F.broadcast(score), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_occ").cast("bigint").alias("n_tok"),
+            F.sum(F.col("n_occ") * F.col("score_e6"))
+            .cast("bigint")
+            .alias("importance_e6"),
+        )
+    )
+    return imp.join(d.select("doc_id", "source"), "doc_id").select(
+        "doc_id", "source", "n_tok", "importance_e6",
+        (F.col("importance_e6") > 0).alias("kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# d57: vocabulary COVERAGE curve — for candidate vocabulary sizes k
+# (powers of two), what share of all token occurrences do the top-k
+# most frequent tokens cover? The standard table for sizing a tokenizer
+# vocabulary (where the curve flattens, stop paying embedding rows).
+# The curve lives on the VOCABULARY (dictionary-sized, bounded by the
+# language — it does not grow with corpus rows), so the rank window over
+# distinct tokens is deliberately tiny; coverage crosses engines as
+# integer ppm on exact BIGINT occurrence sums.
+_KS = [1, 2, 4, 8, 16, 32, 64, 128, 256, 1024, 4096, 16384]
+_COV_ORACLE = f"""
+    WITH tok AS (
+        SELECT unnest({_TOKS}) AS token FROM documents
+    ), cnt AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY token
+    ), ranked AS (
+        SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, token) AS r FROM cnt
+    ), tot AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS total,
+               CAST(COUNT(*) AS BIGINT) AS vocab_size
+        FROM cnt
+    ), ks AS (SELECT unnest({_KS!r}) AS k)
+    SELECT CAST(ks.k AS BIGINT) AS k,
+           tot.vocab_size,
+           CAST(COALESCE(SUM(ranked.c), 0) AS BIGINT) AS covered_occurrences,
+           tot.total AS total_occurrences,
+           CAST(COALESCE(SUM(ranked.c), 0) * 1000000 // tot.total AS BIGINT)
+               AS coverage_ppm
+    FROM ks CROSS JOIN tot
+    LEFT JOIN ranked ON ranked.r <= ks.k
+    GROUP BY ks.k, tot.vocab_size, tot.total
+"""
+
+
+@REGISTRY.add("d57_vocab_coverage", _COV_ORACLE, "text", "tokenizer",
+              "audit")
+def d57_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-occurrence coverage of the top-k vocabulary for k in
+    powers of two (integer ppm): the vocabulary-sizing curve."""
+    d = load(spark, sf_dir, "documents")
+    cnt = d.select(F.explode(F.split("text", " ")).alias("token")).groupBy(
+        "token"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    # vocabulary-sized window (bounded by the language, not the corpus):
+    # the single partition here holds |vocab| rows by design
+    ranked = cnt.select(
+        "c",
+        F.row_number()
+        .over(W.partitionBy(F.lit(0)).orderBy(F.col("c").desc(), "token"))
+        .alias("r"),
+    )
+    tot = cnt.agg(
+        F.sum("c").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+    )
+    ks = d.sparkSession.createDataFrame([(k,) for k in _KS], "k int")
+    return (
+        ks.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(ranked), F.col("r") <= F.col("k"), "left")
+        .groupBy("k", "vocab_size", "total")
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("bigint")
+             .alias("covered_occurrences"))
+        .select(
+            F.col("k").cast("bigint").alias("k"),
+            "vocab_size",
+            "covered_occurrences",
+            F.col("total").alias("total_occurrences"),
+            F.expr(
+                "CAST(covered_occurrences * 1000000 div total AS BIGINT)"
+            ).alias("coverage_ppm"),
+        )
+    )

@@ -1519,3 +1519,121 @@ def e34_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.isNull().alias("is_current"),
         "n_events",
     )
+
+
+# ---------------------------------------------------------------------------
+# e35: POINT-IN-TIME training-set assembly — the feature-store primitive
+# (leakage-safe label/feature join): every 'purchase' event is a label
+# row whose features are computed over that user's history STRICTLY
+# before the label timestamp (frame ends at 1 PRECEDING, never the
+# current row — the leakage bug this operator exists to prevent). All
+# windows are keyed by user; value sums ride DECIMAL(12,4) (exact,
+# order-free), recency crosses engines as epoch microseconds.
+_PIT_ORACLE = """
+    WITH h AS (
+        SELECT event_id, user_id, event_type, ts,
+               epoch_us(ts) AS ts_us,
+               COUNT(*) OVER w AS n_prior_events,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   OVER w AS n_prior_purchases,
+               SUM(CAST(value AS DECIMAL(12,4))) OVER w AS prior_value,
+               LAG(epoch_us(ts)) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_us
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id, ts_us AS label_ts_us,
+           CAST(COALESCE(n_prior_events, 0) AS BIGINT) AS n_prior_events,
+           CAST(COALESCE(n_prior_purchases, 0) AS BIGINT)
+               AS n_prior_purchases,
+           CAST(CAST(COALESCE(prior_value, 0) AS VARCHAR) AS DOUBLE)
+               AS prior_value_sum,
+           ts_us - prev_us AS us_since_prev_event
+    FROM h WHERE event_type = 'purchase'
+"""
+
+
+@REGISTRY.add("e35_pit_training_set", _PIT_ORACLE, "events", "features",
+              "training")
+def e35_pit_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe training rows: one row per purchase label with the
+    user's strictly-prior activity features (counts, exact prior spend,
+    microseconds since the previous event)."""
+    from ..tables import epoch_us
+
+    ev = load(spark, sf_dir, "events")
+    wo = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wp = wo.rowsBetween(W.unboundedPreceding, -1)
+    h = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        epoch_us(F.col("ts")).alias("ts_us"),
+        F.count(F.lit(1)).over(wp).alias("n_prior_events"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).over(wp).alias("n_prior_purchases"),
+        F.sum(F.col("value").cast(D)).over(wp).alias("prior_value"),
+        F.lag(epoch_us(F.col("ts"))).over(wo).alias("prev_us"),
+    )
+    return h.where(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.col("ts_us").alias("label_ts_us"),
+        F.coalesce("n_prior_events", F.lit(0)).cast("bigint")
+        .alias("n_prior_events"),
+        F.coalesce("n_prior_purchases", F.lit(0)).cast("bigint")
+        .alias("n_prior_purchases"),
+        F.coalesce(F.col("prior_value"), F.lit(0).cast(D)).cast("double")
+        .alias("prior_value_sum"),
+        (F.col("ts_us") - F.col("prev_us")).alias("us_since_prev_event"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# e36: AS-OF snapshot over the e34 SCD2 history — time travel: rebuild
+# every user's state at a single instant T (the midpoint of the event
+# log, derived identically in both engines as exact integer µs). One
+# scalar agg broadcast onto the interval table, then a pure per-row
+# interval-containment filter — at 100 TB this is a metadata-cheap
+# filter over the history table, no shuffle beyond e34's own.
+_ASOF_ORACLE = f"""
+    WITH scd AS ({_SCD2_ORACLE}),
+    t AS (
+        SELECT CAST((MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS BIGINT)
+            AS snap_us
+        FROM events
+    )
+    SELECT s.user_id, s.version, s.state, s.valid_from_us, s.n_events,
+           t.snap_us
+    FROM scd s CROSS JOIN t
+    WHERE s.valid_from_us <= t.snap_us
+      AND (s.valid_to_us IS NULL OR s.valid_to_us > t.snap_us)
+"""
+
+
+@REGISTRY.add("e36_asof_snapshot", _ASOF_ORACLE, "events", "warehouse",
+              "cdc")
+def e36_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every user's SCD2 state as of the event-log midpoint instant
+    (half-open interval containment; open versions qualify)."""
+    from ..tables import epoch_us
+
+    ev = load(spark, sf_dir, "events")
+    us = epoch_us(F.col("ts"))
+    t = ev.agg(
+        F.min(us).alias("_mn"), F.max(us).alias("_mx")
+    ).select(F.expr("CAST((_mn + _mx) div 2 AS BIGINT)").alias("snap_us"))
+    scd = e34_scd2_intervals(spark, sf_dir)
+    return (
+        scd.crossJoin(F.broadcast(t))
+        .where(
+            (F.col("valid_from_us") <= F.col("snap_us"))
+            & (F.col("valid_to_us").isNull()
+               | (F.col("valid_to_us") > F.col("snap_us")))
+        )
+        .select("user_id", "version", "state", "valid_from_us", "n_events",
+                "snap_us")
+    )

@@ -772,3 +772,82 @@ def g13_label_prop_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("community"),
         F.count(F.lit(1)).over(w).cast("bigint").alias("community_size"),
     )
+
+
+# ---------------------------------------------------------------------------
+# g14: LINK PREDICTION scores — common-neighbor count and resource-
+# allocation index (Zhou/Lü/Zhang 2009: Σ_z 1/deg(z) over shared
+# neighbors z) for every non-adjacent supplier pair with ≥2 shared
+# strong co-suppliers. RA crosses engines as exact integers: each
+# neighbor contributes FLOOR(1e6/deg(z)) — BIGINT floor division, no
+# float summation anywhere. Scale shape: the wedge join fans out as
+# Σ_z deg(z)² — bounded here by the strong-edge threshold keeping the
+# graph sparse; an open-web run caps each neighbor list to its top-d
+# strongest edges first (same mitigation as the d06 band guard).
+_LP_ORACLE = f"""
+    WITH pairs AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    e0 AS (
+        SELECT a.l_suppkey AS src, b.l_suppkey AS dst
+        FROM pairs a JOIN pairs b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= {_CC_MIN_SHARED}
+    ),
+    deg AS (SELECT src AS z, CAST(COUNT(*) AS BIGINT) AS d FROM e0 GROUP BY src),
+    wedge AS (
+        SELECT ax.dst AS i, bx.dst AS j, ax.src AS z
+        FROM e0 ax JOIN e0 bx ON ax.src = bx.src AND ax.dst < bx.dst
+    ),
+    cand AS (
+        SELECT w.i, w.j, w.z FROM wedge w
+        WHERE NOT EXISTS (
+            SELECT 1 FROM e0 x WHERE x.src = w.i AND x.dst = w.j
+        )
+    )
+    SELECT c.i, c.j,
+           CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+           CAST(SUM(1000000 // deg.d) AS BIGINT) AS ra_ppm
+    FROM cand c JOIN deg ON deg.z = c.z
+    GROUP BY c.i, c.j
+    HAVING COUNT(*) >= 2
+"""
+
+
+@REGISTRY.add("g14_link_prediction", _LP_ORACLE, "graph", "similarity")
+def g14_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor and resource-allocation link-prediction scores
+    for non-adjacent supplier pairs in the strong co-supplier graph
+    (≥2 shared neighbors; RA in exact integer ppm)."""
+    l = load(spark, sf_dir, "lineitem")
+    e0 = (
+        co_occurrence_edges(l, item_col="l_orderkey", actor_col="l_suppkey")
+        .where(F.col("n_shared_orders") >= _CC_MIN_SHARED)
+        .select("src", "dst")
+        .localCheckpoint()  # wedge self-join + anti-join input, built once
+    )
+    deg = e0.groupBy(F.col("src").alias("z")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    ax, bx = e0.alias("ax"), e0.alias("bx")
+    wedge = ax.join(
+        bx,
+        (F.col("ax.src") == F.col("bx.src"))
+        & (F.col("ax.dst") < F.col("bx.dst")),
+    ).select(
+        F.col("ax.dst").alias("i"),
+        F.col("bx.dst").alias("j"),
+        F.col("ax.src").alias("z"),
+    )
+    cand = wedge.join(
+        e0.select(F.col("src").alias("i"), F.col("dst").alias("j")),
+        ["i", "j"],
+        "left_anti",
+    )
+    return (
+        cand.join(deg, "z")
+        .groupBy("i", "j")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("common_neighbors"),
+            F.sum(F.expr("1000000 div d")).cast("bigint").alias("ra_ppm"),
+        )
+        .where(F.col("common_neighbors") >= 2)
+    )

@@ -963,3 +963,63 @@ def s16_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(F.col("cum") * 2 >= F.col("total"), F.col("price")))
         .alias("weighted_median"),
     )
+
+
+# ---------------------------------------------------------------------------
+# s17: per-group exact WEIGHTED quartiles — s16's median generalized to
+# the p25/p50/p75 triple, per line status. Same tie-proof construction
+# (weights pre-aggregated per distinct value; quantile q is the
+# smallest value whose 4·cum ≥ q·total — all-BIGINT comparisons, no
+# interpolation, no floats). The cumulative window runs over DISTINCT
+# prices per group; at open-domain scale the range-partitioned prefix
+# sum (operators/ranks.py) is the drop-in replacement.
+_WQRT_ORACLE = """
+    WITH w AS (
+        SELECT l_linestatus AS status, l_extendedprice AS price,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS wgt
+        FROM lineitem GROUP BY 1, 2
+    ), c AS (
+        SELECT status, price, wgt,
+               SUM(wgt) OVER (PARTITION BY status ORDER BY price
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               SUM(wgt) OVER (PARTITION BY status) AS total
+        FROM w
+    )
+    SELECT status,
+           CAST(MAX(total) AS BIGINT) AS total_weight,
+           MIN(price) FILTER (WHERE cum * 4 >= total) AS wq25,
+           MIN(price) FILTER (WHERE cum * 4 >= total * 2) AS wq50,
+           MIN(price) FILTER (WHERE cum * 4 >= total * 3) AS wq75
+    FROM c GROUP BY status
+"""
+
+
+@REGISTRY.add("s17_weighted_quartiles", _WQRT_ORACLE, "sketch", "stats")
+def s17_weighted_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted exact p25/p50/p75 of extended price per line
+    status (lower weighted quantile; BIGINT-exact thresholds)."""
+    from pyspark.sql import Window as W
+
+    l = load(spark, sf_dir, "lineitem")
+    w = l.groupBy(
+        F.col("l_linestatus").alias("status"),
+        F.col("l_extendedprice").alias("price"),
+    ).agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("wgt"))
+    win = W.partitionBy("status").orderBy("price").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    tot = W.partitionBy("status")
+    c = w.select(
+        "status", "price", "wgt",
+        F.sum("wgt").over(win).alias("cum"),
+        F.sum("wgt").over(tot).alias("total"),
+    )
+    return c.groupBy("status").agg(
+        F.max("total").cast("bigint").alias("total_weight"),
+        F.min(F.when(F.col("cum") * 4 >= F.col("total"), F.col("price")))
+        .alias("wq25"),
+        F.min(F.when(F.col("cum") * 4 >= F.col("total") * 2, F.col("price")))
+        .alias("wq50"),
+        F.min(F.when(F.col("cum") * 4 >= F.col("total") * 3, F.col("price")))
+        .alias("wq75"),
+    )

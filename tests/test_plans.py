@@ -282,3 +282,57 @@ def test_final_r6_and_r7_queries_stay_jvm_side(spark, sf_dir):
     # semi-join on the hash — never a pairwise join of shingle streams
     plan = _plan(spark, sf_dir, "d50_substring_spans")
     assert "LeftSemi" in plan
+
+
+def test_round7_batch2_queries_stay_jvm_side(spark, sf_dir):
+    # d53 composes the shared LSH pair stream + label joins, d54 rides
+    # d38's JVM-side BPE encode, e34's SCD2 build is per-user windows +
+    # one keyed agg: all must stay whole-stage-codegen-able with no
+    # Python evaluator and no cartesian pair space.
+    for name in (
+        "d53_cross_source_leakage",
+        "d54_tokenizer_fertility",
+        "e34_scd2_intervals",
+    ):
+        plan = _plan(spark, sf_dir, name)
+        assert "EvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+    # m12 decodes WAV payloads through the sanctioned Arrow kernel —
+    # Python is expected there, but the pair space must never be: the
+    # quality gate is a pure per-row map + one global threshold agg.
+    plan = _plan(spark, sf_dir, "m12_audio_quality")
+    assert "CartesianProduct" not in plan
+    # e34's windows are all keyed by user_id — no global (unpartitioned)
+    # window may appear; a single-partition sort would serialize the
+    # corpus through one task at 100 TB.
+    plan = _plan(spark, sf_dir, "e34_scd2_intervals")
+    assert "SinglePartition" not in plan
+
+
+def test_round7_batch3_queries_stay_jvm_side(spark, sf_dir):
+    # d55 composes d07's banded pairs (no new pair space), d56's DSIR
+    # scoring is two keyed aggs + a vocabulary-sized broadcast join,
+    # d57's rank window is vocabulary-sized by design, e35/e36 are
+    # keyed windows + a broadcast scalar, g14's wedges come from the
+    # thresholded sparse graph, s17 runs over distinct prices per
+    # group: none may use a Python evaluator or a cartesian product.
+    for name in (
+        "d55_sketch_calibration",
+        "d56_dsir_importance",
+        "d57_vocab_coverage",
+        "e35_pit_training_set",
+        "e36_asof_snapshot",
+        "g14_link_prediction",
+        "s17_weighted_quartiles",
+    ):
+        plan = _plan(spark, sf_dir, name)
+        assert "EvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+    # d56's token-score table must reach the doc-token join as a
+    # broadcast (vocabulary-sized dictionary, never a shuffled join)
+    plan = _plan(spark, sf_dir, "d56_dsir_importance")
+    assert "BroadcastHashJoin" in plan
+    # e35's windows are all keyed by user_id — a global sort here would
+    # serialize the event log through one task
+    plan = _plan(spark, sf_dir, "e35_pit_training_set")
+    assert "SinglePartition" not in plan
