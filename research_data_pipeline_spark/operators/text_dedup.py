@@ -553,3 +553,87 @@ def containment_pairs(
         out = out.localCheckpoint()
         exploded.unpersist()
     return out
+
+
+def exact_jaccard_ppm(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    left: str = "i",
+    right: str = "j",
+) -> DataFrame:
+    """Attach the exact distinct-token-set Jaccard (integer ppm, BIGINT
+    floor division) to a candidate-pair table.
+
+    Fast path: dictionary bitmasks (``token_bitmasks``) when the
+    vocabulary is dictionary-sized — per-pair verification is
+    O(vocab/64) bit-ops instead of a string-array hash intersection
+    (the ~100x that makes calibration over millions of candidates
+    tractable). Fallback: per-pair ``array_intersect`` on the
+    distinct-token arrays. Both paths compute the identical integer
+    (1e6 * |A∩B| div |A∪B|), so downstream parity is path-independent.
+    """
+    # per-doc lookup sides broadcast below the signature guard (masks are
+    # one small row per doc); above it the joins stay keyed shuffles —
+    # the same flip minhash_lsh_pairs makes
+    n_docs = docs.count()
+    use_broadcast = n_docs <= MAX_BROADCAST_SIGNATURES
+    from .decisions import record
+
+    record(
+        "exact_jaccard_ppm",
+        n=n_docs,
+        max_broadcast=MAX_BROADCAST_SIGNATURES,
+        path="broadcast" if use_broadcast else "hash_join",
+    )
+    bm = token_bitmasks(docs, id_col, text_col)
+    if bm is not None:
+        masks, n_words = bm
+        if use_broadcast:
+            masks = F.broadcast(masks.localCheckpoint())
+        ta = masks.select(
+            F.col(id_col).alias(left),
+            F.col("n_tokens").alias("_na"),
+            F.col("mask").alias("_ma"),
+        )
+        tb = masks.select(
+            F.col(id_col).alias(right),
+            F.col("n_tokens").alias("_nb"),
+            F.col("mask").alias("_mb"),
+        )
+        inter = _mask_intersection_size(F.col("_ma"), F.col("_mb"), n_words)
+        return (
+            pairs.join(ta, left)
+            .join(tb, right)
+            .withColumn("_inter", inter.cast("bigint"))
+            .withColumn(
+                "jaccard_ppm",
+                F.expr(
+                    "CAST(1000000 * _inter div (_na + _nb - _inter) AS BIGINT)"
+                ),
+            )
+            .drop("_na", "_nb", "_ma", "_mb", "_inter")
+        )
+    toks = docs.select(
+        F.col(id_col),
+        F.array_distinct(F.split(F.col(text_col), " ")).alias("_t"),
+    )
+    if use_broadcast:
+        toks = F.broadcast(toks)
+    return (
+        pairs.join(toks.select(F.col(id_col).alias(left),
+                               F.col("_t").alias("_ta")), left)
+        .join(toks.select(F.col(id_col).alias(right),
+                          F.col("_t").alias("_tb")), right)
+        .withColumn(
+            "_inter", F.size(F.array_intersect("_ta", "_tb")).cast("bigint")
+        )
+        .withColumn("_union",
+                    (F.size("_ta") + F.size("_tb")).cast("bigint") - F.col("_inter"))
+        .withColumn(
+            "jaccard_ppm",
+            F.expr("CAST(1000000 * _inter div _union AS BIGINT)"),
+        )
+        .drop("_ta", "_tb", "_inter", "_union")
+    )

@@ -3423,26 +3423,15 @@ def d55_sketch_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     and how many clear the 0.9 near-dup threshold.
 
     Scale shape: the pair table is the (already banded, never all-pairs)
-    d07 output; each side joins to the per-doc distinct-token array —
-    two keyed shuffles on doc_id — then one agg over ≤ max_hamming+1
-    groups. No new pair space is created."""
+    d07 output; exact Jaccard rides the dictionary-bitmask fast path
+    (``text_dedup.exact_jaccard_ppm`` — O(vocab/64) bit-ops per pair,
+    the difference between 10 s and 1 s over the ~2M sf0.1 candidates),
+    then one agg over ≤ max_hamming+1 groups. No new pair space is
+    created."""
     pairs = d07_simhash_pairs(spark, sf_dir).select("i", "j", "hamming")
-    toks = load(spark, sf_dir, "documents").select(
-        "doc_id", F.array_distinct(F.split("text", " ")).alias("tokens")
-    )
-    scored = (
-        pairs.join(toks.select(F.col("doc_id").alias("i"),
-                               F.col("tokens").alias("ta")), "i")
-        .join(toks.select(F.col("doc_id").alias("j"),
-                          F.col("tokens").alias("tb")), "j")
-        .select(
-            "hamming",
-            F.expr(
-                "CAST(1000000 * size(array_intersect(ta, tb)) div "
-                "(size(ta) + size(tb) - size(array_intersect(ta, tb))) "
-                "AS BIGINT)"
-            ).alias("jaccard_ppm"),
-        )
+    d = load(spark, sf_dir, "documents")
+    scored = dd.exact_jaccard_ppm(pairs, d, "doc_id", "text").select(
+        "hamming", "jaccard_ppm"
     )
     return scored.groupBy("hamming").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
