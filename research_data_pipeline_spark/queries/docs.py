@@ -3385,15 +3385,27 @@ def d54_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 # hamming distance predict exact token-set Jaccard on the pairs it
 # surfaces? Production dedup tunes the hamming cutoff from exactly this
 # table (per-hamming pair counts, mean/min/max exact similarity, and
-# how many pairs clear the 0.9 near-dup bar). Pure composition: d07's
-# verified pair stream + one join per side to the distinct-token
-# arrays + one 3-group agg. Everything crosses engines as exact
-# integers (ppm via BIGINT floor division) — no float comparisons.
+# how many pairs clear the 0.9 near-dup bar). Calibration is an AUDIT,
+# so it runs on a deterministic 20% id-hash doc sample (s01's portable
+# md5 bucket): statistically sufficient for the per-hamming curve, and
+# it caps the fixed-bit signature's collision mass — a b-bit simhash
+# surfaces ~n²·c/2ᵇ random collisions, super-linear in the corpus
+# (measured 2.0M→43.7M pairs at 10× docs), while the sampled audit
+# stays at 4% of that pair space at every scale. Exact Jaccard rides
+# the dictionary-bitmask fast path; everything crosses engines as
+# exact integers (ppm via BIGINT floor division).
+_CALIB_SAMPLE_PPM = 200_000
+_CALIB_DOCS_SQL = (
+    "(SELECT doc_id, text FROM documents "
+    "WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT "
+    f"% 1000000 < {_CALIB_SAMPLE_PPM}) documents"
+)
 _CALIB_ORACLE = f"""
     WITH pairs AS (
-        SELECT i, j, hamming FROM ({_SIMHASH_ORACLE}) t
+        SELECT i, j, hamming
+        FROM ({_SIMHASH_ORACLE.replace("FROM documents", "FROM " + _CALIB_DOCS_SQL)}) t
     ), toks AS (
-        SELECT doc_id, {_DTOKS} AS tokens FROM documents
+        SELECT doc_id, {_DTOKS} AS tokens FROM {_CALIB_DOCS_SQL}
     ), scored AS (
         SELECT p.hamming,
                CAST(1000000 * len(list_intersect(ta.tokens, tb.tokens))
@@ -3422,14 +3434,21 @@ def d55_sketch_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance: pair counts, mean/min/max exact similarity (integer ppm),
     and how many clear the 0.9 near-dup threshold.
 
-    Scale shape: the pair table is the (already banded, never all-pairs)
-    d07 output; exact Jaccard rides the dictionary-bitmask fast path
-    (``text_dedup.exact_jaccard_ppm`` — O(vocab/64) bit-ops per pair,
-    the difference between 10 s and 1 s over the ~2M sf0.1 candidates),
-    then one agg over ≤ max_hamming+1 groups. No new pair space is
-    created."""
-    pairs = d07_simhash_pairs(spark, sf_dir).select("i", "j", "hamming")
-    d = load(spark, sf_dir, "documents")
+    Scale shape: the sample filter is a pure codegen scan predicate, the
+    pair table is banded (never all-pairs) over the 20% sample — 4% of
+    the full corpus's pair mass at every scale, which tames the b-bit
+    signature's inherent n²/2ᵇ collision growth — and exact Jaccard
+    rides the dictionary-bitmask fast path
+    (``text_dedup.exact_jaccard_ppm``, O(vocab/64) bit-ops per pair),
+    then one agg over ≤ max_hamming+1 groups."""
+    from .sampling import md5_bucket
+
+    d = load(spark, sf_dir, "documents").where(
+        md5_bucket(F.col("doc_id")) % 1000000 < _CALIB_SAMPLE_PPM
+    )
+    pairs = dd.simhash_pairs(
+        d, "doc_id", "text", bits=_SIM_BITS, max_hamming=_SIM_MAXHAM
+    ).select("i", "j", "hamming")
     scored = dd.exact_jaccard_ppm(pairs, d, "doc_id", "text").select(
         "hamming", "jaccard_ppm"
     )

@@ -1023,3 +1023,106 @@ def s17_weighted_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(F.col("cum") * 4 >= F.col("total") * 3, F.col("price")))
         .alias("wq75"),
     )
+
+
+# ---------------------------------------------------------------------------
+# s18: CUPED variance-reduction audit (Deng et al. WSDM'13) — the A/B
+# experimentation primitive: θ = cov(pre,post)/var(pre) over per-user
+# spend in the two halves of the event log, plus the variance-reduction
+# fraction R² the covariate would buy. Everything that must be exact IS
+# exact: per-user cents are BIGINT (values are 2-decimal by contract,
+# DECIMAL(12,4)·100 is an integer), the five sufficient statistics ride
+# DECIMAL(38,0)/HUGEINT (n·Σxy − Σx·Σy stays ≤ 30 digits even at 1000×
+# today's users), and θ·10⁶ derives by integral division — the d47
+# discipline. R² alone is a final double (both engines divide the same
+# two exactly-represented decimals).
+_CUPED_ORACLE = """
+    WITH t AS (
+        SELECT CAST((MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS BIGINT)
+            AS snap_us
+        FROM events
+    ), ev AS (
+        SELECT user_id, epoch_us(ts) AS us,
+               CAST(CAST(value AS DECIMAL(12,4)) * 100 AS BIGINT) AS cents
+        FROM events
+    ), u AS (
+        SELECT user_id,
+               CAST(SUM(CASE WHEN ev.us < t.snap_us THEN cents ELSE 0 END)
+                    AS HUGEINT) AS x,
+               CAST(SUM(CASE WHEN ev.us >= t.snap_us THEN cents ELSE 0 END)
+                    AS HUGEINT) AS y
+        FROM ev CROSS JOIN t GROUP BY user_id
+    ), s AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+               SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy
+        FROM u
+    )
+    SELECT CAST(n AS BIGINT) AS n_users,
+           CAST(sx AS BIGINT) AS sum_pre_cents,
+           CAST(sy AS BIGINT) AS sum_post_cents,
+           CAST(1000000::HUGEINT * (n * sxy - sx * sy)
+                // NULLIF(n * sxx - sx * sx, 0) AS BIGINT) AS theta_ppm,
+           CAST(FLOOR(
+               1000000.0
+               * CAST(n * sxy - sx * sy AS DOUBLE)
+               * CAST(n * sxy - sx * sy AS DOUBLE)
+               / (CAST(NULLIF(n * sxx - sx * sx, 0) AS DOUBLE)
+                  * CAST(NULLIF(n * syy - sy * sy, 0) AS DOUBLE))
+           ) AS BIGINT) AS r2_e6
+    FROM s
+"""
+
+
+@REGISTRY.add("s18_cuped_theta", _CUPED_ORACLE, "sketch", "stats",
+              "experiment")
+def s18_cuped_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED θ (ppm, exact integral division) and covariate R² (µ-units)
+    for per-user spend: pre-period = first half of the event log as the
+    covariate for the second half."""
+    from ..tables import epoch_us
+
+    ev = load(spark, sf_dir, "events")
+    us = epoch_us(F.col("ts"))
+    t = ev.agg(F.min(us).alias("_mn"), F.max(us).alias("_mx")).select(
+        F.expr("CAST((_mn + _mx) div 2 AS BIGINT)").alias("snap_us")
+    )
+    cents = F.expr(
+        "CAST(CAST(value AS DECIMAL(12,4)) * 100 AS BIGINT)"
+    )
+    u = (
+        ev.select("user_id", us.alias("us"), cents.alias("cents"))
+        .crossJoin(F.broadcast(t))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("us") < F.col("snap_us"), F.col("cents"))
+                  .otherwise(0)).cast("decimal(38,0)").alias("x"),
+            F.sum(F.when(F.col("us") >= F.col("snap_us"), F.col("cents"))
+                  .otherwise(0)).cast("decimal(38,0)").alias("y"),
+        )
+    )
+    s = u.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+        F.sum(F.expr("x * y")).alias("sxy"),
+        F.sum(F.expr("y * y")).alias("syy"),
+    )
+    return s.select(
+        F.col("n").cast("bigint").alias("n_users"),
+        F.col("sx").cast("bigint").alias("sum_pre_cents"),
+        F.col("sy").cast("bigint").alias("sum_post_cents"),
+        F.expr(
+            "CAST(CAST(1000000 AS DECIMAL(38,0)) * (n * sxy - sx * sy)"
+            " div NULLIF(n * sxx - sx * sx, 0) AS BIGINT)"
+        ).alias("theta_ppm"),
+        F.expr(
+            "CAST(FLOOR(1000000.0"
+            " * CAST(n * sxy - sx * sy AS DOUBLE)"
+            " * CAST(n * sxy - sx * sy AS DOUBLE)"
+            " / (CAST(NULLIF(n * sxx - sx * sx, 0) AS DOUBLE)"
+            "    * CAST(NULLIF(n * syy - sy * sy, 0) AS DOUBLE))"
+            ") AS BIGINT)"
+        ).alias("r2_e6"),
+    )

@@ -336,3 +336,11 @@ def test_round7_batch3_queries_stay_jvm_side(spark, sf_dir):
     # serialize the event log through one task
     plan = _plan(spark, sf_dir, "e35_pit_training_set")
     assert "SinglePartition" not in plan
+
+
+def test_s18_cuped_no_python_no_cartesian(spark, sf_dir):
+    # CUPED is two keyed aggs + one scalar broadcast; the DECIMAL(38,0)
+    # sufficient statistics must stay JVM-side column arithmetic
+    plan = _plan(spark, sf_dir, "s18_cuped_theta")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
