@@ -3643,3 +3643,62 @@ def d57_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coverage_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# d58: LEAKAGE-FREE train/test split — s06's deterministic id-hash
+# split has a blind spot on near-duplicate corpora: two near-dup docs
+# can land on opposite sides and the eval set silently scores
+# memorization. The fix is to split by CLUSTER: every member inherits
+# its d19 canonical's bucket, so a near-dup pair (even a transitively
+# connected one) can never straddle the split. `would_leak` flags docs
+# whose naive own-id bucket disagrees — the rows s06 would have
+# leaked. Pure composition (d19's cluster oracle nested verbatim) +
+# the portable md5 bucket; no new shuffle beyond d19's own.
+_SPLIT_EXPR = (
+    "('0x' || substr(md5(CAST({id} AS VARCHAR)), 1, 8))::UBIGINT % 1000000"
+)
+_LFS_ORACLE = f"""{_CLUSTER_CTES}
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(canonical_id AS BIGINT) AS canonical_id,
+           CASE WHEN {_SPLIT_EXPR.format(id='canonical_id')} < 800000
+                THEN 'train'
+                WHEN {_SPLIT_EXPR.format(id='canonical_id')} < 900000
+                THEN 'val' ELSE 'test' END AS split,
+           (CASE WHEN {_SPLIT_EXPR.format(id='canonical_id')} < 800000
+                 THEN 'train'
+                 WHEN {_SPLIT_EXPR.format(id='canonical_id')} < 900000
+                 THEN 'val' ELSE 'test' END)
+           <> (CASE WHEN {_SPLIT_EXPR.format(id='doc_id')} < 800000
+                    THEN 'train'
+                    WHEN {_SPLIT_EXPR.format(id='doc_id')} < 900000
+                    THEN 'val' ELSE 'test' END) AS would_leak
+    FROM comp
+"""
+
+
+@REGISTRY.add("d58_leakage_free_split", _LFS_ORACLE, "dedup", "sampling",
+              "training")
+def d58_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware 80/10/10 split: every doc takes its d19 canonical's
+    md5 bucket so near-dup pairs never straddle train/eval; would_leak
+    marks docs a naive per-doc split would have placed differently."""
+    from .sampling import md5_bucket
+
+    def split_of(c):
+        b = md5_bucket(c) % 1000000
+        return (
+            F.when(b < 800000, "train").when(b < 900000, "val")
+            .otherwise("test")
+        )
+
+    clusters = d19_dedup_clusters(spark, sf_dir).select(
+        "doc_id", "canonical_id"
+    )
+    return clusters.select(
+        "doc_id",
+        "canonical_id",
+        split_of(F.col("canonical_id")).alias("split"),
+        (split_of(F.col("canonical_id"))
+         != split_of(F.col("doc_id"))).alias("would_leak"),
+    )

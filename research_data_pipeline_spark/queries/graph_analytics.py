@@ -851,3 +851,88 @@ def g14_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("common_neighbors") >= 2)
     )
+
+
+# ---------------------------------------------------------------------------
+# g15: degree ASSORTATIVITY — Pearson correlation of endpoint degrees
+# over the directed edge list (Newman 2002): do hubs attach to hubs
+# (r>0) or to leaves (r<0)? The sufficient statistics (n, Σx, Σy, Σxy,
+# Σx², Σy²) are exact integers on DECIMAL(38,0)/HUGEINT — the s18
+# discipline — so the only float is the final r = num/√(dx·dy), where
+# both engines divide and square-root the same exactly-represented
+# values (IEEE-correctly-rounded sqrt), floored to µ-units like every
+# ln()-family score. Scale shape: one degree agg + two broadcastable
+# degree-lookup joins + one scalar agg; no pair space beyond the edge
+# list itself.
+_ASSORT_ORACLE = f"""
+    WITH pairs AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    e0 AS (
+        SELECT a.l_suppkey AS src, b.l_suppkey AS dst
+        FROM pairs a JOIN pairs b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= {_CC_MIN_SHARED}
+    ),
+    deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+            FROM e0 GROUP BY src),
+    xy AS (
+        SELECT CAST(ds.d AS HUGEINT) AS x, CAST(dd_.d AS HUGEINT) AS y
+        FROM e0 JOIN deg ds ON ds.node = e0.src
+                JOIN deg dd_ ON dd_.node = e0.dst
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+               SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+        FROM xy
+    )
+    SELECT CAST(n AS BIGINT) AS n_directed_edges,
+           CAST(sx AS BIGINT) AS sum_src_degree,
+           CAST(FLOOR(
+               1000000.0 * CAST(n * sxy - sx * sy AS DOUBLE)
+               / SQRT(CAST(NULLIF(n * sxx - sx * sx, 0) AS DOUBLE)
+                      * CAST(NULLIF(n * syy - sy * sy, 0) AS DOUBLE))
+           ) AS BIGINT) AS assortativity_e6
+    FROM s
+"""
+
+
+@REGISTRY.add("g15_degree_assortativity", _ASSORT_ORACLE, "graph", "stats")
+def g15_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman degree assortativity of the strong co-supplier graph in
+    exact-integer sufficient statistics (final r floored to µ-units)."""
+    l = load(spark, sf_dir, "lineitem")
+    e0 = (
+        co_occurrence_edges(l, item_col="l_orderkey", actor_col="l_suppkey")
+        .where(F.col("n_shared_orders") >= _CC_MIN_SHARED)
+        .select("src", "dst")
+    )
+    deg = e0.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    ).localCheckpoint()  # looked up from both endpoints, computed once
+    xy = (
+        e0.join(F.broadcast(deg.select(F.col("node").alias("src"),
+                                       F.col("d").alias("x"))), "src")
+        .join(F.broadcast(deg.select(F.col("node").alias("dst"),
+                                     F.col("d").alias("y"))), "dst")
+        .select(F.col("x").cast("decimal(38,0)").alias("x"),
+                F.col("y").cast("decimal(38,0)").alias("y"))
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("x * y")).alias("sxy"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+        F.sum(F.expr("y * y")).alias("syy"),
+    )
+    return s.select(
+        F.col("n").cast("bigint").alias("n_directed_edges"),
+        F.col("sx").cast("bigint").alias("sum_src_degree"),
+        F.expr(
+            "CAST(FLOOR(1000000.0"
+            " * CAST(n * sxy - sx * sy AS DOUBLE)"
+            " / SQRT(CAST(NULLIF(n * sxx - sx * sx, 0) AS DOUBLE)"
+            "        * CAST(NULLIF(n * syy - sy * sy, 0) AS DOUBLE))"
+            ") AS BIGINT)"
+        ).alias("assortativity_e6"),
+    )

@@ -344,3 +344,13 @@ def test_s18_cuped_no_python_no_cartesian(spark, sf_dir):
     plan = _plan(spark, sf_dir, "s18_cuped_theta")
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_d58_g15_stay_jvm_side(spark, sf_dir):
+    # d58 adds only a codegen bucket expression on top of d19's cluster
+    # table; g15 is degree joins + one scalar agg on DECIMAL(38,0)
+    for name in ("d58_leakage_free_split", "g15_degree_assortativity"):
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+    plan = _plan(spark, sf_dir, "g15_degree_assortativity")
+    assert "EvalPython" not in plan
