@@ -1637,3 +1637,66 @@ def e36_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "version", "state", "valid_from_us", "n_events",
                 "snap_us")
     )
+
+
+# ---------------------------------------------------------------------------
+# e37: half-life-DECAYED user value — the recency-weighted engagement
+# score every ranking/retention system keeps. Exact by construction:
+# decay is a STEP half-life (weight halves every 30 days of age,
+# constant within the epoch — 1e6 >> (age/30) in integer arithmetic),
+# so the per-event weighted cents are BIGINT products, not a float
+# pow() whose libm rounding could differ between engines (ln() parity
+# is pinned by d28; pow() is not). Age anchors to the log's max
+# timestamp; the scalar broadcasts. One keyed agg per user — no
+# windows, no sorts.
+_DECAY_ORACLE = """
+    WITH t AS (SELECT MAX(epoch_us(ts)) AS now_us FROM events),
+    ev AS (
+        SELECT user_id,
+               CAST(CAST(value AS DECIMAL(12,4)) * 100 AS BIGINT) AS cents,
+               LEAST((t.now_us - epoch_us(ts)) // 86400000000 // 30, 62)
+                   AS epochs
+        FROM events CROSS JOIN t
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(cents) AS BIGINT) AS raw_cents,
+           CAST(SUM(cents * (1000000 // (CAST(1 AS BIGINT) << epochs)))
+                AS BIGINT) AS decayed_cents_ppm
+    FROM ev GROUP BY user_id
+"""
+
+
+@REGISTRY.add("e37_decayed_user_value", _DECAY_ORACLE, "events", "features")
+def e37_decayed_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user spend under a 30-day step half-life anchored at the log
+    maximum (integer ppm weights — engine-exact, no float pow)."""
+    from ..tables import epoch_us
+
+    ev = load(spark, sf_dir, "events")
+    us = epoch_us(F.col("ts"))
+    t = ev.agg(F.max(us).alias("now_us"))
+    return (
+        ev.select(
+            "user_id",
+            us.alias("us"),
+            F.expr("CAST(CAST(value AS DECIMAL(12,4)) * 100 AS BIGINT)")
+            .alias("cents"),
+        )
+        .crossJoin(F.broadcast(t))
+        .withColumn(
+            "epochs",
+            F.expr("least((now_us - us) div 86400000000 div 30, 62)"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("cents").cast("bigint").alias("raw_cents"),
+            F.sum(
+                F.expr(
+                    "cents * (1000000 div shiftleft(cast(1 as bigint),"
+                    " cast(epochs as int)))"
+                )
+            ).cast("bigint").alias("decayed_cents_ppm"),
+        )
+    )

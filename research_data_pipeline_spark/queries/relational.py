@@ -1842,3 +1842,58 @@ def q42_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k_anonymous",
     )
     return per_class.unionByName(total)
+
+
+# ---------------------------------------------------------------------------
+# q43: JOIN-SKEW audit — the operational table behind every salting /
+# AQE-skew-join decision: for each join key the engine actually
+# shuffles on, how hot is the hottest key relative to uniform? One
+# groupBy per audited key (map-side combined), then a 3-number scalar
+# agg; skew crosses engines as integer ppm (max·n_keys·10⁶ div n_rows
+# = max/mean in exact BIGINT arithmetic). At 100 TB this replaces the
+# guesswork: skew_ppm ≈ 1e6 means uniform, ≥ 10e6 means the hot key
+# owns 10 partitions' worth of rows and the join wants salting.
+_SKEW_KEY_SQL = """
+        SELECT '{label}' AS join_key,
+               CAST(SUM(c) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(MAX(c) AS BIGINT) AS max_key_rows,
+               CAST(MAX(c) * COUNT(*) * 1000000 // SUM(c) AS BIGINT)
+                   AS skew_ppm
+        FROM (SELECT {key} AS k, COUNT(*) AS c FROM {table} GROUP BY 1)
+"""
+_SKEW_KEYS = [
+    ("lineitem.l_orderkey", "l_orderkey", "lineitem"),
+    ("lineitem.l_suppkey", "l_suppkey", "lineitem"),
+    ("lineitem.l_partkey", "l_partkey", "lineitem"),
+    ("orders.o_custkey", "o_custkey", "orders"),
+    ("events.user_id", "user_id", "events"),
+]
+_SKEW_ORACLE = "\n        UNION ALL\n".join(
+    _SKEW_KEY_SQL.format(label=label, key=key, table=table)
+    for label, key, table in _SKEW_KEYS
+)
+
+
+@REGISTRY.add("q43_join_skew_audit", _SKEW_ORACLE, "relational", "audit",
+              "scale")
+def q43_join_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key skew (max/mean in integer ppm) for the five join keys the
+    fact tables shuffle on — the number that decides salting."""
+    out = None
+    for label, key, table in _SKEW_KEYS:
+        t = load(spark, sf_dir, table)
+        per_key = t.groupBy(F.col(key).alias("k")).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        agg = per_key.agg(
+            F.sum("c").cast("bigint").alias("n_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.max("c").cast("bigint").alias("max_key_rows"),
+            F.expr(
+                "CAST(max(c) * count(*) * 1000000 div sum(c) AS BIGINT)"
+            ).alias("skew_ppm"),
+        ).select(F.lit(label).alias("join_key"), "n_rows", "n_keys",
+                 "max_key_rows", "skew_ppm")
+        out = agg if out is None else out.unionByName(agg)
+    return out

@@ -354,3 +354,12 @@ def test_d58_g15_stay_jvm_side(spark, sf_dir):
         assert "CartesianProduct" not in plan, name
     plan = _plan(spark, sf_dir, "g15_degree_assortativity")
     assert "EvalPython" not in plan
+
+
+def test_q43_e37_stay_jvm_side(spark, sf_dir):
+    # q43 is one map-side-combined agg per audited key; e37 is one
+    # broadcast scalar + one keyed agg — pure integer arithmetic
+    for name in ("q43_join_skew_audit", "e37_decayed_user_value"):
+        plan = _plan(spark, sf_dir, name)
+        assert "EvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
