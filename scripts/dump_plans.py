@@ -1,6 +1,6 @@
 #!/usr/bin/env python
 """Regenerate PLANS.md: annotated `.explain("formatted")` output for the
-five flagship queries whose physical shape carries a scale claim."""
+flagship queries whose physical shape carries a scale claim."""
 
 from __future__ import annotations
 
@@ -31,6 +31,19 @@ NOTES = {
         "Star schema: dims broadcast; two-phase rank, no single-partition"
         " window."
     ),
+    "d56_dsir_importance": (
+        "DSIR: the vocabulary-sized token-score table must broadcast onto"
+        " the doc-token occurrences; zero global sorts anywhere."
+    ),
+    "g14_link_prediction": (
+        "Link prediction: wedges come from a keyed self-join on the"
+        " thresholded sparse edge list; existing edges leave via a"
+        " LeftAnti join — no cartesian pair space."
+    ),
+    "e34_scd2_intervals": (
+        "SCD2 build: every window is keyed by user_id; no SinglePartition"
+        " exchange may appear."
+    ),
 }
 
 
@@ -47,7 +60,7 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     out = [
-        "# PLANS — formatted physical plans of five flagship queries",
+        "# PLANS — formatted physical plans of flagship queries",
         "",
         "Generated from `.explain(\"formatted\")` at sf0.01 (plans are",
         "size-independent in shape; AQE may further coalesce at runtime).",
