@@ -1700,3 +1700,36 @@ def e37_decayed_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("decayed_cents_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# e38: STREAMING SCD2 maintenance — e34's interval build run as a real
+# multi-micro-batch stateful streaming query (applyInPandasWithState;
+# state = the open version per user, four scalars). The drain splits
+# the log at its time midpoint into two real batches — versions opened
+# in batch 1 must close against carried state in batch 2 — plus a
+# flush-sentinel batch emitting still-open versions. The registered
+# artifact drains a deterministic 20% user sample (the Python stateful
+# API pays a per-key-per-batch call, so wall time is linear in
+# entities; the sampled drain audits the identical state machine —
+# tests/test_streaming_semantics.py runs the full-population operator
+# and pins the cross-batch carry). Oracle: e34's gaps-and-islands over
+# the same sampled users — streaming and batch must agree row-for-row.
+_SCD2_SAMPLED_ORACLE = _SCD2_ORACLE.replace(
+    "FROM events",
+    "FROM (SELECT * FROM events WHERE ('0x' || substr(md5(CAST(user_id AS"
+    " VARCHAR)), 1, 8))::UBIGINT % 1000000 < 200000) events",
+)
+
+
+@REGISTRY.add("e38_streaming_scd2", _SCD2_SAMPLED_ORACLE, "events",
+              "streaming", "warehouse", "cdc")
+def e38_streaming_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 validity intervals maintained by a stateful streaming query
+    across micro-batch boundaries (20% deterministic user sample),
+    drained and checked against the batch gaps-and-islands oracle."""
+    from ..streaming.jobs import run_scd2_stream_to_batch
+
+    return run_scd2_stream_to_batch(
+        spark, f"{sf_dir}/events.parquet", user_sample_ppm=200_000
+    )

@@ -143,3 +143,30 @@ def test_fold_state_batch_marker_commits_atomically_with_state(spark, tmp_path):
     assert (row["cnt"], float(row["sum_dec"]), row["mn"], row["mx"]) == (
         3, 6.0, 0.5, 9.0,
     )
+
+
+def test_scd2_versions_survive_the_batch_boundary(spark, sf_dir):
+    # the two-real-batch drain is only a meaningful test of stateful SCD2
+    # if versions actually straddle the midpoint split: at least one
+    # completed interval must open before the midpoint and close at or
+    # after it (i.e. it was opened in micro-batch 1 and closed against
+    # CARRIED STATE in micro-batch 2, not batch-local data)
+    from research_data_pipeline_spark.streaming.jobs import (
+        run_scd2_stream_to_batch,
+    )
+    from research_data_pipeline_spark.tables import epoch_us, load
+
+    ev = load(spark, sf_dir, "events")
+    us = epoch_us(F.col("ts"))
+    mn, mx = ev.agg(F.min(us), F.max(us)).first()
+    mid = (mn + mx) // 2
+    out = run_scd2_stream_to_batch(spark, f"{sf_dir}/events.parquet")
+    straddlers = out.where(
+        (F.col("valid_from_us") < mid)
+        & F.col("valid_to_us").isNotNull()
+        & (F.col("valid_to_us") >= mid)
+    ).count()
+    assert straddlers > 0
+    # and open versions were flushed exactly once per user
+    opens = out.where(F.col("is_current")).groupBy("user_id").count()
+    assert opens.where(F.col("count") > 1).count() == 0
