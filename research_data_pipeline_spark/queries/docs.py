@@ -3702,3 +3702,111 @@ def d58_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         (split_of(F.col("canonical_id"))
          != split_of(F.col("doc_id"))).alias("would_leak"),
     )
+
+
+# ---------------------------------------------------------------------------
+# d59: MinHash ESTIMATOR calibration — d55's twin for the other sketch:
+# per signature-agreement count (how many of the 16 MinHash components
+# match), the exact-Jaccard distribution over the banded candidates.
+# E[agreement/16] = Jaccard is the textbook estimator claim; this table
+# is the measured version (and shows the band floor: every candidate
+# agrees on ≥ rows-per-band components). Same 20% id-hash sample and
+# bitmask verification as d55; candidates come from the SAME banded
+# operator the dedup path uses (threshold=0 skips only the final keep
+# filter — band structure and verification are identical).
+# 10% sample (vs d55's 20%): with 4-row bands a J≈0.5 pair still
+# collides with P≈23%, so the unfiltered candidate mass is the
+# quadratic-ish term the audit sample must cap harder.
+_MHCAL_SAMPLE_PPM = 100_000
+_MHCAL_DOCS_SQL = (
+    "(SELECT doc_id, text FROM documents "
+    "WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT "
+    f"% 1000000 < {_MHCAL_SAMPLE_PPM}) documents"
+)
+_MH_EST = " + ".join(
+    f"(CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END)" for i in range(16)
+)
+_MHCAL_ORACLE = f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_DTOKS}) AS token FROM {_MHCAL_DOCS_SQL}
+    ), mh AS (
+        SELECT doc_id, {_mh_cols}
+        FROM tok GROUP BY doc_id
+    ), bands AS (
+        {_band_selects}
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+    ), toks AS (
+        SELECT doc_id, {_DTOKS} AS tokens FROM {_MHCAL_DOCS_SQL}
+    ), scored AS (
+        SELECT CAST({_MH_EST} AS BIGINT) AS est_match,
+               CAST(1000000 * len(list_intersect(ta.tokens, tb.tokens))
+                    // (len(ta.tokens) + len(tb.tokens)
+                        - len(list_intersect(ta.tokens, tb.tokens)))
+                    AS BIGINT) AS jaccard_ppm
+        FROM cand c
+        JOIN mh a ON a.doc_id = c.i
+        JOIN mh b ON b.doc_id = c.j
+        JOIN toks ta ON ta.doc_id = c.i
+        JOIN toks tb ON tb.doc_id = c.j
+    )
+    SELECT est_match,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(jaccard_ppm) // COUNT(*) AS BIGINT) AS avg_jaccard_ppm,
+           CAST(MIN(jaccard_ppm) AS BIGINT) AS min_jaccard_ppm,
+           CAST(MAX(jaccard_ppm) AS BIGINT) AS max_jaccard_ppm
+    FROM scored GROUP BY est_match
+"""
+
+
+@REGISTRY.add("d59_minhash_calibration", _MHCAL_ORACLE, "dedup", "audit",
+              "lsh")
+def d59_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-Jaccard distribution per MinHash signature-agreement count
+    over the banded candidates (10% id-hash sample) — the measured form
+    of the agreement/16 ≈ Jaccard estimator claim."""
+    from .sampling import md5_bucket
+
+    d = load(spark, sf_dir, "documents").where(
+        md5_bucket(F.col("doc_id")) % 1000000 < _MHCAL_SAMPLE_PPM
+    )
+    pairs = dd.minhash_lsh_pairs(d, "doc_id", "text", threshold=0.0).select(
+        "i", "j"
+    )
+    scored = dd.exact_jaccard_ppm(pairs, d, "doc_id", "text")
+    sig = dd.minhash_signatures(d, "doc_id", "text").localCheckpoint()
+    # the signature lookup sides broadcast below the same guard the pair
+    # generator uses; above it they stay keyed shuffles
+    if sig.count() > dd.MAX_BROADCAST_SIGNATURES:
+        F_broadcast = lambda x: x  # noqa: E731 — keyed join fallback
+    else:
+        F_broadcast = F.broadcast
+    sa = sig.select(
+        F.col("doc_id").alias("i"),
+        *[F.col(f"mh{k}").alias(f"a_mh{k}") for k in range(16)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("j"),
+        *[F.col(f"mh{k}").alias(f"b_mh{k}") for k in range(16)],
+    )
+    est = None
+    for k in range(16):
+        term = F.when(F.col(f"a_mh{k}") == F.col(f"b_mh{k}"), 1).otherwise(0)
+        est = term if est is None else est + term
+    return (
+        scored.join(F_broadcast(sa), "i")
+        .join(F_broadcast(sb), "j")
+        .select(est.cast("bigint").alias("est_match"), "jaccard_ppm")
+        .groupBy("est_match")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.expr("CAST(sum(jaccard_ppm) div count(*) AS BIGINT)").alias(
+                "avg_jaccard_ppm"
+            ),
+            F.min("jaccard_ppm").cast("bigint").alias("min_jaccard_ppm"),
+            F.max("jaccard_ppm").cast("bigint").alias("max_jaccard_ppm"),
+        )
+    )

@@ -363,3 +363,11 @@ def test_q43_e37_stay_jvm_side(spark, sf_dir):
         plan = _plan(spark, sf_dir, name)
         assert "EvalPython" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_d59_minhash_calibration_no_cartesian(spark, sf_dir):
+    # candidates come from the banded equi-joins; signature lookups are
+    # broadcast under the guard — no unkeyed join may exist
+    plan = _plan(spark, sf_dir, "d59_minhash_calibration")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
