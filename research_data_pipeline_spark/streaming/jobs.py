@@ -1016,6 +1016,13 @@ def run_scd2_stream_to_batch(spark: SparkSession, events_path: str,
         ev = ev.where(bucket % 1000000 < user_sample_ppm)
     us = epoch_us(F.col("ts"))
     mn, mx = ev.agg(F.min(us), F.max(us)).first()
+    if mn is None:
+        # day-zero: no events, no intervals — return the output shape
+        return spark.createDataFrame(
+            [],
+            "user_id long, version long, state string, valid_from_us long,"
+            " valid_to_us long, is_current boolean, n_events long",
+        )
     mid = (mn + mx) // 2
     half1 = ev.where(us < F.lit(mid)).coalesce(1)
     half2 = ev.where(us >= F.lit(mid)).coalesce(1)

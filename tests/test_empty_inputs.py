@@ -20,6 +20,11 @@ SAMPLE = [
     "e27_distribution_drift", "e28_activity_streaks", "e29_mad_outliers",
     "g01_label_counts", "g06_pagerank", "g12_hits_authorities",
     "s01_hash_sample", "s13_hll_registers", "s14_poisson_bootstrap",
+    # round-7 families
+    "d55_sketch_calibration", "d56_dsir_importance", "d58_leakage_free_split",
+    "d59_minhash_calibration", "e34_scd2_intervals", "e37_decayed_user_value",
+    "e38_streaming_scd2", "g14_link_prediction", "g15_degree_assortativity",
+    "q43_join_skew_audit", "s17_weighted_quartiles", "s18_cuped_theta",
 ]
 
 
