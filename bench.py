@@ -59,6 +59,17 @@ def main() -> int:
     _lsh_pair_stream(spark, sf_dir)
     shared["lsh_pair_stream"] = round(time.perf_counter() - t0, 3)
 
+    # d38/d54 share the iterated-BPE encode table the same way
+    from research_data_pipeline_spark.queries.docs import (
+        _bpe_enc_table,
+        _BPE_ENC_CACHE,
+    )
+
+    _BPE_ENC_CACHE.clear()
+    t0 = time.perf_counter()
+    _bpe_enc_table(spark, sf_dir)
+    shared["bpe_enc_table"] = round(time.perf_counter() - t0, 3)
+
     # Best-of-2 per query: a transient load spike or first-touch codegen
     # compile can inflate a single run 2-4x (round 3's "regression" was
     # exactly that — 7 unchanged queries drifted 2-4x on a loaded

@@ -2238,28 +2238,52 @@ def _bpe_encode_oracle(k: int) -> str:
 _BPE_ENC_ORACLE = _bpe_encode_oracle(_BPE_ITERS)
 
 
+# The learned encode table (word -> symbol count after K merges) is
+# vocabulary-sized and expensive to derive (K iterated merge rounds);
+# d38 and every audit composing it (d54 fertility) share ONE
+# localCheckpoint-materialized copy per (session, dataset) — the same
+# contract as _PAIR_STREAM_CACHE, with the same stopped-session
+# eviction.
+_BPE_ENC_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _bpe_enc_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _BPE_ENC_CACHE.get(key)
+    if cached is None:
+        d = load(spark, sf_dir, "documents")
+        tf = (
+            d.select(F.explode(T.tokens(F.col("text"))).alias("t"))
+            .where(F.col("t") != "")
+            .groupBy("t")
+            .agg(F.count(F.lit(1)).alias("f"))
+        )
+        words = tf.select(
+            "t",
+            F.transform(
+                F.sequence(F.lit(1), F.length("t")),
+                lambda i: F.col("t").substr(i, F.lit(1)),
+            ).alias("s"),
+            "f",
+        )
+        for _ in range(_BPE_ITERS):
+            _, words = _bpe_merge_round(words, carry=("t",))
+        cached = words.select(
+            "t", F.size("s").cast("bigint").alias("n_sym")
+        ).localCheckpoint()
+        for k in [k for k in _BPE_ENC_CACHE if k[0] != key[0]]:
+            del _BPE_ENC_CACHE[k]
+        _BPE_ENC_CACHE[key] = cached
+    return cached
+
+
+
 @REGISTRY.add("d38_bpe_encode", _BPE_ENC_ORACLE, "text", "tokenizer")
 def d38_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document BPE token counts after the d32b-learned K merges:
     (doc_id, n_words, n_chars, n_tokens_bpe, saved_ppm)."""
     d = load(spark, sf_dir, "documents")
-    tf = (
-        d.select(F.explode(T.tokens(F.col("text"))).alias("t"))
-        .where(F.col("t") != "")
-        .groupBy("t")
-        .agg(F.count(F.lit(1)).alias("f"))
-    )
-    words = tf.select(
-        "t",
-        F.transform(
-            F.sequence(F.lit(1), F.length("t")),
-            lambda i: F.col("t").substr(i, F.lit(1)),
-        ).alias("s"),
-        "f",
-    )
-    for _ in range(_BPE_ITERS):
-        _, words = _bpe_merge_round(words, carry=("t",))
-    enc = words.select("t", F.size("s").cast("bigint").alias("n_sym"))
+    enc = _bpe_enc_table(spark, sf_dir)
     dt = d.select(
         "doc_id", F.explode(T.tokens(F.col("text"))).alias("t")
     ).where(F.col("t") != "")

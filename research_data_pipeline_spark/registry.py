@@ -319,6 +319,10 @@ _REWRITTEN_SINCE_GREEN: set[str] = {
     # round 7: e30's applied-batch marker moved inside the swapped state
     # dir (crash-window fix) — fold logic extracted to _fold_state_batch
     "e30_stream_agg_merge",
+    # round 7 (late): d38's encode table extracted into the shared
+    # session cache (_bpe_enc_table) so d54 reuses one materialized copy
+    # — same values, new plan shape, re-verify early
+    "d38_bpe_encode",
 }
 
 
