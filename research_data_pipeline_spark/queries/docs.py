@@ -3834,3 +3834,110 @@ def d59_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("jaccard_ppm").cast("bigint").alias("max_jaccard_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# d60: incremental ANN INGEST audit — the d21 story for the vector
+# index: a production IVF index is a persisted artifact; daily batches
+# are ASSIGNED to the frozen centroids (one Arrow pass against the
+# broadcast 16×d matrix — no retrain, no index rebuild), and this table
+# is the re-train trigger: per-cell base/new counts and growth, hot
+# cells drifting away from uniform mean the centroids no longer fit
+# the data. Base/new split is the portable md5 bucket (80/20); the
+# oracle recomputes assignment from the same seed centroids with the
+# left-fold dot (argmax ties break toward the smaller centroid id,
+# as in d13 — operator/oracle agreement on that is already proven).
+_INGEST_ORACLE = f"""
+    WITH e AS ({_E_CTE}),
+    cents AS (SELECT vec_id AS cid, v AS cv, norm AS cn FROM e
+              WHERE vec_id < {_IVF_CELLS}),
+    scored AS (
+        SELECT e.vec_id, c.cid,
+               {_DOT.format(a='e.v', b='c.cv')} / (e.norm * c.cn) AS ccos
+        FROM e CROSS JOIN cents c
+    ),
+    pr AS (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY ccos DESC, cid ASC) AS rn
+        FROM scored
+    ),
+    lab AS (
+        SELECT vec_id, cid AS cell,
+               ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::UBIGINT
+                   % 1000000 >= 800000 AS is_new
+        FROM pr WHERE rn = 1
+    )
+    SELECT cell,
+           CAST(SUM(CASE WHEN is_new THEN 0 ELSE 1 END) AS BIGINT) AS n_base,
+           CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+           CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) * 1000000
+                // NULLIF(SUM(CASE WHEN is_new THEN 0 ELSE 1 END), 0)
+                AS BIGINT) AS growth_ppm
+    FROM lab GROUP BY cell
+"""
+
+
+@REGISTRY.add("d60_incremental_ann_ingest", _INGEST_ORACLE, "similarity",
+              "ann", "incremental")
+def d60_incremental_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell base/new counts and growth (integer ppm) when the 20%
+    md5-bucket batch is assigned to the frozen seed-centroid IVF index
+    — the retrain-trigger audit; assignment is one Arrow-batched pass
+    against the broadcast centroid matrix, no index rebuild."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    e = sim._drop_null_vectors(
+        load(spark, sf_dir, "embeddings"), "embedding"
+    )
+    crows = sorted(
+        e.where(F.col("vec_id") < _IVF_CELLS)
+        .select("vec_id", "embedding").collect(),
+        key=lambda r: r[0],
+    )
+    cids = np.fromiter((r[0] for r in crows), dtype=np.int64, count=len(crows))
+    C = np.array([r[1] for r in crows], dtype=np.float64)
+    cn = np.sqrt((C * C).sum(axis=1)) if len(crows) else np.zeros(0)
+    bc = spark.sparkContext.broadcast((cids, C, cn))
+    out_schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("cell", LongType()),
+    ])
+
+    def assign(batches):
+        ids_c, M, cnorm = bc.value
+        for pdf in batches:
+            if len(pdf) == 0 or len(ids_c) == 0:
+                continue
+            A = np.array([list(v) for v in pdf["embedding"]],
+                         dtype=np.float64)
+            norms = np.sqrt((A * A).sum(axis=1))
+            S = (A @ M.T) / np.outer(norms, cnorm)
+            # argmax with ties toward the smaller centroid id: ids_c is
+            # ascending and np.argmax takes the FIRST maximum
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                "cell": ids_c[np.argmax(S, axis=1)],
+            })
+
+    assigned = e.select("vec_id", "embedding").mapInPandas(
+        assign, out_schema
+    )
+    from .sampling import md5_bucket
+
+    lab = assigned.withColumn(
+        "is_new", md5_bucket(F.col("vec_id")) % 1000000 >= 800000
+    )
+    return lab.groupBy("cell").agg(
+        F.sum(F.when(F.col("is_new"), 0).otherwise(1)).cast("bigint")
+        .alias("n_base"),
+        F.sum(F.when(F.col("is_new"), 1).otherwise(0)).cast("bigint")
+        .alias("n_new"),
+        F.expr(
+            "CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END) * 1000000"
+            " div NULLIF(sum(CASE WHEN is_new THEN 0 ELSE 1 END), 0)"
+            " AS BIGINT)"
+        ).alias("growth_ppm"),
+    )
