@@ -371,3 +371,11 @@ def test_d59_minhash_calibration_no_cartesian(spark, sf_dir):
     plan = _plan(spark, sf_dir, "d59_minhash_calibration")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_d60_ingest_no_pair_space(spark, sf_dir):
+    # assignment is one Arrow pass against the broadcast centroid
+    # matrix — the vector×centroid pair space must never reach the plan
+    plan = _plan(spark, sf_dir, "d60_incremental_ann_ingest")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
