@@ -208,9 +208,13 @@ def minhash_lsh_pairs(
     bands: int = 4,
     threshold: float = 0.9,
     materialize: bool = True,
+    emit_counts: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs via banded MinHash LSH, verified with exact
-    token-set Jaccard. Returns (i, j, jaccard), i < j, jaccard ≥ threshold.
+    token-set Jaccard. Returns (i, j, jaccard), i < j, jaccard ≥ threshold;
+    ``emit_counts=True`` adds the exact integer (n_inter, n_union)
+    columns so calibration callers (d59) derive integer-ppm similarity
+    without a second verification pass — the default output is unchanged.
 
     Scale shape: one explode+groupBy for signatures; candidates from a
     hash self-join on (band_idx, xxhash64(band_val)) — a 64-bit join key
@@ -291,6 +295,14 @@ def minhash_lsh_pairs(
         jac = inter.cast("double") / (
             F.col("a.n_tokens") + F.col("b.n_tokens") - inter
         )
+        extra = (
+            [
+                inter.cast("bigint").alias("n_inter"),
+                (F.col("a.n_tokens") + F.col("b.n_tokens") - inter)
+                .cast("bigint").alias("n_union"),
+            ]
+            if emit_counts else []
+        )
         out = None
         for bi in range(bands):
             branch = (
@@ -301,6 +313,7 @@ def minhash_lsh_pairs(
                     F.col(f"a.{id_col}").alias("i"),
                     F.col(f"b.{id_col}").alias("j"),
                     "jaccard",
+                    *extra,
                 )
             )
             out = branch if out is None else out.unionByName(branch)
@@ -320,12 +333,17 @@ def minhash_lsh_pairs(
     tj = tok_sets.select(F.col(id_col).alias("j"), F.col("tokens").alias("tokens_j"))
     inter = F.size(F.array_intersect("tokens_i", "tokens_j"))
     union = F.size("tokens_i") + F.size("tokens_j") - inter
+    extra = (
+        [inter.cast("bigint").alias("n_inter"),
+         union.cast("bigint").alias("n_union")]
+        if emit_counts else []
+    )
     return _finish(
         cand.join(ti, "i")
         .join(tj, "j")
         .withColumn("jaccard", inter.cast("double") / union)
         .where(F.col("jaccard") >= threshold)
-        .select("i", "j", "jaccard")
+        .select("i", "j", "jaccard", *extra)
     )
 
 

@@ -3797,10 +3797,17 @@ def d59_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").where(
         md5_bucket(F.col("doc_id")) % 1000000 < _MHCAL_SAMPLE_PPM
     )
-    pairs = dd.minhash_lsh_pairs(d, "doc_id", "text", threshold=0.0).select(
-        "i", "j"
+    # emit_counts fuses exact (inter, union) into the band verification
+    # itself — no second bitmask pass, no re-join of the doc sides
+    pairs = dd.minhash_lsh_pairs(
+        d, "doc_id", "text", threshold=0.0, emit_counts=True
+    ).select(
+        "i", "j",
+        F.expr(
+            "CAST(1000000 * n_inter div n_union AS BIGINT)"
+        ).alias("jaccard_ppm"),
     )
-    scored = dd.exact_jaccard_ppm(pairs, d, "doc_id", "text")
+    scored = pairs
     sig = dd.minhash_signatures(d, "doc_id", "text").localCheckpoint()
     # the signature lookup sides broadcast below the same guard the pair
     # generator uses; above it they stay keyed shuffles
