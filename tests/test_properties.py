@@ -812,3 +812,88 @@ def test_containment_pairs_match_python_sets(spark, docs):
                 if ppm >= 1:
                     want[(i, j)] = ppm
     assert got == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=8),
+        min_size=2, max_size=8,
+    ),
+    pair_idx=st.data(),
+)
+def test_exact_jaccard_ppm_matches_python_sets(spark, docs, pair_idx):
+    # the helper's integer-ppm Jaccard (bitmask fast path — vocab here is
+    # tiny) must equal the python set computation on every pair,
+    # including identical docs (ppm = 1e6) and disjoint ones (0)
+    from research_data_pipeline_spark.operators.text_dedup import (
+        exact_jaccard_ppm,
+    )
+
+    texts = [" ".join(d) for d in docs]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    pairs = [(i, j) for i in range(len(texts)) for j in range(len(texts)) if i < j]
+    pdf = spark.createDataFrame(pairs, "i long, j long")
+    got = {
+        (r["i"], r["j"]): r["jaccard_ppm"]
+        for r in exact_jaccard_ppm(pdf, df, "doc_id", "text").collect()
+    }
+    for i, j in pairs:
+        a, b = set(docs[i]), set(docs[j])
+        expect = 1000000 * len(a & b) // len(a | b)
+        assert got[(i, j)] == expect, (i, j, docs[i], docs[j])
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 2),        # user
+                  st.integers(0, 20),       # ts seconds (ties likely)
+                  st.integers(0, 2)),       # event type index
+        min_size=1, max_size=16,
+    ),
+)
+def test_streaming_scd2_matches_python_islands(spark, events):
+    # the stateful drain (midpoint split + flush sentinel) must equal a
+    # pure-python gaps-and-islands build on adversarial sequences: tie
+    # timestamps (ordered by event_id), single-user bursts, type runs.
+    # (tempfile, not the tmp_path fixture: hypothesis re-runs the body
+    # per example and needs a fresh dir each time)
+    import tempfile
+    import uuid as _uuid
+
+    from research_data_pipeline_spark.streaming.jobs import (
+        run_scd2_stream_to_batch,
+    )
+
+    rows = [
+        (eid, _ts(s), int(u), f"t{k}")
+        for eid, (u, s, k) in enumerate(events)
+    ]
+    path = tempfile.mkdtemp(prefix="scd2_prop_") + f"/ev_{_uuid.uuid4().hex[:8]}" 
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    ).coalesce(1).write.parquet(path)
+    got = sorted(
+        (r["user_id"], r["version"], r["state"], r["valid_from_us"],
+         r["valid_to_us"], r["is_current"], r["n_events"])
+        for r in run_scd2_stream_to_batch(spark, path).collect()
+    )
+    # python reference
+    expect = []
+    byu: dict[int, list] = {}
+    for eid, ts, u, t in sorted(rows, key=lambda r: (r[1], r[0])):
+        byu.setdefault(u, []).append((int(ts.timestamp() * 1_000_000), t))
+    for u, seq in byu.items():
+        islands = []
+        for us, t in seq:
+            if not islands or islands[-1][0] != t:
+                islands.append([t, us, 0])
+            islands[-1][2] += 1
+        for v, (t, us, n) in enumerate(islands, start=1):
+            nxt = islands[v][1] if v < len(islands) else None
+            expect.append((u, v, t, us, nxt, nxt is None, n))
+    expect = sorted((u, v, t, f, to, cur, n) for u, v, t, f, to, cur, n in expect)
+    assert got == expect
