@@ -1733,3 +1733,65 @@ def e38_streaming_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_scd2_stream_to_batch(
         spark, f"{sf_dir}/events.parquet", user_sample_ppm=200_000
     )
+
+
+# ---------------------------------------------------------------------------
+# e39: TEMPORAL dimension join — the fact-to-SCD2 pattern every
+# warehouse runs: enrich each purchase event with the user's versioned
+# state AS OF the event's own timestamp (half-open containment; the
+# open current version catches the tail). The plan is a keyed equi-join
+# on user_id with the interval predicate as a post-join filter — the
+# right shape because SCD2 versions per user are few (fan-out = version
+# count, not a range-join pair space); a dimension with huge per-key
+# version counts would switch to e25's binned range join. Joining each
+# purchase to the version OPENED BY ITSELF is the classic off-by-one:
+# the filter uses <= / > exactly as the oracle does, so an event that
+# opens version v lands in v (its own state), not v-1.
+_TDJ_ORACLE = f"""
+    WITH scd AS ({_SCD2_ORACLE}),
+    fact AS (
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+               CAST(CAST(value AS DECIMAL(12,4)) * 100 AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT f.event_id, f.user_id, f.ts_us, f.cents,
+           s.version, s.state, s.valid_from_us
+    FROM fact f
+    JOIN scd s
+      ON s.user_id = f.user_id
+     AND s.valid_from_us <= f.ts_us
+     AND (s.valid_to_us IS NULL OR s.valid_to_us > f.ts_us)
+"""
+
+
+@REGISTRY.add("e39_temporal_dim_join", _TDJ_ORACLE, "events", "warehouse",
+              "cdc")
+def e39_temporal_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchases enriched with the user's SCD2 state as of each event's
+    timestamp (keyed join + interval filter; version fan-out bounded)."""
+    from ..tables import epoch_us
+
+    scd = e34_scd2_intervals(spark, sf_dir).select(
+        "user_id", "version", "state", "valid_from_us", "valid_to_us"
+    )
+    fact = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            epoch_us(F.col("ts")).alias("ts_us"),
+            F.expr("CAST(CAST(value AS DECIMAL(12,4)) * 100 AS BIGINT)")
+            .alias("cents"),
+        )
+    )
+    return (
+        fact.join(scd, "user_id")
+        .where(
+            (F.col("valid_from_us") <= F.col("ts_us"))
+            & (F.col("valid_to_us").isNull()
+               | (F.col("valid_to_us") > F.col("ts_us")))
+        )
+        .select("event_id", "user_id", "ts_us", "cents", "version", "state",
+                "valid_from_us")
+    )

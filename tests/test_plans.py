@@ -379,3 +379,12 @@ def test_d60_ingest_no_pair_space(spark, sf_dir):
     plan = _plan(spark, sf_dir, "d60_incremental_ann_ingest")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_e39_temporal_join_is_keyed(spark, sf_dir):
+    # the interval predicate must ride a user_id equi-join (post-join
+    # filter), never a range-join pair space or Python evaluator
+    plan = _plan(spark, sf_dir, "e39_temporal_dim_join")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
