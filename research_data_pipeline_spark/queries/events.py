@@ -1795,3 +1795,94 @@ def e39_temporal_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "ts_us", "cents", "version", "state",
                 "valid_from_us")
     )
+
+
+# ---------------------------------------------------------------------------
+# e40: top SESSION PATHS — the product-analytics staple after
+# sessionization: which exact event-type sequences do sessions follow
+# most often (onboarding funnels, rage paths, drop-in-one-step)?
+# Sessions come from e03's gap logic (30-min inactivity); each
+# session's path is its event types joined in (ts, event_id) order —
+# order imposed by sorting (ts_us, event_id, event_type) structs, not
+# collect order, so the path string is deterministic under any
+# partitioning. Top 25 by (count desc, path asc): result-bounded
+# TakeOrderedAndProject, never a global sort of the path table.
+_PATHS_K = 25
+_PATHS_ORACLE = """
+    WITH w AS (
+        SELECT user_id, ts, event_id, event_type, epoch_us(ts) AS ts_us,
+               CASE WHEN LAG(ts) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id)
+                        IS NULL
+                    OR epoch_us(ts) - epoch_us(LAG(ts) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id))
+                       > 1800000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+    ), numbered AS (
+        SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM w
+    ), paths AS (
+        SELECT user_id, session_id,
+               array_to_string(list(event_type ORDER BY ts_us, event_id),
+                               '>') AS path,
+               CAST(COUNT(*) AS BIGINT) AS path_len
+        FROM numbered GROUP BY user_id, session_id
+    )
+    SELECT path,
+           CAST(MIN(path_len) AS BIGINT) AS path_len,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path ASC
+    LIMIT 25
+"""
+
+
+@REGISTRY.add("e40_session_paths", _PATHS_ORACLE, "events", "sessions",
+              "funnel")
+def e40_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 25 most common exact session event-type paths (30-min gap
+    sessions; deterministic struct-sort order inside each session)."""
+    from ..tables import epoch_us
+
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 30 * 60 * 1_000_000
+    us = epoch_us(F.col("ts"))
+    lag_us = epoch_us(F.lag("ts").over(w))
+    marked = e.withColumn(
+        "new_sess",
+        F.when(lag_us.isNull() | ((us - lag_us) > gap_us), 1).otherwise(0),
+    )
+    numbered = marked.withColumn(
+        "session_id",
+        F.sum("new_sess").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    ).withColumn("ts_us", us)
+    paths = (
+        numbered.groupBy("user_id", "session_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("ts_us", "event_id", "event_type")
+                        )
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("path"),
+            F.count(F.lit(1)).cast("bigint").alias("path_len"),
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(
+            F.min("path_len").cast("bigint").alias("path_len"),
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        )
+        .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+        .limit(_PATHS_K)
+    )

@@ -388,3 +388,12 @@ def test_e39_temporal_join_is_keyed(spark, sf_dir):
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_e40_session_paths_bounded_topk(spark, sf_dir):
+    # the top-25 cut must be a per-partition heap + driver merge
+    # (TakeOrderedAndProject), never a global sort of the path table
+    plan = _plan(spark, sf_dir, "e40_session_paths")
+    assert "TakeOrderedAndProject" in plan
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
