@@ -22,6 +22,13 @@ SAMPLE = [
     "d26_semantic_dedup", "d36_pq_adc_topk", "d44_contrastive_pairs",
     "m02_media_decode_stats", "m08_png_roundtrip", "m10_thumbnail",
     "m11_audio_downsample", "e29_mad_outliers", "s14_poisson_bootstrap",
+    # round-7 families: nulled doc text must not crash the sampled
+    # calibration audits or DSIR; nulled embeddings must be dropped by
+    # the ingest assigner; nulled event values must not break the
+    # decimal-cents features
+    "d55_sketch_calibration", "d56_dsir_importance",
+    "d60_incremental_ann_ingest", "e35_pit_training_set",
+    "e37_decayed_user_value", "s18_cuped_theta",
 ]
 
 
