@@ -287,6 +287,31 @@ _GREEN_ROUNDS: dict[str, frozenset[str]] = {
         "q24_cube_revenue", "q27_profile_customer",
         "q28_segment_quartiles", "s02_heavy_hitters"
     }),
+    "r07": frozenset({
+        "d13_ann_ivf", "d13b_ivf_lloyd_recall", "d26_semantic_dedup",
+        "d28_bigram_lm_nll", "d32b_bpe_training", "d38_bpe_encode",
+        "d44_contrastive_pairs", "d47_scorer_agreement",
+        "d51_gopher_rules", "d52_source_kl_divergence",
+        "d54_tokenizer_fertility", "d55_sketch_calibration",
+        "d56_dsir_importance", "d57_vocab_coverage",
+        "d58_leakage_free_split", "d59_minhash_calibration",
+        "d60_incremental_ann_ingest", "e30_stream_agg_merge",
+        "e33_user_growth", "e34_scd2_intervals", "e35_pit_training_set",
+        "e36_asof_snapshot", "e37_decayed_user_value",
+        "e38_streaming_scd2", "e39_temporal_dim_join",
+        "e40_session_paths", "g12_hits_authorities",
+        "g13_label_prop_communities", "g14_link_prediction",
+        "g15_degree_assortativity", "m08_png_roundtrip",
+        "m09_wav_roundtrip", "m10_thumbnail", "m11_audio_downsample",
+        "m12_audio_quality", "q36_fuzzy_name_blocks",
+        "q37_snapshot_diff", "q38_retention_purge",
+        "q39_target_encoding", "q40_sql_surface",
+        "q41_survivorship_merge", "q42_k_anonymity",
+        "q43_join_skew_audit", "s12_quality_report",
+        "s13_hll_registers", "s14_poisson_bootstrap",
+        "s15_stratified_topk_sample", "s16_weighted_median",
+        "s17_weighted_quartiles", "s18_cuped_theta"
+    }),
 }
 
 # Queries whose implementation changed materially AFTER their newest green
@@ -296,33 +321,19 @@ _GREEN_ROUNDS: dict[str, frozenset[str]] = {
 # the rewrite claims an early verification slot in the next round; clear
 # the set once the post-rewrite green row lands.
 _REWRITTEN_SINCE_GREEN: set[str] = {
-    # (r05 verified all round-4/5 rewrites — d06/d07/d19/g02/g05/q08 all
-    # have post-rewrite green rows in CORRECTNESS_r05.json; set cleared.)
-    # round 6: q36's self-pair multiplicity switched from float-div-cast
-    # to integer `div` (advisor note) after its r05 green row
-    "q36_fuzzy_name_blocks",
-    # round 6 (late): _ivf_broadcast_topk vectorized by probe-set groups
-    # (verdict's weak item) after d13/d13b's green rows; d32b's merge
-    # round grew a carry param (no behavior change, parity re-proven)
-    "d13_ann_ivf",
+    # (r07 verified every round-6/7 rewrite — q36, d13, d13b, d32b, d26,
+    # d44, d28, d47, e30, d38 all have post-rewrite green rows in
+    # CORRECTNESS_r07.json, taken at HEAD; set cleared at round-8 start.)
+    # round 8: d13b's Lloyd loop localCheckpoints the normalized-vector
+    # frame once and folds the final assignment into the last iteration
+    # (verdict task 4) after its r07 green row; d19/d41/d43/d48/d58 now
+    # read the shared resolved cluster-canonical table (verdict task 5).
     "d13b_ivf_lloyd_recall",
-    "d32b_bpe_training",
-    # round 7: registered d26/d44 switched from fixed n_cells=16 to
-    # corpus-derived auto-sizing (both engines) after their r06 greens
-    "d26_semantic_dedup",
-    "d44_contrastive_pairs",
-    # round 7: bigram-LM model tables now derive from one materialized
-    # occ aggregate (was 3 corpus exchanges); d47 chains its second rank
-    # pass over the first's output (no rq⋈rn re-join, scorers run once)
-    "d28_bigram_lm_nll",
-    "d47_scorer_agreement",
-    # round 7: e30's applied-batch marker moved inside the swapped state
-    # dir (crash-window fix) — fold logic extracted to _fold_state_batch
-    "e30_stream_agg_merge",
-    # round 7 (late): d38's encode table extracted into the shared
-    # session cache (_bpe_enc_table) so d54 reuses one materialized copy
-    # — same values, new plan shape, re-verify early
-    "d38_bpe_encode",
+    "d19_dedup_clusters",
+    "d41_dedup_savings",
+    "d43_corpus_funnel",
+    "d48_quality_canonicals",
+    "d58_leakage_free_split",
 }
 
 
@@ -376,14 +387,33 @@ def all_specs() -> dict[str, QuerySpec]:
     # first.
     max_round = len(_GREEN_ROUNDS)
     cycle = max(1, -(-len(specs) // 50))
-    at_risk_max = max_round + 1 - cycle
+    at_risk_max = max_round + 1 - cycle  # noqa: F841 — documented band edge
+
+    # Round-8 ordering fix (verdict task 2): never-green queries rank ABOVE
+    # everything except rewritten-since-green. The old placement (just
+    # below the at-risk band) let the verify-cost tiebreak starve the four
+    # expensive never-checked queries (d50/d53/e23/e24) out of the 50-row
+    # cap two rounds running. A query with zero driver hard-signal rows is
+    # strictly less certified than one whose newest green row is merely
+    # old, so it claims the slot first; cost stays a tiebreak WITHIN bands
+    # only. Deferral policy (verdict task 3): r08's due-list exceeds the
+    # 50-row cap, so ONE query is deferred deliberately —
+    # q23_part_name_positions, the cheapest (0.16 s) member of the r04
+    # band with the longest unbroken green streak (r01/r02/r04). It sorts
+    # dead last this round and MUST be verified first in r09 (move it to
+    # the head priority then). Any further overflow falls on the tail of
+    # the least-recently-green band under the same (streak length, cost)
+    # logic: evidence age breaks before evidence volume.
+    deferred_r08 = {"q23_part_name_positions"}
 
     def _order(name: str) -> float:
+        if name in deferred_r08:
+            return float(max_round) + 2.0  # deliberate r08 deferral
         if name in _REWRITTEN_SINCE_GREEN:
             return -1.0
         lg = _last_green(name)
         if lg == 0:
-            return at_risk_max + 0.5  # never-green: just below at-risk band
+            return -0.5  # never-green: first slots after rewrites
         return float(lg)
 
     return dict(
