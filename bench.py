@@ -70,6 +70,19 @@ def main() -> int:
     _bpe_enc_table(spark, sf_dir)
     shared["bpe_enc_table"] = round(time.perf_counter() - t0, 3)
 
+    # d19/d41/d43/d48/d58 share the resolved cluster-canonical table
+    # (built from the pair stream above, so this times only the CC
+    # resolution + materialization)
+    from research_data_pipeline_spark.queries.docs import (
+        _cluster_table,
+        _CLUSTER_CACHE,
+    )
+
+    _CLUSTER_CACHE.clear()
+    t0 = time.perf_counter()
+    _cluster_table(spark, sf_dir)
+    shared["cluster_table"] = round(time.perf_counter() - t0, 3)
+
     # Best-of-2 per query: a transient load spike or first-touch codegen
     # compile can inflate a single run 2-4x (round 3's "regression" was
     # exactly that — 7 unchanged queries drifted 2-4x on a loaded

@@ -420,27 +420,34 @@ def _lloyd_refine(
 ) -> np.ndarray:
     """Distributed Lloyd refinement of the centroid matrix.
 
-    Each iteration is ONE Arrow-batched assignment pass (argmax cosine
-    against the broadcast centroids — cosine is scale-invariant in the
-    centroid, so unnormalized means are equivalent to normalized) plus a
-    per-(cell, dimension) mean aggregation. The collect is bounded by
-    n_cells × dim — the same broadcastability precondition the index
-    already requires — so refinement adds passes, never a new scale
-    limit. Empty cells keep their previous centroid.
+    Each iteration is ONE Arrow-batched pass that assigns every vector
+    (argmax cosine against the broadcast centroids — cosine is
+    scale-invariant in the centroid, so unnormalized means are
+    equivalent to normalized) AND reduces it map-side to per-cell
+    partial (count, sum-vector) rows: the pass emits at most
+    n_cells rows per partition instead of one row per vector, so the
+    driver pull is bounded by n_partitions × n_cells × dim — no
+    per-vector shuffle at all (round 7 posexploded every vector into
+    dim rows and shuffled n·dim rows per iteration; the partial-sum
+    form is the map-side combine Catalyst could not see through the
+    opaque mapInPandas). Empty cells keep their previous centroid.
     """
     import pandas as pd
 
     sc = df.sparkSession.sparkContext
     dim = C.shape[1]
+    n_cells = C.shape[0]
     for _ in range(iters):
         bc = sc.broadcast(C)
 
-        def assign_cells(batches):
+        def cell_partials(batches):
             M = bc.value
             macc = M[:, 0] * M[:, 0]
             for kk in range(1, M.shape[1]):
                 macc = macc + M[:, kk] * M[:, kk]
             mn = np.sqrt(macc)
+            sums = np.zeros((n_cells, dim))
+            counts = np.zeros(n_cells, dtype=np.int64)
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
@@ -450,28 +457,32 @@ def _lloyd_refine(
                     acc = acc + A[:, kk] * A[:, kk]
                 S = _cosine_block(A, M) / np.outer(np.sqrt(acc), mn)
                 cells = np.argmax(S, axis=1)
-                yield pd.DataFrame(
-                    {"cell": cells.astype("int64"), "_v": [list(map(float, a)) for a in A]}
-                )
+                np.add.at(sums, cells, A)
+                counts += np.bincount(cells, minlength=n_cells)
+            hit = np.flatnonzero(counts)
+            yield pd.DataFrame(
+                {
+                    "cell": hit.astype("int64"),
+                    "cnt": counts[hit],
+                    "s": [list(map(float, sums[c])) for c in hit],
+                }
+            )
 
-        assigned = df.select(id_col, vec_col).mapInPandas(
-            assign_cells, schema="cell bigint, _v array<double>"
-        )
-        means = (
-            assigned.select("cell", F.posexplode("_v").alias("pos", "x"))
-            .groupBy("cell", "pos")
-            .agg(F.avg("x").alias("m"))
-            .collect()  # bounded: n_cells × dim rows
+        partials = (
+            df.select(vec_col)
+            .mapInPandas(
+                cell_partials, schema="cell bigint, cnt bigint, s array<double>"
+            )
+            .collect()  # bounded: n_partitions × n_cells rows
         )
         newC = C.copy()
-        by_cell: dict[int, list] = {}
-        for r in means:
-            by_cell.setdefault(r["cell"], []).append((r["pos"], r["m"]))
-        for cell, pts in by_cell.items():
-            vec = np.zeros(dim)
-            for pos, m in pts:
-                vec[pos] = m
-            newC[cell] = vec
+        sums = np.zeros((n_cells, dim))
+        counts = np.zeros(n_cells, dtype=np.int64)
+        for r in partials:
+            sums[r["cell"]] += np.asarray(r["s"])
+            counts[r["cell"]] += r["cnt"]
+        hit = counts > 0
+        newC[hit] = sums[hit] / counts[hit, None]
         C = newC
         bc.destroy()
     return C
@@ -518,6 +529,22 @@ def ann_topk_ivf(
 
     _require_integral_id(df, id_col)
     df = _drop_null_vectors(df, vec_col)
+    if lloyd_iters > 0:
+        # Refinement makes lloyd_iters + 1 full passes over the vectors
+        # (one per iteration + the final index assignment); materialize
+        # the projected frame once so each pass reads checkpointed
+        # blocks instead of re-running the scan + null-drop. Partition
+        # count scales with the data (≥512 vectors per task, capped at
+        # defaultParallelism): each pass is an Arrow→numpy kernel whose
+        # per-task cost is dominated by the Python-worker roundtrip, so
+        # a small corpus must not fan out to 32 near-empty workers per
+        # iteration, while a large one still uses the full machine.
+        if n is None:
+            n = df.count()
+        parts = max(4, min(
+            df.sparkSession.sparkContext.defaultParallelism, -(-n // 512)
+        ))
+        df = df.select(id_col, vec_col).repartition(parts).localCheckpoint()
     crows = sorted(
         df.where(F.col(id_col) < n_cells).select(id_col, vec_col).collect(),
         key=lambda r: r[0],
@@ -558,11 +585,16 @@ def ann_topk_ivf(
                 out, columns=[id_col, "_v", "norm", "cell", "probes"]
             )
 
-    n_parts = df.sparkSession.sparkContext.defaultParallelism
     schema = f"{id_col} bigint, _v array<double>, norm double, cell bigint, probes array<bigint>"
-    assigned = (
-        df.select(id_col, vec_col).repartition(n_parts).mapInPandas(assign, schema=schema)
-    ).cache()  # read twice: query side and member side
+    base = df.select(id_col, vec_col)
+    if lloyd_iters <= 0:
+        # spread the scan for the kernel; the Lloyd path already sized
+        # and checkpointed its partitioning above — no extra exchange
+        base = base.repartition(
+            df.sparkSession.sparkContext.defaultParallelism
+        )
+    assigned = base.mapInPandas(assign, schema=schema).cache()
+    # read twice: query side and member side
 
     from .decisions import record
 

@@ -828,6 +828,63 @@ _CLUSTER_ORACLE = f"""{_CLUSTER_CTES}
 """
 
 
+# The RESOLVED cluster-canonical table (doc_id, canonical_id,
+# cluster_size, is_canonical) is the third shared suite artifact: d19
+# registers it, and d41 (savings), d43 (funnel), d48 (quality
+# canonicals) and d58 (leakage-free split) all compose it. Before round
+# 8 each consumer re-ran the iterative CC label rounds from the pair
+# stream; a production pipeline resolves clusters ONCE per corpus and
+# every downstream decision reads the table. Same cache contract as
+# _PAIR_STREAM_CACHE / _BPE_ENC_CACHE: localCheckpoint-materialized,
+# keyed by (session, dataset), stopped-session eviction; bench.py times
+# the build separately under `shared`.
+_CLUSTER_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _cluster_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..graph.build import connected_components
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _CLUSTER_CACHE.get(key)
+    if cached is None:
+        d = load(spark, sf_dir, "documents")
+        pairs = _lsh_pair_stream(spark, sf_dir).where(
+            F.col("jaccard") >= _CLUSTER_T
+        )
+        # symmetrize: the CC operator propagates labels along edge
+        # direction
+        edges = pairs.select(
+            F.col("i").alias("src"), F.col("j").alias("dst")
+        ).unionByName(
+            pairs.select(F.col("j").alias("src"), F.col("i").alias("dst"))
+        )
+        # the near-dup graph mixes dense cliques with long low-overlap
+        # chains: hand off to star contraction after 3 propagation rounds
+        # (measured fastest here; the default 6-round probe pays 3 extra
+        # full-edge joins before reaching the same contraction)
+        comp = connected_components(
+            d.select("doc_id"), edges, id_col="doc_id", prop_rounds=3
+        )
+        w = W.partitionBy("canonical_id")
+        cached = (
+            comp.select(
+                F.col("node").alias("doc_id"),
+                F.col("label").alias("canonical_id"),
+            )
+            .withColumn(
+                "cluster_size", F.count(F.lit(1)).over(w).cast("bigint")
+            )
+            .withColumn(
+                "is_canonical", F.col("doc_id") == F.col("canonical_id")
+            )
+            .localCheckpoint()
+        )
+        for k in [k for k in _CLUSTER_CACHE if k[0] != key[0]]:
+            del _CLUSTER_CACHE[k]
+        _CLUSTER_CACHE[key] = cached
+    return cached
+
+
 @REGISTRY.add("d19_dedup_clusters", _CLUSTER_ORACLE, "dedup", "lsh", "iterative")
 def d19_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate CLUSTERS with canonical selection — the step a
@@ -844,37 +901,14 @@ def d19_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB's recursive-CTE reachability — a different fixpoint mechanism
     agreeing on every label, as in g05.
 
-    The pair stream is SHARED with d06 (``_lsh_pair_stream``): one
-    tokenize + signature + band-join pass per (session, dataset),
-    filtered here to the tighter cluster threshold — band candidates
-    don't depend on the threshold, so the filtered stream is value-
-    identical to a full run at 0.95 (verified by the unchanged oracle).
+    Two suite artifacts are SHARED here: the pair stream with d06
+    (``_lsh_pair_stream`` — band candidates don't depend on the
+    threshold, so filtering to 0.95 is value-identical to a full run at
+    0.95), and the resolved cluster table itself (``_cluster_table``)
+    with d41/d43/d48/d58 — clusters are resolved once per (session,
+    dataset) and every consumer reads the materialized table.
     """
-    from ..graph.build import connected_components
-
-    d = load(spark, sf_dir, "documents")
-    pairs = _lsh_pair_stream(spark, sf_dir).where(
-        F.col("jaccard") >= _CLUSTER_T
-    )
-    # symmetrize: the CC operator propagates labels along edge direction
-    edges = pairs.select(F.col("i").alias("src"), F.col("j").alias("dst")).unionByName(
-        pairs.select(F.col("j").alias("src"), F.col("i").alias("dst"))
-    )
-    # the near-dup graph mixes dense cliques with long low-overlap
-    # chains: hand off to star contraction after 3 propagation rounds
-    # (measured fastest here; the default 6-round probe pays 3 extra
-    # full-edge joins before reaching the same contraction)
-    comp = connected_components(
-        d.select("doc_id"), edges, id_col="doc_id", prop_rounds=3
-    )
-    w = W.partitionBy("canonical_id")
-    return (
-        comp.select(
-            F.col("node").alias("doc_id"), F.col("label").alias("canonical_id")
-        )
-        .withColumn("cluster_size", F.count(F.lit(1)).over(w).cast("bigint"))
-        .withColumn("is_canonical", F.col("doc_id") == F.col("canonical_id"))
-    )
+    return _cluster_table(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------
@@ -2461,7 +2495,7 @@ def d41_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source document/token savings of keep-one-per-cluster dedup
     (d19's clusters, shared pair stream)."""
     d = load(spark, sf_dir, "documents")
-    clusters = d19_dedup_clusters(spark, sf_dir).select(
+    clusters = _cluster_table(spark, sf_dir).select(
         "doc_id", "is_canonical"
     )
     n_tok = F.size(F.split("text", " ")).cast("bigint")
@@ -2530,7 +2564,7 @@ def d43_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     attrition counts and final token yield (composition of d19/d20/d23)."""
     d = load(spark, sf_dir, "documents")
     q = d20_curation_filter(spark, sf_dir).select("doc_id", "verdict")
-    c = d19_dedup_clusters(spark, sf_dir).select("doc_id", "is_canonical")
+    c = _cluster_table(spark, sf_dir).select("doc_id", "is_canonical")
     ct = d23_benchmark_decontamination(spark, sf_dir).select(
         "doc_id", "contaminated"
     )
@@ -2875,7 +2909,7 @@ _QCANON_ORACLE = f"""{_CLUSTER_CTES},
 def d48_quality_canonicals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Best-quality-member canonical per near-dup cluster (tie → smaller
     id), with the min-id-vs-quality policy delta flagged per row."""
-    clusters = d19_dedup_clusters(spark, sf_dir).select(
+    clusters = _cluster_table(spark, sf_dir).select(
         "doc_id", F.col("canonical_id").alias("cluster_id")
     )
     q = d03_quality_score(spark, sf_dir)
@@ -3716,7 +3750,7 @@ def d58_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise("test")
         )
 
-    clusters = d19_dedup_clusters(spark, sf_dir).select(
+    clusters = _cluster_table(spark, sf_dir).select(
         "doc_id", "canonical_id"
     )
     return clusters.select(
