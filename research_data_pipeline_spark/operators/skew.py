@@ -84,3 +84,70 @@ def salted_agg(
         .groupBy(*keys)
         .agg(*combine)
     )
+
+
+def measured_skew_ppm(df: DataFrame, keys: list[str]) -> int:
+    """Hot-key skew of ``df`` grouped by ``keys`` as integer ppm —
+    max·n_keys·10⁶ div n_rows, i.e. (hottest key) / (uniform share) —
+    the exact statistic q43's audit publishes per join key. 1e6 means
+    uniform; ≥ 10e6 means one key owns ten partitions' worth of rows.
+    One map-side-combined groupBy + a scalar agg; at 100 TB this is the
+    cheap pre-pass that replaces salting guesswork (or is read from the
+    standing q43 audit table instead of re-measured)."""
+    per_key = df.groupBy(*[F.col(k) for k in keys]).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    row = per_key.agg(
+        F.expr("CAST(max(c) * count(*) * 1000000 div sum(c) AS BIGINT)").alias(
+            "ppm"
+        )
+    ).first()
+    if row is None or row["ppm"] is None:
+        return 1_000_000
+    return int(row["ppm"])
+
+
+def maybe_salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: list[tuple[str, str, str]],
+    threshold_ppm: int = 10_000_000,
+    n_salts: int = 8,
+    skew_ppm: int | None = None,
+) -> DataFrame:
+    """The ACTING guard q43's audit feeds: aggregate ``df`` by ``keys``,
+    flipping to the two-phase salted reduction when the measured hot-key
+    skew crosses ``threshold_ppm`` (default: the hottest key holds ≥ 10×
+    its uniform share — ten partitions' worth of rows funneling into one
+    reduce task).
+
+    ``skew_ppm`` short-circuits the measurement pass when the caller
+    already has the number (the standing q43 audit, a previous call);
+    otherwise one measurement groupBy runs first — map-side combined,
+    shuffling one row per distinct key. The decision is recorded in
+    ``decisions.LAST['maybe_salted_agg']`` so tests and operators assert
+    the flip on real inputs rather than parsing AQE-rewritten plans.
+    Both paths produce identical rows for the decomposable aggregate set
+    (sum/count/min/max) — the salted path's two-phase combine is exact.
+    """
+    from .decisions import record
+
+    ppm = measured_skew_ppm(df, keys) if skew_ppm is None else int(skew_ppm)
+    use_salt = ppm >= threshold_ppm
+    record(
+        "maybe_salted_agg",
+        skew_ppm=ppm,
+        threshold_ppm=threshold_ppm,
+        path="salted" if use_salt else "plain",
+    )
+    if use_salt:
+        return salted_agg(df, keys, aggs, n_salts=n_salts)
+    exprs = []
+    for col, fn, out in aggs:
+        if fn == "count":
+            exprs.append(F.count(F.lit(1)).alias(out))
+        elif fn in ("sum", "min", "max"):
+            exprs.append(getattr(F, fn)(col).alias(out))
+        else:
+            raise ValueError(f"non-decomposable aggregate {fn!r}")
+    return df.groupBy(*keys).agg(*exprs)

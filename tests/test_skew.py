@@ -54,3 +54,59 @@ def test_salted_join_correct_under_hot_key(spark):
     out = salted_join(big, dim, "user_id", n_salts=8)
     agg = {r["tag"]: r["n"] for r in out.groupBy("tag").agg(F.count("*").alias("n")).collect()}
     assert agg == {"hot": N_HOT, "a": 1, "b": 1, "c": 1}
+
+
+def test_maybe_salted_agg_flips_on_measured_skew(spark):
+    """The acting guard (verdict r7 #6): the same aggregation spec runs
+    the plain single-shuffle plan on a uniform key and flips to the
+    two-phase salted reduction on a 10×-hot key — with identical results
+    both ways, the decision recorded, and the plan shape proving the
+    flip (salted path has a two-level aggregate on (keys, _salt))."""
+    from research_data_pipeline_spark.io.layout import formatted_plan
+    from research_data_pipeline_spark.operators.decisions import LAST
+    from research_data_pipeline_spark.operators.skew import (
+        maybe_salted_agg,
+        measured_skew_ppm,
+    )
+
+    aggs = [("value", "sum", "total"), ("value", "count", "n"),
+            ("value", "max", "v_max")]
+
+    uniform = spark.range(4000).select(
+        (F.col("id") % 40).alias("user_id"),
+        (F.col("id") % 13).cast("double").alias("value"),
+    )
+    exp0 = [float(40 * k % 13) for k in range(100)]  # user 0's values
+    # 1 hot user with 100k rows + 100 cold users with 10 each:
+    # skew_ppm = 100000·101·10⁶ div 101000 ≈ 10⁸ ≫ the 10⁷ threshold
+    hot = spark.range(100_000).select(
+        F.lit(HOT).cast("bigint").alias("user_id"),
+        (F.col("id") % 13).cast("double").alias("value"),
+    )
+    cold = spark.range(1000).select(
+        (F.col("id") % 100 + 100).alias("user_id"),
+        (F.col("id") % 13).cast("double").alias("value"),
+    )
+    skewed = hot.unionByName(cold)
+
+    # uniform: exactly 100 rows per key -> ppm == 1e6, plain path
+    plain = maybe_salted_agg(uniform, ["user_id"], aggs)
+    assert LAST["maybe_salted_agg"]["path"] == "plain"
+    assert LAST["maybe_salted_agg"]["skew_ppm"] == 1_000_000
+    assert "_salt" not in formatted_plan(plain)
+    got_plain = {r["user_id"]: (r["total"], r["n"], r["v_max"])
+                 for r in plain.collect()}
+    assert got_plain[0] == (sum(exp0), 100, max(exp0))
+
+    # skewed: guard flips; forced-plain and salted results are identical
+    assert measured_skew_ppm(skewed, ["user_id"]) >= 10_000_000
+    salted = maybe_salted_agg(skewed, ["user_id"], aggs)
+    assert LAST["maybe_salted_agg"]["path"] == "salted"
+    assert "_salt" in formatted_plan(salted)
+    baseline = maybe_salted_agg(
+        skewed, ["user_id"], aggs, skew_ppm=1_000_000
+    )  # caller-supplied audit number short-circuits measurement
+    assert LAST["maybe_salted_agg"]["path"] == "plain"
+    got_s = {tuple(r) for r in salted.collect()}
+    got_b = {tuple(r) for r in baseline.collect()}
+    assert got_s == got_b and len(got_s) == 101
