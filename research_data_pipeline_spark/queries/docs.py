@@ -3982,3 +3982,138 @@ def d60_incremental_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("growth_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# d61: DUPLICATED n-GRAM COVERAGE — the Lee-et-al corpus statistic that
+# motivates span dedup (d50 finds the spans; this measures the mass):
+# for each document, what fraction of its 5-gram OCCURRENCES is text
+# that also appears in at least one other document? One shuffle keyed on
+# the shingle (groupBy → distinct-doc count), one keyed on doc_id — the
+# standard two-exchange job. Shingles are grouped by their string here
+# (sf-scale corpora); at 100 TB the group key is a 128-bit hash of the
+# shingle (same plan, 16-byte keys) — collisions only ever OVERSTATE
+# duplication by gluing two shingles, never lose mass.
+_DUPCOV_N = 5
+_DUPCOV_ORACLE = f"""
+    WITH t AS (
+        SELECT doc_id, {_TOKS} AS toks FROM documents
+        WHERE len({_TOKS}) >= {_DUPCOV_N}
+    ), occ AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks) - {_DUPCOV_N - 2}),
+                      i -> array_to_string(toks[i:i+{_DUPCOV_N - 1}], ' ')))
+                   AS g
+        FROM t
+    ), dfreq AS (
+        SELECT g, COUNT(DISTINCT doc_id) AS nd FROM occ GROUP BY g
+    )
+    SELECT o.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup,
+           CAST(SUM(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS dup_ppm
+    FROM occ o JOIN dfreq d USING (g)
+    GROUP BY o.doc_id
+"""
+
+
+@REGISTRY.add("d61_dup_ngram_coverage", _DUPCOV_ORACLE, "dedup", "text",
+              "audit")
+def d61_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated 5-gram coverage (integer ppm of shingle
+    occurrences whose text appears in ≥2 documents) — the corpus
+    duplication-mass audit behind span-dedup decisions."""
+    d = load(spark, sf_dir, "documents").where(
+        F.size(T.tokens(F.col("text"))) >= _DUPCOV_N
+    )
+    occ = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(split(text, ' ')) - {_DUPCOV_N - 1}),"
+                f" i -> array_join(slice(split(text, ' '), i, {_DUPCOV_N}), ' '))"
+            )
+        ).alias("g"),
+    )
+    dfreq = occ.groupBy("g").agg(
+        F.count_distinct("doc_id").alias("nd")
+    )
+    return (
+        occ.join(dfreq, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).cast("bigint")
+            .alias("n_dup"),
+            F.expr(
+                "CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) * 1000000"
+                " div count(*) AS BIGINT)"
+            ).alias("dup_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# d62: SOURCE QUALITY PRIOR — empirical-Bayes shrinkage of the per-source
+# mean quality toward the corpus mean: sources with few documents get
+# pulled to the prior, high-volume sources keep their own mean. This is
+# the number a mixture policy (d29) reads when a NEW source appears with
+# 50 documents: its raw mean is noise, the shrunk prior is usable.
+# Quality here is the type-token ratio in integer ppm (distinct tokens
+# per token), so every stage — per-doc score, corpus mean, shrunk
+# posterior — stays in exact BIGINT arithmetic across both engines.
+_SQP_K = 20  # pseudo-count: the prior weighs as 20 documents
+_Q_PPM = f"CAST(len({_DTOKS}) * 1000000 // len({_TOKS}) AS BIGINT)"
+_SQP_ORACLE = f"""
+    WITH q AS (
+        SELECT source, {_Q_PPM} AS q_ppm FROM documents
+    ), g AS (
+        SELECT CAST(SUM(q_ppm) // COUNT(*) AS BIGINT) AS gq FROM q
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(q_ppm) // COUNT(*) AS BIGINT) AS mean_q_ppm,
+           CAST((SUM(q_ppm) + {_SQP_K} * (SELECT gq FROM g))
+                // (COUNT(*) + {_SQP_K}) AS BIGINT) AS prior_q_ppm,
+           CAST((SUM(q_ppm) + {_SQP_K} * (SELECT gq FROM g))
+                // (COUNT(*) + {_SQP_K})
+                - SUM(q_ppm) // COUNT(*) AS BIGINT) AS shrink_ppm
+    FROM q GROUP BY source
+"""
+
+
+@REGISTRY.add("d62_source_quality_prior", _SQP_ORACLE, "text", "quality",
+              "audit")
+def d62_source_quality_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source mean type-token quality (integer ppm) shrunk toward
+    the corpus mean with a 20-doc pseudo-count — the empirical-Bayes
+    prior a mixture policy reads for low-volume sources."""
+    d = load(spark, sf_dir, "documents")
+    q = d.select(
+        "source",
+        F.expr(
+            "CAST(size(array_distinct(split(text, ' '))) * 1000000"
+            " div size(split(text, ' ')) AS BIGINT)"
+        ).alias("q_ppm"),
+    )
+    g = q.agg(
+        F.expr("CAST(sum(q_ppm) div count(*) AS BIGINT)").alias("gq")
+    )
+    per_src = q.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("q_ppm").alias("_sum"),
+    )
+    return per_src.crossJoin(F.broadcast(g)).select(
+        "source",
+        "n_docs",
+        F.expr("CAST(_sum div n_docs AS BIGINT)").alias("mean_q_ppm"),
+        F.expr(
+            f"CAST((_sum + {_SQP_K} * gq) div (n_docs + {_SQP_K}) AS BIGINT)"
+        ).alias("prior_q_ppm"),
+        F.expr(
+            f"CAST((_sum + {_SQP_K} * gq) div (n_docs + {_SQP_K})"
+            " - _sum div n_docs AS BIGINT)"
+        ).alias("shrink_ppm"),
+    )

@@ -1886,3 +1886,162 @@ def e40_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
         .limit(_PATHS_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# e41: MULTI-TOUCH attribution — e09 gives the purchase to the single
+# latest view; real marketing attribution splits it across EVERY touch
+# (view/click) in the 24 h window before the purchase. The allocation
+# must be exact money: cents are FLOOR(value·100 + 0.5) BIGINTs, each
+# touch gets cents div n, and the integer remainder goes to the LAST
+# touch (the deterministic tie-break), so SUM(linear_cents) per purchase
+# equals the purchase's cents exactly — an invariant a float split can't
+# give. Plan: one equi-join on user_id with the time window as a
+# residual filter (pair space is per-user touches × purchases, never
+# cross-user), then one purchase-partitioned window.
+_MTA_WIN_US = 24 * 3600 * 1_000_000
+_MTA_ORACLE = f"""
+    WITH t AS (
+        SELECT user_id, event_id AS touch_id, event_type AS touch_type,
+               epoch_us(ts) AS t_us
+        FROM events WHERE event_type IN ('view', 'click')
+    ), p AS (
+        SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS p_us,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'
+    ), j AS (
+        SELECT p.purchase_id, p.user_id, p.cents, t.touch_id, t.touch_type,
+               t.t_us,
+               COUNT(*) OVER (PARTITION BY p.purchase_id) AS n_touches,
+               ROW_NUMBER() OVER (PARTITION BY p.purchase_id
+                                  ORDER BY t.t_us, t.touch_id) AS touch_rank
+        FROM p JOIN t ON t.user_id = p.user_id
+         AND t.t_us < p.p_us AND t.t_us >= p.p_us - {_MTA_WIN_US}
+    )
+    SELECT purchase_id, user_id, touch_id, touch_type,
+           CAST(n_touches AS BIGINT) AS n_touches,
+           CAST(touch_rank AS BIGINT) AS touch_rank,
+           CAST(cents // n_touches
+                + CASE WHEN touch_rank = n_touches
+                       THEN cents % n_touches ELSE 0 END AS BIGINT)
+               AS linear_cents
+    FROM j
+"""
+
+
+@REGISTRY.add("e41_multitouch_attribution", _MTA_ORACLE, "events",
+              "attribution")
+def e41_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase's exact cents split
+    evenly across its user's view/click touches in the prior 24 h, the
+    integer remainder assigned to the last touch so the per-purchase sum
+    is exact."""
+    from ..tables import epoch_us
+
+    e = load(spark, sf_dir, "events")
+    t = e.where(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        F.col("event_id").alias("touch_id"),
+        F.col("event_type").alias("touch_type"),
+        epoch_us(F.col("ts")).alias("t_us"),
+    )
+    p = e.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        epoch_us(F.col("ts")).alias("p_us"),
+        F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    j = p.join(t, "user_id").where(
+        (F.col("t_us") < F.col("p_us"))
+        & (F.col("t_us") >= F.col("p_us") - _MTA_WIN_US)
+    )
+    j = j.select(
+        "purchase_id", "user_id", "cents", "touch_id", "touch_type",
+        F.count(F.lit(1)).over(W.partitionBy("purchase_id"))
+        .alias("n_touches"),
+        F.row_number().over(
+            W.partitionBy("purchase_id").orderBy("t_us", "touch_id")
+        ).alias("touch_rank"),
+    )
+    return j.select(
+        "purchase_id", "user_id", "touch_id", "touch_type",
+        F.col("n_touches").cast("bigint").alias("n_touches"),
+        F.col("touch_rank").cast("bigint").alias("touch_rank"),
+        F.expr(
+            "CAST(cents div n_touches + CASE WHEN touch_rank = n_touches"
+            " THEN cents % n_touches ELSE 0 END AS BIGINT)"
+        ).alias("linear_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# e42: CDC APPLY — q37 diffs two snapshots into a change stream; this is
+# the other direction: fold an (at-least-once, possibly replayed) change
+# stream into the final snapshot. The stream is lineitem rows keyed by
+# order: lsn = l_linenumber (monotone within key), op = D when
+# l_returnflag = 'R' else U, payload = price cents (this synthetic
+# lineitem repeats linenumbers within an order, so the commit order is
+# the deterministic total order (lsn, op, cents) in both engines). The
+# stream is
+# deliberately UNIONED WITH ITSELF to model at-least-once delivery —
+# apply must dedup (key, lsn) before picking the max-lsn change, so the
+# replayed stream produces byte-identical state (the idempotence a real
+# CDC consumer needs). Deleted keys are absent from the output. Plan:
+# one distinct + one greatest-per-group window, both keyed on l_orderkey.
+_CDC_ORACLE = """
+    WITH raw AS (
+        SELECT l_orderkey AS key, CAST(l_linenumber AS BIGINT) AS lsn,
+               CASE WHEN l_returnflag = 'R' THEN 'D' ELSE 'U' END AS op,
+               CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   AS cents
+        FROM lineitem
+    ), stream AS (
+        SELECT * FROM raw UNION ALL SELECT * FROM raw
+    ), dedup AS (
+        SELECT DISTINCT key, lsn, op, cents FROM stream
+    ), ranked AS (
+        SELECT key, lsn, op, cents,
+               ROW_NUMBER() OVER (PARTITION BY key
+                                  ORDER BY lsn DESC, op DESC, cents DESC)
+                   AS rn,
+               COUNT(*) OVER (PARTITION BY key) AS n_changes
+        FROM dedup
+    )
+    SELECT key AS l_orderkey, CAST(lsn AS BIGINT) AS last_lsn,
+           cents AS final_cents,
+           CAST(n_changes AS BIGINT) AS n_changes
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+"""
+
+
+@REGISTRY.add("e42_cdc_apply", _CDC_ORACLE, "events", "cdc", "merge")
+def e42_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply an at-least-once CDC stream (self-unioned to model replay)
+    to a snapshot: dedup (key, lsn), keep each key's max-lsn change,
+    drop keys whose last op is a delete."""
+    l = load(spark, sf_dir, "lineitem")
+    raw = l.select(
+        F.col("l_orderkey").alias("key"),
+        F.col("l_linenumber").cast("bigint").alias("lsn"),
+        F.when(F.col("l_returnflag") == "R", "D").otherwise("U").alias("op"),
+        F.expr(
+            "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)"
+        ).alias("cents"),
+    )
+    stream = raw.unionByName(raw)  # at-least-once replay
+    dedup = stream.distinct()
+    ranked = dedup.select(
+        "key", "lsn", "op", "cents",
+        F.row_number().over(
+            W.partitionBy("key").orderBy(
+                F.col("lsn").desc(), F.col("op").desc(), F.col("cents").desc()
+            )
+        ).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("key")).alias("n_changes"),
+    )
+    return ranked.where((F.col("rn") == 1) & (F.col("op") != "D")).select(
+        F.col("key").alias("l_orderkey"),
+        F.col("lsn").alias("last_lsn"),
+        F.col("cents").alias("final_cents"),
+        F.col("n_changes").cast("bigint").alias("n_changes"),
+    )

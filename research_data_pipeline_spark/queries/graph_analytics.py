@@ -936,3 +936,114 @@ def g15_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ") AS BIGINT)"
         ).alias("assortativity_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# g16: PERSONALIZED PageRank — g06's fixed-point machinery with the
+# teleport mass restricted to a seed set (every 20th supplier): the
+# ranking "importance relative to THESE nodes" that powers
+# related-entity retrieval. Same integer-exact discipline (bigint
+# micro-units, floor divisions, 85/100 damping — bit-identical at any
+# partitioning); only the base vector changes: seeds restart with
+# (15 · SCALE div n_seeds) div 100, non-seeds restart with 0. Scale
+# shape is g06's: one edge⋈rank join + one groupBy(dst) per iteration.
+_PPR_ITERS = 3
+_PPR_SEED_MOD = 20
+
+_PPR_CTES = f"""
+    pairs AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    e AS (
+        SELECT a.l_suppkey AS src, b.l_suppkey AS dst
+        FROM pairs a JOIN pairs b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= {_CC_MIN_SHARED}
+    ),
+    deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1),
+    ns AS (SELECT COUNT(*) AS n FROM supplier
+           WHERE s_suppkey % {_PPR_SEED_MOD} = 0),
+    p0 AS (
+        SELECT s_suppkey AS node,
+               CASE WHEN s_suppkey % {_PPR_SEED_MOD} = 0
+                    THEN {_PR_SCALE} // (SELECT n FROM ns) ELSE 0 END AS pr
+        FROM supplier
+    )"""
+
+
+def _ppr_iter_sql(k: int) -> str:
+    prev = f"p{k - 1}"
+    return f"""
+    p{k} AS (
+        SELECT v.node,
+               CAST(CASE WHEN v.node % {_PPR_SEED_MOD} = 0
+                    THEN (15 * ({_PR_SCALE} // (SELECT n FROM ns))) // 100
+                    ELSE 0 END
+               + (85 * CAST(COALESCE(SUM(c.contrib), 0) AS BIGINT)) // 100
+               AS BIGINT) AS pr
+        FROM {prev} v
+        LEFT JOIN (
+            SELECT e.dst, p.pr // d.outdeg AS contrib
+            FROM e JOIN {prev} p ON p.node = e.src
+                   JOIN deg d ON d.src = e.src
+        ) c ON c.dst = v.node
+        GROUP BY v.node
+    )"""
+
+
+_PPR_ORACLE = (
+    "WITH "
+    + _PPR_CTES
+    + ","
+    + ",".join(_ppr_iter_sql(k) for k in range(1, _PPR_ITERS + 1))
+    + f"""
+    SELECT node, pr AS ppr_fp, node % {_PPR_SEED_MOD} = 0 AS is_seed
+    FROM p{_PPR_ITERS}"""
+)
+
+
+@REGISTRY.add("g16_personalized_pagerank", _PPR_ORACLE, "graph", "iterative")
+def g16_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point personalized PageRank (3 iterations, damping 85/100)
+    over the strong co-supplier graph, teleporting only to the seed set
+    (every 20th supplier); integer-exact vs the chained-CTE oracle."""
+    from ..graph.build import co_occurrence_edges
+
+    l = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    edges = co_occurrence_edges(
+        l, item_col="l_orderkey", actor_col="l_suppkey"
+    ).where(F.col("n_shared_orders") >= _CC_MIN_SHARED).select("src", "dst")
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ed = edges.join(deg, "src").localCheckpoint()  # reused every iteration
+
+    n_seeds = s.where(F.col("s_suppkey") % _PPR_SEED_MOD == 0).count()
+    if n_seeds == 0:  # no seeds: all mass is zero, not a crash
+        return s.select(
+            F.col("s_suppkey").alias("node"),
+            F.lit(0).cast("bigint").alias("ppr_fp"),
+            F.lit(False).alias("is_seed"),
+        )
+    seed_share = _PR_SCALE // n_seeds
+    seed_base = (15 * seed_share) // 100
+    is_seed = F.col("node") % _PPR_SEED_MOD == 0
+    pr = s.select(
+        F.col("s_suppkey").alias("node"),
+        F.when(F.col("s_suppkey") % _PPR_SEED_MOD == 0, F.lit(seed_share))
+        .otherwise(F.lit(0)).cast("bigint").alias("pr"),
+    )
+    for _ in range(_PPR_ITERS):
+        contrib = ed.join(pr, ed["src"] == pr["node"]).select(
+            "dst", F.expr("pr div outdeg").alias("contrib")
+        )
+        sums = contrib.groupBy("dst").agg(F.sum("contrib").alias("s"))
+        pr = (
+            pr.select("node")
+            .join(sums, pr["node"] == sums["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.when(is_seed, F.lit(seed_base)).otherwise(F.lit(0))
+                    + F.expr("(85 * coalesce(s, 0)) div 100")
+                ).cast("bigint").alias("pr"),
+            )
+        )
+    return pr.select("node", F.col("pr").alias("ppr_fp"), is_seed.alias("is_seed"))

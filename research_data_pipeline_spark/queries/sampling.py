@@ -1126,3 +1126,173 @@ def s18_cuped_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
             ") AS BIGINT)"
         ).alias("r2_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# s19: LOG-HISTOGRAM quantile sketch — the mergeable-sketch answer to
+# "approximate quantiles over 100 TB with bounded state": values bucket
+# by floor(log2(cents)), per-bucket counts merge by plain addition
+# (commutative/associative — the property test unions two halves), and
+# quantile q reads the smallest bucket whose cumulative count covers
+# q·n. The bucket bound guarantees the estimate is within 2× of the
+# exact quantile; the oracle recomputes the exact quantile and the
+# within-bucket booleans make that guarantee a hard hash signal. The
+# bucket index is computed by 40 integer comparisons (v ≥ 2^k), not
+# FLOOR(LOG2(v)) — float log at an exact power of 2 is engine-dependent,
+# integer compares are not.
+_LOGB = " + ".join(
+    f"(CASE WHEN v >= {1 << k} THEN 1 ELSE 0 END)" for k in range(1, 41)
+)
+_LHQ_CENTS = "CAST(l_extendedprice * 100 AS BIGINT)"
+_LHQ_ORACLE = f"""
+    WITH c AS (
+        SELECT {_LHQ_CENTS} AS v FROM lineitem WHERE l_extendedprice > 0
+    ), b AS (
+        SELECT v, CAST({_LOGB} AS BIGINT) AS bkt FROM c
+    ), h AS (
+        SELECT bkt, COUNT(*) AS cnt FROM b GROUP BY bkt
+    ), cum AS (
+        SELECT bkt, cnt,
+               SUM(cnt) OVER (ORDER BY bkt
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm,
+               SUM(cnt) OVER () AS n
+        FROM h
+    ), pick AS (
+        SELECT CAST(MAX(n) AS BIGINT) AS n,
+               CAST(MIN(CASE WHEN cm * 2 >= n THEN bkt END) AS BIGINT) AS b50,
+               CAST(MIN(CASE WHEN cm * 10 >= n * 9 THEN bkt END) AS BIGINT) AS b90,
+               CAST(MIN(CASE WHEN cm * 100 >= n * 99 THEN bkt END) AS BIGINT) AS b99
+        FROM cum
+    ), exact AS (
+        SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn, COUNT(*) OVER () AS n
+        FROM c
+    ), eq AS (
+        SELECT CAST(MIN(CASE WHEN rn * 2 >= n THEN v END) AS BIGINT) AS q50,
+               CAST(MIN(CASE WHEN rn * 10 >= n * 9 THEN v END) AS BIGINT) AS q90,
+               CAST(MIN(CASE WHEN rn * 100 >= n * 99 THEN v END) AS BIGINT) AS q99
+        FROM exact
+    )
+    SELECT p.n,
+           CAST(1 << b50 AS BIGINT) AS p50_lo, e.q50 AS p50_exact,
+           e.q50 >= (1 << b50) AND e.q50 < (1 << (b50 + 1)) AS p50_in_bucket,
+           CAST(1 << b90 AS BIGINT) AS p90_lo, e.q90 AS p90_exact,
+           e.q90 >= (1 << b90) AND e.q90 < (1 << (b90 + 1)) AS p90_in_bucket,
+           CAST(1 << b99 AS BIGINT) AS p99_lo, e.q99 AS p99_exact,
+           e.q99 >= (1 << b99) AND e.q99 < (1 << (b99 + 1)) AS p99_in_bucket
+    FROM pick p CROSS JOIN eq e
+"""
+
+
+@REGISTRY.add("s19_log_histogram_quantiles", _LHQ_ORACLE, "sketch", "stats")
+def s19_log_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable log₂-bucket histogram sketch of extended price (cents):
+    p50/p90/p99 bucket lower bounds, the exact quantiles, and the
+    in-bucket booleans that make the 2× guarantee a hard hash signal.
+    Sketch state is ≤ 40 counters regardless of input size."""
+    from pyspark.sql import Window as W
+
+    l = load(spark, sf_dir, "lineitem").where(F.col("l_extendedprice") > 0)
+    c = l.select(
+        F.expr(_LHQ_CENTS).alias("v")
+    )
+    b = c.select("v", F.expr(f"CAST({_LOGB} AS BIGINT)").alias("bkt"))
+    h = b.groupBy("bkt").agg(F.count(F.lit(1)).alias("cnt"))
+    cum = h.select(
+        "bkt", "cnt",
+        F.sum("cnt").over(
+            W.orderBy("bkt").rowsBetween(W.unboundedPreceding, 0)
+        ).alias("cm"),
+        F.sum("cnt").over(W.partitionBy()).alias("n"),
+    )
+    pick = cum.agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.min(F.when(F.col("cm") * 2 >= F.col("n"), F.col("bkt")))
+        .cast("bigint").alias("b50"),
+        F.min(F.when(F.col("cm") * 10 >= F.col("n") * 9, F.col("bkt")))
+        .cast("bigint").alias("b90"),
+        F.min(F.when(F.col("cm") * 100 >= F.col("n") * 99, F.col("bkt")))
+        .cast("bigint").alias("b99"),
+    )
+    # exact quantiles: rank over distinct-value counts (one shuffle of
+    # the value-histogram, not a global row sort)
+    exact = c.select(
+        "v",
+        F.row_number().over(W.orderBy("v")).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+    )
+    eq = exact.agg(
+        F.min(F.when(F.col("rn") * 2 >= F.col("n"), F.col("v")))
+        .cast("bigint").alias("q50"),
+        F.min(F.when(F.col("rn") * 10 >= F.col("n") * 9, F.col("v")))
+        .cast("bigint").alias("q90"),
+        F.min(F.when(F.col("rn") * 100 >= F.col("n") * 99, F.col("v")))
+        .cast("bigint").alias("q99"),
+    )
+    return pick.crossJoin(eq).select(
+        "n",
+        F.expr("CAST(shiftleft(1, b50) AS BIGINT)").alias("p50_lo"),
+        F.col("q50").alias("p50_exact"),
+        ((F.col("q50") >= F.expr("shiftleft(1, b50)"))
+         & (F.col("q50") < F.expr("shiftleft(1, b50 + 1)")))
+        .alias("p50_in_bucket"),
+        F.expr("CAST(shiftleft(1, b90) AS BIGINT)").alias("p90_lo"),
+        F.col("q90").alias("p90_exact"),
+        ((F.col("q90") >= F.expr("shiftleft(1, b90)"))
+         & (F.col("q90") < F.expr("shiftleft(1, b90 + 1)")))
+        .alias("p90_in_bucket"),
+        F.expr("CAST(shiftleft(1, b99) AS BIGINT)").alias("p99_lo"),
+        F.col("q99").alias("p99_exact"),
+        ((F.col("q99") >= F.expr("shiftleft(1, b99)"))
+         & (F.col("q99") < F.expr("shiftleft(1, b99 + 1)")))
+        .alias("p99_in_bucket"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# s20: SAMPLE-RATIO-MISMATCH check — the first thing an experimentation
+# pipeline validates before reading any metric: does the 50/50 md5
+# assignment actually split users 50/50 within each event type? For a
+# two-cell split the chi-square statistic collapses to (a−b)²/n, which
+# stays in exact BIGINT arithmetic as integer ppm; the flag compares
+# against the χ²(1df, α=0.05) critical value 3.841459 in the same ppm
+# scale. Distinct users per arm is one keyed aggregation.
+_SRM_ARM = (
+    "('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::UBIGINT "
+    "% 1000000 < 500000"
+)
+_SRM_ORACLE = f"""
+    WITH u AS (
+        SELECT event_type,
+               COUNT(DISTINCT CASE WHEN {_SRM_ARM} THEN user_id END) AS a,
+               COUNT(DISTINCT CASE WHEN NOT ({_SRM_ARM}) THEN user_id END) AS b
+        FROM events GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(a AS BIGINT) AS n_arm_a,
+           CAST(b AS BIGINT) AS n_arm_b,
+           CAST((a - b) * (a - b) * 1000000 // (a + b) AS BIGINT)
+               AS chi2_ppm,
+           (a - b) * (a - b) * 1000000 // (a + b) >= 3841459 AS srm_flag
+    FROM u
+"""
+
+
+@REGISTRY.add("s20_srm_check", _SRM_ORACLE, "stats", "experiment", "audit")
+def s20_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch χ² (integer ppm, exact BIGINT) for the
+    50/50 md5 user split within each event type, flagged against the
+    1-df α=0.05 critical value."""
+    ev = load(spark, sf_dir, "events")
+    arm_a = md5_bucket(F.col("user_id")) % _BUCKETS < 500_000
+    u = ev.groupBy("event_type").agg(
+        F.count_distinct(F.when(arm_a, F.col("user_id"))).alias("a"),
+        F.count_distinct(F.when(~arm_a, F.col("user_id"))).alias("b"),
+    )
+    chi2 = F.expr("CAST((a - b) * (a - b) * 1000000 div (a + b) AS BIGINT)")
+    return u.select(
+        "event_type",
+        F.col("a").cast("bigint").alias("n_arm_a"),
+        F.col("b").cast("bigint").alias("n_arm_b"),
+        chi2.alias("chi2_ppm"),
+        (chi2 >= 3_841_459).alias("srm_flag"),
+    )
