@@ -542,3 +542,34 @@ def audio_quality_stats(
         "peak_abs bigint, clipped_n bigint, silent_n bigint, "
         "verdict string",
     )
+
+
+def perceptual_hash(media: DataFrame) -> DataFrame:
+    """16-bit average-hash (aHash) of every image computed from REAL
+    decoded pixels: the payload is encoded to an actual PNG (filter
+    rotated per doc, as in :func:`png_roundtrip_stats`), decoded back
+    through the real codec, and the hash derives from decode-side pixels
+    only — bit k is set when the k-th pixel (row-major) exceeds the
+    image's integer mean (pixel_sum div n_pixels). A codec bug that
+    corrupts any pixel shifts the mean or flips bits, so the hash is a
+    decode-integrity signal as well as a dedup key. Emits
+    (doc_id, phash) with phash in [0, 2¹⁶)."""
+    from .png import decode_png, encode_png
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            hashes: list[int] = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = _bytes(payload).reshape(4, -1)
+                dec = decode_png(encode_png(arr, filter_type=int(doc_id) % 5))
+                flat = dec.flatten()
+                mean = int(flat.sum(dtype=np.int64)) // flat.size
+                bits = (flat[:16].astype(np.int64) > mean).astype(np.int64)
+                ids.append(int(doc_id))
+                hashes.append(int((bits << np.arange(16)).sum()))
+            yield pd.DataFrame({"doc_id": ids, "phash": hashes})
+
+    return media.where("kind = 'image' AND payload IS NOT NULL").select(
+        "doc_id", "payload"
+    ).mapInPandas(run, schema="doc_id bigint, phash bigint")

@@ -4117,3 +4117,158 @@ def d62_source_quality_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
             " - _sum div n_docs AS BIGINT)"
         ).alias("shrink_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# d63/d64: IVF index-health audits. Both read one Arrow-batched seed-
+# centroid assignment pass that ALSO emits the winning cosine (the
+# left-fold _cosine_block kernel, ties toward the smaller centroid id —
+# the exact arithmetic d13's oracle already certifies).
+def _seed_assign_with_cos(spark: SparkSession, e: DataFrame) -> DataFrame:
+    """(vec_id, cell, ccos) for every embedding against the id<16 seed
+    centroids — bit-exact left-fold cosines, argmax ties to smaller id."""
+    import numpy as np
+    import pandas as pd
+
+    crows = sorted(
+        e.where(F.col("vec_id") < _IVF_CELLS)
+        .select("vec_id", "embedding").collect(),
+        key=lambda r: r[0],
+    )
+    cids = np.fromiter((r[0] for r in crows), dtype=np.int64, count=len(crows))
+    C = np.array([r[1] for r in crows], dtype=np.float64)
+    cacc = C[:, 0] * C[:, 0]
+    for kk in range(1, C.shape[1]):
+        cacc = cacc + C[:, kk] * C[:, kk]
+    bc = spark.sparkContext.broadcast((cids, C, np.sqrt(cacc)))
+
+    def assign(batches):
+        ids_c, M, cn = bc.value
+        for pdf in batches:
+            if len(pdf) == 0 or len(ids_c) == 0:
+                continue
+            A = np.array([list(v) for v in pdf["embedding"]], dtype=np.float64)
+            acc = A[:, 0] * A[:, 0]
+            for kk in range(1, A.shape[1]):
+                acc = acc + A[:, kk] * A[:, kk]
+            S = sim._cosine_block(A, M) / np.outer(np.sqrt(acc), cn)
+            rows = []
+            for r in range(len(pdf)):
+                order = np.lexsort((ids_c, -S[r]))  # ccos desc, cid asc
+                best = order[0]
+                rows.append(
+                    (int(pdf["vec_id"].iloc[r]), int(ids_c[best]),
+                     float(S[r][best]))
+                )
+            yield pd.DataFrame(rows, columns=["vec_id", "cell", "ccos"])
+
+    return e.select("vec_id", "embedding").mapInPandas(
+        assign, schema="vec_id bigint, cell bigint, ccos double"
+    )
+
+
+_IVF_BAL_ORACLE = f"""
+    WITH e AS ({_E_CTE}),
+    cents AS (SELECT vec_id AS cid, v AS cv, norm AS cn FROM e
+              WHERE vec_id < {_IVF_CELLS}),
+    scored AS (
+        SELECT e.vec_id, c.cid,
+               {_DOT.format(a='e.v', b='c.cv')} / (e.norm * c.cn) AS ccos
+        FROM e CROSS JOIN cents c
+    ),
+    pr AS (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY ccos DESC, cid ASC) AS rn
+        FROM scored
+    ),
+    asg AS (SELECT vec_id, cid AS cell FROM pr WHERE rn = 1),
+    pc AS (SELECT cell, COUNT(*) AS nv FROM asg GROUP BY cell),
+    tot AS (SELECT SUM(nv) AS n, MAX(nv) AS mx, COUNT(*) AS k FROM pc)
+    SELECT pc.cell,
+           CAST(pc.nv AS BIGINT) AS n_vecs,
+           CAST(pc.nv * 1000000 // t.n AS BIGINT) AS share_ppm,
+           CAST(t.mx * t.k * 1000000 // t.n AS BIGINT) AS index_skew_ppm
+    FROM pc CROSS JOIN tot t
+"""
+
+
+@REGISTRY.add("d63_ivf_balance_audit", _IVF_BAL_ORACLE, "similarity", "ann",
+              "audit")
+def d63_ivf_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell population of the seed-centroid IVF index plus the q43
+    skew statistic (max·k·10⁶ div n): a hot cell means probe latency is
+    that cell's scan — the number that decides a Lloyd re-train or a
+    cell split before a 100 TB index build."""
+    e = sim._drop_null_vectors(load(spark, sf_dir, "embeddings"), "embedding")
+    asg = _seed_assign_with_cos(spark, e)
+    pc = asg.groupBy("cell").agg(F.count(F.lit(1)).alias("nv"))
+    tot = pc.agg(
+        F.sum("nv").alias("n"), F.max("nv").alias("mx"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    return pc.crossJoin(F.broadcast(tot)).select(
+        "cell",
+        F.col("nv").cast("bigint").alias("n_vecs"),
+        F.expr("CAST(nv * 1000000 div n AS BIGINT)").alias("share_ppm"),
+        F.expr("CAST(mx * k * 1000000 div n AS BIGINT)").alias(
+            "index_skew_ppm"
+        ),
+    )
+
+
+_OUTL_FRAC_DIV = 20  # bottom 5% of each cell by centroid cosine
+_OUTL_ORACLE = f"""
+    WITH e AS ({_E_CTE}),
+    cents AS (SELECT vec_id AS cid, v AS cv, norm AS cn FROM e
+              WHERE vec_id < {_IVF_CELLS}),
+    scored AS (
+        SELECT e.vec_id, c.cid,
+               {_DOT.format(a='e.v', b='c.cv')} / (e.norm * c.cn) AS ccos
+        FROM e CROSS JOIN cents c
+    ),
+    pr AS (
+        SELECT vec_id, cid, ccos,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY ccos DESC, cid ASC) AS rn
+        FROM scored
+    ),
+    asg AS (SELECT vec_id, cid AS cell, ccos FROM pr WHERE rn = 1),
+    rk AS (
+        SELECT vec_id, cell, ccos,
+               ROW_NUMBER() OVER (PARTITION BY cell
+                                  ORDER BY ccos ASC, vec_id ASC) AS r,
+               COUNT(*) OVER (PARTITION BY cell) AS nc
+        FROM asg
+    )
+    SELECT vec_id, cell, ccos,
+           CAST(nc AS BIGINT) AS cell_n,
+           r <= nc // {_OUTL_FRAC_DIV} AS is_outlier
+    FROM rk
+"""
+
+
+@REGISTRY.add("d64_embedding_outliers", _OUTL_ORACLE, "similarity", "quality",
+              "audit")
+def d64_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier flags: each vector's cosine to its own
+    cell centroid, with the bottom 5% of each cell (exact rank, ties to
+    smaller vec_id) marked — the SemDeDup-style prune list for vectors
+    the index represents worst. Cosines are bit-exact left-folds, so
+    the flag is deterministic across engines and partitionings."""
+    e = sim._drop_null_vectors(load(spark, sf_dir, "embeddings"), "embedding")
+    asg = _seed_assign_with_cos(spark, e)
+    rk = asg.select(
+        "vec_id", "cell", "ccos",
+        F.row_number().over(
+            W.partitionBy("cell").orderBy(
+                F.col("ccos").asc(), F.col("vec_id").asc()
+            )
+        ).alias("r"),
+        F.count(F.lit(1)).over(W.partitionBy("cell")).alias("nc"),
+    )
+    return rk.select(
+        "vec_id", "cell", "ccos",
+        F.col("nc").cast("bigint").alias("cell_n"),
+        (F.col("r") <= F.expr(f"nc div {_OUTL_FRAC_DIV}")).alias("is_outlier"),
+    )

@@ -459,3 +459,85 @@ def m12_audio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.audio_quality_stats(
         m, clip_abs=_AQ_CLIP, silent_abs=_AQ_SILENT
     )
+
+
+# ---------------------------------------------------------------------------
+# m13: PERCEPTUAL-HASH near-duplicate pairs on REAL decoded pixels — the
+# image-dedup step of a multimodal curation pipeline: every image takes
+# a 16-bit average-hash computed from pixels that went through the real
+# PNG encode→decode trip (multimodal/ops.perceptual_hash), then pairs
+# within hamming ≤ 3 surface via the d07 pigeonhole band join (4 bands
+# of 4 bits — a qualifying pair must agree on ≥1 band, so candidates
+# come from an equi-join, never an all-pairs scan). The oracle
+# recomputes the hash straight from the md5-derived source bytes
+# (encode→decode is lossless, so decode-side pixels equal source bytes;
+# any codec corruption shifts the mean or flips bits and breaks the
+# hash match). Fixed-bit sketch physics apply as in d07: candidate mass
+# grows with n²/2¹⁶ — at 100 TB you widen the hash (64-bit on 8×8
+# thumbnails: same plan, different constant).
+_PH_MAXHAM = 3
+_PH_ORACLE = f"""
+    WITH media AS ({MEDIA_CTE}),
+    b16 AS (
+        SELECT doc_id, i, {_BYTE} AS b
+        FROM media, UNNEST(generate_series(1, 16)) AS t(i)
+        WHERE kind = 'image'
+    ),
+    mn AS (SELECT doc_id, SUM(b) // 16 AS m FROM b16 GROUP BY doc_id),
+    ph AS (
+        SELECT b16.doc_id,
+               CAST(SUM(CASE WHEN b > m THEN 1 << (i - 1) ELSE 0 END)
+                    AS BIGINT) AS phash
+        FROM b16 JOIN mn ON mn.doc_id = b16.doc_id
+        GROUP BY b16.doc_id
+    ),
+    bands AS (
+        SELECT doc_id, t.b AS band_idx, (phash >> (4 * t.b)) & 15 AS band_val
+        FROM ph, UNNEST(generate_series(0, 3)) AS t(b)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+    )
+    SELECT c.i, c.j,
+           CAST(bit_count(xor(pa.phash, pb.phash)) AS BIGINT) AS hamming
+    FROM cand c
+    JOIN ph pa ON pa.doc_id = c.i
+    JOIN ph pb ON pb.doc_id = c.j
+    WHERE bit_count(xor(pa.phash, pb.phash)) <= {_PH_MAXHAM}
+"""
+
+
+@REGISTRY.add("m13_phash_pairs", _PH_ORACLE, "multimodal", "dedup", "codec")
+def m13_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate image pairs (hamming ≤ 3 on the 16-bit aHash of
+    real decoded pixels) via the pigeonhole band join — image dedup with
+    the real codec in the loop."""
+    m = media_table(load(spark, sf_dir, "documents"))
+    ph = ops.perceptual_hash(m).localCheckpoint()  # two join sides below
+    bands = ph.select(
+        "doc_id", "phash",
+        F.explode(F.array(*[F.lit(b) for b in range(4)])).alias("band_idx"),
+    ).withColumn(
+        "band_val", F.expr("(phash >> (4 * band_idx)) & 15")
+    )
+    a = bands.select(
+        F.col("doc_id").alias("i"), F.col("phash").alias("pa"),
+        "band_idx", "band_val",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("j"), F.col("phash").alias("pb"),
+        "band_idx", "band_val",
+    )
+    cand = (
+        a.join(b, ["band_idx", "band_val"])
+        .where(F.col("i") < F.col("j"))
+        .select("i", "j", "pa", "pb")
+        .distinct()
+    )
+    ham = F.expr("bit_count(pa ^ pb)")
+    return cand.where(ham <= _PH_MAXHAM).select(
+        "i", "j", ham.cast("bigint").alias("hamming")
+    )

@@ -1897,3 +1897,50 @@ def q43_join_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                  "max_key_rows", "skew_ppm")
         out = agg if out is None else out.unionByName(agg)
     return out
+
+
+# ---------------------------------------------------------------------------
+# q44: the q43 audit ACTING — per-user event rollup routed through
+# operators/skew.maybe_salted_agg, which measures the hot-key skew (the
+# same integer-ppm statistic q43 publishes) and flips to the two-phase
+# salted reduction when the hottest key holds ≥ 10× its uniform share.
+# Results are identical on either path (sum/count/max are exactly
+# decomposable), so the oracle is the plain GROUP BY — what the guard
+# chooses is an execution decision, recorded in decisions.LAST and
+# flip-proven on a synthetic hot key in tests/test_skew.py. Money stays
+# exact: cents = FLOOR(value·100 + 0.5) BIGINTs.
+_GHK_ORACLE = """
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS total_cents,
+           CAST(MAX(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS max_cents
+    FROM events GROUP BY user_id
+"""
+
+
+@REGISTRY.add("q44_guarded_hot_key_agg", _GHK_ORACLE, "relational", "scale",
+              "audit")
+def q44_guarded_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event rollup through the skew-measuring salted-agg guard
+    (plain single-shuffle plan on this uniform key; the same call flips
+    to the two-phase salted reduction on a ≥10× hot key)."""
+    from ..operators.skew import maybe_salted_agg
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    out = maybe_salted_agg(
+        ev,
+        ["user_id"],
+        [("cents", "count", "n_events"), ("cents", "sum", "total_cents"),
+         ("cents", "max", "max_cents")],
+    )
+    return out.select(
+        "user_id",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("total_cents").cast("bigint").alias("total_cents"),
+        F.col("max_cents").cast("bigint").alias("max_cents"),
+    )
