@@ -4137,10 +4137,14 @@ def _seed_assign_with_cos(spark: SparkSession, e: DataFrame) -> DataFrame:
     )
     cids = np.fromiter((r[0] for r in crows), dtype=np.int64, count=len(crows))
     C = np.array([r[1] for r in crows], dtype=np.float64)
-    cacc = C[:, 0] * C[:, 0]
-    for kk in range(1, C.shape[1]):
-        cacc = cacc + C[:, kk] * C[:, kk]
-    bc = spark.sparkContext.broadcast((cids, C, np.sqrt(cacc)))
+    if len(crows):  # empty corpus: no centroids, kernel yields nothing
+        cacc = C[:, 0] * C[:, 0]
+        for kk in range(1, C.shape[1]):
+            cacc = cacc + C[:, kk] * C[:, kk]
+        cn = np.sqrt(cacc)
+    else:
+        cn = np.zeros(0)
+    bc = spark.sparkContext.broadcast((cids, C, cn))
 
     def assign(batches):
         ids_c, M, cn = bc.value

@@ -25,6 +25,13 @@ SAMPLE = [
     "d59_minhash_calibration", "e34_scd2_intervals", "e37_decayed_user_value",
     "e38_streaming_scd2", "g14_link_prediction", "g15_degree_assortativity",
     "q43_join_skew_audit", "s17_weighted_quartiles", "s18_cuped_theta",
+    # round-8 families
+    "d61_dup_ngram_coverage", "d62_source_quality_prior",
+    "d63_ivf_balance_audit", "d64_embedding_outliers",
+    "e41_multitouch_attribution", "e42_cdc_apply",
+    "g16_personalized_pagerank", "m13_phash_pairs",
+    "q44_guarded_hot_key_agg", "s19_log_histogram_quantiles",
+    "s20_srm_check",
 ]
 
 

@@ -29,6 +29,13 @@ SAMPLE = [
     "d55_sketch_calibration", "d56_dsir_importance",
     "d60_incremental_ann_ingest", "e35_pit_training_set",
     "e37_decayed_user_value", "s18_cuped_theta",
+    # round-8 families: nulled embeddings must be dropped by the shared
+    # assignment pass; nulled event values must not break exact cents;
+    # nulled doc text must not crash shingling or the quality prior
+    "d61_dup_ngram_coverage", "d62_source_quality_prior",
+    "d63_ivf_balance_audit", "d64_embedding_outliers",
+    "e41_multitouch_attribution", "m13_phash_pairs",
+    "q44_guarded_hot_key_agg", "s20_srm_check",
 ]
 
 
