@@ -44,6 +44,26 @@ NOTES = {
         "SCD2 build: every window is keyed by user_id; no SinglePartition"
         " exchange may appear."
     ),
+    "d61_dup_ngram_coverage": (
+        "Duplication mass: shingle occurrences meet their doc-frequency"
+        " via a keyed hash join on the shingle — two exchanges total, no"
+        " pair space, no cartesian."
+    ),
+    "m13_phash_pairs": (
+        "Perceptual-hash dedup: candidates come from an equi-join on"
+        " (band_idx, band_val) over the 16-bit aHash — the pigeonhole"
+        " band join; no all-pairs scan of images."
+    ),
+    "e41_multitouch_attribution": (
+        "Attribution: purchases×touches pair space is bounded per user"
+        " (equi-join on user_id, window as residual filter); the split"
+        " windows are keyed by purchase_id — no SinglePartition."
+    ),
+    "q44_guarded_hot_key_agg": (
+        "Guarded aggregation: the measurement pass is one map-side-"
+        "combined groupBy; the chosen path (plain here — skew 1.29x) is"
+        " a single keyed exchange."
+    ),
 }
 
 
