@@ -573,3 +573,41 @@ def perceptual_hash(media: DataFrame) -> DataFrame:
     return media.where("kind = 'image' AND payload IS NOT NULL").select(
         "doc_id", "payload"
     ).mapInPandas(run, schema="doc_id bigint, phash bigint")
+
+
+def frame_sums(media: DataFrame) -> DataFrame:
+    """Per-frame byte sums of every video payload — the signature the
+    scene-cut detector differences. One Arrow pass; the payload splits
+    into n_frames equal frames and each frame reduces to one integer
+    inside numpy (reshape + row sum), so the output is frames-sized,
+    never bytes-sized. Emits (doc_id, frame_idx, frame_len, frame_sum)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            idxs: list[int] = []
+            lens: list[int] = []
+            sums: list[int] = []
+            for doc_id, payload, nf in zip(
+                pdf["doc_id"], pdf["payload"], pdf["n_frames"]
+            ):
+                arr = _bytes(payload)
+                nf = int(nf)
+                L = len(arr) // nf
+                fs = arr[: L * nf].reshape(nf, L).sum(axis=1, dtype=np.int64)
+                ids.extend([int(doc_id)] * nf)
+                idxs.extend(range(nf))
+                lens.extend([L] * nf)
+                sums.extend(int(x) for x in fs)
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_len": lens,
+                 "frame_sum": sums}
+            )
+
+    return media.where(
+        "kind = 'video' AND payload IS NOT NULL AND n_frames > 0"
+    ).select("doc_id", "payload", "n_frames").mapInPandas(
+        run,
+        schema="doc_id bigint, frame_idx bigint, frame_len bigint, "
+        "frame_sum bigint",
+    )

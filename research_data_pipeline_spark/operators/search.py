@@ -272,3 +272,81 @@ BIGRAM_NLL_ORACLE = f"""
            CAST(nll_e6 AS DOUBLE) / n_bigrams AS avg_nll
     FROM agg
 """
+
+
+def bigram_nll_heldout(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document NLL of EVAL documents under the add-one bigram LM
+    trained ONLY on the train split — the held-out scoring a
+    contamination-aware quality pipeline runs (d28 scores the corpus
+    under itself; this is the train→eval direction a leakage audit
+    needs). Unseen bigrams smooth to ln((c1 + V) / 1) and unseen left
+    words to ln(V); ``n_unseen`` counts eval bigram occurrences absent
+    from the train model. Model tables are train-vocabulary-sized keyed
+    aggregations; eval occurrences LEFT-join them by key.
+    Returns (id, n_bigrams, n_unseen, nll_e6, avg_nll)."""
+
+    def pairs_of(docs: DataFrame, keep_id: bool):
+        toks = T.tokens(F.col(text_col))
+        cols = [F.col(id_col)] if keep_id else []
+        return docs.select(
+            *cols,
+            F.explode(
+                F.zip_with(
+                    F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+                    F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("bg"),
+        ).select(
+            *([id_col] if keep_id else []),
+            F.col("bg.w1").alias("w1"),
+            F.col("bg.w2").alias("w2"),
+        )
+
+    c2 = (
+        pairs_of(train, keep_id=False)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .localCheckpoint()  # train-vocab²-bounded; read by c1 + the join
+    )
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    vocab = (
+        train.select(F.explode(T.tokens(F.col(text_col))).alias("w"))
+        .agg(F.countDistinct("w").alias("v"))
+    )
+    occ = pairs_of(eval_docs, keep_id=True).groupBy(
+        id_col, "w1", "w2"
+    ).agg(F.count(F.lit(1)).alias("n_occ"))
+    nll_pos_e6 = F.floor(
+        F.log(
+            (F.coalesce(F.col("c1"), F.lit(0)).cast("double")
+             + F.col("v").cast("double"))
+            / (F.coalesce(F.col("c2"), F.lit(0)).cast("double") + F.lit(1.0))
+        )
+        * F.lit(SCALE)
+    )
+    return (
+        occ.join(c2, ["w1", "w2"], "left")
+        .join(c1, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.sum("n_occ").cast("bigint").alias("n_bigrams"),
+            F.sum(
+                F.col("n_occ")
+                * F.when(F.col("c2").isNull(), 1).otherwise(0)
+            ).cast("bigint").alias("n_unseen"),
+            F.sum(F.col("n_occ") * nll_pos_e6).cast("bigint").alias("nll_e6"),
+        )
+        .select(
+            id_col, "n_bigrams", "n_unseen", "nll_e6",
+            (F.col("nll_e6").cast("double") / F.col("n_bigrams")).alias(
+                "avg_nll"
+            ),
+        )
+    )

@@ -4276,3 +4276,237 @@ def d64_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nc").cast("bigint").alias("cell_n"),
         (F.col("r") <= F.expr(f"nc div {_OUTL_FRAC_DIV}")).alias("is_outlier"),
     )
+
+
+# ---------------------------------------------------------------------------
+# d65: TOKEN-BUDGET allocation — the step between d29's mixture weights
+# and an actual training run: split a fixed token budget across sources
+# proportional to the temperature weights so the per-source quotas are
+# INTEGERS that sum to the budget EXACTLY. Largest-remainder (Hamilton)
+# apportionment: floor every share, then hand the leftover units to the
+# sources with the largest remainders (ties → source asc). Float
+# proportional splits can't give Σ=budget; this is all-BIGINT. State is
+# #sources-sized end to end.
+_BUDGET_TOKENS = 1_000_000
+_ALLOC_ORACLE = f"""
+    WITH s AS (
+        SELECT source,
+               CAST(FLOOR(sqrt(CAST(SUM(len(string_split(text, ' ')))
+                                    AS DOUBLE)) * 1000000.0) AS BIGINT)
+                   AS w_e6
+        FROM documents GROUP BY source
+    ), t AS (SELECT CAST(SUM(w_e6) AS BIGINT) AS tw,
+                    CAST(COUNT(*) AS BIGINT) AS k FROM s),
+    base AS (
+        SELECT s.source, s.w_e6, t.tw,
+               {_BUDGET_TOKENS} * s.w_e6 // t.tw AS floor_alloc,
+               {_BUDGET_TOKENS} * s.w_e6 % t.tw AS rem
+        FROM s CROSS JOIN t
+    ), lo AS (
+        SELECT CAST({_BUDGET_TOKENS} - SUM(floor_alloc) AS BIGINT)
+            AS leftover FROM base
+    ), rk AS (
+        SELECT source, w_e6, floor_alloc, rem,
+               ROW_NUMBER() OVER (ORDER BY rem DESC, source ASC) AS r
+        FROM base
+    )
+    SELECT rk.source, rk.w_e6,
+           CAST(rk.floor_alloc AS BIGINT) AS floor_alloc,
+           CAST(rk.rem AS BIGINT) AS remainder,
+           rk.r <= lo.leftover AS gets_extra,
+           CAST(rk.floor_alloc
+                + CASE WHEN rk.r <= lo.leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc_tokens
+    FROM rk CROSS JOIN lo
+"""
+
+
+@REGISTRY.add("d65_token_budget_allocation", _ALLOC_ORACLE, "text",
+              "sampling", "training")
+def d65_token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder apportionment of a 10⁶-token budget across
+    sources by the d29 temperature weights — integer quotas that sum to
+    the budget exactly."""
+    d = load(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.expr(
+            "CAST(FLOOR(sqrt(CAST(SUM(size(split(text, ' '))) AS DOUBLE))"
+            " * 1000000.0) AS BIGINT)"
+        ).alias("w_e6")
+    )
+    t = s.agg(F.sum("w_e6").alias("tw"))
+    base = s.crossJoin(F.broadcast(t)).select(
+        "source", "w_e6",
+        F.expr(f"{_BUDGET_TOKENS} * w_e6 div tw").alias("floor_alloc"),
+        F.expr(f"{_BUDGET_TOKENS} * w_e6 % tw").alias("rem"),
+    )
+    lo = base.agg(
+        (F.lit(_BUDGET_TOKENS) - F.sum("floor_alloc")).cast("bigint")
+        .alias("leftover")
+    )
+    rk = base.select(
+        "source", "w_e6", "floor_alloc", "rem",
+        F.row_number().over(
+            W.orderBy(F.col("rem").desc(), F.col("source").asc())
+        ).alias("r"),  # #sources rows — the window state is dictionary-sized
+    )
+    return rk.crossJoin(F.broadcast(lo)).select(
+        "source", "w_e6",
+        F.col("floor_alloc").cast("bigint").alias("floor_alloc"),
+        F.col("rem").cast("bigint").alias("remainder"),
+        (F.col("r") <= F.col("leftover")).alias("gets_extra"),
+        (F.col("floor_alloc")
+         + F.when(F.col("r") <= F.col("leftover"), 1).otherwise(0))
+        .cast("bigint").alias("alloc_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# d67: DEDUP THRESHOLD SWEEP — the tuning table behind _CLUSTER_T: for
+# each candidate keep-threshold, how many verified pairs survive and how
+# many documents are touched? Pure composition over the SHARED pair
+# stream (one tokenize+signature+band pass for the whole suite): band
+# candidates are threshold-independent, so sweeping thresholds is four
+# filters over one materialized table — the jaccard doubles are the
+# hash-proven d06 values, compared against the same literals in both
+# engines.
+_SWEEP_PPM = [900000, 925000, 950000, 975000]
+_SWEEP_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, {_DTOKS} AS tokens FROM documents
+    ), tok AS (
+        SELECT doc_id, unnest(tokens) AS token FROM toks
+    ), mh AS (
+        SELECT doc_id, {_mh_cols}
+        FROM tok GROUP BY doc_id
+    ), bands AS (
+        {_band_selects}
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+    ), pairs AS (
+        SELECT c.i, c.j,
+               len(list_intersect(ta.tokens, tb.tokens)) * 1.0
+                 / (len(ta.tokens) + len(tb.tokens)
+                    - len(list_intersect(ta.tokens, tb.tokens))) AS jaccard
+        FROM cand c
+        JOIN toks ta ON ta.doc_id = c.i
+        JOIN toks tb ON tb.doc_id = c.j
+    ), th AS (SELECT unnest([{", ".join(str(t) for t in _SWEEP_PPM)}]) AS t),
+    hits AS (
+        SELECT th.t, p.i, p.j FROM th JOIN pairs p
+          ON p.jaccard >= th.t / 1000000.0
+    ), np AS (SELECT t, COUNT(*) AS n_pairs FROM hits GROUP BY t),
+    nd AS (
+        SELECT t, COUNT(DISTINCT d) AS n_docs
+        FROM (SELECT t, i AS d FROM hits UNION ALL SELECT t, j FROM hits)
+        GROUP BY t
+    )
+    SELECT np.t AS threshold_ppm,
+           CAST(np.n_pairs AS BIGINT) AS n_pairs,
+           CAST(nd.n_docs AS BIGINT) AS n_docs_affected
+    FROM np JOIN nd ON nd.t = np.t
+"""
+
+
+@REGISTRY.add("d67_dedup_threshold_sweep", _SWEEP_ORACLE, "dedup", "lsh",
+              "audit")
+def d67_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified-pair and affected-doc counts at four candidate dedup
+    thresholds — four filters over the one shared LSH pair stream."""
+    pairs = _lsh_pair_stream(spark, sf_dir)
+    th = F.explode(F.array(*[F.lit(t) for t in _SWEEP_PPM])).alias("t")
+    hits = pairs.select("i", "j", "jaccard").select(
+        th, "i", "j", "jaccard"
+    ).where(F.col("jaccard") >= F.col("t") / F.lit(1000000.0))
+    np_ = hits.groupBy("t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    )
+    nd = (
+        hits.select("t", F.col("i").alias("d"))
+        .unionByName(hits.select("t", F.col("j").alias("d")))
+        .groupBy("t")
+        .agg(F.count_distinct("d").cast("bigint").alias("n_docs_affected"))
+    )
+    return np_.join(nd, "t").select(
+        F.col("t").cast("bigint").alias("threshold_ppm"),
+        "n_pairs", "n_docs_affected",
+    )
+
+
+# ---------------------------------------------------------------------------
+# d66: HELD-OUT NLL — the eval loop for the LM-quality signal: train the
+# add-one bigram LM on the md5 80% train bucket ONLY, score the 10% val
+# bucket under it. d28 scores the corpus under itself (a quality
+# filter); this is the train→eval direction (an eval-integrity audit):
+# n_unseen counts val bigrams the train model never saw, and avg_nll on
+# the held-out set is the number a perplexity-filter threshold is tuned
+# against. Same fixed-point discipline (per-position FLOOR(ln·1e6),
+# BIGINT sums; ln is cross-engine-pinned, pow is not).
+_HNLL_BUCKET = (
+    "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 1000000"
+)
+_HNLL_ORACLE = f"""
+    WITH tr AS (
+        SELECT doc_id, text FROM documents WHERE {_HNLL_BUCKET} < 800000
+    ), ev AS (
+        SELECT doc_id, text FROM documents
+        WHERE {_HNLL_BUCKET} >= 800000 AND {_HNLL_BUCKET} < 900000
+    ), tt AS (
+        SELECT doc_id, string_split(text, ' ') AS ts FROM tr
+    ), tp AS (
+        SELECT ts[i] AS w1, ts[i + 1] AS w2
+        FROM tt, UNNEST(generate_series(1, len(ts) - 1)) AS g(i)
+    ), c2 AS (
+        SELECT w1, w2, COUNT(*) AS c2 FROM tp GROUP BY w1, w2
+    ), c1 AS (
+        SELECT w1, SUM(c2) AS c1 FROM c2 GROUP BY w1
+    ), vocab AS (
+        SELECT COUNT(DISTINCT token) AS v
+        FROM (SELECT unnest(string_split(text, ' ')) AS token FROM tr)
+    ), et AS (
+        SELECT doc_id, string_split(text, ' ') AS ts FROM ev
+    ), ep AS (
+        SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+        FROM et, UNNEST(generate_series(1, len(ts) - 1)) AS g(i)
+    ), occ AS (
+        SELECT doc_id, w1, w2, COUNT(*) AS n_occ FROM ep GROUP BY 1, 2, 3
+    ), agg AS (
+        SELECT o.doc_id,
+               SUM(o.n_occ) AS n_bigrams,
+               SUM(o.n_occ * CASE WHEN c2.c2 IS NULL THEN 1 ELSE 0 END)
+                   AS n_unseen,
+               SUM(o.n_occ * CAST(FLOOR(
+                   ln((CAST(COALESCE(c1.c1, 0) AS DOUBLE)
+                       + CAST(vocab.v AS DOUBLE))
+                      / (CAST(COALESCE(c2.c2, 0) AS DOUBLE) + 1.0))
+                   * 1000000.0
+               ) AS BIGINT)) AS nll_e6
+        FROM occ o
+        LEFT JOIN c2 USING (w1, w2)
+        LEFT JOIN c1 USING (w1)
+        CROSS JOIN vocab
+        GROUP BY o.doc_id
+    )
+    SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           CAST(n_unseen AS BIGINT) AS n_unseen,
+           CAST(nll_e6 AS BIGINT) AS nll_e6,
+           CAST(nll_e6 AS DOUBLE) / n_bigrams AS avg_nll
+    FROM agg
+"""
+
+
+@REGISTRY.add("d66_heldout_nll", _HNLL_ORACLE, "text", "quality", "training")
+def d66_heldout_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out bigram NLL: val-bucket documents scored under the LM
+    trained on the train bucket only, with unseen-bigram counts."""
+    from ..operators.search import bigram_nll_heldout
+    from .sampling import md5_bucket
+
+    d = load(spark, sf_dir, "documents")
+    b = md5_bucket(F.col("doc_id")) % 1000000
+    train = d.where(b < 800000)
+    ev = d.where((b >= 800000) & (b < 900000))
+    return bigram_nll_heldout(train, ev)

@@ -541,3 +541,74 @@ def m13_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.where(ham <= _PH_MAXHAM).select(
         "i", "j", ham.cast("bigint").alias("hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# m14: SCENE-CUT detection — the frame-delta pass a video-curation
+# pipeline runs before sampling training frames: consecutive frames'
+# byte-sum signatures are differenced per video (a keyed LAG window on
+# the frames-sized table the decode pass emits, never on bytes), the
+# delta normalizes to ppm of the maximum possible (255·frame_len) in
+# exact integers, and a cut flags at ≥3% — on these synthetic videos
+# frames repeat whenever frame_len ≡ 0 (mod 16), so zero-delta runs and
+# real jumps both occur (the same structure m07's dup-frame ratio
+# exploits). The oracle re-derives every frame sum from the md5 byte
+# cycle.
+_CUT_PPM = 30_000
+_SCENE_ORACLE = f"""
+    WITH media AS ({MEDIA_CTE}),
+    vid AS (
+        SELECT doc_id, text, n_frames, n_bytes // n_frames AS L
+        FROM media WHERE kind = 'video' AND n_frames > 0
+    ),
+    fb AS (
+        SELECT doc_id, p.p // L AS frame_idx, L,
+               {md5_byte_sql('text', '(p.p % 16) + 1')} AS b
+        FROM vid, UNNEST(generate_series(0, L * n_frames - 1)) AS p(p)
+    ),
+    fs AS (
+        SELECT doc_id, frame_idx, L, SUM(b) AS fsum
+        FROM fb GROUP BY 1, 2, 3
+    ),
+    d AS (
+        SELECT doc_id, frame_idx, L, fsum,
+               LAG(fsum) OVER (PARTITION BY doc_id ORDER BY frame_idx)
+                   AS prev
+        FROM fs
+    )
+    SELECT doc_id,
+           CAST(frame_idx AS BIGINT) AS frame_idx,
+           CAST(ABS(fsum - prev) AS BIGINT) AS delta_abs,
+           CAST(ABS(fsum - prev) * 1000000 // (255 * L) AS BIGINT)
+               AS delta_ppm,
+           ABS(fsum - prev) * 1000000 // (255 * L) >= {_CUT_PPM} AS is_cut
+    FROM d WHERE prev IS NOT NULL
+"""
+
+
+@REGISTRY.add("m14_scene_cuts", _SCENE_ORACLE, "multimodal", "video")
+def m14_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-to-frame byte-sum deltas per video (exact integer ppm of
+    the max possible) with ≥3% flagged as scene cuts; the window runs
+    keyed by doc over the frames-sized signature table."""
+    from pyspark.sql import Window as W
+
+    m = media_table(load(spark, sf_dir, "documents"))
+    fs = ops.frame_sums(m)
+    d = fs.select(
+        "doc_id", "frame_idx", "frame_len", "frame_sum",
+        F.lag("frame_sum").over(
+            W.partitionBy("doc_id").orderBy("frame_idx")
+        ).alias("prev"),
+    ).where(F.col("prev").isNotNull())
+    delta_ppm = F.expr(
+        "CAST(abs(frame_sum - prev) * 1000000 div (255 * frame_len)"
+        " AS BIGINT)"
+    )
+    return d.select(
+        "doc_id",
+        F.col("frame_idx").cast("bigint").alias("frame_idx"),
+        F.expr("CAST(abs(frame_sum - prev) AS BIGINT)").alias("delta_abs"),
+        delta_ppm.alias("delta_ppm"),
+        (delta_ppm >= _CUT_PPM).alias("is_cut"),
+    )

@@ -1163,13 +1163,18 @@ _LHQ_ORACLE = f"""
                CAST(MIN(CASE WHEN cm * 10 >= n * 9 THEN bkt END) AS BIGINT) AS b90,
                CAST(MIN(CASE WHEN cm * 100 >= n * 99 THEN bkt END) AS BIGINT) AS b99
         FROM cum
+    ), vals AS (
+        SELECT v, COUNT(*) AS cnt FROM c GROUP BY v
     ), exact AS (
-        SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn, COUNT(*) OVER () AS n
-        FROM c
+        SELECT v,
+               SUM(cnt) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm,
+               SUM(cnt) OVER () AS n
+        FROM vals
     ), eq AS (
-        SELECT CAST(MIN(CASE WHEN rn * 2 >= n THEN v END) AS BIGINT) AS q50,
-               CAST(MIN(CASE WHEN rn * 10 >= n * 9 THEN v END) AS BIGINT) AS q90,
-               CAST(MIN(CASE WHEN rn * 100 >= n * 99 THEN v END) AS BIGINT) AS q99
+        SELECT CAST(MIN(CASE WHEN cm * 2 >= n THEN v END) AS BIGINT) AS q50,
+               CAST(MIN(CASE WHEN cm * 10 >= n * 9 THEN v END) AS BIGINT) AS q90,
+               CAST(MIN(CASE WHEN cm * 100 >= n * 99 THEN v END) AS BIGINT) AS q99
         FROM exact
     )
     SELECT p.n,
@@ -1213,19 +1218,26 @@ def s19_log_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(F.col("cm") * 100 >= F.col("n") * 99, F.col("bkt")))
         .cast("bigint").alias("b99"),
     )
-    # exact quantiles: rank over distinct-value counts (one shuffle of
-    # the value-histogram, not a global row sort)
-    exact = c.select(
+    # exact quantiles over the DISTINCT-value histogram: the groupBy
+    # reduces rows to the value domain before any window runs, so the
+    # cumulative sum orders domain-sized state, never the row count
+    # (s16/s17's construction; at open-domain scale the range-
+    # partitioned prefix sum in operators/ranks.py is the drop-in
+    # replacement for this window).
+    vals = c.groupBy("v").agg(F.count(F.lit(1)).alias("cnt"))
+    exact = vals.select(
         "v",
-        F.row_number().over(W.orderBy("v")).alias("rn"),
-        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+        F.sum("cnt").over(
+            W.orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+        ).alias("cm"),
+        F.sum("cnt").over(W.partitionBy()).alias("n"),
     )
     eq = exact.agg(
-        F.min(F.when(F.col("rn") * 2 >= F.col("n"), F.col("v")))
+        F.min(F.when(F.col("cm") * 2 >= F.col("n"), F.col("v")))
         .cast("bigint").alias("q50"),
-        F.min(F.when(F.col("rn") * 10 >= F.col("n") * 9, F.col("v")))
+        F.min(F.when(F.col("cm") * 10 >= F.col("n") * 9, F.col("v")))
         .cast("bigint").alias("q90"),
-        F.min(F.when(F.col("rn") * 100 >= F.col("n") * 99, F.col("v")))
+        F.min(F.when(F.col("cm") * 100 >= F.col("n") * 99, F.col("v")))
         .cast("bigint").alias("q99"),
     )
     return pick.crossJoin(eq).select(

@@ -144,6 +144,15 @@ _VERIFY_COST_S = {
     "d51_gopher_rules": 0.9, "d52_source_kl_divergence": 0.8,
     "m12_audio_quality": 0.6, "d53_cross_source_leakage": 3.5,
     "e34_scd2_intervals": 0.7, "d54_tokenizer_fertility": 1.0,
+    # round 8 (sf0.01 driver-sim measurements)
+    "d61_dup_ngram_coverage": 0.9, "d62_source_quality_prior": 0.4,
+    "d63_ivf_balance_audit": 0.9, "d64_embedding_outliers": 0.9,
+    "e41_multitouch_attribution": 0.5, "e42_cdc_apply": 0.9,
+    "g16_personalized_pagerank": 1.4, "m13_phash_pairs": 0.8,
+    "q44_guarded_hot_key_agg": 0.5, "s19_log_histogram_quantiles": 0.6,
+    "s20_srm_check": 0.4, "d65_token_budget_allocation": 0.5,
+    "d66_heldout_nll": 1.2, "d67_dedup_threshold_sweep": 2.5,
+    "m14_scene_cuts": 0.8,
 }
 _DEFAULT_COST_S = 0.45
 

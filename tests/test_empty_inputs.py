@@ -31,7 +31,8 @@ SAMPLE = [
     "e41_multitouch_attribution", "e42_cdc_apply",
     "g16_personalized_pagerank", "m13_phash_pairs",
     "q44_guarded_hot_key_agg", "s19_log_histogram_quantiles",
-    "s20_srm_check",
+    "s20_srm_check", "d65_token_budget_allocation", "d66_heldout_nll",
+    "d67_dedup_threshold_sweep", "m14_scene_cuts",
 ]
 
 

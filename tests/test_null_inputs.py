@@ -35,7 +35,8 @@ SAMPLE = [
     "d61_dup_ngram_coverage", "d62_source_quality_prior",
     "d63_ivf_balance_audit", "d64_embedding_outliers",
     "e41_multitouch_attribution", "m13_phash_pairs",
-    "q44_guarded_hot_key_agg", "s20_srm_check",
+    "q44_guarded_hot_key_agg", "s20_srm_check", "d66_heldout_nll",
+    "m14_scene_cuts",
 ]
 
 
