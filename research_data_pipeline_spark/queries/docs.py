@@ -1095,8 +1095,15 @@ def d21_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # in-plan analogue of the persisted store. Two separate
     # signature_table plans would scan + project the text twice, and the
     # 5 probe branches would re-run the corpus projection each (measured
-    # ~2x on d21 before the checkpoint).
-    sig_all = inc.signature_table(d, "doc_id", "text").localCheckpoint()
+    # ~2x on d21 before the checkpoint). Repartitioned to one task wave
+    # before the checkpoint: the parquet scan's 128 file splits would
+    # otherwise ride into all 6 downstream consumers as 128 near-empty
+    # tasks each (measured ~25% of d21's wall at sf0.1).
+    sig_all = (
+        inc.signature_table(d, "doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint()
+    )
     corpus_sig = sig_all.where(F.col("doc_id") % 5 != 0)
     batch_sig = sig_all.where(F.col("doc_id") % 5 == 0)
     return inc.match_against_corpus(batch_sig, corpus_sig)

@@ -339,6 +339,9 @@ _REWRITTEN_SINCE_GREEN: set[str] = {
     # read the shared resolved cluster-canonical table (verdict task 5).
     "d13b_ivf_lloyd_recall",
     "d19_dedup_clusters",
+    # round 8: d21's in-plan signature table gains a one-wave
+    # repartition before its localCheckpoint (3.6 -> 2.9 s)
+    "d21_incremental_dedup",
     "d41_dedup_savings",
     "d43_corpus_funnel",
     "d48_quality_canonicals",
