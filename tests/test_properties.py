@@ -897,3 +897,195 @@ def test_streaming_scd2_matches_python_islands(spark, events):
             expect.append((u, v, t, us, nxt, nxt is None, n))
     expect = sorted((u, v, t, f, to, cur, n) for u, v, t, f, to, cur, n in expect)
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# Round-8 operators
+# ---------------------------------------------------------------------------
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    weights=st.lists(st.integers(0, 10_000), min_size=1, max_size=8),
+    budget=st.integers(1, 100_000),
+)
+def test_largest_remainder_allocation_sums_exactly(spark, weights, budget):
+    """Hamilton apportionment invariants on arbitrary weights: quotas sum
+    to the budget EXACTLY, every quota is floor or floor+1 of its real
+    share, and zero-weight sources get zero (when any weight is
+    positive)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    if sum(weights) == 0:
+        weights = [w + 1 for w in weights]
+    s = spark.createDataFrame(
+        [(f"s{i:02d}", w) for i, w in enumerate(weights)],
+        "source string, w_e6 long",
+    )
+    tw = sum(weights)
+    base = s.select(
+        "source", "w_e6",
+        F.expr(f"{budget} * w_e6 div {tw}").alias("floor_alloc"),
+        F.expr(f"{budget} * w_e6 % {tw}").alias("rem"),
+    )
+    leftover = budget - sum(budget * w // tw for w in weights)
+    rk = base.withColumn(
+        "r",
+        F.row_number().over(W.orderBy(F.col("rem").desc(), F.col("source"))),
+    )
+    alloc = {
+        r["source"]: r["floor_alloc"] + (1 if r["r"] <= leftover else 0)
+        for r in rk.collect()
+    }
+    assert sum(alloc.values()) == budget
+    for i, w in enumerate(weights):
+        lo = budget * w // tw
+        assert alloc[f"s{i:02d}"] in (lo, lo + 1)
+        if w == 0:
+            assert alloc[f"s{i:02d}"] == 0 or leftover >= len(weights)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    changes=st.lists(
+        st.tuples(
+            st.integers(0, 5),      # key
+            st.integers(1, 6),      # lsn (may repeat -> total order rule)
+            st.booleans(),          # is_delete
+            st.integers(0, 999),    # payload cents
+        ),
+        min_size=1, max_size=24,
+    ),
+    dup_factor=st.integers(1, 3),
+)
+def test_cdc_apply_idempotent_under_replay(spark, changes, dup_factor):
+    """Applying a change stream once, twice, or three times produces the
+    SAME snapshot (at-least-once safety), and the snapshot equals a
+    driver-side fold over the deterministic total order."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    rows = [
+        (k, lsn, "D" if d else "U", cents) for k, lsn, d, cents in changes
+    ]
+    df = spark.createDataFrame(
+        rows * dup_factor, "key long, lsn long, op string, cents long"
+    )
+    ranked = df.distinct().select(
+        "key", "lsn", "op", "cents",
+        F.row_number().over(
+            W.partitionBy("key").orderBy(
+                F.col("lsn").desc(), F.col("op").desc(), F.col("cents").desc()
+            )
+        ).alias("rn"),
+    )
+    got = {
+        r["key"]: (r["lsn"], r["cents"])
+        for r in ranked.where("rn = 1 AND op <> 'D'").collect()
+    }
+    # reference fold: max by (lsn, op, cents) over the DEDUPED set
+    ref: dict[int, tuple] = {}
+    for k, lsn, op, cents in set(rows):
+        cur = ref.get(k)
+        cand = (lsn, op, cents)
+        if cur is None or cand > cur:
+            ref[k] = cand
+    exp = {k: (v[0], v[2]) for k, v in ref.items() if v[1] != "D"}
+    assert got == exp
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    hashes=st.lists(st.integers(0, 65535), min_size=2, max_size=24),
+)
+def test_phash_band_join_complete_for_low_hamming(spark, hashes):
+    """Pigeonhole completeness: every pair within hamming ≤ 3 of the
+    16-bit hashes MUST surface from the 4-band equi-join (4 bands of 4
+    bits: ≤3 differing bits cannot touch all 4 bands), and nothing
+    outside the threshold survives the filter."""
+    from pyspark.sql import functions as F
+
+    ph = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(hashes)], "doc_id long, phash long"
+    )
+    bands = ph.select(
+        "doc_id", "phash",
+        F.explode(F.array(*[F.lit(b) for b in range(4)])).alias("b"),
+    ).withColumn("v", F.expr("(phash >> (4 * b)) & 15"))
+    a = bands.select(F.col("doc_id").alias("i"), F.col("phash").alias("pa"),
+                     "b", "v")
+    bb = bands.select(F.col("doc_id").alias("j"), F.col("phash").alias("pb"),
+                      "b", "v")
+    got = {
+        (r["i"], r["j"])
+        for r in a.join(bb, ["b", "v"]).where("i < j")
+        .select("i", "j", F.expr("bit_count(pa ^ pb)").alias("h"))
+        .where("h <= 3").distinct().collect()
+    }
+    exp = {
+        (i, j)
+        for i in range(len(hashes))
+        for j in range(i + 1, len(hashes))
+        if bin(hashes[i] ^ hashes[j]).count("1") <= 3
+    }
+    assert got == exp
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    train=st.lists(st.text(alphabet="abc ", min_size=1, max_size=20),
+                   min_size=1, max_size=6),
+    evald=st.lists(st.text(alphabet="abc ", min_size=1, max_size=20),
+                   min_size=1, max_size=4),
+)
+def test_heldout_nll_matches_python_reference(spark, train, evald):
+    """bigram_nll_heldout agrees with a literal python reference on
+    arbitrary corpora, including eval bigrams/words never seen in
+    train (the smoothing path)."""
+    import math
+
+    from research_data_pipeline_spark.operators.search import (
+        SCALE,
+        bigram_nll_heldout,
+    )
+
+    def toks(s):
+        return s.split(" ")
+
+    tr = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(train)], "doc_id long, text string"
+    )
+    ev = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(evald)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["n_unseen"], r["nll_e6"])
+        for r in bigram_nll_heldout(tr, ev).collect()
+    }
+    c2: dict[tuple, int] = {}
+    vocab = set()
+    for t in train:
+        ws = toks(t)
+        vocab.update(ws)
+        for a, b in zip(ws, ws[1:]):
+            c2[(a, b)] = c2.get((a, b), 0) + 1
+    c1: dict[str, int] = {}
+    for (a, _), c in c2.items():
+        c1[a] = c1.get(a, 0) + c
+    V = len(vocab)
+    exp = {}
+    for i, t in enumerate(evald):
+        ws = toks(t)
+        bgs = list(zip(ws, ws[1:]))
+        if not bgs:
+            continue
+        nll = 0
+        unseen = 0
+        for a, b in bgs:
+            cc2 = c2.get((a, b), 0)
+            cc1 = c1.get(a, 0)
+            if (a, b) not in c2:
+                unseen += 1
+            nll += math.floor(math.log((cc1 + V) / (cc2 + 1.0)) * SCALE)
+        exp[100 + i] = (len(bgs), unseen, nll)
+    assert got == exp
