@@ -515,3 +515,50 @@ def bounded_min_cost(
             .localCheckpoint()
         )
     return dist.select("node", F.col("min_cost").cast("bigint").alias("min_cost"))
+
+
+def multi_source_bfs(
+    seeds: DataFrame,
+    edges: DataFrame,
+    max_hops: int = 3,
+    id_col: str = "node",
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Multi-source BFS: minimum hop distance from EVERY seed to every
+    vertex within ``max_hops`` of it. Returns (root, node, hops BIGINT),
+    each seed included at hops 0 from itself.
+
+    Same per-round shape as :func:`bfs_hops` with a composite (root,
+    node) settled set: one keyed join (frontier ⋈ edges on src) +
+    distinct + one anti-join per round, lineage cut per round. State is
+    Σ ball sizes — the frontier of all sources expands in ONE job per
+    round rather than |seeds| sequential BFS runs, which is what makes
+    seed-set centralities feasible on a cluster.
+
+    ``edges`` must contain both directions of each undirected edge.
+    """
+    edges = edges.select(src, dst).localCheckpoint()
+    dist = (
+        seeds.select(F.col(id_col).alias("root"))
+        .withColumn("node", F.col("root"))
+        .withColumn("hops", F.lit(0))
+        .localCheckpoint()
+    )
+    frontier = dist.select("root", "node")
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges[src])
+            .select("root", F.col(dst).alias("node"))
+            .distinct()
+            .join(dist.select("root", "node"), ["root", "node"], "left_anti")
+            .withColumn("hops", F.lit(h))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.unionByName(nxt).localCheckpoint()
+        frontier = nxt.select("root", "node")
+    return dist.select(
+        "root", "node", F.col("hops").cast("bigint").alias("hops")
+    )

@@ -1047,3 +1047,65 @@ def g16_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return pr.select("node", F.col("pr").alias("ppr_fp"), is_seed.alias("is_seed"))
+
+
+# ---------------------------------------------------------------------------
+# g17: HARMONIC centrality of the seed set — "how close is each seed to
+# the rest of the graph", the centrality that stays defined on
+# disconnected graphs (unreached nodes contribute 0 instead of ∞).
+# H(s) = Σ_{v≠s reached within 3 hops} 1e6 div hops, exact integers.
+# One multi-source BFS job per round (graph/build.multi_source_bfs):
+# ALL seeds' frontiers expand together — |seeds| sequential BFS runs
+# would pay the per-job floor |seeds| times. Oracle: depth-guarded
+# recursive walk keyed by root, min-hop per (root, node).
+_HC_MIN_SHARED, _HC_SEED_MOD, _HC_MAX_HOPS = 32, 20, 3
+
+_HC_ORACLE = f"""
+    WITH RECURSIVE
+    pairs AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    e AS (
+        SELECT a.l_suppkey AS src, b.l_suppkey AS dst
+        FROM pairs a JOIN pairs b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= {_HC_MIN_SHARED}
+    ),
+    walk(root, node, hops) AS (
+        SELECT CAST(s_suppkey AS BIGINT), CAST(s_suppkey AS BIGINT), 0
+        FROM supplier WHERE s_suppkey % {_HC_SEED_MOD} = 0
+        UNION
+        SELECT w.root, e.dst, w.hops + 1 FROM walk w JOIN e ON e.src = w.node
+        WHERE w.hops < {_HC_MAX_HOPS}
+    ),
+    d AS (SELECT root, node, MIN(hops) AS hops FROM walk GROUP BY root, node)
+    SELECT root,
+           CAST(COUNT(CASE WHEN hops > 0 THEN 1 END) AS BIGINT) AS n_reached,
+           CAST(COALESCE(SUM(CASE WHEN hops > 0
+                                  THEN 1000000 // hops END), 0) AS BIGINT)
+               AS harmonic_e6
+    FROM d GROUP BY root
+"""
+
+
+@REGISTRY.add("g17_harmonic_centrality", _HC_ORACLE, "graph", "iterative")
+def g17_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic centrality (Σ 1e6 div hops, 3-hop ball) of every 20th
+    supplier over the strong co-supplier graph via ONE multi-source BFS."""
+    from ..graph.build import co_occurrence_edges, multi_source_bfs
+
+    l = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    edges = co_occurrence_edges(
+        l, item_col="l_orderkey", actor_col="l_suppkey"
+    ).where(F.col("n_shared_orders") >= _HC_MIN_SHARED).select("src", "dst")
+    seeds = s.where(F.col("s_suppkey") % _HC_SEED_MOD == 0).select(
+        F.col("s_suppkey").alias("node")
+    )
+    d = multi_source_bfs(seeds, edges, max_hops=_HC_MAX_HOPS)
+    return d.groupBy("root").agg(
+        F.count(F.when(F.col("hops") > 0, 1)).cast("bigint")
+        .alias("n_reached"),
+        F.coalesce(
+            F.sum(F.when(F.col("hops") > 0,
+                         F.expr("1000000 div hops"))), F.lit(0)
+        ).cast("bigint").alias("harmonic_e6"),
+    )

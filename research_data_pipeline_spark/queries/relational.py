@@ -1944,3 +1944,75 @@ def q44_guarded_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total_cents").cast("bigint").alias("total_cents"),
         F.col("max_cents").cast("bigint").alias("max_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q45: ORDER↔LINEITEM reconciliation — the cross-table consistency audit
+# a warehouse runs before trusting either side: recompute each order's
+# total from its lines (price·(1−disc)·(1+tax)) and compare against the
+# stored o_totalprice. All arithmetic is exact BIGINT in 10⁻⁶-dollar
+# units (cents × two 2-decimal percentage factors), so "within a cent"
+# is an integer comparison, not a float epsilon. On this synthetic data
+# the stored totals are unrelated to the lines — the audit correctly
+# reports ~zero matches; the value is the machinery (two keyed
+# aggregations + one equi-join, no driver math).
+_REC_CENTS = "CAST(FLOOR({c} * 100 + 0.5) AS BIGINT)"
+_REC_ORACLE = f"""
+    WITH ln AS (
+        SELECT l_orderkey,
+               SUM({_REC_CENTS.format(c='l_extendedprice')}
+                   * (100 - {_REC_CENTS.format(c='l_discount')})
+                   * (100 + {_REC_CENTS.format(c='l_tax')})) AS line_e6
+        FROM lineitem GROUP BY l_orderkey
+    ), j AS (
+        SELECT o.o_orderstatus AS status,
+               ABS(ln.line_e6
+                   - {_REC_CENTS.format(c='o.o_totalprice')} * 10000)
+                   AS diff_e6
+        FROM orders o JOIN ln ON ln.l_orderkey = o.o_orderkey
+    )
+    SELECT status,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN diff_e6 <= 10000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_within_1c,
+           CAST(SUM(CASE WHEN diff_e6 <= 10000 THEN 0 ELSE 1 END)
+                * 1000000 // COUNT(*) AS BIGINT) AS mismatch_ppm,
+           CAST(SUM(diff_e6) // (COUNT(*) * 10000) AS BIGINT)
+               AS avg_abs_diff_cents
+    FROM j GROUP BY status
+"""
+
+
+@REGISTRY.add("q45_order_reconciliation", _REC_ORACLE, "relational", "audit",
+              "quality")
+def q45_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recomputed-vs-stored order totals per status in exact
+    10⁻⁶-dollar integers: within-a-cent counts, mismatch ppm, mean
+    absolute drift."""
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    cents = lambda c: F.expr(f"CAST(FLOOR({c} * 100 + 0.5) AS BIGINT)")  # noqa: E731
+    ln = l.groupBy("l_orderkey").agg(
+        F.sum(
+            cents("l_extendedprice")
+            * (F.lit(100) - cents("l_discount"))
+            * (F.lit(100) + cents("l_tax"))
+        ).alias("line_e6")
+    )
+    j = o.join(ln, o["o_orderkey"] == ln["l_orderkey"]).select(
+        F.col("o_orderstatus").alias("status"),
+        F.abs(F.col("line_e6") - cents("o_totalprice") * 10000)
+        .alias("diff_e6"),
+    )
+    return j.groupBy("status").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.when(F.col("diff_e6") <= 10000, 1).otherwise(0))
+        .cast("bigint").alias("n_within_1c"),
+        F.expr(
+            "CAST(sum(CASE WHEN diff_e6 <= 10000 THEN 0 ELSE 1 END)"
+            " * 1000000 div count(*) AS BIGINT)"
+        ).alias("mismatch_ppm"),
+        F.expr(
+            "CAST(sum(diff_e6) div (count(*) * 10000) AS BIGINT)"
+        ).alias("avg_abs_diff_cents"),
+    )

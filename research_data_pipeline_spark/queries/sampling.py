@@ -1308,3 +1308,93 @@ def s20_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         chi2.alias("chi2_ppm"),
         (chi2 >= 3_841_459).alias("srm_flag"),
     )
+
+
+# ---------------------------------------------------------------------------
+# s21: MANN-WHITNEY U — the nonparametric two-sample test an
+# experimentation pipeline runs when values are skewed (medians, not
+# means). Everything stays exact BIGINT by working in DOUBLED midranks:
+# for pooled value v, r2(v) = 2·(#smaller) + (#equal) + 1 is always an
+# integer, so Σ-of-ranks and U stay integers too (u2 = 2·U). The
+# identity u2_a + u2_b = 2·n_a·n_b is emitted as a hard consistency
+# boolean. Ranks come from the per-(event_type, cents) pooled histogram
+# — the cumulative window orders value-domain-sized state per group,
+# never rows.
+_MW_ORACLE = f"""
+    WITH ev AS (
+        SELECT event_type,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+               {_SRM_ARM} AS in_a
+        FROM events
+    ), h AS (
+        SELECT event_type, cents,
+               SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS ca,
+               SUM(CASE WHEN in_a THEN 0 ELSE 1 END) AS cb
+        FROM ev GROUP BY 1, 2
+    ), c AS (
+        SELECT event_type, cents, ca, cb,
+               COALESCE(SUM(ca + cb) OVER (PARTITION BY event_type
+                   ORDER BY cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS n_less
+        FROM h
+    ), r AS (
+        SELECT event_type,
+               SUM(ca) AS na, SUM(cb) AS nb,
+               SUM(ca * (2 * n_less + (ca + cb) + 1)) AS sr2a,
+               SUM(cb * (2 * n_less + (ca + cb) + 1)) AS sr2b
+        FROM c GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(na AS BIGINT) AS n_a,
+           CAST(nb AS BIGINT) AS n_b,
+           CAST(sr2a - na * (na + 1) AS BIGINT) AS u2_a,
+           CAST(sr2b - nb * (nb + 1) AS BIGINT) AS u2_b,
+           (sr2a - na * (na + 1)) + (sr2b - nb * (nb + 1))
+               = 2 * na * nb AS u_identity_ok
+    FROM r
+"""
+
+
+@REGISTRY.add("s21_mann_whitney_u", _MW_ORACLE, "stats", "experiment")
+def s21_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Mann-Whitney U (doubled-midrank BIGINT arithmetic, ties
+    handled) between the two md5 arms per event type, with the
+    u2_a + u2_b = 2·n_a·n_b identity as a hard signal."""
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+        (md5_bucket(F.col("user_id")) % _BUCKETS < 500_000).alias("in_a"),
+    )
+    h = ev.groupBy("event_type", "cents").agg(
+        F.sum(F.when(F.col("in_a"), 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("in_a"), 0).otherwise(1)).alias("cb"),
+    )
+    c = h.select(
+        "event_type", "cents", "ca", "cb",
+        F.coalesce(
+            F.sum(F.col("ca") + F.col("cb")).over(
+                W.partitionBy("event_type").orderBy("cents")
+                .rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("n_less"),
+    )
+    r = c.groupBy("event_type").agg(
+        F.sum("ca").alias("na"),
+        F.sum("cb").alias("nb"),
+        F.sum(F.expr("ca * (2 * n_less + (ca + cb) + 1)")).alias("sr2a"),
+        F.sum(F.expr("cb * (2 * n_less + (ca + cb) + 1)")).alias("sr2b"),
+    )
+    return r.select(
+        "event_type",
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.expr("CAST(sr2a - na * (na + 1) AS BIGINT)").alias("u2_a"),
+        F.expr("CAST(sr2b - nb * (nb + 1) AS BIGINT)").alias("u2_b"),
+        F.expr(
+            "(sr2a - na * (na + 1)) + (sr2b - nb * (nb + 1)) = 2 * na * nb"
+        ).alias("u_identity_ok"),
+    )

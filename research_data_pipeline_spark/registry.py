@@ -152,7 +152,8 @@ _VERIFY_COST_S = {
     "q44_guarded_hot_key_agg": 0.5, "s19_log_histogram_quantiles": 0.6,
     "s20_srm_check": 0.4, "d65_token_budget_allocation": 0.5,
     "d66_heldout_nll": 1.2, "d67_dedup_threshold_sweep": 2.5,
-    "m14_scene_cuts": 0.8,
+    "m14_scene_cuts": 0.8, "g17_harmonic_centrality": 2.4,
+    "s21_mann_whitney_u": 0.5, "q45_order_reconciliation": 0.4,
 }
 _DEFAULT_COST_S = 0.45
 

@@ -33,6 +33,8 @@ SAMPLE = [
     "q44_guarded_hot_key_agg", "s19_log_histogram_quantiles",
     "s20_srm_check", "d65_token_budget_allocation", "d66_heldout_nll",
     "d67_dedup_threshold_sweep", "m14_scene_cuts",
+    "g17_harmonic_centrality", "s21_mann_whitney_u",
+    "q45_order_reconciliation",
 ]
 
 

@@ -36,7 +36,7 @@ SAMPLE = [
     "d63_ivf_balance_audit", "d64_embedding_outliers",
     "e41_multitouch_attribution", "m13_phash_pairs",
     "q44_guarded_hot_key_agg", "s20_srm_check", "d66_heldout_nll",
-    "m14_scene_cuts",
+    "m14_scene_cuts", "s21_mann_whitney_u", "q45_order_reconciliation",
 ]
 
 
