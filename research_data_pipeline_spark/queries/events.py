@@ -2045,3 +2045,79 @@ def e42_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cents").alias("final_cents"),
         F.col("n_changes").cast("bigint").alias("n_changes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# e43: CHURN LABELS — PIT-correct label generation, the other half of
+# e35's feature rows: at snapshot T (the log midpoint, derived as exact
+# integer µs in both engines), every user active at-or-before T gets
+# label churned ⇔ zero events in (T, T + 30 d]. Features visible to the
+# model (prior count, recency at T) come strictly from ≤ T; the label
+# strictly from the horizon window — the temporal hygiene that makes
+# the training set honest. One keyed aggregation over events with the
+# scalar snapshot broadcast.
+_CHURN_HORIZON_US = 30 * 24 * 3600 * 1_000_000
+_CHURN_ORACLE = f"""
+    WITH t AS (
+        SELECT CAST((MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS BIGINT)
+            AS snap_us
+        FROM events
+    ), u AS (
+        SELECT user_id, t.snap_us,
+               SUM(CASE WHEN epoch_us(ts) <= t.snap_us THEN 1 ELSE 0 END)
+                   AS n_before,
+               MAX(CASE WHEN epoch_us(ts) <= t.snap_us
+                        THEN epoch_us(ts) END) AS last_before_us,
+               SUM(CASE WHEN epoch_us(ts) > t.snap_us
+                         AND epoch_us(ts) <= t.snap_us + {_CHURN_HORIZON_US}
+                        THEN 1 ELSE 0 END) AS n_in_horizon
+        FROM events CROSS JOIN t
+        GROUP BY user_id, t.snap_us
+    )
+    SELECT user_id,
+           CAST(snap_us AS BIGINT) AS snap_us,
+           CAST(n_before AS BIGINT) AS n_events_before,
+           CAST(snap_us - last_before_us AS BIGINT) AS recency_us,
+           CAST(n_in_horizon AS BIGINT) AS n_events_horizon,
+           n_in_horizon = 0 AS churned
+    FROM u WHERE n_before > 0
+"""
+
+
+@REGISTRY.add("e43_churn_labels", _CHURN_ORACLE, "events", "training",
+              "labels")
+def e43_churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIT-correct churn labels at the log-midpoint snapshot: features
+    from ≤T only, the label from the (T, T+30d] horizon only."""
+    from ..tables import epoch_us
+
+    ev = load(spark, sf_dir, "events")
+    t = ev.agg(
+        F.expr(
+            "CAST((min(unix_micros(CAST(ts AS TIMESTAMP)))"
+            " + max(unix_micros(CAST(ts AS TIMESTAMP)))) div 2 AS BIGINT)"
+        ).alias("snap_us")
+    )
+    e = ev.select("user_id", epoch_us(F.col("ts")).alias("ts_us"))
+    u = e.crossJoin(F.broadcast(t)).groupBy("user_id", "snap_us").agg(
+        F.sum(F.when(F.col("ts_us") <= F.col("snap_us"), 1).otherwise(0))
+        .alias("n_before"),
+        F.max(F.when(F.col("ts_us") <= F.col("snap_us"), F.col("ts_us")))
+        .alias("last_before_us"),
+        F.sum(
+            F.when(
+                (F.col("ts_us") > F.col("snap_us"))
+                & (F.col("ts_us") <= F.col("snap_us") + _CHURN_HORIZON_US),
+                1,
+            ).otherwise(0)
+        ).alias("n_in_horizon"),
+    )
+    return u.where(F.col("n_before") > 0).select(
+        "user_id",
+        F.col("snap_us").cast("bigint").alias("snap_us"),
+        F.col("n_before").cast("bigint").alias("n_events_before"),
+        (F.col("snap_us") - F.col("last_before_us")).cast("bigint")
+        .alias("recency_us"),
+        F.col("n_in_horizon").cast("bigint").alias("n_events_horizon"),
+        (F.col("n_in_horizon") == 0).alias("churned"),
+    )

@@ -34,7 +34,7 @@ SAMPLE = [
     "s20_srm_check", "d65_token_budget_allocation", "d66_heldout_nll",
     "d67_dedup_threshold_sweep", "m14_scene_cuts",
     "g17_harmonic_centrality", "s21_mann_whitney_u",
-    "q45_order_reconciliation",
+    "q45_order_reconciliation", "e43_churn_labels",
 ]
 
 
