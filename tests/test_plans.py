@@ -397,3 +397,28 @@ def test_e40_session_paths_bounded_topk(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_round8_pair_generators_never_cartesian(spark, sf_dir):
+    """The round-8 pair/candidate generators must ride keyed equi-joins:
+    no CartesianProduct and no BroadcastNestedLoopJoin anywhere in d61
+    (shingle dfreq join), m13 (band join), or e41 (per-user touch
+    window)."""
+    for name in ("d61_dup_ngram_coverage", "m13_phash_pairs",
+                 "e41_multitouch_attribution"):
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_s19_windows_never_row_scaled(spark, sf_dir):
+    """s19's windows run over bucket (<=40 rows) and distinct-value
+    state — the exact-quantile verification must NOT rank raw rows (the
+    first draft did; 15.7s at sf1). The plan proves it: every Window
+    consumes an aggregate, so a Scan never feeds a Window directly."""
+    plan = _plan(spark, sf_dir, "s19_log_histogram_quantiles")
+    assert "Window" in plan
+    # both window inputs are HashAggregate outputs (bucket counts /
+    # distinct-value counts), so the single-partition windows order
+    # domain-sized state, never the row count
+    assert plan.count("HashAggregate") >= 4, plan
