@@ -612,3 +612,52 @@ def m14_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         delta_ppm.alias("delta_ppm"),
         (delta_ppm >= _CUT_PPM).alias("is_cut"),
     )
+
+
+# ---------------------------------------------------------------------------
+# m15: MEDIA INTEGRITY audit — the ingest gate a multimodal pipeline
+# runs before any decode: does the payload's size match its declared
+# metadata (videos: n_bytes divisible into n_frames equal frames;
+# audio: whole int16 samples; images: 4-row bitmap width)? Pure JVM
+# expressions over (kind, n_bytes, metadata) — no bytes reach Python,
+# and at 100 TB this predicate prunes at the parquet scan before any
+# Arrow batch ships.
+_INTEG_ORACLE = f"""
+    WITH media AS ({MEDIA_CTE})
+    SELECT kind,
+           CAST(COUNT(*) AS BIGINT) AS n_payloads,
+           CAST(SUM(CASE WHEN n_bytes > 0 THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_empty,
+           CAST(SUM(CASE
+                WHEN kind = 'video' AND (n_frames <= 0
+                     OR n_bytes % n_frames <> 0) THEN 1
+                WHEN kind = 'audio' AND n_bytes % 2 <> 0 THEN 1
+                WHEN kind = 'image' AND n_bytes % 4 <> 0 THEN 1
+                ELSE 0 END) AS BIGINT) AS n_shape_mismatch
+    FROM media GROUP BY kind
+"""
+
+
+@REGISTRY.add("m15_media_integrity", _INTEG_ORACLE, "multimodal", "audit",
+              "quality")
+def m15_media_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-kind payload integrity: empty payloads and metadata/size
+    shape mismatches, computed metadata-only (no decode, no Python)."""
+    m = media_table(load(spark, sf_dir, "documents"))
+    nb = F.length("payload")
+    mismatch = (
+        F.when(
+            (F.col("kind") == "video")
+            & ((F.col("n_frames") <= 0) | (nb % F.col("n_frames") != 0)),
+            1,
+        )
+        .when((F.col("kind") == "audio") & (nb % 2 != 0), 1)
+        .when((F.col("kind") == "image") & (nb % 4 != 0), 1)
+        .otherwise(0)
+    )
+    return m.groupBy("kind").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_payloads"),
+        F.sum(F.when(nb > 0, 0).otherwise(1)).cast("bigint")
+        .alias("n_empty"),
+        F.sum(mismatch).cast("bigint").alias("n_shape_mismatch"),
+    )

@@ -2016,3 +2016,59 @@ def q45_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(sum(diff_e6) div (count(*) * 10000) AS BIGINT)"
         ).alias("avg_abs_diff_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q46: REFERENTIAL-ORPHAN audit — the FK-integrity table the engine
+# publishes instead of relying on database-enforced constraints
+# (quality.py enforces them per-load; this is the standing corpus-wide
+# report): for each declared relationship, how many child rows point at
+# a missing parent? One left-anti join per relation (keyed, broadcast
+# when the parent key set fits), counts in exact integer ppm.
+_ORPHAN_RELS = [
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+     "orders", "o_orderkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey",
+     "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey",
+     "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey",
+     "nation", "n_nationkey"),
+]
+_ORPHAN_ORACLE = "\n    UNION ALL\n".join(
+    f"""
+    SELECT '{label}' AS relation,
+           CAST((SELECT COUNT(*) FROM {child}) AS BIGINT) AS n_child_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_orphans,
+           CAST(COUNT(*) * 1000000
+                // (SELECT COUNT(*) FROM {child}) AS BIGINT) AS orphan_ppm
+    FROM {child} c WHERE NOT EXISTS (
+        SELECT 1 FROM {parent} p WHERE p.{pkey} = c.{ckey})
+    """
+    for label, child, ckey, parent, pkey in _ORPHAN_RELS
+)
+
+
+@REGISTRY.add("q46_referential_orphans", _ORPHAN_ORACLE, "relational",
+              "audit", "quality")
+def q46_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orphaned-child counts (exact integer ppm) for the four declared
+    FK relationships, via left-anti joins."""
+    out = None
+    for label, child, ckey, parent, pkey in _ORPHAN_RELS:
+        c = load(spark, sf_dir, child)
+        p = load(spark, sf_dir, parent)
+        n_child = c.agg(F.count(F.lit(1)).alias("_n"))
+        orphans = c.join(
+            p, c[ckey] == p[pkey], "left_anti"
+        ).agg(F.count(F.lit(1)).alias("_o"))
+        row = n_child.crossJoin(orphans).select(
+            F.lit(label).alias("relation"),
+            F.col("_n").cast("bigint").alias("n_child_rows"),
+            F.col("_o").cast("bigint").alias("n_orphans"),
+            F.expr("CAST(_o * 1000000 div _n AS BIGINT)").alias(
+                "orphan_ppm"
+            ),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

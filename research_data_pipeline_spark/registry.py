@@ -154,7 +154,8 @@ _VERIFY_COST_S = {
     "d66_heldout_nll": 1.2, "d67_dedup_threshold_sweep": 2.5,
     "m14_scene_cuts": 0.8, "g17_harmonic_centrality": 2.4,
     "s21_mann_whitney_u": 0.5, "q45_order_reconciliation": 0.4,
-    "e43_churn_labels": 0.5,
+    "e43_churn_labels": 0.5, "q46_referential_orphans": 0.5,
+    "m15_media_integrity": 0.4,
 }
 _DEFAULT_COST_S = 0.45
 

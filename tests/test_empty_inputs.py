@@ -35,6 +35,7 @@ SAMPLE = [
     "d67_dedup_threshold_sweep", "m14_scene_cuts",
     "g17_harmonic_centrality", "s21_mann_whitney_u",
     "q45_order_reconciliation", "e43_churn_labels",
+    "q46_referential_orphans", "m15_media_integrity",
 ]
 
 
