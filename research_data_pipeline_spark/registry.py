@@ -324,6 +324,32 @@ _GREEN_ROUNDS: dict[str, frozenset[str]] = {
         "s15_stratified_topk_sample", "s16_weighted_median",
         "s17_weighted_quartiles", "s18_cuped_theta"
     }),
+    "r08": frozenset({
+        "d01_token_stats", "d09_embedding_near_dups",
+        "d13b_ivf_lloyd_recall", "d14_pack_context_windows",
+        "d19_dedup_clusters", "d20_curation_filter",
+        "d21_incremental_dedup", "d41_dedup_savings",
+        "d43_corpus_funnel", "d48_quality_canonicals",
+        "d50_substring_spans", "d53_cross_source_leakage",
+        "d58_leakage_free_split", "d61_dup_ngram_coverage",
+        "d62_source_quality_prior", "d63_ivf_balance_audit",
+        "d64_embedding_outliers", "d65_token_budget_allocation",
+        "d66_heldout_nll", "d67_dedup_threshold_sweep",
+        "dwh1_top_publishers", "dwh2_top_journals",
+        "dwh3_most_productive_year", "dwh4_most_influential_year",
+        "e02_streaming_tumbling", "e08_stateful_user_stats",
+        "e13_streaming_sessions", "e14_stream_static_join",
+        "e23_watermark_dedup_replay", "e24_record_high_counts",
+        "e41_multitouch_attribution", "e42_cdc_apply",
+        "e43_churn_labels", "g16_personalized_pagerank",
+        "g17_harmonic_centrality", "m05_shard_packing",
+        "m13_phash_pairs", "m14_scene_cuts", "m15_media_integrity",
+        "q14_set_ops", "q15_rollup_revenue", "q44_guarded_hot_key_agg",
+        "q45_order_reconciliation", "q46_referential_orphans",
+        "s03_approx_distinct", "s04_approx_quantiles",
+        "s07_weighted_sample", "s19_log_histogram_quantiles",
+        "s20_srm_check", "s21_mann_whitney_u"
+    }),
 }
 
 # Queries whose implementation changed materially AFTER their newest green
@@ -333,22 +359,9 @@ _GREEN_ROUNDS: dict[str, frozenset[str]] = {
 # the rewrite claims an early verification slot in the next round; clear
 # the set once the post-rewrite green row lands.
 _REWRITTEN_SINCE_GREEN: set[str] = {
-    # (r07 verified every round-6/7 rewrite — q36, d13, d13b, d32b, d26,
-    # d44, d28, d47, e30, d38 all have post-rewrite green rows in
-    # CORRECTNESS_r07.json, taken at HEAD; set cleared at round-8 start.)
-    # round 8: d13b's Lloyd loop localCheckpoints the normalized-vector
-    # frame once and folds the final assignment into the last iteration
-    # (verdict task 4) after its r07 green row; d19/d41/d43/d48/d58 now
-    # read the shared resolved cluster-canonical table (verdict task 5).
-    "d13b_ivf_lloyd_recall",
-    "d19_dedup_clusters",
-    # round 8: d21's in-plan signature table gains a one-wave
-    # repartition before its localCheckpoint (3.6 -> 2.9 s)
-    "d21_incremental_dedup",
-    "d41_dedup_savings",
-    "d43_corpus_funnel",
-    "d48_quality_canonicals",
-    "d58_leakage_free_split",
+    # (r08 verified every round-8 rewrite — d13b, d19, d21, d41, d43,
+    # d48, d58 all have post-rewrite green rows in CORRECTNESS_r08.json,
+    # taken at HEAD; set cleared at round-9 start.)
 }
 
 
@@ -411,19 +424,22 @@ def all_specs() -> dict[str, QuerySpec]:
     # cap two rounds running. A query with zero driver hard-signal rows is
     # strictly less certified than one whose newest green row is merely
     # old, so it claims the slot first; cost stays a tiebreak WITHIN bands
-    # only. Deferral policy (verdict task 3): r08's due-list exceeds the
-    # 50-row cap, so ONE query is deferred deliberately —
-    # q23_part_name_positions, the cheapest (0.16 s) member of the r04
-    # band with the longest unbroken green streak (r01/r02/r04). It sorts
-    # dead last this round and MUST be verified first in r09 (move it to
-    # the head priority then). Any further overflow falls on the tail of
-    # the least-recently-green band under the same (streak length, cost)
-    # logic: evidence age breaks before evidence volume.
-    deferred_r08 = {"q23_part_name_positions"}
+    # only.
+    #
+    # Deferral repayment (round-9, self-expiring per the r08 advisor):
+    # q23_part_name_positions was the ONE deliberate r08 over-cap deferral
+    # and must verify FIRST in the round that runs with 8 folded green
+    # sets. The priority is gated on max_round so it cannot outlive its
+    # purpose: once the r09 fold lands (max_round >= 9), q23 sorts by its
+    # own (by-then fresh) green row like everyone else — no manual edit
+    # needed in either direction.
+    deferral_repayment = (
+        {"q23_part_name_positions"} if max_round == 8 else set()
+    )
 
     def _order(name: str) -> float:
-        if name in deferred_r08:
-            return float(max_round) + 2.0  # deliberate r08 deferral
+        if name in deferral_repayment:
+            return -2.0  # repay the documented r08 deferral first
         if name in _REWRITTEN_SINCE_GREEN:
             return -1.0
         lg = _last_green(name)
