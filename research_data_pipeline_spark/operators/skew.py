@@ -97,10 +97,16 @@ def measured_skew_ppm(df: DataFrame, keys: list[str]) -> int:
     per_key = df.groupBy(*[F.col(k) for k in keys]).agg(
         F.count(F.lit(1)).alias("c")
     )
+    # The product rides DECIMAL(38,0): max(c)·count(*)·10⁶ in BIGINT
+    # passes 2⁶³ exactly at the 100 TB hot-key scale this guard exists
+    # for (hot key ~1e10 rows × 1e5 keys × 1e6 wraps negative and
+    # silently disables salting). DECIMAL keeps the division exact, so
+    # uniform data still measures exactly 1e6 ppm.
     row = per_key.agg(
-        F.expr("CAST(max(c) * count(*) * 1000000 div sum(c) AS BIGINT)").alias(
-            "ppm"
-        )
+        F.expr(
+            "CAST(CAST(max(c) AS DECIMAL(38,0)) * count(*) * 1000000"
+            " div sum(c) AS BIGINT)"
+        ).alias("ppm")
     ).first()
     if row is None or row["ppm"] is None:
         return 1_000_000

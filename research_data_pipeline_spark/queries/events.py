@@ -1935,7 +1935,11 @@ def e41_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear multi-touch attribution: each purchase's exact cents split
     evenly across its user's view/click touches in the prior 24 h, the
     integer remainder assigned to the last touch so the per-purchase sum
-    is exact."""
+    is exact. Negative cents (refunds/chargebacks) are safe: Spark `div`
+    and DuckDB BIGINT `//` BOTH truncate toward zero with matching `%`,
+    so n·(c div n) + c % n == c holds on both engines — pinned by
+    tests/test_unicode_parity.py::
+    test_integer_split_division_parity_on_negatives."""
     from ..tables import epoch_us
 
     e = load(spark, sf_dir, "events")

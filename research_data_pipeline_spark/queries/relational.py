@@ -1858,8 +1858,8 @@ _SKEW_KEY_SQL = """
                CAST(SUM(c) AS BIGINT) AS n_rows,
                CAST(COUNT(*) AS BIGINT) AS n_keys,
                CAST(MAX(c) AS BIGINT) AS max_key_rows,
-               CAST(MAX(c) * COUNT(*) * 1000000 // SUM(c) AS BIGINT)
-                   AS skew_ppm
+               CAST(CAST(MAX(c) AS HUGEINT) * COUNT(*) * 1000000 // SUM(c)
+                   AS BIGINT) AS skew_ppm
         FROM (SELECT {key} AS k, COUNT(*) AS c FROM {table} GROUP BY 1)
 """
 _SKEW_KEYS = [
@@ -1890,8 +1890,12 @@ def q43_join_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("c").cast("bigint").alias("n_rows"),
             F.count(F.lit(1)).cast("bigint").alias("n_keys"),
             F.max("c").cast("bigint").alias("max_key_rows"),
+            # DECIMAL(38,0)/HUGEINT intermediate: the triple product
+            # passes 2⁶³ at 100 TB hot-key scale (advisor r08); div
+            # stays exact on both engines.
             F.expr(
-                "CAST(max(c) * count(*) * 1000000 div sum(c) AS BIGINT)"
+                "CAST(CAST(max(c) AS DECIMAL(38,0)) * count(*) * 1000000"
+                " div sum(c) AS BIGINT)"
             ).alias("skew_ppm"),
         ).select(F.lit(label).alias("join_key"), "n_rows", "n_keys",
                  "max_key_rows", "skew_ppm")

@@ -1242,20 +1242,20 @@ def s19_log_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pick.crossJoin(eq).select(
         "n",
-        F.expr("CAST(shiftleft(1, b50) AS BIGINT)").alias("p50_lo"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), b50)").alias("p50_lo"),
         F.col("q50").alias("p50_exact"),
-        ((F.col("q50") >= F.expr("shiftleft(1, b50)"))
-         & (F.col("q50") < F.expr("shiftleft(1, b50 + 1)")))
+        ((F.col("q50") >= F.expr("shiftleft(CAST(1 AS BIGINT), b50)"))
+         & (F.col("q50") < F.expr("shiftleft(CAST(1 AS BIGINT), b50 + 1)")))
         .alias("p50_in_bucket"),
-        F.expr("CAST(shiftleft(1, b90) AS BIGINT)").alias("p90_lo"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), b90)").alias("p90_lo"),
         F.col("q90").alias("p90_exact"),
-        ((F.col("q90") >= F.expr("shiftleft(1, b90)"))
-         & (F.col("q90") < F.expr("shiftleft(1, b90 + 1)")))
+        ((F.col("q90") >= F.expr("shiftleft(CAST(1 AS BIGINT), b90)"))
+         & (F.col("q90") < F.expr("shiftleft(CAST(1 AS BIGINT), b90 + 1)")))
         .alias("p90_in_bucket"),
-        F.expr("CAST(shiftleft(1, b99) AS BIGINT)").alias("p99_lo"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), b99)").alias("p99_lo"),
         F.col("q99").alias("p99_exact"),
-        ((F.col("q99") >= F.expr("shiftleft(1, b99)"))
-         & (F.col("q99") < F.expr("shiftleft(1, b99 + 1)")))
+        ((F.col("q99") >= F.expr("shiftleft(CAST(1 AS BIGINT), b99)"))
+         & (F.col("q99") < F.expr("shiftleft(CAST(1 AS BIGINT), b99 + 1)")))
         .alias("p99_in_bucket"),
     )
 

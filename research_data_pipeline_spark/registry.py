@@ -362,6 +362,11 @@ _REWRITTEN_SINCE_GREEN: set[str] = {
     # (r08 verified every round-8 rewrite — d13b, d19, d21, d41, d43,
     # d48, d58 all have post-rewrite green rows in CORRECTNESS_r08.json,
     # taken at HEAD; set cleared at round-9 start.)
+    # round 9 advisor fixes: q43's skew_ppm product now rides
+    # DECIMAL(38,0)/HUGEINT (overflow past 2^63 at 100 TB); s19's bucket
+    # bounds shift a BIGINT base (buckets >= 31 wrapped in 32-bit).
+    "q43_join_skew_audit",
+    "s19_log_histogram_quantiles",
 }
 
 

@@ -56,3 +56,27 @@ def test_bpe_char_split_is_codepoint_based(spark):
         " i -> substring(t, i, 1)) FROM (SELECT '日本語' AS t)"
     ).fetchone()[0]
     assert chars == want
+
+
+def test_integer_split_division_parity_on_negatives(spark):
+    # e41 splits purchase cents as `cents div n + CASE last THEN cents % n`
+    # (Spark) vs `cents // n + ...` (DuckDB). Both engines TRUNCATE BIGINT
+    # division toward zero (DuckDB floors only on DOUBLE), and both pair
+    # it with a truncating %, so n·(c div n) + c % n == c holds on BOTH
+    # sides for refund/chargeback-shaped NEGATIVE cents — pin it.
+    cases = [(-7, 2), (-7, 3), (7, 3), (-100, 7), (-1, 4), (0, 3)]
+    df = spark.createDataFrame(cases, "c long, n long")
+    got = {
+        (r["c"], r["n"]): (r["q"], r["m"])
+        for r in df.selectExpr("c", "n", "c div n AS q", "c % n AS m")
+        .collect()
+    }
+    con = duckdb.connect()
+    for c, n in cases:
+        want = con.execute(
+            "SELECT CAST(? AS BIGINT) // CAST(? AS BIGINT),"
+            " CAST(? AS BIGINT) % CAST(? AS BIGINT)", [c, n, c, n]
+        ).fetchone()
+        assert got[(c, n)] == want, ((c, n), got[(c, n)], want)
+        q, m = got[(c, n)]
+        assert n * q + m == c  # the exact-split invariant e41 relies on
