@@ -464,17 +464,23 @@ def m12_audio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # m13: PERCEPTUAL-HASH near-duplicate pairs on REAL decoded pixels — the
 # image-dedup step of a multimodal curation pipeline: every image takes
-# a 16-bit average-hash computed from pixels that went through the real
-# PNG encode→decode trip (multimodal/ops.perceptual_hash), then pairs
-# within hamming ≤ 3 surface via the d07 pigeonhole band join (4 bands
-# of 4 bits — a qualifying pair must agree on ≥1 band, so candidates
-# come from an equi-join, never an all-pairs scan). The oracle
-# recomputes the hash straight from the md5-derived source bytes
-# (encode→decode is lossless, so decode-side pixels equal source bytes;
-# any codec corruption shifts the mean or flips bits and breaks the
-# hash match). Fixed-bit sketch physics apply as in d07: candidate mass
-# grows with n²/2¹⁶ — at 100 TB you widen the hash (64-bit on 8×8
-# thumbnails: same plan, different constant).
+# a 64-bit neighborhood-pair average-hash computed from pixels that went
+# through the real PNG encode→decode trip (multimodal/ops.
+# perceptual_hash — bit (j, a) set when pixels a and (a+j+1) mod 16 sum
+# above twice the global mean), then pairs within hamming ≤ 3 surface
+# via the d07 pigeonhole band join (4 bands of 16 bits — ≤3 differing
+# bits cannot touch all 4 bands, so a qualifying pair must agree on ≥1
+# band and candidates come from an equi-join, never an all-pairs scan).
+# The oracle recomputes the hash straight from the md5-derived source
+# bytes (encode→decode is lossless, so decode-side pixels equal source
+# bytes; any codec corruption shifts the mean or flips pair sums and
+# breaks the hash match). The round-8 16-bit form was the suite's one
+# super-linear curve (15.5× wall at 30× rows: 2⁴ values per band);
+# 16-bit bands collide ~2¹²× less, so the candidate mass stays
+# pair-driven, not physics-driven, until n approaches 2¹⁶ — and the
+# production knob stays the same: widen the hash / bands, identical
+# plan. The hash rides as its four 16-bit band columns, so no 2⁶³
+# overflow and no reassembly before the join.
 _PH_MAXHAM = 3
 _PH_ORACLE = f"""
     WITH media AS ({MEDIA_CTE}),
@@ -484,16 +490,24 @@ _PH_ORACLE = f"""
         WHERE kind = 'image'
     ),
     mn AS (SELECT doc_id, SUM(b) // 16 AS m FROM b16 GROUP BY doc_id),
-    ph AS (
-        SELECT b16.doc_id,
-               CAST(SUM(CASE WHEN b > m THEN 1 << (i - 1) ELSE 0 END)
-                    AS BIGINT) AS phash
-        FROM b16 JOIN mn ON mn.doc_id = b16.doc_id
-        GROUP BY b16.doc_id
-    ),
     bands AS (
-        SELECT doc_id, t.b AS band_idx, (phash >> (4 * t.b)) & 15 AS band_val
-        FROM ph, UNNEST(generate_series(0, 3)) AS t(b)
+        SELECT x.doc_id, tj.j AS band_idx,
+               CAST(SUM(CASE WHEN x.b + y.b > 2 * mn.m
+                        THEN (1 << (x.i - 1)) ELSE 0 END) AS BIGINT)
+                   AS band_val
+        FROM b16 x, UNNEST(generate_series(0, 3)) AS tj(j), b16 y, mn
+        WHERE y.doc_id = x.doc_id
+          AND y.i = 1 + ((x.i - 1 + tj.j + 1) % 16)
+          AND mn.doc_id = x.doc_id
+        GROUP BY x.doc_id, tj.j
+    ),
+    ph AS (
+        SELECT doc_id,
+               MAX(CASE WHEN band_idx = 0 THEN band_val END) AS b0,
+               MAX(CASE WHEN band_idx = 1 THEN band_val END) AS b1,
+               MAX(CASE WHEN band_idx = 2 THEN band_val END) AS b2,
+               MAX(CASE WHEN band_idx = 3 THEN band_val END) AS b3
+        FROM bands GROUP BY doc_id
     ),
     cand AS (
         SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
@@ -502,42 +516,53 @@ _PH_ORACLE = f"""
          AND a.doc_id < b.doc_id
     )
     SELECT c.i, c.j,
-           CAST(bit_count(xor(pa.phash, pb.phash)) AS BIGINT) AS hamming
+           CAST(bit_count(xor(pa.b0, pb.b0)) + bit_count(xor(pa.b1, pb.b1))
+              + bit_count(xor(pa.b2, pb.b2)) + bit_count(xor(pa.b3, pb.b3))
+                AS BIGINT) AS hamming
     FROM cand c
     JOIN ph pa ON pa.doc_id = c.i
     JOIN ph pb ON pb.doc_id = c.j
-    WHERE bit_count(xor(pa.phash, pb.phash)) <= {_PH_MAXHAM}
+    WHERE bit_count(xor(pa.b0, pb.b0)) + bit_count(xor(pa.b1, pb.b1))
+        + bit_count(xor(pa.b2, pb.b2)) + bit_count(xor(pa.b3, pb.b3))
+        <= {_PH_MAXHAM}
 """
 
 
 @REGISTRY.add("m13_phash_pairs", _PH_ORACLE, "multimodal", "dedup", "codec")
 def m13_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate image pairs (hamming ≤ 3 on the 16-bit aHash of
-    real decoded pixels) via the pigeonhole band join — image dedup with
-    the real codec in the loop."""
+    """Near-duplicate image pairs (hamming ≤ 3 on the 64-bit
+    neighborhood-pair hash of real decoded pixels, carried as four
+    16-bit bands) via the pigeonhole band join — image dedup with the
+    real codec in the loop."""
     m = media_table(load(spark, sf_dir, "documents"))
     ph = ops.perceptual_hash(m).localCheckpoint()  # two join sides below
     bands = ph.select(
-        "doc_id", "phash",
-        F.explode(F.array(*[F.lit(b) for b in range(4)])).alias("band_idx"),
-    ).withColumn(
-        "band_val", F.expr("(phash >> (4 * band_idx)) & 15")
+        "doc_id", "b0", "b1", "b2", "b3",
+        F.expr(
+            "stack(4, 0, b0, 1, b1, 2, b2, 3, b3) AS (band_idx, band_val)"
+        ),
     )
     a = bands.select(
-        F.col("doc_id").alias("i"), F.col("phash").alias("pa"),
+        F.col("doc_id").alias("i"),
+        *[F.col(f"b{k}").alias(f"pa{k}") for k in range(4)],
         "band_idx", "band_val",
     )
     b = bands.select(
-        F.col("doc_id").alias("j"), F.col("phash").alias("pb"),
+        F.col("doc_id").alias("j"),
+        *[F.col(f"b{k}").alias(f"pb{k}") for k in range(4)],
         "band_idx", "band_val",
     )
     cand = (
         a.join(b, ["band_idx", "band_val"])
         .where(F.col("i") < F.col("j"))
-        .select("i", "j", "pa", "pb")
+        .select("i", "j", *[f"pa{k}" for k in range(4)],
+                *[f"pb{k}" for k in range(4)])
         .distinct()
     )
-    ham = F.expr("bit_count(pa ^ pb)")
+    ham = F.expr(
+        "bit_count(pa0 ^ pb0) + bit_count(pa1 ^ pb1)"
+        " + bit_count(pa2 ^ pb2) + bit_count(pa3 ^ pb3)"
+    )
     return cand.where(ham <= _PH_MAXHAM).select(
         "i", "j", ham.cast("bigint").alias("hamming")
     )

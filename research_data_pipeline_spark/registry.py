@@ -367,6 +367,10 @@ _REWRITTEN_SINCE_GREEN: set[str] = {
     # bounds shift a BIGINT base (buckets >= 31 wrapped in 32-bit).
     "q43_join_skew_audit",
     "s19_log_histogram_quantiles",
+    # round 9 verdict task: m13's perceptual hash widened 16 -> 64 bits
+    # (four 16-bit band columns; same pigeonhole plan) after its r08
+    # green row — the 30x wall ratio dropped 15.5x -> 1.4x.
+    "m13_phash_pairs",
 }
 
 

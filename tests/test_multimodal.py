@@ -191,3 +191,39 @@ def test_real_audio_stats_spark_end_to_end(spark):
         assert r.duration_ms == frames * 1000 // rate
         assert r.sum_abs_sample == int(np.abs(s.astype(np.int64)).sum())
         assert r.peak_abs_sample == int(np.abs(s.astype(np.int64)).max())
+
+
+def test_perceptual_hash64_matches_python_reference(spark, sf_dir):
+    """m13's widened hash: four 16-bit bands, bit (j, a) set when
+    decoded pixels a and (a+j+1) mod 16 sum above twice the global
+    integer mean. Recompute from the source text independently (the
+    codec trip is lossless) and check identical payloads hash
+    identically (hamming 0 — the dedup property m13 relies on)."""
+    m = media_table(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    got = {
+        r.doc_id: (r.b0, r.b1, r.b2, r.b3)
+        for r in ops.perceptual_hash(m).collect()
+    }
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where("doc_id % 3 = 0").select("doc_id", "text").collect()
+    )
+    assert len(docs) > 0 and set(got) == {d.doc_id for d in docs}
+    by_md5: dict[bytes, tuple] = {}
+    for d in docs:
+        md5 = hashlib.md5(d.text.encode()).digest()
+        r = 1 + d.doc_id % 7
+        payload = md5 * r
+        mean = sum(payload) // len(payload)
+        want = tuple(
+            sum(
+                (1 << a)
+                for a in range(16)
+                if md5[a] + md5[(a + j + 1) % 16] > 2 * mean
+            )
+            for j in range(4)
+        )
+        assert got[d.doc_id] == want, d.doc_id
+        if md5 in by_md5:
+            assert by_md5[md5] == want  # identical payloads: hamming 0
+        by_md5[md5] = want

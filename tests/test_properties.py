@@ -995,37 +995,50 @@ def test_cdc_apply_idempotent_under_replay(spark, changes, dup_factor):
 
 @settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 @given(
-    hashes=st.lists(st.integers(0, 65535), min_size=2, max_size=24),
+    hashes=st.lists(
+        st.tuples(*[st.integers(0, 65535)] * 4), min_size=2, max_size=24
+    ),
 )
 def test_phash_band_join_complete_for_low_hamming(spark, hashes):
-    """Pigeonhole completeness: every pair within hamming ≤ 3 of the
-    16-bit hashes MUST surface from the 4-band equi-join (4 bands of 4
-    bits: ≤3 differing bits cannot touch all 4 bands), and nothing
-    outside the threshold survives the filter."""
+    """Pigeonhole completeness for m13's widened 64-bit hash (four
+    16-bit band columns): every pair within hamming ≤ 3 MUST surface
+    from the 4-band equi-join (≤3 differing bits cannot touch all 4
+    bands), and nothing outside the threshold survives the filter."""
     from pyspark.sql import functions as F
 
     ph = spark.createDataFrame(
-        [(i, h) for i, h in enumerate(hashes)], "doc_id long, phash long"
+        [(i, *h) for i, h in enumerate(hashes)],
+        "doc_id long, b0 long, b1 long, b2 long, b3 long",
     )
     bands = ph.select(
-        "doc_id", "phash",
-        F.explode(F.array(*[F.lit(b) for b in range(4)])).alias("b"),
-    ).withColumn("v", F.expr("(phash >> (4 * b)) & 15"))
-    a = bands.select(F.col("doc_id").alias("i"), F.col("phash").alias("pa"),
-                     "b", "v")
-    bb = bands.select(F.col("doc_id").alias("j"), F.col("phash").alias("pb"),
-                      "b", "v")
+        "doc_id", "b0", "b1", "b2", "b3",
+        F.expr("stack(4, 0, b0, 1, b1, 2, b2, 3, b3) AS (b, v)"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("i"),
+        *[F.col(f"b{k}").alias(f"pa{k}") for k in range(4)], "b", "v")
+    bb = bands.select(
+        F.col("doc_id").alias("j"),
+        *[F.col(f"b{k}").alias(f"pb{k}") for k in range(4)], "b", "v")
+    ham = F.expr(
+        "bit_count(pa0 ^ pb0) + bit_count(pa1 ^ pb1)"
+        " + bit_count(pa2 ^ pb2) + bit_count(pa3 ^ pb3)"
+    )
     got = {
         (r["i"], r["j"])
         for r in a.join(bb, ["b", "v"]).where("i < j")
-        .select("i", "j", F.expr("bit_count(pa ^ pb)").alias("h"))
+        .select("i", "j", ham.alias("h"))
         .where("h <= 3").distinct().collect()
     }
+
+    def full(h):
+        return h[0] | (h[1] << 16) | (h[2] << 32) | (h[3] << 48)
+
     exp = {
         (i, j)
         for i in range(len(hashes))
         for j in range(i + 1, len(hashes))
-        if bin(hashes[i] ^ hashes[j]).count("1") <= 3
+        if bin(full(hashes[i]) ^ full(hashes[j])).count("1") <= 3
     }
     assert got == exp
 
