@@ -3997,11 +3997,17 @@ def d60_incremental_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # for each document, what fraction of its 5-gram OCCURRENCES is text
 # that also appears in at least one other document? One shuffle keyed on
 # the shingle (groupBy → distinct-doc count), one keyed on doc_id — the
-# standard two-exchange job. Shingles are grouped by their string here
-# (sf-scale corpora); at 100 TB the group key is a 128-bit hash of the
-# shingle (same plan, 16-byte keys) — collisions only ever OVERSTATE
-# duplication by gluing two shingles, never lose mass.
+# standard two-exchange job. The shuffle key is a 60-bit md5 prefix of
+# the shingle (the suite's portable hash-bucket pattern), NOT the raw
+# 5-gram string: the text is dropped before BOTH exchanges, so shuffle
+# bytes are 8-byte keys instead of ~30-byte strings — the 100 TB shape.
+# A hash collision glues two shingles and can only OVERSTATE
+# duplication, never lose mass (and both engines hash identically, so
+# parity holds bit-for-bit regardless).
 _DUPCOV_N = 5
+_GRAM = (
+    f"array_to_string(toks[i:i+{_DUPCOV_N - 1}], ' ')"
+)
 _DUPCOV_ORACLE = f"""
     WITH t AS (
         SELECT doc_id, {_TOKS} AS toks FROM documents
@@ -4009,11 +4015,12 @@ _DUPCOV_ORACLE = f"""
     ), occ AS (
         SELECT doc_id,
                unnest(list_transform(range(1, len(toks) - {_DUPCOV_N - 2}),
-                      i -> array_to_string(toks[i:i+{_DUPCOV_N - 1}], ' ')))
-                   AS g
+                      i -> CAST(CAST('0x' || substr(md5({_GRAM}), 1, 15)
+                                AS UBIGINT) AS BIGINT)))
+                   AS gh
         FROM t
     ), dfreq AS (
-        SELECT g, COUNT(DISTINCT doc_id) AS nd FROM occ GROUP BY g
+        SELECT gh, COUNT(DISTINCT doc_id) AS nd FROM occ GROUP BY gh
     )
     SELECT o.doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_grams,
@@ -4021,7 +4028,7 @@ _DUPCOV_ORACLE = f"""
                AS n_dup,
            CAST(SUM(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END) * 1000000
                 // COUNT(*) AS BIGINT) AS dup_ppm
-    FROM occ o JOIN dfreq d USING (g)
+    FROM occ o JOIN dfreq d USING (gh)
     GROUP BY o.doc_id
 """
 
@@ -4031,7 +4038,14 @@ _DUPCOV_ORACLE = f"""
 def d61_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document duplicated 5-gram coverage (integer ppm of shingle
     occurrences whose text appears in ≥2 documents) — the corpus
-    duplication-mass audit behind span-dedup decisions."""
+    duplication-mass audit behind span-dedup decisions. Shuffles the
+    60-bit md5 prefix of each shingle, never the shingle text — and the
+    occurrence stream shuffles exactly ONCE (to the distinct
+    (gh, doc_id) pair grain, carrying the occurrence count); the
+    doc-frequency aggregate and the nd-join both run over the far
+    smaller pair table, whose gh-exchange Spark reuses across the two
+    consumers (ReusedExchange), so the hash is computed once per
+    occurrence and the heavy table crosses the wire once."""
     d = load(spark, sf_dir, "documents").where(
         F.size(T.tokens(F.col("text"))) >= _DUPCOV_N
     )
@@ -4040,23 +4054,26 @@ def d61_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.expr(
                 f"transform(sequence(1, size(split(text, ' ')) - {_DUPCOV_N - 1}),"
-                f" i -> array_join(slice(split(text, ' '), i, {_DUPCOV_N}), ' '))"
+                " i -> CAST(conv(substring(md5("
+                f"array_join(slice(split(text, ' '), i, {_DUPCOV_N}), ' ')"
+                "), 1, 15), 16, 10) AS BIGINT))"
             )
-        ).alias("g"),
+        ).alias("gh"),
     )
-    dfreq = occ.groupBy("g").agg(
-        F.count_distinct("doc_id").alias("nd")
+    pairs = occ.groupBy("gh", "doc_id").agg(
+        F.count(F.lit(1)).alias("cnt")
     )
+    dfreq = pairs.groupBy("gh").agg(F.count(F.lit(1)).alias("nd"))
     return (
-        occ.join(dfreq, "g")
+        pairs.join(dfreq, "gh")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
-            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).cast("bigint")
-            .alias("n_dup"),
+            F.sum("cnt").cast("bigint").alias("n_grams"),
+            F.sum(F.when(F.col("nd") >= 2, F.col("cnt")).otherwise(0))
+            .cast("bigint").alias("n_dup"),
             F.expr(
-                "CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) * 1000000"
-                " div count(*) AS BIGINT)"
+                "CAST(sum(CASE WHEN nd >= 2 THEN cnt ELSE 0 END) * 1000000"
+                " div sum(cnt) AS BIGINT)"
             ).alias("dup_ppm"),
         )
     )

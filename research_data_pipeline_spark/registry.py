@@ -371,6 +371,10 @@ _REWRITTEN_SINCE_GREEN: set[str] = {
     # (four 16-bit band columns; same pigeonhole plan) after its r08
     # green row — the 30x wall ratio dropped 15.5x -> 1.4x.
     "m13_phash_pairs",
+    # round 9 verdict task: d61 shuffles the 60-bit md5 gram prefix and
+    # aggregates occurrences once to the (gh, doc_id) pair grain
+    # (shuffle bytes -44% at sf1) after its r08 green row.
+    "d61_dup_ngram_coverage",
 }
 
 
