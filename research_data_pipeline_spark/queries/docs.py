@@ -4144,10 +4144,32 @@ def d62_source_quality_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# d63/d64: IVF index-health audits. Both read one Arrow-batched seed-
-# centroid assignment pass that ALSO emits the winning cosine (the
-# left-fold _cosine_block kernel, ties toward the smaller centroid id —
-# the exact arithmetic d13's oracle already certifies).
+# d63/d64: IVF index-health audits. Both read ONE materialized seed-
+# centroid assignment table per (session, dataset) — the _CLUSTER_CACHE
+# contract applied to the IVF assignment pass (r08 verdict task 4): the
+# Arrow kernel runs once, localCheckpoint materializes (vec_id, cell,
+# ccos), and every consumer reads the artifact the way a production
+# index pipeline assigns a corpus once per build. bench.py times the
+# build separately under `shared`. The kernel ALSO emits the winning
+# cosine (the left-fold _cosine_block kernel, ties toward the smaller
+# centroid id — the exact arithmetic d13's oracle already certifies).
+_IVF_ASSIGN_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _ivf_assign_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _IVF_ASSIGN_CACHE.get(key)
+    if cached is None:
+        e = sim._drop_null_vectors(
+            load(spark, sf_dir, "embeddings"), "embedding"
+        )
+        cached = _seed_assign_with_cos(spark, e).localCheckpoint()
+        for k in [k for k in _IVF_ASSIGN_CACHE if k[0] != key[0]]:
+            del _IVF_ASSIGN_CACHE[k]
+        _IVF_ASSIGN_CACHE[key] = cached
+    return cached
+
+
 def _seed_assign_with_cos(spark: SparkSession, e: DataFrame) -> DataFrame:
     """(vec_id, cell, ccos) for every embedding against the id<16 seed
     centroids — bit-exact left-fold cosines, argmax ties to smaller id."""
@@ -4227,9 +4249,9 @@ def d63_ivf_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cell population of the seed-centroid IVF index plus the q43
     skew statistic (max·k·10⁶ div n): a hot cell means probe latency is
     that cell's scan — the number that decides a Lloyd re-train or a
-    cell split before a 100 TB index build."""
-    e = sim._drop_null_vectors(load(spark, sf_dir, "embeddings"), "embedding")
-    asg = _seed_assign_with_cos(spark, e)
+    cell split before a 100 TB index build. Reads the shared
+    materialized assignment table (one Arrow pass per session/dataset)."""
+    asg = _ivf_assign_table(spark, sf_dir)
     pc = asg.groupBy("cell").agg(F.count(F.lit(1)).alias("nv"))
     tot = pc.agg(
         F.sum("nv").alias("n"), F.max("nv").alias("mx"),
@@ -4283,9 +4305,10 @@ def d64_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell centroid, with the bottom 5% of each cell (exact rank, ties to
     smaller vec_id) marked — the SemDeDup-style prune list for vectors
     the index represents worst. Cosines are bit-exact left-folds, so
-    the flag is deterministic across engines and partitionings."""
-    e = sim._drop_null_vectors(load(spark, sf_dir, "embeddings"), "embedding")
-    asg = _seed_assign_with_cos(spark, e)
+    the flag is deterministic across engines and partitionings. Reads
+    the shared materialized assignment table (one Arrow pass per
+    session/dataset)."""
+    asg = _ivf_assign_table(spark, sf_dir)
     rk = asg.select(
         "vec_id", "cell", "ccos",
         F.row_number().over(

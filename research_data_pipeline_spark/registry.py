@@ -375,6 +375,10 @@ _REWRITTEN_SINCE_GREEN: set[str] = {
     # aggregates occurrences once to the (gh, doc_id) pair grain
     # (shuffle bytes -44% at sf1) after its r08 green row.
     "d61_dup_ngram_coverage",
+    # round 9 verdict task: d63/d64 now read the shared materialized
+    # IVF assignment table (_ivf_assign_table) after their r08 greens.
+    "d63_ivf_balance_audit",
+    "d64_embedding_outliers",
 }
 
 

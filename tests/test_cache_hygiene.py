@@ -67,3 +67,21 @@ def test_text_dedup_operators_release_caches(spark, sf_dir):
     assert _sql_cache_empty(spark), "simhash_pairs left cached plans"
     assert dd.ngram_jaccard_pairs(d, "doc_id", "text").count() >= 0
     assert _sql_cache_empty(spark), "ngram_jaccard_pairs left cached plans"
+
+
+def test_ivf_assign_table_shared_across_consumers(spark, sf_dir):
+    """d63/d64 read ONE materialized assignment table per (session,
+    dataset): the cache holds exactly one entry after both run, both
+    consumers see the same object, and the SQL cache manager stays
+    empty (localCheckpoint, not .cache())."""
+    from research_data_pipeline_spark.queries import docs
+
+    docs._IVF_ASSIGN_CACHE.clear()
+    spark.catalog.clearCache()
+    t1 = docs._ivf_assign_table(spark, sf_dir)
+    assert docs.d63_ivf_balance_audit(spark, sf_dir).count() > 0
+    assert docs.d64_embedding_outliers(spark, sf_dir).count() > 0
+    t2 = docs._ivf_assign_table(spark, sf_dir)
+    assert t1 is t2, "assignment pass rebuilt within one session/dataset"
+    assert len(docs._IVF_ASSIGN_CACHE) == 1
+    assert _sql_cache_empty(spark)
