@@ -113,6 +113,47 @@ def measured_skew_ppm(df: DataFrame, keys: list[str]) -> int:
     return int(row["ppm"])
 
 
+def maybe_salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    threshold_ppm: int = 10_000_000,
+    n_salts: int = 8,
+    how: str = "inner",
+    skew_ppm: int | None = None,
+) -> DataFrame:
+    """The join twin of :func:`maybe_salted_agg` — the second 100 TB
+    salting decision as code: equi-join ``big`` to ``small`` on ``key``,
+    flipping to :func:`salted_join` (big side scattered across
+    ``n_salts`` sub-keys, small side replicated) when the measured
+    hot-key skew of the BIG side crosses ``threshold_ppm`` (default:
+    the hottest key holds ≥ 10× its uniform share — the one customer
+    whose rows would otherwise funnel into a single join task).
+
+    ``skew_ppm`` short-circuits the measurement when the caller already
+    has the number (the standing q43 audit measures exactly this
+    statistic for the five fact join keys); otherwise one map-side-
+    combined measurement groupBy runs first. The decision is recorded
+    in ``decisions.LAST['maybe_salted_join']``. Both paths produce
+    identical rows (salting only re-partitions the pair space), so the
+    flip is a pure execution decision — flip-proven both ways on a
+    synthetic hot key in tests/test_skew.py.
+    """
+    from .decisions import record
+
+    ppm = measured_skew_ppm(big, [key]) if skew_ppm is None else int(skew_ppm)
+    use_salt = ppm >= threshold_ppm
+    record(
+        "maybe_salted_join",
+        skew_ppm=ppm,
+        threshold_ppm=threshold_ppm,
+        path="salted" if use_salt else "plain",
+    )
+    if use_salt:
+        return salted_join(big, small, key, n_salts=n_salts, how=how)
+    return big.join(small, key, how)
+
+
 def maybe_salted_agg(
     df: DataFrame,
     keys: list[str],

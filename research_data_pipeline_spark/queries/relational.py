@@ -2076,3 +2076,51 @@ def q46_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# q47: the q43 audit ACTING on a JOIN — per-nation supplier revenue with
+# the lineitem→supplier join routed through operators/skew.
+# maybe_salted_join, which measures the big side's hot-key skew on
+# l_suppkey (the same integer-ppm statistic q43 publishes for exactly
+# this key) and flips to the salted scatter-join when the hottest
+# supplier holds ≥ 10× its uniform share. Results are identical on
+# either path (salting only re-partitions the pair space), so the
+# oracle is the plain join — what the guard chooses is an execution
+# decision, recorded in decisions.LAST and flip-proven both ways on a
+# synthetic hot key in tests/test_skew.py. Money stays exact cents.
+_GSJ_ORACLE = """
+    SELECT s.s_nationkey AS nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(COUNT(DISTINCT s.s_suppkey) AS BIGINT) AS n_suppliers,
+           CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    GROUP BY s.s_nationkey
+"""
+
+
+@REGISTRY.add("q47_guarded_skew_join", _GSJ_ORACLE, "relational", "scale",
+              "audit")
+def q47_guarded_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation supplier revenue through the skew-measuring salted-
+    join guard (plain broadcast/hash join on this uniform key; the same
+    call flips to the scatter join on a ≥10× hot supplier)."""
+    from ..operators.skew import maybe_salted_join
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("suppkey"),
+        F.expr(
+            "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)"
+        ).alias("cents"),
+    )
+    supp = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("suppkey"),
+        F.col("s_nationkey").alias("nationkey"),
+    )
+    j = maybe_salted_join(li, supp, "suppkey")
+    return j.groupBy("nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.count_distinct("suppkey").cast("bigint").alias("n_suppliers"),
+        F.sum("cents").cast("bigint").alias("revenue_cents"),
+    )

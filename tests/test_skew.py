@@ -110,3 +110,53 @@ def test_maybe_salted_agg_flips_on_measured_skew(spark):
     got_s = {tuple(r) for r in salted.collect()}
     got_b = {tuple(r) for r in baseline.collect()}
     assert got_s == got_b and len(got_s) == 101
+
+
+def test_maybe_salted_join_flips_on_measured_skew(spark):
+    """The join twin of the acting guard (verdict r8 #5): the same join
+    spec runs the plain equi-join on a uniform key and flips to the
+    salted scatter join on a 10×-hot key — identical results both ways,
+    decision recorded, plan shape proving the flip."""
+    from research_data_pipeline_spark.io.layout import formatted_plan
+    from research_data_pipeline_spark.operators.decisions import LAST
+    from research_data_pipeline_spark.operators.skew import (
+        maybe_salted_join,
+    )
+
+    dim = spark.createDataFrame(
+        [(k, f"tag{k}") for k in [HOT] + [100, 101, 102]],
+        "user_id bigint, tag string",
+    )
+
+    # uniform: 100 rows for each of users 100-102 -> ppm ~ 1e6, plain
+    uniform = spark.range(300).select(
+        (F.col("id") % 3 + 100).alias("user_id"),
+        F.col("id").alias("event_id"),
+    )
+    plain = maybe_salted_join(uniform, dim, "user_id")
+    assert LAST["maybe_salted_join"]["path"] == "plain"
+    assert LAST["maybe_salted_join"]["skew_ppm"] == 1_000_000
+    assert "_salt" not in formatted_plan(plain)
+    got = {r["tag"]: 1 for r in plain.select("tag").distinct().collect()}
+    assert set(got) == {"tag100", "tag101", "tag102"}
+
+    # skewed: 100k rows for HOT + 10 each for 100 cold users -> flips
+    hot = spark.range(100_000).select(
+        F.lit(HOT).cast("bigint").alias("user_id"),
+        F.col("id").alias("event_id"),
+    )
+    cold = spark.range(1000).select(
+        (F.col("id") % 100 + 100).alias("user_id"),
+        (F.col("id") + 200_000).alias("event_id"),
+    )
+    skewed = hot.unionByName(cold)
+    salted = maybe_salted_join(skewed, dim, "user_id")
+    assert LAST["maybe_salted_join"]["path"] == "salted"
+    assert "_salt" in formatted_plan(salted)
+    baseline = maybe_salted_join(skewed, dim, "user_id", skew_ppm=1_000_000)
+    assert LAST["maybe_salted_join"]["path"] == "plain"
+    got_s = {tuple(r) for r in salted.collect()}
+    got_b = {tuple(r) for r in baseline.collect()}
+    assert got_s == got_b
+    n_hot = sum(1 for t in got_s if t[0] == HOT)
+    assert n_hot == 100_000 and len(got_s) == 100_030
