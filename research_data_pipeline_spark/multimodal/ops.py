@@ -628,3 +628,48 @@ def frame_sums(media: DataFrame) -> DataFrame:
         schema="doc_id bigint, frame_idx bigint, frame_len bigint, "
         "frame_sum bigint",
     )
+
+
+def extract_frames(media: DataFrame, frames: DataFrame) -> DataFrame:
+    """Targeted frame EXTRACTION: pull the requested (doc_id, frame_idx)
+    frames out of the video payloads in one Arrow pass — the second half
+    of the keyframe pipeline (a detector chooses the indices JVM-side;
+    this op touches bytes only for the chosen frames' videos).
+
+    ``frames`` is the index table; it collapses to one bounded
+    per-video index list (≤ n_frames entries) before joining the
+    payload, so the Arrow batch carries each video's bytes exactly once
+    no matter how many frames are requested. Emits (doc_id, frame_idx,
+    offset, frame_len, first_byte) per requested frame."""
+    klist = frames.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("frame_idx")).alias("idxs")
+    )
+    src = media.where(
+        "kind = 'video' AND payload IS NOT NULL AND n_frames > 0"
+    ).select("doc_id", "payload", "n_frames").join(klist, "doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "frame_idx": [], "offset": [],
+                "frame_len": [], "first_byte": [],
+            }
+            for doc_id, payload, nf, idxs in zip(
+                pdf["doc_id"], pdf["payload"], pdf["n_frames"], pdf["idxs"]
+            ):
+                arr = _bytes(payload)
+                L = len(arr) // int(nf)
+                for idx in idxs:
+                    off = int(idx) * L
+                    out["doc_id"].append(int(doc_id))
+                    out["frame_idx"].append(int(idx))
+                    out["offset"].append(off)
+                    out["frame_len"].append(L)
+                    out["first_byte"].append(int(arr[off]))
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(
+        run,
+        schema="doc_id bigint, frame_idx bigint, offset bigint, "
+        "frame_len bigint, first_byte bigint",
+    )

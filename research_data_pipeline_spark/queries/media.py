@@ -686,3 +686,96 @@ def m15_media_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_empty"),
         F.sum(mismatch).cast("bigint").alias("n_shape_mismatch"),
     )
+
+
+# ---------------------------------------------------------------------------
+# m16: KEYFRAME EXTRACTION at scene cuts — the composition that turns
+# m14's detector into curation-ready training data: for each video,
+# extract the FIRST frame of every scene (frame 0 opens scene 1; each
+# m14 cut at frame f opens a new scene whose keyframe is f). Detection
+# runs entirely JVM-side over the frames-sized signature table (one
+# frame_sums Arrow pass + a keyed LAG window — the m14 plan, computed
+# in ONE branch so the Python pass is not duplicated); the chosen
+# indices collapse to a bounded per-video list (≤ n_frames) and a
+# second Arrow pass (ops.extract_frames) touches the payload bytes
+# exactly once to cut the frames out. The oracle nests m14's CTE chain
+# verbatim and re-derives each keyframe's first byte from the md5 byte
+# cycle.
+_KF_ORACLE = f"""
+    WITH media AS ({MEDIA_CTE}),
+    vid AS (
+        SELECT doc_id, text, n_frames, n_bytes // n_frames AS L
+        FROM media WHERE kind = 'video' AND n_frames > 0
+    ),
+    fb AS (
+        SELECT doc_id, p.p // L AS frame_idx, L,
+               {md5_byte_sql('text', '(p.p % 16) + 1')} AS b
+        FROM vid, UNNEST(generate_series(0, L * n_frames - 1)) AS p(p)
+    ),
+    fs AS (
+        SELECT doc_id, frame_idx, L, SUM(b) AS fsum
+        FROM fb GROUP BY 1, 2, 3
+    ),
+    d AS (
+        SELECT doc_id, frame_idx, L, fsum,
+               LAG(fsum) OVER (PARTITION BY doc_id ORDER BY frame_idx)
+                   AS prev
+        FROM fs
+    ),
+    keys AS (
+        SELECT doc_id, frame_idx, L FROM d
+        WHERE frame_idx = 0
+           OR (prev IS NOT NULL
+               AND ABS(fsum - prev) * 1000000 // (255 * L) >= {_CUT_PPM})
+    ),
+    ordered AS (
+        SELECT k.doc_id, k.frame_idx, k.L, v.text,
+               ROW_NUMBER() OVER (PARTITION BY k.doc_id
+                                  ORDER BY k.frame_idx) AS scene_idx
+        FROM keys k JOIN vid v ON v.doc_id = k.doc_id
+    )
+    SELECT doc_id,
+           CAST(scene_idx AS BIGINT) AS scene_idx,
+           CAST(frame_idx AS BIGINT) AS frame_idx,
+           CAST(frame_idx * L AS BIGINT) AS offset,
+           CAST(L AS BIGINT) AS frame_len,
+           CAST({md5_byte_sql('text', '(frame_idx * L) % 16 + 1')}
+                AS BIGINT) AS first_byte
+    FROM ordered
+"""
+
+
+@REGISTRY.add("m16_keyframes", _KF_ORACLE, "multimodal", "video", "dedup")
+def m16_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation-ready keyframe set per video: the first frame of every
+    scene (frame 0 plus each m14 cut frame), detected JVM-side over the
+    frames-sized signature table and extracted from the payload in one
+    targeted Arrow pass."""
+    from pyspark.sql import Window as W
+
+    m = media_table(load(spark, sf_dir, "documents"))
+    fs = ops.frame_sums(m)
+    d = fs.select(
+        "doc_id", "frame_idx", "frame_len", "frame_sum",
+        F.lag("frame_sum").over(
+            W.partitionBy("doc_id").orderBy("frame_idx")
+        ).alias("prev"),
+    )
+    is_cut = F.col("prev").isNotNull() & (
+        F.expr(
+            "CAST(abs(frame_sum - prev) * 1000000 div (255 * frame_len)"
+            " AS BIGINT)"
+        )
+        >= _CUT_PPM
+    )
+    keys = d.where((F.col("frame_idx") == 0) | is_cut).select(
+        "doc_id", "frame_idx"
+    )
+    kf = ops.extract_frames(m, keys)
+    return kf.select(
+        "doc_id",
+        F.row_number().over(
+            W.partitionBy("doc_id").orderBy("frame_idx")
+        ).cast("bigint").alias("scene_idx"),
+        "frame_idx", "offset", "frame_len", "first_byte",
+    )
