@@ -343,3 +343,54 @@ def dedup_against_store(
     return match_against_corpus(
         batch_sig, corpus_sig, id_col=id_col, n_hashes=n_hashes, bands=bands
     )
+
+
+def cluster_merge_audit(
+    new_ids: DataFrame,
+    matches: DataFrame,
+    frozen: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental cluster maintenance against a FROZEN store: per new
+    document, fold its verified matches to stored documents through the
+    store's labels and emit the merge-audit row — the keyed-joins-only
+    core of d68 (no CC anywhere).
+
+    ``new_ids``: (id_col) — today's batch. ``matches``: (nd, sd) —
+    verified near-dup pairs, new side / stored side. ``frozen``:
+    (id_col, fc) — the store's member→canonical map as of the last full
+    resolution. Actions: 'attached' (matches span one stored cluster),
+    'merges' (≥2 — the store is STALE relative to today's edge set;
+    production queues the affected clusters for the next full
+    resolution instead of re-clustering the corpus), 'new_cluster' (no
+    match; the doc opens its own cluster). When the store was resolved
+    over an edge set that already contains today's bridges, 'merges'
+    cannot occur — its absence is the store-consistency check, and the
+    branch is proven on a deliberately stale store in
+    tests/test_incremental_dedup.py."""
+    m = (
+        matches.join(
+            frozen.select(F.col(id_col).alias("sd"), "fc"), "sd"
+        )
+        .groupBy("nd")
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.count_distinct("fc").alias("n_clusters"),
+            F.min("fc").alias("mc"),
+        )
+    )
+    return new_ids.join(
+        m, new_ids[id_col] == m["nd"], "left"
+    ).select(
+        id_col,
+        F.coalesce("n_matches", F.lit(0)).cast("bigint")
+        .alias("n_matches"),
+        F.coalesce("n_clusters", F.lit(0)).cast("bigint")
+        .alias("n_stored_clusters"),
+        F.coalesce("mc", F.col(id_col)).cast("bigint")
+        .alias("canonical_id"),
+        F.when(F.col("nd").isNull(), "new_cluster")
+        .when(F.col("n_clusters") == 1, "attached")
+        .otherwise("merges")
+        .alias("action"),
+    )

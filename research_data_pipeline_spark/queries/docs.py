@@ -4557,3 +4557,124 @@ def d66_heldout_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = d.where(b < 800000)
     ev = d.where((b >= 800000) & (b < 900000))
     return bigram_nll_heldout(train, ev)
+
+
+# ---------------------------------------------------------------------------
+# d68: INCREMENTAL CLUSTER MAINTENANCE — the production answer to "do we
+# re-cluster the corpus daily?": a 20% md5-bucket "new batch" is
+# assigned against the FROZEN cluster store (the shared resolved
+# cluster table restricted to stored docs, canonicals re-minimized over
+# stored members) via the shared LSH pair stream — each new doc either
+# ATTACHES to the one stored cluster it matches, flags a MERGE (its
+# matches span ≥2 stored clusters — the signal that defers to the next
+# full resolution), or opens a NEW cluster. The plan has NO CC
+# iteration: it reads two materialized artifacts (cluster table + pair
+# stream, both localCheckpoint scans) and runs keyed joins/aggs only —
+# asserted in tests/test_plans.py. The oracle re-derives the frozen
+# store from its own recursive-CC walk and the same md5 bucket split.
+#
+# Consistency invariant: because this registered form derives the store
+# from the CURRENT corpus's resolution (restricted to stored members),
+# today's bridges are already folded in, so 'merges' cannot appear —
+# its absence IS the store-consistency check (a 'merges' row would
+# prove the store stale relative to the pair stream). The branch itself
+# is exercised on a deliberately stale store in
+# tests/test_incremental_dedup.py via operators/incremental_dedup.
+# cluster_merge_audit, the keyed-joins-only core this query calls.
+_INC_NEW_PPM = 200_000
+_INCCLUST_ORACLE = f"""{_CLUSTER_CTES},
+    bkt AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                   % 1000000 < {_INC_NEW_PPM} AS is_new
+        FROM documents
+    ),
+    stored AS (
+        SELECT c.doc_id, c.canonical_id
+        FROM comp c JOIN bkt USING (doc_id) WHERE NOT is_new
+    ),
+    frozen AS (
+        SELECT s.doc_id, m.fc
+        FROM stored s
+        JOIN (SELECT canonical_id, MIN(doc_id) AS fc
+              FROM stored GROUP BY canonical_id) m USING (canonical_id)
+    ),
+    np AS (
+        SELECT p.i AS nd, p.j AS sd
+        FROM pairs p
+        JOIN bkt a ON a.doc_id = p.i
+        JOIN bkt b ON b.doc_id = p.j
+        WHERE a.is_new AND NOT b.is_new
+        UNION ALL
+        SELECT p.j, p.i
+        FROM pairs p
+        JOIN bkt a ON a.doc_id = p.i
+        JOIN bkt b ON b.doc_id = p.j
+        WHERE b.is_new AND NOT a.is_new
+    ),
+    m AS (
+        SELECT np.nd AS doc_id,
+               COUNT(*) AS n_matches,
+               COUNT(DISTINCT f.fc) AS n_clusters,
+               MIN(f.fc) AS mc
+        FROM np JOIN frozen f ON f.doc_id = np.sd
+        GROUP BY np.nd
+    )
+    SELECT b.doc_id,
+           CAST(COALESCE(m.n_matches, 0) AS BIGINT) AS n_matches,
+           CAST(COALESCE(m.n_clusters, 0) AS BIGINT) AS n_stored_clusters,
+           CAST(COALESCE(m.mc, b.doc_id) AS BIGINT) AS canonical_id,
+           CASE WHEN m.doc_id IS NULL THEN 'new_cluster'
+                WHEN m.n_clusters = 1 THEN 'attached'
+                ELSE 'merges' END AS action
+    FROM bkt b LEFT JOIN m ON m.doc_id = b.doc_id
+    WHERE b.is_new
+"""
+
+
+@REGISTRY.add("d68_incremental_clusters", _INCCLUST_ORACLE, "dedup", "lsh",
+              "incremental")
+def d68_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-audit table for a 20% new batch against the frozen cluster
+    store: per new doc its verified stored matches, how many distinct
+    stored clusters they span (≥2 ⇒ a deferred merge), the assigned
+    canonical (min matched frozen canonical, else itself), and the
+    action — no CC recompute anywhere in the plan."""
+    from .sampling import md5_bucket
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    bkt = d.select(
+        "doc_id",
+        (md5_bucket(F.col("doc_id")) % 1000000 < _INC_NEW_PPM)
+        .alias("is_new"),
+    )
+    ct = _cluster_table(spark, sf_dir)  # frozen shared artifact
+    stored = ct.join(bkt.where(~F.col("is_new")), "doc_id").select(
+        "doc_id", "canonical_id"
+    )
+    fmin = stored.groupBy("canonical_id").agg(
+        F.min("doc_id").alias("fc")
+    )
+    frozen = stored.join(fmin, "canonical_id").select("doc_id", "fc")
+    pairs = _lsh_pair_stream(spark, sf_dir).where(
+        F.col("jaccard") >= _CLUSTER_T
+    )
+    pb = (
+        pairs.join(bkt.select(F.col("doc_id").alias("i"),
+                              F.col("is_new").alias("new_i")), "i")
+        .join(bkt.select(F.col("doc_id").alias("j"),
+                         F.col("is_new").alias("new_j")), "j")
+    )
+    np_ = (
+        pb.where(F.col("new_i") & ~F.col("new_j"))
+        .select(F.col("i").alias("nd"), F.col("j").alias("sd"))
+        .unionByName(
+            pb.where(F.col("new_j") & ~F.col("new_i"))
+            .select(F.col("j").alias("nd"), F.col("i").alias("sd"))
+        )
+    )
+    from ..operators.incremental_dedup import cluster_merge_audit
+
+    return cluster_merge_audit(
+        bkt.where(F.col("is_new")).select("doc_id"), np_, frozen
+    )

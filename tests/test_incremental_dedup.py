@@ -119,3 +119,34 @@ def test_agreement_threshold_matches_banding():
         "disagree in every band and never surface as a candidate"
     )
     assert rows_per_band * inc.BANDS == inc.N_HASHES
+
+
+def test_cluster_merge_audit_flags_merges_on_stale_store(spark):
+    """d68's core on a deliberately STALE store: doc 10 (new) matches
+    stored docs 1 and 2, which the frozen store still holds as separate
+    clusters — the audit must emit 'merges' with both matches counted
+    and the min frozen canonical assigned. Doc 11 attaches to one
+    cluster; doc 12 matches nothing and opens its own."""
+    from pyspark.sql import functions as F
+
+    from research_data_pipeline_spark.operators.incremental_dedup import (
+        cluster_merge_audit,
+    )
+
+    new_ids = spark.createDataFrame([(10,), (11,), (12,)], "doc_id long")
+    matches = spark.createDataFrame(
+        [(10, 1), (10, 2), (11, 3)], "nd long, sd long"
+    )
+    frozen = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3), (4, 3)], "doc_id long, fc long"
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_matches"], r["n_stored_clusters"], r["canonical_id"],
+            r["action"],
+        )
+        for r in cluster_merge_audit(new_ids, matches, frozen).collect()
+    }
+    assert got[10] == (2, 2, 1, "merges")
+    assert got[11] == (1, 1, 3, "attached")
+    assert got[12] == (0, 0, 12, "new_cluster")

@@ -422,3 +422,20 @@ def test_s19_windows_never_row_scaled(spark, sf_dir):
     # distinct-value counts), so the single-partition windows order
     # domain-sized state, never the row count
     assert plan.count("HashAggregate") >= 4, plan
+
+
+def test_d68_no_cc_recompute_in_plan(spark, sf_dir):
+    """d68 assigns a new batch against the FROZEN artifacts: both the
+    cluster store and the pair stream enter the plan as materialized
+    localCheckpoint scans (ExistingRDD), never as recomputed lineage —
+    so the plan contains NO minhash aggregate and NO iterative CC label
+    joins (those live in the shared builds, paid once per corpus), only
+    keyed joins/aggs over the artifacts. EvalPython would mean the
+    signature kernel re-ran; a SortAggregate over collect_list-style
+    minhash state would mean the pair stream rebuilt."""
+    plan = _plan(spark, sf_dir, "d68_incremental_clusters")
+    assert "Scan ExistingRDD" in plan  # the frozen artifacts
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # the signature build's distinguishing ops must be absent
+    assert "minhash" not in plan.lower()
