@@ -533,7 +533,12 @@ def m13_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate image pairs (hamming ≤ 3 on the 64-bit
     neighborhood-pair hash of real decoded pixels, carried as four
     16-bit bands) via the pigeonhole band join — image dedup with the
-    real codec in the loop."""
+    real codec in the loop. With 64 real bits, surviving pairs are true
+    payload duplicates: at sf0.01 the corpus has none among images and
+    the result is legitimately EMPTY (the 16-bit predecessor's rows
+    were chance collisions); the value evidence lives in the sf0.1
+    sweep (1 true dup pair), the band-completeness property test, and
+    the hash reference unit test."""
     m = media_table(load(spark, sf_dir, "documents"))
     ph = ops.perceptual_hash(m).localCheckpoint()  # two join sides below
     bands = ph.select(
