@@ -784,3 +784,106 @@ def m16_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint").alias("scene_idx"),
         "frame_idx", "offset", "frame_len", "first_byte",
     )
+
+
+# ---------------------------------------------------------------------------
+# m17: AUDIO-FINGERPRINT near-duplicate pairs through the REAL WAV
+# codec — m13's image-dedup machinery transposed to the audio
+# modality: every clip round-trips the real codec and takes the 64-bit
+# neighborhood-pair hash over its decoded PCM BYTE stream
+# (multimodal/ops.audio_fingerprint), then pairs within hamming ≤ 3
+# surface via the same 4×16-bit pigeonhole band join. The byte view is
+# the load-bearing choice: two sample-domain drafts (plain and
+# weighted pair sums over the 8 int16 samples) measured 482 and 204
+# chance hamming≤3 pairs at sf0.1 because 8 samples span only an
+# 8-dim threshold-cell space; the 16-byte view restores m13's ~2⁵³-
+# cell spread and the survivors are the true payload duplicates. The
+# oracle recomputes from the md5 byte cycle (the codec trip is
+# lossless byte-for-byte, little-endian pinned on the Spark side).
+_AF_MAXHAM = 3
+_AF_ORACLE = f"""
+    WITH media AS ({MEDIA_CTE}),
+    b16 AS (
+        SELECT doc_id, i, {_BYTE} AS b
+        FROM media, UNNEST(generate_series(1, 16)) AS t(i)
+        WHERE kind = 'audio'
+    ),
+    mn AS (SELECT doc_id, SUM(b) // 16 AS m FROM b16 GROUP BY doc_id),
+    bands AS (
+        SELECT x.doc_id, tj.j AS band_idx,
+               CAST(SUM(CASE WHEN x.b + y.b > 2 * mn.m
+                        THEN (1 << (x.i - 1)) ELSE 0 END) AS BIGINT)
+                   AS band_val
+        FROM b16 x, UNNEST(generate_series(0, 3)) AS tj(j), b16 y, mn
+        WHERE y.doc_id = x.doc_id
+          AND y.i = 1 + ((x.i - 1 + tj.j + 1) % 16)
+          AND mn.doc_id = x.doc_id
+        GROUP BY x.doc_id, tj.j
+    ),
+    ph AS (
+        SELECT doc_id,
+               MAX(CASE WHEN band_idx = 0 THEN band_val END) AS b0,
+               MAX(CASE WHEN band_idx = 1 THEN band_val END) AS b1,
+               MAX(CASE WHEN band_idx = 2 THEN band_val END) AS b2,
+               MAX(CASE WHEN band_idx = 3 THEN band_val END) AS b3
+        FROM bands GROUP BY doc_id
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+    )
+    SELECT c.i, c.j,
+           CAST(bit_count(xor(pa.b0, pb.b0)) + bit_count(xor(pa.b1, pb.b1))
+              + bit_count(xor(pa.b2, pb.b2)) + bit_count(xor(pa.b3, pb.b3))
+                AS BIGINT) AS hamming
+    FROM cand c
+    JOIN ph pa ON pa.doc_id = c.i
+    JOIN ph pb ON pb.doc_id = c.j
+    WHERE bit_count(xor(pa.b0, pb.b0)) + bit_count(xor(pa.b1, pb.b1))
+        + bit_count(xor(pa.b2, pb.b2)) + bit_count(xor(pa.b3, pb.b3))
+        <= {_AF_MAXHAM}
+"""
+
+
+@REGISTRY.add("m17_audio_fingerprint_pairs", _AF_ORACLE, "multimodal",
+              "dedup", "codec")
+def m17_audio_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate audio pairs (hamming ≤ 3 on the 64-bit
+    neighborhood-pair fingerprint of real WAV-codec-decoded samples,
+    carried as four 16-bit bands) via the pigeonhole band join — the
+    audio twin of m13. Surviving pairs are true payload duplicates;
+    empty when the corpus has none among audio docs."""
+    m = media_table(load(spark, sf_dir, "documents"))
+    ph = ops.audio_fingerprint(m).localCheckpoint()  # two join sides
+    bands = ph.select(
+        "doc_id", "b0", "b1", "b2", "b3",
+        F.expr(
+            "stack(4, 0, b0, 1, b1, 2, b2, 3, b3) AS (band_idx, band_val)"
+        ),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("i"),
+        *[F.col(f"b{k}").alias(f"pa{k}") for k in range(4)],
+        "band_idx", "band_val",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("j"),
+        *[F.col(f"b{k}").alias(f"pb{k}") for k in range(4)],
+        "band_idx", "band_val",
+    )
+    cand = (
+        a.join(b, ["band_idx", "band_val"])
+        .where(F.col("i") < F.col("j"))
+        .select("i", "j", *[f"pa{k}" for k in range(4)],
+                *[f"pb{k}" for k in range(4)])
+        .distinct()
+    )
+    ham = F.expr(
+        "bit_count(pa0 ^ pb0) + bit_count(pa1 ^ pb1)"
+        " + bit_count(pa2 ^ pb2) + bit_count(pa3 ^ pb3)"
+    )
+    return cand.where(ham <= _AF_MAXHAM).select(
+        "i", "j", ham.cast("bigint").alias("hamming")
+    )
