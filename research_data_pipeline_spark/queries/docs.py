@@ -4678,3 +4678,91 @@ def d68_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_merge_audit(
         bkt.where(F.col("is_new")).select("doc_id"), np_, frozen
     )
+
+
+# ---------------------------------------------------------------------------
+# d69: EVAL-SET DECONTAMINATION — the audit that certifies d66's
+# held-out split before its NLL means anything: for each validation
+# document (the SAME md5 buckets d66 trains/evaluates on), how many of
+# its distinct 8-grams also occur in ANY training document? A shared
+# 8-gram is the GPT-3/Lee-style contamination signal: the val doc's
+# loss is partly memorization, not generalization, and the doc should
+# be dropped from the eval (or the train dup removed). Plan shape is
+# d61's: the shuffle key is the 60-bit md5 prefix of the gram (text
+# dropped before every exchange), the train side reduces to DISTINCT
+# hashed grams, and one keyed left join + one doc-keyed agg produce the
+# per-val-doc report. At 100 TB the train gram set is the big side —
+# both exchanges stay keyed, nothing broadcasts.
+_DECON_N = 8
+_DECON_GRAM = f"array_to_string(toks[i:i+{_DECON_N - 1}], ' ')"
+_DECON_ORACLE = f"""
+    WITH b AS (
+        SELECT doc_id, text,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                   % 1000000 AS bk
+        FROM documents
+    ), t AS (
+        SELECT doc_id, {_TOKS} AS toks, bk FROM b
+        WHERE len({_TOKS}) >= {_DECON_N}
+    ), occ AS (
+        SELECT DISTINCT doc_id, bk,
+               unnest(list_transform(range(1, len(toks) - {_DECON_N - 2}),
+                      i -> CAST(CAST('0x' || substr(md5({_DECON_GRAM}), 1, 15)
+                                AS UBIGINT) AS BIGINT)))
+                   AS gh
+        FROM t
+    ), tr AS (
+        SELECT DISTINCT gh FROM occ WHERE bk < 800000
+    ), va AS (
+        SELECT doc_id, gh FROM occ WHERE bk >= 800000 AND bk < 900000
+    )
+    SELECT va.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN tr.gh IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_shared,
+           CAST(SUM(CASE WHEN tr.gh IS NOT NULL THEN 1 ELSE 0 END)
+                * 1000000 // COUNT(*) AS BIGINT) AS contamination_ppm,
+           SUM(CASE WHEN tr.gh IS NOT NULL THEN 1 ELSE 0 END) > 0
+               AS is_contaminated
+    FROM va LEFT JOIN tr USING (gh)
+    GROUP BY va.doc_id
+"""
+
+
+@REGISTRY.add("d69_eval_decontamination", _DECON_ORACLE, "text", "quality",
+              "dedup", "training")
+def d69_eval_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-val-doc 8-gram contamination against the train split (d66's
+    exact md5 buckets): distinct-gram count, shared-with-train count,
+    integer contamination ppm, and the drop flag. Hashed gram keys only
+    cross the shuffle (d61's 60-bit md5-prefix pattern)."""
+    from .sampling import md5_bucket
+
+    d = load(spark, sf_dir, "documents").where(
+        F.size(T.tokens(F.col("text"))) >= _DECON_N
+    )
+    occ = d.select(
+        "doc_id",
+        (md5_bucket(F.col("doc_id")) % 1000000).alias("bk"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(split(text, ' ')) - {_DECON_N - 1}),"
+                " i -> CAST(conv(substring(md5("
+                f"array_join(slice(split(text, ' '), i, {_DECON_N}), ' ')"
+                "), 1, 15), 16, 10) AS BIGINT))"
+            )
+        ).alias("gh"),
+    ).distinct()
+    tr = occ.where(F.col("bk") < 800000).select("gh").distinct()
+    va = occ.where((F.col("bk") >= 800000) & (F.col("bk") < 900000)).select(
+        "doc_id", "gh"
+    )
+    j = va.join(tr.withColumn("_hit", F.lit(1)), "gh", "left")
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+        F.sum(F.coalesce("_hit", F.lit(0))).cast("bigint").alias("n_shared"),
+        F.expr(
+            "CAST(sum(coalesce(_hit, 0)) * 1000000 div count(*) AS BIGINT)"
+        ).alias("contamination_ppm"),
+        (F.sum(F.coalesce("_hit", F.lit(0))) > 0).alias("is_contaminated"),
+    )
