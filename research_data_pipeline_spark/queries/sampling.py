@@ -1398,3 +1398,104 @@ def s21_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(sr2a - na * (na + 1)) + (sr2b - nb * (nb + 1)) = 2 * na * nb"
         ).alias("u_identity_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# s22: CUSUM drift detection — the sequential change detector a metrics
+# pipeline runs on daily aggregates: S_t = max(0, S_{t-1} + x_t − μ − k)
+# per event type over its daily value sums (exact cents), with
+# allowance k = μ div 20 and alarm threshold h = μ div 2. Unlike a
+# fixed-window drift test (e27), CUSUM accumulates small persistent
+# shifts until they cross h — the standard Page test, in exact BIGINT
+# arithmetic so the alarm sequence is deterministic across engines,
+# partitionings and replays. The recursion is not window-expressible;
+# it folds JVM-side over each type's sorted day array (state is
+# #days-sized — bounded by the calendar, not the event count; the
+# daily aggregation is the only row-scaled shuffle). The oracle walks
+# the same recursion via a recursive CTE.
+_CUSUM_DAY_US = 86_400_000_000
+_CUSUM_ORACLE = f"""
+    WITH RECURSIVE ev AS (
+        SELECT event_type,
+               epoch_us(ts) // {_CUSUM_DAY_US} AS day,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events
+    ), daily AS (
+        SELECT event_type, day, SUM(cents) AS x
+        FROM ev GROUP BY event_type, day
+    ), st AS (
+        SELECT event_type, SUM(x) // COUNT(*) AS mu
+        FROM daily GROUP BY event_type
+    ), idx AS (
+        SELECT d.event_type, d.day, d.x,
+               ROW_NUMBER() OVER (PARTITION BY d.event_type
+                                  ORDER BY d.day) AS rn
+        FROM daily d
+    ), walk(event_type, rn, day, x, s) AS (
+        SELECT i.event_type, i.rn, i.day, i.x,
+               GREATEST(0, i.x - st.mu - st.mu // 20)
+        FROM idx i JOIN st USING (event_type) WHERE i.rn = 1
+        UNION ALL
+        SELECT i.event_type, i.rn, i.day, i.x,
+               GREATEST(0, w.s + i.x - st.mu - st.mu // 20)
+        FROM walk w
+        JOIN idx i ON i.event_type = w.event_type AND i.rn = w.rn + 1
+        JOIN st ON st.event_type = i.event_type
+    )
+    SELECT w.event_type,
+           CAST(w.day AS BIGINT) AS day,
+           CAST(w.x AS BIGINT) AS day_cents,
+           CAST(w.s AS BIGINT) AS cusum_cents,
+           w.s >= st.mu // 2 AS alarm
+    FROM walk w JOIN st USING (event_type)
+"""
+
+
+@REGISTRY.add("s22_cusum_drift", _CUSUM_ORACLE, "stats", "drift", "audit")
+def s22_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type daily CUSUM (Page test) in exact cents: daily
+    value sums, the max(0, ·) recursion folded over the sorted day
+    array JVM-side, alarm at μ div 2 above the μ + μ div 20 drift
+    allowance."""
+    from ..tables import epoch_us
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        # integer div, not float /: a double quotient landing an ULP
+        # under an exact day boundary would floor to the previous day
+        epoch_us(F.col("ts")).alias("us"),
+        F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+    ).select(
+        "event_type",
+        F.expr(f"us div {_CUSUM_DAY_US}").alias("day"),
+        "cents",
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.sum("cents").alias("x")
+    )
+    per_type = daily.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("day", "x"))).alias("ds"),
+        F.expr("CAST(sum(x) div count(*) AS BIGINT)").alias("mu"),
+    )
+    # fold: acc is the running array of (day, x, s); `get` is the
+    # NULL-safe 0-based probe (element_at throws on empty under ANSI)
+    folded = per_type.select(
+        "event_type", "mu",
+        F.expr(
+            "aggregate(ds, CAST(array() AS array<struct<day:bigint,"
+            "x:bigint,s:bigint>>), (acc, e) -> concat(acc, array(struct("
+            "e.day AS day, e.x AS x, GREATEST(CAST(0 AS BIGINT),"
+            " coalesce(get(acc, size(acc) - 1).s, CAST(0 AS BIGINT))"
+            " + e.x - mu - mu div 20) AS s))))"
+        ).alias("walk"),
+    )
+    w = folded.select(
+        "event_type", "mu", F.explode("walk").alias("e")
+    )
+    return w.select(
+        "event_type",
+        F.col("e.day").alias("day"),
+        F.col("e.x").alias("day_cents"),
+        F.col("e.s").alias("cusum_cents"),
+        (F.col("e.s") >= F.expr("mu div 2")).alias("alarm"),
+    )
