@@ -4766,3 +4766,106 @@ def d69_eval_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("contamination_ppm"),
         (F.sum(F.coalesce("_hit", F.lit(0))) > 0).alias("is_contaminated"),
     )
+
+
+# ---------------------------------------------------------------------------
+# m18 (registered here with the embedding queries): CROSS-MODAL PAIR
+# MINING — the CLIP-style step that pairs each image document with its
+# best non-image "caption" candidate by embedding cosine, WITHOUT an
+# all-pairs scan: both sides read the shared materialized IVF
+# assignment table (the third consumer after d63/d64), candidates come
+# from the same-cell equi-join (pair space Σ |img_cell|·|other_cell|,
+# never n²), cosines are the bit-exact left-fold kernel, and the top-1
+# per image ranks by (cosine DESC, candidate id ASC). Images with no
+# same-cell candidate are absent — at 100 TB you raise nprobe, not the
+# pair space.
+_XM_ORACLE = f"""
+    WITH e AS ({_E_CTE}),
+    cents AS (SELECT vec_id AS cid, v AS cv, norm AS cn FROM e
+              WHERE vec_id < {_IVF_CELLS}),
+    scored AS (
+        SELECT e.vec_id, c.cid,
+               {_DOT.format(a='e.v', b='c.cv')} / (e.norm * c.cn) AS ccos
+        FROM e CROSS JOIN cents c
+    ),
+    pr AS (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY ccos DESC, cid ASC) AS rn
+        FROM scored
+    ),
+    asg AS (SELECT vec_id, cid AS cell FROM pr WHERE rn = 1),
+    img AS (
+        SELECT a.vec_id AS i, a.cell, e.v AS vi, e.norm AS ni
+        FROM asg a JOIN e ON e.vec_id = a.vec_id
+        WHERE a.vec_id % 3 = 0
+    ),
+    cand AS (
+        SELECT a.vec_id AS j, a.cell, e.v AS vj, e.norm AS nj
+        FROM asg a JOIN e ON e.vec_id = a.vec_id
+        WHERE a.vec_id % 3 <> 0
+    ),
+    p AS (
+        SELECT img.i, cand.j, img.cell,
+               {_DOT.format(a='img.vi', b='cand.vj')} / (img.ni * cand.nj)
+                   AS cosine,
+               COUNT(*) OVER (PARTITION BY img.i) AS cand_n,
+               ROW_NUMBER() OVER (
+                   PARTITION BY img.i
+                   ORDER BY {_DOT.format(a='img.vi', b='cand.vj')}
+                            / (img.ni * cand.nj) DESC, cand.j ASC) AS rn
+        FROM img JOIN cand ON cand.cell = img.cell
+    )
+    SELECT i AS image_id, j AS match_id, cell, cosine,
+           CAST(cand_n AS BIGINT) AS cand_n
+    FROM p WHERE rn = 1
+"""
+
+
+@REGISTRY.add("m18_cross_modal_pairs", _XM_ORACLE, "similarity",
+              "multimodal", "training-data")
+def m18_cross_modal_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-1 non-image caption candidate per image document by exact
+    within-IVF-cell cosine (shared assignment table, same-cell
+    equi-join, left-fold kernel, ties to smaller candidate id)."""
+    from pyspark.sql import Window as W
+
+    asg = _ivf_assign_table(spark, sf_dir).select("vec_id", "cell")
+    # cast float32 -> double BEFORE the fold: the oracle multiplies
+    # doubles, and a float32 product loses the low bits the hash sees
+    e = sim._drop_null_vectors(
+        load(spark, sf_dir, "embeddings"), "embedding"
+    ).select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    ).select(
+        "vec_id", "embedding",
+        F.sqrt(sim._dot(F.col("embedding"), F.col("embedding")))
+        .alias("norm"),
+    )
+    av = asg.join(e, "vec_id")
+    img = av.where(F.col("vec_id") % 3 == 0).select(
+        F.col("vec_id").alias("i"), "cell",
+        F.col("embedding").alias("vi"), F.col("norm").alias("ni"),
+    )
+    cand = av.where(F.col("vec_id") % 3 != 0).select(
+        F.col("vec_id").alias("j"), "cell",
+        F.col("embedding").alias("vj"), F.col("norm").alias("nj"),
+    )
+    p = img.join(cand, "cell").select(
+        "i", "j", "cell",
+        (sim._dot_kernel("vi", "vj") / (F.col("ni") * F.col("nj")))
+        .alias("cosine"),
+    )
+    w = W.partitionBy("i")
+    ranked = p.select(
+        "i", "j", "cell", "cosine",
+        F.count(F.lit(1)).over(w).alias("cand_n"),
+        F.row_number().over(
+            w.orderBy(F.col("cosine").desc(), F.col("j").asc())
+        ).alias("rn"),
+    )
+    return ranked.where(F.col("rn") == 1).select(
+        F.col("i").alias("image_id"), F.col("j").alias("match_id"),
+        "cell", "cosine", F.col("cand_n").cast("bigint").alias("cand_n"),
+    )
