@@ -45,14 +45,25 @@ NOTES = {
         " exchange may appear."
     ),
     "d61_dup_ngram_coverage": (
-        "Duplication mass: shingle occurrences meet their doc-frequency"
-        " via a keyed hash join on the shingle — two exchanges total, no"
-        " pair space, no cartesian."
+        "Duplication mass: occurrences aggregate ONCE to the hashed-"
+        "shingle (gh, doc_id) pair grain; doc-frequency and the nd-join"
+        " both consume the pair table through a reused gh exchange — the"
+        " raw 5-gram text never crosses the wire."
     ),
     "m13_phash_pairs": (
         "Perceptual-hash dedup: candidates come from an equi-join on"
-        " (band_idx, band_val) over the 16-bit aHash — the pigeonhole"
-        " band join; no all-pairs scan of images."
+        " (band_idx, band_val) over the four 16-bit bands of the 64-bit"
+        " hash — the pigeonhole band join; no all-pairs scan of images."
+    ),
+    "d68_incremental_clusters": (
+        "Incremental cluster maintenance: both the cluster store and the"
+        " pair stream enter as materialized ExistingRDD scans; keyed"
+        " joins/aggs only — no CC iteration, no signature recompute."
+    ),
+    "m18_cross_modal_pairs": (
+        "Cross-modal mining: same-cell equi-join over the shared IVF"
+        " assignment table; the cosine kernel is Arrow-batched and the"
+        " top-1 window is keyed by image id."
     ),
     "e41_multitouch_attribution": (
         "Attribution: purchases×touches pair space is bounded per user"
