@@ -4869,3 +4869,109 @@ def m18_cross_modal_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("i").alias("image_id"), F.col("j").alias("match_id"),
         "cell", "cosine", F.col("cand_n").cast("bigint").alias("cand_n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# d70: SPAN-DEDUP TRAINING WEIGHTS — the ACTION on d50's span table
+# (SoftDeDup-style): instead of dropping documents with duplicated
+# regions, downweight them by the fraction of tokens inside any
+# duplicated span, so the loss contribution of repeated text shrinks
+# while unique text keeps full weight. d50's maximal spans can OVERLAP
+# in token space (two shingle-start runs separated by a gap < k share
+# tail tokens), so the duplicated-token count is the INTERVAL-UNION
+# length per doc — islands over [start, end] with a cumulative-max end
+# (both engines window-express this identically); summing span_len
+# raw would double-count and could push weights negative. All integer:
+# weight_ppm = 10⁶ − dup_ppm.
+_SDW_ORACLE = f"""
+    WITH spans AS ({_SUBSTR_SPAN_ORACLE}),
+    s2 AS (
+        SELECT doc_id, span_start, span_end,
+               MAX(span_end) OVER (PARTITION BY doc_id ORDER BY span_start
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev_max
+        FROM spans
+    ),
+    isl AS (
+        SELECT doc_id, span_start, span_end,
+               SUM(CASE WHEN prev_max IS NULL
+                          OR span_start > prev_max THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY span_start
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS island
+        FROM s2
+    ),
+    cov AS (
+        SELECT doc_id,
+               SUM(mx - mn + 1) AS dup
+        FROM (SELECT doc_id, island, MIN(span_start) AS mn,
+                     MAX(span_end) AS mx
+              FROM isl GROUP BY doc_id, island)
+        GROUP BY doc_id
+    ),
+    n AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+    )
+    SELECT n.doc_id,
+           CAST(n.n_tokens AS BIGINT) AS n_tokens,
+           CAST(COALESCE(cov.dup, 0) AS BIGINT) AS dup_tokens,
+           CAST(COALESCE(cov.dup, 0) * 1000000 // n.n_tokens AS BIGINT)
+               AS dup_ppm,
+           CAST(1000000 - COALESCE(cov.dup, 0) * 1000000 // n.n_tokens
+                AS BIGINT) AS weight_ppm
+    FROM n LEFT JOIN cov USING (doc_id)
+"""
+
+
+@REGISTRY.add("d70_span_dedup_weights", _SDW_ORACLE, "dedup", "text",
+              "training")
+def d70_span_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc soft-dedup training weight: 10⁶ minus the integer ppm of
+    tokens covered by the interval-UNION of d50's duplicated spans
+    (overlapping spans merge via cumulative-max islands, so no token
+    counts twice and weights stay in [0, 10⁶])."""
+    from pyspark.sql import Window
+
+    spans = d50_substring_spans(spark, sf_dir)
+    wdoc = Window.partitionBy("doc_id").orderBy("span_start")
+    s2 = spans.select(
+        "doc_id", "span_start", "span_end",
+        F.max("span_end").over(
+            wdoc.rowsBetween(Window.unboundedPreceding, -1)
+        ).alias("prev_max"),
+    )
+    isl = s2.select(
+        "doc_id", "span_start", "span_end",
+        F.sum(
+            F.when(
+                F.col("prev_max").isNull()
+                | (F.col("span_start") > F.col("prev_max")),
+                1,
+            ).otherwise(0)
+        ).over(wdoc.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("island"),
+    )
+    cov = (
+        isl.groupBy("doc_id", "island")
+        .agg(
+            F.min("span_start").alias("mn"), F.max("span_end").alias("mx")
+        )
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("mx") - F.col("mn") + 1).alias("dup"))
+    )
+    n = load(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    return n.join(cov, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.coalesce("dup", F.lit(0)).cast("bigint").alias("dup_tokens"),
+        F.expr(
+            "CAST(coalesce(dup, 0) * 1000000 div n_tokens AS BIGINT)"
+        ).alias("dup_ppm"),
+        F.expr(
+            "CAST(1000000 - coalesce(dup, 0) * 1000000 div n_tokens"
+            " AS BIGINT)"
+        ).alias("weight_ppm"),
+    )

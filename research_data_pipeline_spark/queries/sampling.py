@@ -1499,3 +1499,123 @@ def s22_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e.s").alias("cusum_cents"),
         (F.col("e.s") >= F.expr("mu div 2")).alias("alarm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# s23: DELTA-METHOD ratio-metric CI — the missing member of the
+# experimentation suite (s18 CUPED, s20 SRM, s21 MWU): revenue-per-view
+# is a ratio of two per-user sums, so its variance needs the delta
+# method, not a t-test on per-user ratios (users with zero views would
+# divide by zero, and the ratio of means ≠ mean of ratios). Sufficient
+# statistics (n, Σx, Σy, Σx², Σy², Σxy) accumulate EXACTLY — cents ride
+# DECIMAL(38,0)/HUGEINT so the squares cannot overflow — and only the
+# final CI arithmetic runs in DOUBLE with an identical expression tree
+# on both engines (the cosine-fold precedent: same exact integer
+# inputs + same IEEE op order = bit-identical doubles).
+_DM_Z = "1.959964"  # two-sided 95% normal quantile, fixed literal
+_DM_CENTS = "CAST(FLOOR(value * 100 + 0.5) AS BIGINT)"
+# shared double expression fragments — IDENTICAL text on both engines so
+# the IEEE op order (and hence every output bit) matches
+_DM_R = "CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE)"
+_DM_SE_INNER = (
+    "((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)"
+    " / CAST(n AS DOUBLE))"
+    f" - 2 * ({_DM_R})"
+    " * (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)"
+    " / CAST(n AS DOUBLE))"
+    f" + ({_DM_R}) * ({_DM_R})"
+    " * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)"
+    " / CAST(n AS DOUBLE)))"
+    " / (CAST(n AS DOUBLE) - 1) / CAST(n AS DOUBLE)"
+    " / ((CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))"
+    " * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))"
+)
+_DM_SE = f"sqrt({_DM_SE_INNER})"
+_DM_ORACLE = f"""
+    WITH pu AS (
+        SELECT user_id,
+               CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                         ::UBIGINT % 1000000 < 500000
+                    THEN 'A' ELSE 'B' END AS arm,
+               SUM(CASE WHEN event_type = 'purchase'
+                        THEN {_DM_CENTS} ELSE 0 END) AS x,
+               SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS y
+        FROM events GROUP BY user_id
+    ), s AS (
+        SELECT arm,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+               SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy,
+               SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy
+        FROM pu GROUP BY arm
+    ), f AS (
+        SELECT arm, n, sx, sy,
+               CAST(sxx AS BIGINT) AS sxx_b,
+               CAST(syy AS BIGINT) AS syy_b,
+               CAST(sxy AS BIGINT) AS sxy_b,
+               {_DM_R} AS r,
+               {_DM_SE} AS se
+        FROM s
+    )
+    SELECT arm, n AS n_users, sx AS x_cents, sy AS y_events,
+           sxx_b AS sxx, syy_b AS syy, sxy_b AS sxy,
+           r, se, r - {_DM_Z} * se AS ci_lo, r + {_DM_Z} * se AS ci_hi
+    FROM f
+"""
+
+
+@REGISTRY.add("s23_delta_method_ratio", _DM_ORACLE, "stats", "experiment")
+def s23_delta_method_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-arm revenue-per-view ratio with the delta-method 95% CI:
+    exact integer sufficient statistics (squares in DECIMAL(38,0)),
+    one double formula identical on both engines."""
+    ev = load(spark, sf_dir, "events")
+    pu = ev.groupBy("user_id").agg(
+        F.expr(
+            f"SUM(CASE WHEN event_type = 'purchase' THEN {_DM_CENTS}"
+            " ELSE 0 END)"
+        ).alias("x"),
+        F.expr(
+            "SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)"
+        ).alias("y"),
+    ).select(
+        F.when(md5_bucket(F.col("user_id")) % 1000000 < 500000, "A")
+        .otherwise("B").alias("arm"),
+        "x", "y",
+    )
+    s = pu.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.expr(
+            "SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))"
+        ).alias("sxx"),
+        F.expr(
+            "SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))"
+        ).alias("syy"),
+        F.expr(
+            "SUM(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))"
+        ).alias("sxy"),
+    )
+    f = s.select(
+        "arm", "n", "sx", "sy",
+        F.expr("CAST(sxx AS BIGINT)").alias("sxx_b"),
+        F.expr("CAST(syy AS BIGINT)").alias("syy_b"),
+        F.expr("CAST(sxy AS BIGINT)").alias("sxy_b"),
+        F.expr(_DM_R).alias("r"),
+        F.expr(_DM_SE).alias("se"),
+    )
+    return f.select(
+        "arm",
+        F.col("n").alias("n_users"),
+        F.col("sx").alias("x_cents"),
+        F.col("sy").alias("y_events"),
+        F.col("sxx_b").alias("sxx"),
+        F.col("syy_b").alias("syy"),
+        F.col("sxy_b").alias("sxy"),
+        "r", "se",
+        F.expr(f"r - {_DM_Z} * se").alias("ci_lo"),
+        F.expr(f"r + {_DM_Z} * se").alias("ci_hi"),
+    )
