@@ -1155,3 +1155,4 @@ def contrastive_pairs(
             .alias("label"),
         )
     )
+

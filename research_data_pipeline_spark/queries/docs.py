@@ -4170,14 +4170,23 @@ def _ivf_assign_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cached
 
 
-def _seed_assign_with_cos(spark: SparkSession, e: DataFrame) -> DataFrame:
-    """(vec_id, cell, ccos) for every embedding against the id<16 seed
-    centroids — bit-exact left-fold cosines, argmax ties to smaller id."""
+def _seed_assign_with_cos(
+    spark: SparkSession, e: DataFrame, n_cells: int = _IVF_CELLS
+) -> DataFrame:
+    """(vec_id, cell, ccos) for every embedding against the id<n_cells
+    seed centroids — bit-exact left-fold cosines, argmax ties to the
+    smaller id. The Arrow block kernel keeps the n·n_cells assignment
+    vectorized (the interpreted JVM fold at corpus-scaled cell counts
+    measured 68.7 s at 30× rows in m18's second draft; this kernel does
+    the same arithmetic in numpy blocks). The centroid pull is
+    n_cells-bounded (16 for the d63/d64 audits; corpus/512 for m18 —
+    at 100 TB that pull becomes a broadcast-join against a stored
+    centroid table, same plan downstream)."""
     import numpy as np
     import pandas as pd
 
     crows = sorted(
-        e.where(F.col("vec_id") < _IVF_CELLS)
+        e.where(F.col("vec_id") < n_cells)
         .select("vec_id", "embedding").collect(),
         key=lambda r: r[0],
     )
@@ -4772,27 +4781,30 @@ def d69_eval_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 # m18 (registered here with the embedding queries): CROSS-MODAL PAIR
 # MINING — the CLIP-style step that pairs each image document with its
 # best non-image "caption" candidate by embedding cosine, WITHOUT an
-# all-pairs scan: both sides read the shared materialized IVF
-# assignment table (the third consumer after d63/d64), candidates come
-# from the same-cell equi-join (pair space Σ |img_cell|·|other_cell|,
-# never n²), cosines are the bit-exact left-fold kernel, and the top-1
-# per image ranks by (cosine DESC, candidate id ASC). Images with no
-# same-cell candidate are absent — at 100 TB you raise nprobe, not the
-# pair space.
+# all-pairs scan: both sides take the CORPUS-SCALED cell assignment
+# (operators/similarity.cell_assign — n_cells = max(16, ceil(n/512)),
+# the d44 scale contract), candidates come from the same-cell
+# equi-join, cosines are the bit-exact left-fold, and the top-1 per
+# image ranks by (cosine DESC, candidate id ASC). The cell count MUST
+# scale with the corpus: the first draft read the fixed-16-seed shared
+# audit table and measured 45.8 s at 30× rows (pair space n²/16 —
+# quadratic); auto-sizing holds per-cell population constant so pair
+# work per image is flat. Images with no same-cell candidate are
+# absent — at 100 TB you raise nprobe, not the pair space. The oracle
+# derives the identical cell count from COUNT(*).
+_XM_ROWS = 512
 _XM_ORACLE = f"""
     WITH e AS ({_E_CTE}),
+    nc AS (SELECT GREATEST(16, CAST(CEIL(COUNT(*) / {_XM_ROWS}.0) AS BIGINT))
+               AS n FROM e),
     cents AS (SELECT vec_id AS cid, v AS cv, norm AS cn FROM e
-              WHERE vec_id < {_IVF_CELLS}),
-    scored AS (
-        SELECT e.vec_id, c.cid,
-               {_DOT.format(a='e.v', b='c.cv')} / (e.norm * c.cn) AS ccos
-        FROM e CROSS JOIN cents c
-    ),
+              WHERE vec_id < (SELECT n FROM nc)),
     pr AS (
-        SELECT vec_id, cid,
-               ROW_NUMBER() OVER (PARTITION BY vec_id
-                                  ORDER BY ccos DESC, cid ASC) AS rn
-        FROM scored
+        SELECT e.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                   {_DOT.format(a='e.v', b='c.cv')} / (e.norm * c.cn) DESC,
+                   c.cid ASC) AS rn
+        FROM e CROSS JOIN cents c
     ),
     asg AS (SELECT vec_id, cid AS cell FROM pr WHERE rn = 1),
     img AS (
@@ -4826,31 +4838,33 @@ _XM_ORACLE = f"""
               "multimodal", "training-data")
 def m18_cross_modal_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-1 non-image caption candidate per image document by exact
-    within-IVF-cell cosine (shared assignment table, same-cell
-    equi-join, left-fold kernel, ties to smaller candidate id)."""
+    within-cell cosine: corpus-scaled cell count, Arrow block-cosine
+    assignment, same-cell equi-join, left-fold pair cosine, ties to
+    the smaller candidate id."""
     from pyspark.sql import Window as W
 
-    asg = _ivf_assign_table(spark, sf_dir).select("vec_id", "cell")
-    # cast float32 -> double BEFORE the fold: the oracle multiplies
-    # doubles, and a float32 product loses the low bits the hash sees
-    e = sim._drop_null_vectors(
+    e0 = sim._drop_null_vectors(
         load(spark, sf_dir, "embeddings"), "embedding"
-    ).select(
-        "vec_id",
-        F.col("embedding").cast("array<double>").alias("embedding"),
-    ).select(
-        "vec_id", "embedding",
-        F.sqrt(sim._dot(F.col("embedding"), F.col("embedding")))
-        .alias("norm"),
     )
-    av = asg.join(e, "vec_id")
-    img = av.where(F.col("vec_id") % 3 == 0).select(
-        F.col("vec_id").alias("i"), "cell",
-        F.col("embedding").alias("vi"), F.col("norm").alias("ni"),
+    n_cells = max(16, -(-e0.count() // _XM_ROWS))
+    # Arrow block-cosine assignment (vectorized n·n_cells) — the
+    # interpreted JVM fold here measured 68.7 s at 30x rows
+    asg = _seed_assign_with_cos(spark, e0, n_cells=n_cells).select(
+        "vec_id", "cell"
     )
-    cand = av.where(F.col("vec_id") % 3 != 0).select(
-        F.col("vec_id").alias("j"), "cell",
-        F.col("embedding").alias("vj"), F.col("norm").alias("nj"),
+    ev = e0.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn("norm", F.sqrt(sim._dot(F.col("v"), F.col("v"))))
+    av = asg.join(ev, "vec_id").select(
+        F.col("vec_id").alias("vid"), "cell", "v", "norm"
+    )
+    img = av.where(F.col("vid") % 3 == 0).select(
+        F.col("vid").alias("i"), "cell",
+        F.col("v").alias("vi"), F.col("norm").alias("ni"),
+    )
+    cand = av.where(F.col("vid") % 3 != 0).select(
+        F.col("vid").alias("j"), "cell",
+        F.col("v").alias("vj"), F.col("norm").alias("nj"),
     )
     p = img.join(cand, "cell").select(
         "i", "j", "cell",
