@@ -1102,3 +1102,89 @@ def test_heldout_nll_matches_python_reference(spark, train, evald):
             nll += math.floor(math.log((cc1 + V) / (cc2 + 1.0)) * SCALE)
         exp[100 + i] = (len(bgs), unseen, nll)
     assert got == exp
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    spans=st.lists(
+        st.tuples(st.integers(1, 40), st.integers(0, 10)).map(
+            lambda t: (t[0], t[0] + t[1])
+        ),
+        min_size=0, max_size=10,
+    ),
+    n_tokens=st.integers(50, 60),
+)
+def test_span_weight_interval_union(spark, spans, n_tokens):
+    """d70's island fold must compute the exact interval-UNION length
+    for ANY span set (overlapping, nested, adjacent) — compare against
+    a literal set-of-positions reference, and weights stay in
+    [0, 1e6]."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rows = [(1, s, e) for s, e in spans]
+    df = spark.createDataFrame(
+        rows, "doc_id long, span_start long, span_end long"
+    ) if rows else spark.createDataFrame(
+        [], "doc_id long, span_start long, span_end long"
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("span_start")
+    s2 = df.select(
+        "doc_id", "span_start", "span_end",
+        F.max("span_end").over(
+            wdoc.rowsBetween(Window.unboundedPreceding, -1)
+        ).alias("prev_max"),
+    )
+    isl = s2.select(
+        "doc_id", "span_start", "span_end",
+        F.sum(
+            F.when(
+                F.col("prev_max").isNull()
+                | (F.col("span_start") > F.col("prev_max")), 1
+            ).otherwise(0)
+        ).over(wdoc.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("island"),
+    )
+    got = (
+        isl.groupBy("doc_id", "island")
+        .agg(F.min("span_start").alias("mn"), F.max("span_end").alias("mx"))
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("mx") - F.col("mn") + 1).alias("dup"))
+        .collect()
+    )
+    want = len({p for s, e in spans for p in range(s, e + 1)})
+    dup = got[0]["dup"] if got else 0
+    assert dup == want
+    assert 0 <= 1_000_000 - dup * 1_000_000 // n_tokens <= 1_000_000 or want > n_tokens
+
+
+def test_cusum_fold_matches_python_reference(spark):
+    """s22's JVM aggregate fold must walk Page's recursion exactly —
+    pin it against a literal python loop on a crafted day series with a
+    mid-series level shift and negative slack."""
+    from pyspark.sql import functions as F
+
+    xs = [100, 90, 110, 95, 300, 320, 310, 50, 400]
+    mu = sum(xs) // len(xs)
+    k = mu // 20
+    df = spark.createDataFrame(
+        [("a", i, x) for i, x in enumerate(xs)],
+        "event_type string, day long, x long",
+    )
+    per = df.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("day", "x"))).alias("ds"),
+        F.expr("CAST(sum(x) div count(*) AS BIGINT)").alias("mu"),
+    )
+    folded = per.select(
+        F.expr(
+            "aggregate(ds, CAST(array() AS array<struct<day:bigint,"
+            "x:bigint,s:bigint>>), (acc, e) -> concat(acc, array(struct("
+            "e.day AS day, e.x AS x, GREATEST(CAST(0 AS BIGINT),"
+            " coalesce(get(acc, size(acc) - 1).s, CAST(0 AS BIGINT))"
+            " + e.x - mu - mu div 20) AS s))))"
+        ).alias("walk")
+    ).collect()[0]["walk"]
+    s = 0
+    for i, x in enumerate(xs):
+        s = max(0, s + x - mu - k)
+        assert folded[i]["s"] == s, (i, folded[i]["s"], s)
