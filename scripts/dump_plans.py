@@ -61,9 +61,10 @@ NOTES = {
         " joins/aggs only — no CC iteration, no signature recompute."
     ),
     "m18_cross_modal_pairs": (
-        "Cross-modal mining: same-cell equi-join over the shared IVF"
-        " assignment table; the cosine kernel is Arrow-batched and the"
-        " top-1 window is keyed by image id."
+        "Cross-modal mining: corpus-scaled Arrow block-cosine"
+        " assignment, then a same-cell equi-join; the pair-cosine"
+        " kernel is Arrow-batched and the top-1 window is keyed by"
+        " image id."
     ),
     "e41_multitouch_attribution": (
         "Attribution: purchases×touches pair space is bounded per user"
