@@ -4989,3 +4989,150 @@ def d70_span_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("weight_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# d71: CLUSTER-CONDUCTANCE audit — the graph-quality number behind the
+# 0.95 clustering threshold: for every resolved near-dup cluster, how
+# many BORDERLINE edges (pairs at the 0.9 reporting threshold that the
+# 0.95 clustering refused to merge) leave the cluster, relative to its
+# volume in the 0.9 graph? Conductance ≈ 0 means the cluster is a
+# clean clique; a high value means the threshold split a denser
+# community and a retune (or a d68 merge review) is due. Composes BOTH
+# shared artifacts — the pair stream (edges, with their exact
+# jaccards) and the resolved cluster table (labels) — in keyed
+# joins/aggs only; every quantity is an exact integer and the ppm is
+# one BIGINT division with a zero-denominator guard (a cluster holding
+# every edge has min(vol, 2m−vol) = 0).
+_COND_ORACLE = f"""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, {_DTOKS} AS tokens FROM documents
+    ), tok AS (
+        SELECT doc_id, unnest(tokens) AS token FROM toks
+    ), mh AS (
+        SELECT doc_id, {_mh_cols}
+        FROM tok GROUP BY doc_id
+    ), bands AS (
+        {_band_selects}
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+    ), pj AS (
+        SELECT c.i, c.j,
+               len(list_intersect(ta.tokens, tb.tokens)) * 1.0
+                 / (len(ta.tokens) + len(tb.tokens)
+                    - len(list_intersect(ta.tokens, tb.tokens))) AS jac
+        FROM cand c
+        JOIN toks ta ON ta.doc_id = c.i
+        JOIN toks tb ON tb.doc_id = c.j
+    ), p9 AS (
+        SELECT i, j FROM pj WHERE jac >= {_MH_THRESHOLD}
+    ), p95 AS (
+        SELECT i, j FROM pj WHERE jac >= {_CLUSTER_T}
+    ), e AS (
+        SELECT i AS src, j AS dst FROM p95
+        UNION ALL
+        SELECT j, i FROM p95
+    ), walk(node, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, w.label FROM walk w JOIN e ON e.src = w.node
+        WHERE w.label < e.dst
+    ), comp AS (
+        SELECT node AS doc_id, MIN(label) AS canonical_id
+        FROM walk GROUP BY node
+    ), members AS (
+        SELECT canonical_id, COUNT(*) AS n
+        FROM comp GROUP BY canonical_id HAVING COUNT(*) >= 2
+    ), el AS (
+        SELECT ci.canonical_id AS li, cj.canonical_id AS lj
+        FROM p9
+        JOIN comp ci ON ci.doc_id = p9.i
+        JOIN comp cj ON cj.doc_id = p9.j
+    ), tot AS (SELECT COUNT(*) AS m FROM p9),
+    intr AS (
+        SELECT li AS c, COUNT(*) AS ie FROM el WHERE li = lj GROUP BY li
+    ), cut AS (
+        SELECT c, COUNT(*) AS ce FROM (
+            SELECT li AS c FROM el WHERE li <> lj
+            UNION ALL
+            SELECT lj FROM el WHERE li <> lj
+        ) GROUP BY c
+    )
+    SELECT mem.canonical_id,
+           CAST(mem.n AS BIGINT) AS n_members,
+           CAST(COALESCE(i.ie, 0) AS BIGINT) AS internal_edges,
+           CAST(COALESCE(cu.ce, 0) AS BIGINT) AS cut_edges,
+           CAST(2 * COALESCE(i.ie, 0) + COALESCE(cu.ce, 0) AS BIGINT)
+               AS volume,
+           CAST(CASE WHEN LEAST(2 * COALESCE(i.ie, 0) + COALESCE(cu.ce, 0),
+                               2 * t.m - (2 * COALESCE(i.ie, 0)
+                                          + COALESCE(cu.ce, 0))) = 0
+                     THEN 0
+                     ELSE COALESCE(cu.ce, 0) * 1000000
+                          // LEAST(2 * COALESCE(i.ie, 0)
+                                   + COALESCE(cu.ce, 0),
+                                   2 * t.m - (2 * COALESCE(i.ie, 0)
+                                              + COALESCE(cu.ce, 0)))
+                END AS BIGINT) AS conductance_ppm
+    FROM members mem
+    LEFT JOIN intr i ON i.c = mem.canonical_id
+    LEFT JOIN cut cu ON cu.c = mem.canonical_id
+    CROSS JOIN tot t
+"""
+
+
+@REGISTRY.add("d71_cluster_conductance", _COND_ORACLE, "dedup", "lsh",
+              "graph", "audit")
+def d71_cluster_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster conductance of the 0.95 near-dup clusters in the 0.9
+    borderline-pair graph (cut/min(vol, 2m−vol) in integer ppm) — the
+    threshold-tuning audit, reading the two shared artifacts with keyed
+    joins/aggs only."""
+    ct = _cluster_table(spark, sf_dir)
+    lab = ct.select("doc_id", "canonical_id")
+    members = ct.groupBy("canonical_id").agg(
+        F.count(F.lit(1)).alias("n")
+    ).where(F.col("n") >= 2)
+    p9 = _lsh_pair_stream(spark, sf_dir).select("i", "j")
+    el = (
+        p9.join(lab.select(F.col("doc_id").alias("i"),
+                           F.col("canonical_id").alias("li")), "i")
+        .join(lab.select(F.col("doc_id").alias("j"),
+                         F.col("canonical_id").alias("lj")), "j")
+        .select("li", "lj")
+    )
+    tot = p9.agg(F.count(F.lit(1)).alias("m"))
+    intr = el.where(F.col("li") == F.col("lj")).groupBy(
+        F.col("li").alias("c")
+    ).agg(F.count(F.lit(1)).alias("ie"))
+    cut = (
+        el.where(F.col("li") != F.col("lj"))
+        .select(F.col("li").alias("c"))
+        .unionAll(
+            el.where(F.col("li") != F.col("lj"))
+            .select(F.col("lj").alias("c"))
+        )
+        .groupBy("c").agg(F.count(F.lit(1)).alias("ce"))
+    )
+    out = (
+        members
+        .join(intr, members["canonical_id"] == intr["c"], "left").drop("c")
+        .join(cut, members["canonical_id"] == cut["c"], "left").drop("c")
+        .crossJoin(F.broadcast(tot))
+    )
+    vol = "2 * coalesce(ie, 0) + coalesce(ce, 0)"
+    den = f"LEAST({vol}, 2 * m - ({vol}))"
+    return out.select(
+        "canonical_id",
+        F.col("n").cast("bigint").alias("n_members"),
+        F.coalesce("ie", F.lit(0)).cast("bigint").alias("internal_edges"),
+        F.coalesce("ce", F.lit(0)).cast("bigint").alias("cut_edges"),
+        F.expr(f"CAST({vol} AS BIGINT)").alias("volume"),
+        F.expr(
+            f"CAST(CASE WHEN {den} = 0 THEN 0"
+            f" ELSE coalesce(ce, 0) * 1000000 div ({den}) END AS BIGINT)"
+        ).alias("conductance_ppm"),
+    )
