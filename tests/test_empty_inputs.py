@@ -36,6 +36,12 @@ SAMPLE = [
     "g17_harmonic_centrality", "s21_mann_whitney_u",
     "q45_order_reconciliation", "e43_churn_labels",
     "q46_referential_orphans", "m15_media_integrity",
+    # round-9 families
+    "q47_guarded_skew_join", "m16_keyframes",
+    "m17_audio_fingerprint_pairs", "m18_cross_modal_pairs",
+    "d68_incremental_clusters", "d69_eval_decontamination",
+    "d70_span_dedup_weights", "d71_cluster_conductance",
+    "s22_cusum_drift", "s23_delta_method_ratio",
 ]
 
 

@@ -37,6 +37,14 @@ SAMPLE = [
     "e41_multitouch_attribution", "m13_phash_pairs",
     "q44_guarded_hot_key_agg", "s20_srm_check", "d66_heldout_nll",
     "m14_scene_cuts", "s21_mann_whitney_u", "q45_order_reconciliation",
+    # round-9 families: nulled media payloads must be filtered before
+    # the codec kernels; nulled embeddings dropped before assignment;
+    # nulled doc text must not crash gram hashing or span islands;
+    # nulled event values must not break exact cents in CUSUM/ratio
+    "q47_guarded_skew_join", "m16_keyframes",
+    "m17_audio_fingerprint_pairs", "m18_cross_modal_pairs",
+    "d69_eval_decontamination", "d70_span_dedup_weights",
+    "s22_cusum_drift", "s23_delta_method_ratio",
 ]
 
 
