@@ -5136,3 +5136,95 @@ def d71_cluster_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" ELSE coalesce(ce, 0) * 1000000 div ({den}) END AS BIGINT)"
         ).alias("conductance_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# d72: CLUSTER MERGE QUEUE — the review artifact d71's conductance and
+# d68's per-doc merge flags both point at, at the grain a curator
+# actually works: for every PAIR of resolved 0.95-clusters connected by
+# at least one borderline 0.9-edge, how many edges connect them and how
+# big are the two sides? Rank 1 is the strongest merge candidate (most
+# borderline edges, ties to the smaller pair) — the ordered work queue
+# for the next threshold review / full re-resolution. Same inputs as
+# d71 (both shared artifacts), one extra keyed agg at cluster-pair
+# grain; singleton "clusters" participate (a borderline edge to a
+# singleton is still a merge candidate).
+_MQ_ORACLE = f"""{_CLUSTER_CTES},
+    b9 AS (
+        SELECT c.i, c.j
+        FROM cand c
+        JOIN toks ta ON ta.doc_id = c.i
+        JOIN toks tb ON tb.doc_id = c.j
+        WHERE len(list_intersect(ta.tokens, tb.tokens)) * 1.0
+                / (len(ta.tokens) + len(tb.tokens)
+                   - len(list_intersect(ta.tokens, tb.tokens)))
+              >= {_MH_THRESHOLD}
+    ),
+    sizes AS (
+        SELECT canonical_id, COUNT(*) AS n FROM comp GROUP BY canonical_id
+    ),
+    cp AS (
+        SELECT LEAST(ci.canonical_id, cj.canonical_id) AS ca,
+               GREATEST(ci.canonical_id, cj.canonical_id) AS cb
+        FROM b9
+        JOIN comp ci ON ci.doc_id = b9.i
+        JOIN comp cj ON cj.doc_id = b9.j
+        WHERE ci.canonical_id <> cj.canonical_id
+    ),
+    q AS (
+        SELECT ca, cb, COUNT(*) AS n_border FROM cp GROUP BY ca, cb
+    )
+    SELECT q.ca AS cluster_a, q.cb AS cluster_b,
+           CAST(q.n_border AS BIGINT) AS n_border_edges,
+           CAST(sa.n AS BIGINT) AS size_a,
+           CAST(sb.n AS BIGINT) AS size_b,
+           CAST(ROW_NUMBER() OVER (ORDER BY q.n_border DESC, q.ca ASC,
+                                   q.cb ASC) AS BIGINT) AS review_rank
+    FROM q
+    JOIN sizes sa ON sa.canonical_id = q.ca
+    JOIN sizes sb ON sb.canonical_id = q.cb
+"""
+
+
+@REGISTRY.add("d72_cluster_merge_queue", _MQ_ORACLE, "dedup", "lsh", "audit")
+def d72_cluster_merge_queue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered merge-review queue at cluster-pair grain: borderline
+    0.9-edge counts between distinct 0.95-clusters with both sizes,
+    ranked by edge count (ties to the smaller pair). The global rank
+    runs over the queue table, which is |cluster-pairs-with-border-
+    edges|-sized — audit-scale, not corpus-scale."""
+    from pyspark.sql import Window as W
+
+    ct = _cluster_table(spark, sf_dir)
+    lab = ct.select("doc_id", "canonical_id")
+    sizes = ct.groupBy("canonical_id").agg(F.count(F.lit(1)).alias("n"))
+    p9 = _lsh_pair_stream(spark, sf_dir).select("i", "j")
+    cp = (
+        p9.join(lab.select(F.col("doc_id").alias("i"),
+                           F.col("canonical_id").alias("li")), "i")
+        .join(lab.select(F.col("doc_id").alias("j"),
+                         F.col("canonical_id").alias("lj")), "j")
+        .where(F.col("li") != F.col("lj"))
+        .select(
+            F.least("li", "lj").alias("ca"),
+            F.greatest("li", "lj").alias("cb"),
+        )
+    )
+    q = cp.groupBy("ca", "cb").agg(F.count(F.lit(1)).alias("n_border"))
+    out = (
+        q.join(sizes.select(F.col("canonical_id").alias("ca"),
+                            F.col("n").alias("size_a")), "ca")
+        .join(sizes.select(F.col("canonical_id").alias("cb"),
+                           F.col("n").alias("size_b")), "cb")
+    )
+    return out.select(
+        F.col("ca").alias("cluster_a"),
+        F.col("cb").alias("cluster_b"),
+        F.col("n_border").cast("bigint").alias("n_border_edges"),
+        F.col("size_a").cast("bigint").alias("size_a"),
+        F.col("size_b").cast("bigint").alias("size_b"),
+        F.row_number().over(
+            W.orderBy(F.col("n_border").desc(), F.col("ca").asc(),
+                      F.col("cb").asc())
+        ).cast("bigint").alias("review_rank"),
+    )

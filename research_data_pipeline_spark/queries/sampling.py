@@ -1619,3 +1619,111 @@ def s23_delta_method_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"r - {_DM_Z} * se").alias("ci_lo"),
         F.expr(f"r + {_DM_Z} * se").alias("ci_hi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# s24: ALWAYS-VALID mSPRT — the sequential companion to s23's fixed-n
+# CI: the mixture sequential probability ratio for the A−B mean
+# difference (purchase cents per user) under a N(0, τ²) effect prior,
+# valid at EVERY peek, so the experimentation platform can monitor
+# continuously without alpha-spending. Λ = sqrt(V/(V+τ²)) ·
+# exp(d²τ²/(2V(V+τ²))); we emit log Λ (ln is the one transcendental
+# verified bit-identical across engines — exp/pow are NOT, see e37) and
+# the decision boolean log Λ > ln 20 ⇔ always-valid p < 0.05. All
+# sufficient statistics are exact integers (squares in
+# DECIMAL(38,0)/HUGEINT); the double formula is one shared text on
+# both engines. τ = $1 (100 cents), a fixed effect-scale prior.
+_SPRT_TAU2 = "10000.0"  # (100 cents)^2
+_SPRT_LN20 = "2.995732273553991"  # ln(20): two-sided alpha 0.05
+_SPRT_D = (
+    "(CAST(sxa AS DOUBLE) / CAST(na AS DOUBLE)"
+    " - CAST(sxb AS DOUBLE) / CAST(nb AS DOUBLE))"
+)
+_SPRT_V = (
+    "((CAST(sxxa AS DOUBLE) - CAST(sxa AS DOUBLE) * CAST(sxa AS DOUBLE)"
+    " / CAST(na AS DOUBLE)) / (CAST(na AS DOUBLE) - 1)"
+    " / CAST(na AS DOUBLE)"
+    " + (CAST(sxxb AS DOUBLE) - CAST(sxb AS DOUBLE) * CAST(sxb AS DOUBLE)"
+    " / CAST(nb AS DOUBLE)) / (CAST(nb AS DOUBLE) - 1)"
+    " / CAST(nb AS DOUBLE))"
+)
+_SPRT_LOGL = (
+    f"0.5 * ln({_SPRT_V} / ({_SPRT_V} + {_SPRT_TAU2}))"
+    f" + ({_SPRT_D}) * ({_SPRT_D}) * {_SPRT_TAU2}"
+    f" / (2 * ({_SPRT_V}) * (({_SPRT_V}) + {_SPRT_TAU2}))"
+)
+_SPRT_ORACLE = f"""
+    WITH pu AS (
+        SELECT user_id,
+               CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                         ::UBIGINT % 1000000 < 500000
+                    THEN 'A' ELSE 'B' END AS arm,
+               SUM(CASE WHEN event_type = 'purchase'
+                        THEN {_DM_CENTS} ELSE 0 END) AS x
+        FROM events GROUP BY user_id
+    ), s AS (
+        SELECT
+            CAST(COUNT(*) FILTER (arm = 'A') AS BIGINT) AS na,
+            CAST(COUNT(*) FILTER (arm = 'B') AS BIGINT) AS nb,
+            CAST(SUM(x) FILTER (arm = 'A') AS BIGINT) AS sxa,
+            CAST(SUM(x) FILTER (arm = 'B') AS BIGINT) AS sxb,
+            CAST(SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT))
+                 FILTER (arm = 'A') AS BIGINT) AS sxxa,
+            CAST(SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT))
+                 FILTER (arm = 'B') AS BIGINT) AS sxxb
+        FROM pu
+    )
+    SELECT na AS n_a, nb AS n_b, sxa AS x_cents_a, sxb AS x_cents_b,
+           sxxa AS sxx_a, sxxb AS sxx_b,
+           {_SPRT_D} AS delta,
+           {_SPRT_V} AS variance,
+           {_SPRT_LOGL} AS log_lambda,
+           {_SPRT_LOGL} > {_SPRT_LN20} AS significant
+    FROM s
+"""
+
+
+@REGISTRY.add("s24_msprt_always_valid", _SPRT_ORACLE, "stats", "experiment")
+def s24_msprt_always_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Always-valid mixture SPRT for the A−B purchase-cents mean
+    difference: exact integer sufficient statistics per arm, log Λ via
+    the shared-text ln formula, decision at log Λ > ln 20 (always-valid
+    p < 0.05)."""
+    ev = load(spark, sf_dir, "events")
+    pu = ev.groupBy("user_id").agg(
+        F.expr(
+            f"SUM(CASE WHEN event_type = 'purchase' THEN {_DM_CENTS}"
+            " ELSE 0 END)"
+        ).alias("x"),
+    ).select(
+        F.when(md5_bucket(F.col("user_id")) % 1000000 < 500000, "A")
+        .otherwise("B").alias("arm"),
+        "x",
+    )
+    s = pu.agg(
+        F.expr("CAST(COUNT(*) FILTER (WHERE arm = 'A') AS BIGINT)")
+        .alias("na"),
+        F.expr("CAST(COUNT(*) FILTER (WHERE arm = 'B') AS BIGINT)")
+        .alias("nb"),
+        F.expr("CAST(SUM(x) FILTER (WHERE arm = 'A') AS BIGINT)")
+        .alias("sxa"),
+        F.expr("CAST(SUM(x) FILTER (WHERE arm = 'B') AS BIGINT)")
+        .alias("sxb"),
+        F.expr(
+            "CAST(SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))"
+            " FILTER (WHERE arm = 'A') AS BIGINT)"
+        ).alias("sxxa"),
+        F.expr(
+            "CAST(SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))"
+            " FILTER (WHERE arm = 'B') AS BIGINT)"
+        ).alias("sxxb"),
+    )
+    return s.select(
+        F.col("na").alias("n_a"), F.col("nb").alias("n_b"),
+        F.col("sxa").alias("x_cents_a"), F.col("sxb").alias("x_cents_b"),
+        F.col("sxxa").alias("sxx_a"), F.col("sxxb").alias("sxx_b"),
+        F.expr(_SPRT_D).alias("delta"),
+        F.expr(_SPRT_V).alias("variance"),
+        F.expr(_SPRT_LOGL).alias("log_lambda"),
+        F.expr(f"{_SPRT_LOGL} > {_SPRT_LN20}").alias("significant"),
+    )

@@ -68,3 +68,42 @@ def test_log_histogram_sketch_merges_losslessly(spark, sf_dir):
         for k, v in h.items():
             merged[k] = merged.get(k, 0) + v
     assert merged == whole
+
+
+def test_msprt_formula_fires_on_real_effect(spark):
+    """s24's shared-text log-lambda formula against a literal python
+    reference, on a crafted TRUE-effect case (the registered query's
+    synthetic A/B split is null, so 'significant' is only ever False
+    there — this pins the firing branch)."""
+    import math
+
+    from research_data_pipeline_spark.queries.sampling import (
+        _SPRT_D, _SPRT_LOGL, _SPRT_V,
+    )
+
+    # arm A: 100 users at ~1000 cents, arm B: 100 users at ~0 cents
+    na = nb = 100
+    xa = [1000 + (i % 7) for i in range(na)]
+    xb = [0 + (i % 7) for i in range(nb)]
+    row = {
+        "na": na, "nb": nb,
+        "sxa": sum(xa), "sxb": sum(xb),
+        "sxxa": sum(v * v for v in xa), "sxxb": sum(v * v for v in xb),
+    }
+    df = spark.createDataFrame(
+        [tuple(row.values())],
+        "na long, nb long, sxa long, sxb long, sxxa long, sxxb long",
+    )
+    got = df.selectExpr(
+        f"{_SPRT_D} AS d", f"{_SPRT_V} AS v", f"{_SPRT_LOGL} AS ll"
+    ).collect()[0]
+    d = row["sxa"] / na - row["sxb"] / nb
+    va = (row["sxxa"] - row["sxa"] ** 2 / na) / (na - 1) / na
+    vb = (row["sxxb"] - row["sxb"] ** 2 / nb) / (nb - 1) / nb
+    v = va + vb
+    tau2 = 10000.0
+    ll = 0.5 * math.log(v / (v + tau2)) + d * d * tau2 / (2 * v * (v + tau2))
+    assert abs(got["d"] - d) < 1e-9
+    assert abs(got["v"] - v) < 1e-9
+    assert abs(got["ll"] - ll) < 1e-6 * max(1.0, abs(ll))
+    assert got["ll"] > 2.995732273553991  # the effect fires the decision
