@@ -1188,3 +1188,105 @@ def test_cusum_fold_matches_python_reference(spark):
     for i, x in enumerate(xs):
         s = max(0, s + x - mu - k)
         assert folded[i]["s"] == s, (i, folded[i]["s"], s)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=8, max_size=14),
+        min_size=2, max_size=8,
+    ),
+)
+def test_decontamination_matches_bruteforce(spark, docs):
+    """d69's hashed-gram join must match a literal python set
+    intersection of 8-gram sets on arbitrary tiny corpora (docs are
+    token lists; split train/val by parity to force both directions)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    N = 8
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def grams(toks):
+        return {
+            " ".join(toks[i:i + N]) for i in range(len(toks) - N + 1)
+        }
+
+    train_g = set()
+    for i, toks in enumerate(docs):
+        if i % 2 == 0 and len(toks) >= N:
+            train_g |= grams(toks)
+
+    # the registered query's gram-hash pipeline, split by parity here
+    occ = df.where(F.size(F.split("text", " ")) >= N).select(
+        "doc_id",
+        F.explode(F.expr(
+            f"transform(sequence(1, size(split(text, ' ')) - {N - 1}),"
+            " i -> CAST(conv(substring(md5("
+            f"array_join(slice(split(text, ' '), i, {N}), ' ')"
+            "), 1, 15), 16, 10) AS BIGINT))"
+        )).alias("gh"),
+    ).distinct()
+    tr = occ.where(F.col("doc_id") % 2 == 0).select("gh").distinct()
+    va = occ.where(F.col("doc_id") % 2 == 1)
+    got = {
+        r["doc_id"]: r["ns"]
+        for r in va.join(tr.withColumn("_h", F.lit(1)), "gh", "left")
+        .groupBy("doc_id")
+        .agg(F.sum(F.coalesce("_h", F.lit(0))).alias("ns"))
+        .collect()
+    }
+    for i, toks in enumerate(docs):
+        if i % 2 == 1 and len(toks) >= N:
+            want = len(grams(toks) & train_g)
+            assert got.get(i, 0) == want, (i, got.get(i), want)
+
+
+def test_keyframe_extraction_matches_python_reference(spark):
+    """m16's detector+extractor against a literal python walk on a
+    crafted video: frame sums with one large jump and one repeat —
+    exactly one cut keyframe plus the opening frame, with the right
+    bytes extracted."""
+    from pyspark.sql import functions as F
+
+    from research_data_pipeline_spark.multimodal import ops
+
+    # 4 frames of 4 bytes: f0=low, f1=low (repeat -> no cut),
+    # f2=high (cut), f3=high (no cut)
+    payload = bytes([1, 1, 1, 1] * 2 + [200, 200, 200, 200] * 2)
+    media = spark.createDataFrame(
+        [(7, "video", bytearray(payload), 4)],
+        "doc_id long, kind string, payload binary, n_frames int",
+    )
+    fs = ops.frame_sums(media)
+    from pyspark.sql import Window as W
+    d = fs.select(
+        "doc_id", "frame_idx", "frame_len", "frame_sum",
+        F.lag("frame_sum").over(
+            W.partitionBy("doc_id").orderBy("frame_idx")
+        ).alias("prev"),
+    )
+    cut_ppm = 30_000
+    is_cut = F.col("prev").isNotNull() & (
+        F.expr("CAST(abs(frame_sum - prev) * 1000000 div (255 * frame_len)"
+               " AS BIGINT)") >= cut_ppm
+    )
+    keys = d.where((F.col("frame_idx") == 0) | is_cut).select(
+        "doc_id", "frame_idx"
+    )
+    got = sorted(
+        (r["frame_idx"], r["offset"], r["first_byte"])
+        for r in ops.extract_frames(media, keys).collect()
+    )
+    # python reference
+    L = len(payload) // 4
+    sums = [sum(payload[i * L:(i + 1) * L]) for i in range(4)]
+    want_idx = [0] + [
+        i for i in range(1, 4)
+        if abs(sums[i] - sums[i - 1]) * 1_000_000 // (255 * L) >= cut_ppm
+    ]
+    want = sorted((i, i * L, payload[i * L]) for i in want_idx)
+    assert got == want
+    assert [i for i, _, _ in got] == [0, 2]  # opening + the one cut
