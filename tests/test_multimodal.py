@@ -227,3 +227,34 @@ def test_perceptual_hash64_matches_python_reference(spark, sf_dir):
         if md5 in by_md5:
             assert by_md5[md5] == want  # identical payloads: hamming 0
         by_md5[md5] = want
+
+
+def test_audio_fingerprint64_matches_python_reference(spark, sf_dir):
+    """m17's fingerprint: four 16-bit bands over the decoded PCM byte
+    stream (the m13 geometry on the 16-byte cycle). Recompute from the
+    source text independently — the WAV round-trip is lossless and
+    little-endian, so the decoded byte cycle equals the md5 bytes."""
+    m = media_table(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    got = {
+        r.doc_id: (r.b0, r.b1, r.b2, r.b3)
+        for r in ops.audio_fingerprint(m).collect()
+    }
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where("doc_id % 3 = 1").select("doc_id", "text").collect()
+    )
+    assert len(docs) > 0 and set(got) == {d.doc_id for d in docs}
+    for d in docs:
+        md5 = hashlib.md5(d.text.encode()).digest()
+        r = 1 + d.doc_id % 7
+        payload = md5 * r
+        mean = sum(payload) // len(payload)
+        want = tuple(
+            sum(
+                (1 << a)
+                for a in range(16)
+                if md5[a] + md5[(a + j + 1) % 16] > 2 * mean
+            )
+            for j in range(4)
+        )
+        assert got[d.doc_id] == want, d.doc_id
