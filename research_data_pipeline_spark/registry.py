@@ -350,6 +350,30 @@ _GREEN_ROUNDS: dict[str, frozenset[str]] = {
         "s07_weighted_sample", "s19_log_histogram_quantiles",
         "s20_srm_check", "s21_mann_whitney_u"
     }),
+    "r09": frozenset({
+        "d03_quality_score", "d05_exact_dedup", "d12_pii_scrub",
+        "d16_token_zipf", "d33_tfidf_top_terms",
+        "d61_dup_ngram_coverage", "d63_ivf_balance_audit",
+        "d64_embedding_outliers", "d68_incremental_clusters",
+        "d69_eval_decontamination", "d70_span_dedup_weights",
+        "d71_cluster_conductance", "d72_cluster_merge_queue",
+        "e01_tumbling_counts", "e03_sessionize", "e04_sliding_counts",
+        "e05_json_props", "e06_ewma_user_value", "e10_event_bursts",
+        "e11_multigrain_rollup", "e16_cohort_retention",
+        "e20_rolling_dau", "g01_label_counts", "g03_high_volume_reach",
+        "g04_edge_counts", "m02_media_decode_stats", "m03_frame_sample",
+        "m04_byte_histogram", "m13_phash_pairs", "m16_keyframes",
+        "m17_audio_fingerprint_pairs", "m18_cross_modal_pairs",
+        "q01_pricing_summary", "q03_mode_priority",
+        "q04_top_order_per_customer", "q05_part_hindex",
+        "q06_customer_order_rank", "q07_semi_anti_customers",
+        "q12_string_normalize", "q23_part_name_positions",
+        "q25_regex_part_filter", "q43_join_skew_audit",
+        "q47_guarded_skew_join", "s01_hash_sample",
+        "s06_train_test_split", "s11_equiwidth_histogram",
+        "s19_log_histogram_quantiles", "s22_cusum_drift",
+        "s23_delta_method_ratio", "s24_msprt_always_valid"
+    }),
 }
 
 # Queries whose implementation changed materially AFTER their newest green
@@ -359,26 +383,9 @@ _GREEN_ROUNDS: dict[str, frozenset[str]] = {
 # the rewrite claims an early verification slot in the next round; clear
 # the set once the post-rewrite green row lands.
 _REWRITTEN_SINCE_GREEN: set[str] = {
-    # (r08 verified every round-8 rewrite — d13b, d19, d21, d41, d43,
-    # d48, d58 all have post-rewrite green rows in CORRECTNESS_r08.json,
-    # taken at HEAD; set cleared at round-9 start.)
-    # round 9 advisor fixes: q43's skew_ppm product now rides
-    # DECIMAL(38,0)/HUGEINT (overflow past 2^63 at 100 TB); s19's bucket
-    # bounds shift a BIGINT base (buckets >= 31 wrapped in 32-bit).
-    "q43_join_skew_audit",
-    "s19_log_histogram_quantiles",
-    # round 9 verdict task: m13's perceptual hash widened 16 -> 64 bits
-    # (four 16-bit band columns; same pigeonhole plan) after its r08
-    # green row — the 30x wall ratio dropped 15.5x -> 1.4x.
-    "m13_phash_pairs",
-    # round 9 verdict task: d61 shuffles the 60-bit md5 gram prefix and
-    # aggregates occurrences once to the (gh, doc_id) pair grain
-    # (shuffle bytes -44% at sf1) after its r08 green row.
-    "d61_dup_ngram_coverage",
-    # round 9 verdict task: d63/d64 now read the shared materialized
-    # IVF assignment table (_ivf_assign_table) after their r08 greens.
-    "d63_ivf_balance_audit",
-    "d64_embedding_outliers",
+    # (r09 verified every round-9 rewrite — q43, s19, m13, d61, d63, d64
+    # all have post-rewrite green rows in CORRECTNESS_r09.json, taken at
+    # HEAD; set cleared at round-10 start.)
 }
 
 
