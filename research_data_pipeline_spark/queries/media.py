@@ -487,7 +487,7 @@ _PH_ORACLE = f"""
     b16 AS (
         SELECT doc_id, i, {_BYTE} AS b
         FROM media, UNNEST(generate_series(1, 16)) AS t(i)
-        WHERE kind = 'image'
+        WHERE kind = 'image' AND text IS NOT NULL
     ),
     mn AS (SELECT doc_id, SUM(b) // 16 AS m FROM b16 GROUP BY doc_id),
     bands AS (
@@ -710,7 +710,8 @@ _KF_ORACLE = f"""
     WITH media AS ({MEDIA_CTE}),
     vid AS (
         SELECT doc_id, text, n_frames, n_bytes // n_frames AS L
-        FROM media WHERE kind = 'video' AND n_frames > 0
+        FROM media
+        WHERE kind = 'video' AND n_frames > 0 AND text IS NOT NULL
     ),
     fb AS (
         SELECT doc_id, p.p // L AS frame_idx, L,
@@ -806,7 +807,7 @@ _AF_ORACLE = f"""
     b16 AS (
         SELECT doc_id, i, {_BYTE} AS b
         FROM media, UNNEST(generate_series(1, 16)) AS t(i)
-        WHERE kind = 'audio'
+        WHERE kind = 'audio' AND text IS NOT NULL
     ),
     mn AS (SELECT doc_id, SUM(b) // 16 AS m FROM b16 GROUP BY doc_id),
     bands AS (

@@ -1178,12 +1178,15 @@ _LHQ_ORACLE = f"""
         FROM exact
     )
     SELECT p.n,
-           CAST(1 << b50 AS BIGINT) AS p50_lo, e.q50 AS p50_exact,
-           e.q50 >= (1 << b50) AND e.q50 < (1 << (b50 + 1)) AS p50_in_bucket,
-           CAST(1 << b90 AS BIGINT) AS p90_lo, e.q90 AS p90_exact,
-           e.q90 >= (1 << b90) AND e.q90 < (1 << (b90 + 1)) AS p90_in_bucket,
-           CAST(1 << b99 AS BIGINT) AS p99_lo, e.q99 AS p99_exact,
-           e.q99 >= (1 << b99) AND e.q99 < (1 << (b99 + 1)) AS p99_in_bucket
+           (CAST(1 AS BIGINT) << b50) AS p50_lo, e.q50 AS p50_exact,
+           e.q50 >= (CAST(1 AS BIGINT) << b50)
+             AND e.q50 < (CAST(1 AS BIGINT) << (b50 + 1)) AS p50_in_bucket,
+           (CAST(1 AS BIGINT) << b90) AS p90_lo, e.q90 AS p90_exact,
+           e.q90 >= (CAST(1 AS BIGINT) << b90)
+             AND e.q90 < (CAST(1 AS BIGINT) << (b90 + 1)) AS p90_in_bucket,
+           (CAST(1 AS BIGINT) << b99) AS p99_lo, e.q99 AS p99_exact,
+           e.q99 >= (CAST(1 AS BIGINT) << b99)
+             AND e.q99 < (CAST(1 AS BIGINT) << (b99 + 1)) AS p99_in_bucket
     FROM pick p CROSS JOIN eq e
 """
 

@@ -386,6 +386,15 @@ _REWRITTEN_SINCE_GREEN: set[str] = {
     # (r09 verified every round-9 rewrite — q43, s19, m13, d61, d63, d64
     # all have post-rewrite green rows in CORRECTNESS_r09.json, taken at
     # HEAD; set cleared at round-10 start.)
+    # round 10 advisor fixes (oracle-side changes invalidate the green
+    # evidence just like implementation rewrites): s19's oracle shifts
+    # now ride a BIGINT base (DuckDB `1 << 31` raises on INT32); the
+    # m13/m16/m17 oracles filter NULL-text media to match the operators'
+    # documented drop-NULL-payload contract.
+    "s19_log_histogram_quantiles",
+    "m13_phash_pairs",
+    "m16_keyframes",
+    "m17_audio_fingerprint_pairs",
 }
 
 

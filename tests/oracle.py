@@ -10,12 +10,17 @@ from research_data_pipeline_spark.tables import TPCH_TABLES
 
 
 def duckdb_run(sql: str, sf_dir: str) -> pd.DataFrame:
+    import os
+
     con = duckdb.connect()
     try:
         for t in TPCH_TABLES:
-            con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-            )
+            # driver layout is one file per table; test fixtures written
+            # by Spark are part-file directories — glob those.
+            path = f"{sf_dir}/{t}.parquet"
+            if os.path.isdir(path):
+                path = f"{path}/*.parquet"
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
         return con.execute(sql).fetchdf()
     finally:
         con.close()

@@ -70,6 +70,26 @@ def test_query_survives_null_payloads(spark, nulled_dir, name):
     assert all_specs()[name].fn(spark, nulled_dir).count() >= 0
 
 
+POISONED_PARITY = [
+    # round-10 advisor gap: no-crash is weaker than parity — the media
+    # oracles used to emit rows for NULL-text docs (md5(NULL) bands,
+    # NULL first_byte) that the operators' drop-NULL-payload contract
+    # never produces. Run the FULL oracle compare on the nulled corpus.
+    "m13_phash_pairs", "m14_scene_cuts", "m16_keyframes",
+    "m17_audio_fingerprint_pairs",
+]
+
+
+@pytest.mark.parametrize("name", POISONED_PARITY)
+def test_media_oracle_parity_on_null_text(spark, nulled_dir, name):
+    from research_data_pipeline_spark.registry import all_specs
+
+    from .oracle import assert_parity
+
+    spec = all_specs()[name]
+    assert_parity(spec.fn(spark, nulled_dir), spec.oracle, nulled_dir, name)
+
+
 def test_null_vectors_are_dropped_not_scored(spark, nulled_dir):
     # contract: a NULL embedding is absent from similarity output
     from research_data_pipeline_spark.operators.similarity import (
