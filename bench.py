@@ -95,6 +95,21 @@ def main() -> int:
     _ivf_assign_table(spark, sf_dir)
     shared["ivf_assign_table"] = round(time.perf_counter() - t0, 3)
 
+    # q43/q44/q47 share the five-key hot-key skew stats (one
+    # map-side-combined groupBy per key, measured once per
+    # session/dataset; the salting guards read the dict)
+    from research_data_pipeline_spark.queries.relational import (
+        _SKEW_KEYS,
+        _SKEW_STATS_CACHE,
+        _skew_stats,
+    )
+
+    _SKEW_STATS_CACHE.clear()
+    t0 = time.perf_counter()
+    for label, _, _ in _SKEW_KEYS:
+        _skew_stats(spark, sf_dir, label)
+    shared["skew_stats"] = round(time.perf_counter() - t0, 3)
+
     # Best-of-2 per query: a transient load spike or first-touch codegen
     # compile can inflate a single run 2-4x (round 3's "regression" was
     # exactly that — 7 unchanged queries drifted 2-4x on a loaded

@@ -1874,19 +1874,38 @@ _SKEW_ORACLE = "\n        UNION ALL\n".join(
     for label, key, table in _SKEW_KEYS
 )
 
+# Per-(session, dataset) skew-stats artifact — the r09 verdict's
+# amortization: maybe_salted_agg / maybe_salted_join used to re-scan the
+# fact table per invocation to measure the hot-key ppm (q47's 4.9×-at-30×
+# was exactly that pre-pass). Same cache contract as docs._CLUSTER_CACHE /
+# _IVF_ASSIGN_CACHE: keyed by (applicationId, sf_dir), measure-on-miss,
+# stopped-session eviction; bench.py times the full five-key warm under
+# `shared`. Values are the q43 audit's exact per-key statistics
+# (n_rows, n_keys, max_key_rows, skew_ppm) — entries are None on an
+# empty table, mirroring the SQL aggregates.
+_SKEW_STATS_CACHE: dict[
+    tuple[str, str], dict[str, tuple[int | None, ...]]
+] = {}
 
-@REGISTRY.add("q43_join_skew_audit", _SKEW_ORACLE, "relational", "audit",
-              "scale")
-def q43_join_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hot-key skew (max/mean in integer ppm) for the five join keys the
-    fact tables shuffle on — the number that decides salting."""
-    out = None
-    for label, key, table in _SKEW_KEYS:
+
+def _skew_stats(
+    spark: SparkSession, sf_dir: str, label: str
+) -> tuple[int | None, int | None, int | None, int | None]:
+    """Measured (n_rows, n_keys, max_key_rows, skew_ppm) for one audited
+    join key, cached per (session, dataset). One map-side-combined
+    groupBy + a 4-number scalar agg on miss; a dict hit afterwards — the
+    standing audit every salting guard reads instead of re-measuring."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    for k in [k for k in _SKEW_STATS_CACHE if k[0] != key[0]]:
+        del _SKEW_STATS_CACHE[k]
+    stats = _SKEW_STATS_CACHE.setdefault(key, {})
+    if label not in stats:
+        _, col, table = next(x for x in _SKEW_KEYS if x[0] == label)
         t = load(spark, sf_dir, table)
-        per_key = t.groupBy(F.col(key).alias("k")).agg(
+        per_key = t.groupBy(F.col(col).alias("k")).agg(
             F.count(F.lit(1)).alias("c")
         )
-        agg = per_key.agg(
+        row = per_key.agg(
             F.sum("c").cast("bigint").alias("n_rows"),
             F.count(F.lit(1)).cast("bigint").alias("n_keys"),
             F.max("c").cast("bigint").alias("max_key_rows"),
@@ -1897,10 +1916,43 @@ def q43_join_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "CAST(CAST(max(c) AS DECIMAL(38,0)) * count(*) * 1000000"
                 " div sum(c) AS BIGINT)"
             ).alias("skew_ppm"),
-        ).select(F.lit(label).alias("join_key"), "n_rows", "n_keys",
-                 "max_key_rows", "skew_ppm")
-        out = agg if out is None else out.unionByName(agg)
-    return out
+        ).first()
+        stats[label] = tuple(
+            None if row is None or row[c] is None else int(row[c])
+            for c in ("n_rows", "n_keys", "max_key_rows", "skew_ppm")
+        )
+    return stats[label]
+
+
+def _skew_ppm_for(spark: SparkSession, sf_dir: str, label: str) -> int:
+    """The guard-facing read: cached skew ppm for one audited key,
+    1e6 (uniform) when the table is empty."""
+    ppm = _skew_stats(spark, sf_dir, label)[3]
+    return 1_000_000 if ppm is None else ppm
+
+
+@REGISTRY.add("q43_join_skew_audit", _SKEW_ORACLE, "relational", "audit",
+              "scale")
+def q43_join_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key skew (max/mean in integer ppm) for the five join keys the
+    fact tables shuffle on — the number that decides salting. Reads (and
+    warms) the per-session skew-stats artifact; the result is the
+    5-row bounded audit table itself, so materializing it driver-side
+    is the point, not a scale hazard."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType([
+        StructField("join_key", StringType(), False),
+        StructField("n_rows", LongType(), True),
+        StructField("n_keys", LongType(), True),
+        StructField("max_key_rows", LongType(), True),
+        StructField("skew_ppm", LongType(), True),
+    ])
+    rows = [
+        (label, *_skew_stats(spark, sf_dir, label))
+        for label, _, _ in _SKEW_KEYS
+    ]
+    return spark.createDataFrame(rows, schema)
 
 
 # ---------------------------------------------------------------------------
@@ -1929,7 +1981,10 @@ _GHK_ORACLE = """
 def q44_guarded_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user event rollup through the skew-measuring salted-agg guard
     (plain single-shuffle plan on this uniform key; the same call flips
-    to the two-phase salted reduction on a ≥10× hot key)."""
+    to the two-phase salted reduction on a ≥10× hot key). The skew ppm
+    comes from the per-session q43 stats artifact — measured once per
+    (session, dataset), a dict read afterwards — so no measurement
+    aggregate runs here on the warm path."""
     from ..operators.skew import maybe_salted_agg
 
     ev = load(spark, sf_dir, "events").select(
@@ -1941,6 +1996,7 @@ def q44_guarded_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["user_id"],
         [("cents", "count", "n_events"), ("cents", "sum", "total_cents"),
          ("cents", "max", "max_cents")],
+        skew_ppm=_skew_ppm_for(spark, sf_dir, "events.user_id"),
     )
     return out.select(
         "user_id",
@@ -2118,7 +2174,13 @@ def q47_guarded_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_suppkey").alias("suppkey"),
         F.col("s_nationkey").alias("nationkey"),
     )
-    j = maybe_salted_join(li, supp, "suppkey")
+    # skew ppm from the per-session q43 stats artifact (measured once
+    # per session/dataset, dict read afterwards) — the r09 verdict's
+    # amortization of the per-invocation measurement pre-pass.
+    j = maybe_salted_join(
+        li, supp, "suppkey",
+        skew_ppm=_skew_ppm_for(spark, sf_dir, "lineitem.l_suppkey"),
+    )
     return j.groupBy("nationkey").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_lines"),
         F.count_distinct("suppkey").cast("bigint").alias("n_suppliers"),

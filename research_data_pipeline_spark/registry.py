@@ -395,6 +395,13 @@ _REWRITTEN_SINCE_GREEN: set[str] = {
     "m13_phash_pairs",
     "m16_keyframes",
     "m17_audio_fingerprint_pairs",
+    # round 10 verdict task: the skew guards now read the per-session
+    # q43 stats artifact (measured once per session/dataset) instead of
+    # re-scanning the fact table per invocation; q43 itself builds its
+    # 5-row audit from the same cache.
+    "q43_join_skew_audit",
+    "q44_guarded_hot_key_agg",
+    "q47_guarded_skew_join",
 }
 
 

@@ -160,3 +160,49 @@ def test_maybe_salted_join_flips_on_measured_skew(spark):
     assert got_s == got_b
     n_hot = sum(1 for t in got_s if t[0] == HOT)
     assert n_hot == 100_000 and len(got_s) == 100_030
+
+
+def test_guarded_queries_read_cached_skew_stats(spark):
+    """r09 verdict amortization: q44/q47 must READ the per-session skew
+    stats artifact, never re-measure when it is warm. Proof: plant a
+    sentinel ppm in the cache and watch the guard's decision carry it
+    (and flip to salted on uniform data) — only a dict read can see the
+    sentinel. Results stay identical because salting is execution-only."""
+    from research_data_pipeline_spark.operators.decisions import LAST
+    from research_data_pipeline_spark.queries.relational import (
+        _SKEW_STATS_CACHE,
+        _skew_stats,
+        q44_guarded_hot_key_agg,
+        q47_guarded_skew_join,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    key = (spark.sparkContext.applicationId, sf)
+    _SKEW_STATS_CACHE.pop(key, None)
+
+    # measure-on-miss fallback intact: first read measures
+    n_rows, n_keys, max_rows, ppm = _skew_stats(spark, sf, "events.user_id")
+    assert n_rows > 0 and n_keys > 0 and ppm >= 1_000_000
+    assert key in _SKEW_STATS_CACHE
+
+    plain = {tuple(r) for r in q44_guarded_hot_key_agg(spark, sf).collect()}
+    assert LAST["maybe_salted_agg"]["skew_ppm"] == ppm
+
+    # sentinel: the guards must see this without any re-measurement
+    _SKEW_STATS_CACHE[key]["events.user_id"] = (n_rows, n_keys, max_rows,
+                                                99_000_000)
+    salted = {tuple(r) for r in q44_guarded_hot_key_agg(spark, sf).collect()}
+    assert LAST["maybe_salted_agg"]["skew_ppm"] == 99_000_000
+    assert LAST["maybe_salted_agg"]["path"] == "salted"
+    assert salted == plain
+
+    jp = _skew_stats(spark, sf, "lineitem.l_suppkey")[3]
+    plain_j = {tuple(r) for r in q47_guarded_skew_join(spark, sf).collect()}
+    assert LAST["maybe_salted_join"]["skew_ppm"] == jp
+    _SKEW_STATS_CACHE[key]["lineitem.l_suppkey"] = (1, 1, 1, 99_000_000)
+    salted_j = {tuple(r) for r in q47_guarded_skew_join(spark, sf).collect()}
+    assert LAST["maybe_salted_join"]["skew_ppm"] == 99_000_000
+    assert LAST["maybe_salted_join"]["path"] == "salted"
+    assert salted_j == plain_j
+
+    _SKEW_STATS_CACHE.pop(key, None)
