@@ -562,3 +562,202 @@ def multi_source_bfs(
     return dist.select(
         "root", "node", F.col("hops").cast("bigint").alias("hops")
     )
+
+
+def strongly_connected_components(
+    vertices: DataFrame,
+    edges: DataFrame,
+    id_col: str = "node",
+    src: str = "src",
+    dst: str = "dst",
+    max_outer: int = 30,
+    max_iter: int = 50,
+    stats: dict | None = None,
+    driver_max_edges: int = 1_000_000,
+) -> DataFrame:
+    """Strongly connected components of a DIRECTED graph — the
+    spider-trap detector a web-crawl / citation pipeline runs before
+    trusting PageRank-style scores (reference scope: graph analytics
+    over derived edges, neo4j_queries.py; SCC itself is an extension).
+    Returns (node, label) with label = the smallest member id of the
+    node's SCC — isolated vertices and DAG nodes label themselves.
+
+    Distributed path: Fleischer-style forward-backward intersection via
+    MIN-ID COLORING (Orzan). Each outer round (1) propagates
+    color(v) = min{u : u ->* v} forward to fixpoint over the remaining
+    subgraph — same per-round shape and decreasing-sum convergence probe
+    as :func:`connected_components`, but along edge DIRECTION only;
+    (2) every color class's root r (color(r) = r, the class minimum)
+    anchors a backward BFS restricted to its own color class, and the
+    reached set is EXACTLY SCC(r): membership proof — for v in the
+    class, any u ->* v also reaches r through v's v ->* r path, so
+    u >= r, and every intermediate w on a v ->* r path satisfies
+    r ->* w ->* r, keeping the restricted BFS closed and complete.
+    All color classes resolve their root's SCC in the SAME round — the
+    outer loop runs O(SCC-DAG chain depth) times, not O(#SCCs).
+
+    Driver fast path (same guard/contract as ``connected_components``):
+    under ``driver_max_edges`` the edge list is pulled once and an
+    iterative Tarjan computes identical min-id labels; the vertex table
+    stays distributed and isolated vertices fall through the left join.
+    Lineage is cut per round with eager localCheckpoints.
+    """
+    edges = edges.select(src, dst).localCheckpoint()
+    n_edges = edges.count()
+    if driver_max_edges and n_edges <= driver_max_edges:
+        from ..operators.decisions import record
+
+        record(
+            "strongly_connected_components",
+            n_edges=n_edges,
+            driver_max_edges=driver_max_edges,
+            path="driver_tarjan",
+        )
+        if stats is not None:
+            stats["algorithm"] = "driver_tarjan"
+            stats["n_edges"] = n_edges
+        pdf = edges.toPandas()
+        adj: dict = {}
+        touched: set = set()
+        for a, b in zip(pdf[src].tolist(), pdf[dst].tolist()):
+            adj.setdefault(a, []).append(b)
+            touched.add(a)
+            touched.add(b)
+        # iterative Tarjan (explicit stack — no recursion limit)
+        index: dict = {}
+        low: dict = {}
+        on_stack: set = set()
+        stack: list = []
+        label: dict = {}
+        counter = [0]
+
+        def _scc_from(v0) -> None:
+            work = [(v0, 0)]
+            while work:
+                v, pi = work[-1]
+                if pi == 0:
+                    index[v] = low[v] = counter[0]
+                    counter[0] += 1
+                    stack.append(v)
+                    on_stack.add(v)
+                recursed = False
+                succs = adj.get(v, ())
+                for i in range(pi, len(succs)):
+                    w2 = succs[i]
+                    if w2 not in index:
+                        work[-1] = (v, i + 1)
+                        work.append((w2, 0))
+                        recursed = True
+                        break
+                    if w2 in on_stack and index[w2] < low[v]:
+                        low[v] = index[w2]
+                if recursed:
+                    continue
+                work.pop()
+                if work:
+                    pv = work[-1][0]
+                    if low[v] < low[pv]:
+                        low[pv] = low[v]
+                if low[v] == index[v]:
+                    comp = []
+                    while True:
+                        w2 = stack.pop()
+                        on_stack.discard(w2)
+                        comp.append(w2)
+                        if w2 == v:
+                            break
+                    m = min(comp)
+                    for w2 in comp:
+                        label[w2] = m
+
+        for v in touched:
+            if v not in index:
+                _scc_from(v)
+        spark = vertices.sparkSession
+        id_type = vertices.select(F.col(id_col).alias("node")).schema[
+            "node"
+        ].dataType.simpleString()
+        lbl = spark.createDataFrame(
+            [(n, label[n]) for n in touched],
+            f"node {id_type}, label {id_type}",
+        )
+        return (
+            vertices.select(F.col(id_col).alias("node"))
+            .join(F.broadcast(lbl), "node", "left")
+            .select("node", F.coalesce("label", "node").alias("label"))
+        )
+
+    if stats is not None:
+        stats["algorithm"] = "fwbw_coloring"
+        stats["n_edges"] = n_edges
+    remaining = vertices.select(F.col(id_col).alias("node")).localCheckpoint()
+    done = None
+    for outer in range(max_outer):
+        e = (
+            edges.join(
+                remaining.select(F.col("node").alias(src)), src, "left_semi"
+            )
+            .join(remaining.select(F.col("node").alias(dst)), dst, "left_semi")
+            .localCheckpoint()
+        )
+        # phase 1: forward min-color fixpoint (label sum strictly
+        # decreases until convergence — same probe as CC; integral ids
+        # only, which the registered graphs satisfy)
+        colors = remaining.select(
+            "node", F.col("node").alias("color")
+        ).localCheckpoint()
+        prev = colors.agg(
+            F.sum(F.col("color").cast("decimal(38,0)"))
+        ).first()[0]
+        for _ in range(max_iter):
+            msgs = e.join(colors, e[src] == colors["node"]).select(
+                F.col(dst).alias("node"), "color"
+            )
+            colors = (
+                colors.unionByName(msgs)
+                .groupBy("node")
+                .agg(F.min("color").alias("color"))
+                .localCheckpoint()
+            )
+            cur = colors.agg(
+                F.sum(F.col("color").cast("decimal(38,0)"))
+            ).first()[0]
+            if cur == prev:
+                break
+            prev = cur
+        # phase 2: backward BFS from every class root, restricted to the
+        # root's color class; reached set = SCC(root)
+        member = colors.where(F.col("node") == F.col("color")).select(
+            "node", F.col("color").alias("label")
+        ).localCheckpoint()
+        frontier = member
+        while True:
+            preds = (
+                e.join(frontier, e[dst] == frontier["node"])
+                .select(F.col(src).alias("node"), "label")
+                .distinct()
+                .join(
+                    colors.withColumnRenamed("color", "label"),
+                    ["node", "label"],
+                    "left_semi",
+                )
+                .join(member.select("node"), "node", "left_anti")
+                .localCheckpoint()
+            )
+            if preds.isEmpty():
+                break
+            member = member.unionByName(preds).localCheckpoint()
+            frontier = preds
+        done = member if done is None else done.unionByName(member)
+        remaining = remaining.join(
+            member.select("node"), "node", "left_anti"
+        ).localCheckpoint()
+        if remaining.isEmpty():
+            break
+    else:
+        raise RuntimeError(
+            f"SCC did not resolve within {max_outer} outer rounds"
+        )
+    if stats is not None:
+        stats["outer_rounds"] = outer + 1
+    return done.localCheckpoint()

@@ -1349,6 +1349,122 @@ def d27_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# d73: HYBRID RETRIEVAL FUSION — the step a RAG-curation pipeline runs
+# once it has BOTH a lexical index (d27's BM25) and a dense index
+# (d10/d13's ANN): reciprocal-rank fusion of the two top-k lists,
+# RRF = Σ_legs 10⁶ div (60 + rank) in exact integers (the Cormack/
+# Clarke/Buettcher constant 60). Lexical leg = d27's exact query and k;
+# dense leg = cosine of every embedding to one pinned query vector
+# (vec 0) — an O(n) broadcast-one-vector JVM fold + TakeOrderedAndProject,
+# never a pair join — so both inputs are k-bounded before the fusion
+# and the fusion itself is k-sized (a full-outer join of two ≤k-row
+# lists; a doc missing from a leg contributes 0). Both leg oracles nest
+# verbatim.
+_RRF_K = 25
+_RRF_C = 60
+_RRF_QVEC = 0
+_RRF_ORACLE = f"""
+    WITH lex AS ({_search.bm25_topk_oracle(_BM25_TERMS, _RRF_K)}),
+    e AS ({_E_CTE}),
+    q AS (SELECT v AS qv, norm AS qn FROM e WHERE vec_id = {_RRF_QVEC}),
+    dcos AS (
+        SELECT e.vec_id AS id,
+               {_DOT.format(a='e.v', b='q.qv')} / (e.norm * q.qn) AS cosine
+        FROM e CROSS JOIN q WHERE e.vec_id <> {_RRF_QVEC}
+    ),
+    dense AS (
+        SELECT id, vr FROM (
+            SELECT id, ROW_NUMBER() OVER (ORDER BY cosine DESC, id ASC) AS vr
+            FROM dcos
+        ) WHERE vr <= {_RRF_K}
+    ),
+    fused AS (
+        SELECT COALESCE(l.doc_id, d.id) AS doc_id,
+               CAST(l.rank AS BIGINT) AS lex_rank,
+               CAST(d.vr AS BIGINT) AS vec_rank,
+               COALESCE(1000000 // ({_RRF_C} + l.rank), 0)
+                 + COALESCE(1000000 // ({_RRF_C} + d.vr), 0) AS rrf_micro
+        FROM lex l FULL OUTER JOIN dense d ON d.id = l.doc_id
+    )
+    SELECT doc_id, lex_rank, vec_rank,
+           CAST(rrf_micro AS BIGINT) AS rrf_micro,
+           CAST(fused_rank AS BIGINT) AS fused_rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY rrf_micro DESC, doc_id)
+                   AS fused_rank
+        FROM fused
+    ) WHERE fused_rank <= {_RRF_K}
+"""
+
+
+@REGISTRY.add("d73_hybrid_rrf_fusion", _RRF_ORACLE, "text", "search",
+              "similarity")
+def d73_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of the BM25 top-25 (d27's exact lexical
+    query) and the dense top-25 (cosine to the pinned query vector,
+    computed as a broadcast-one-vector fold over the embeddings — O(n)
+    map work, top-k via TakeOrderedAndProject). RRF scores are exact
+    integer micro-units, so the fused order is hash-stable; the fusion
+    join touches only the two ≤k-row lists."""
+    d = load(spark, sf_dir, "documents")
+    lex = _search.bm25_topk(d, _BM25_TERMS, k=_RRF_K).select(
+        F.col("doc_id").alias("lid"), F.col("rank").alias("lex_rank")
+    )
+
+    e = sim.with_norm(
+        sim._drop_null_vectors(load(spark, sf_dir, "embeddings"), "embedding"),
+        "embedding",
+    )
+    q = e.where(F.col("vec_id") == _RRF_QVEC).select(
+        F.col("_v").alias("qv"), F.col("norm").alias("qn")
+    )
+    dcos = (
+        e.where(F.col("vec_id") != _RRF_QVEC)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("id"),
+            (sim._dot(F.col("_v"), F.col("qv"))
+             / (F.col("norm") * F.col("qn"))).alias("cosine"),
+        )
+    )
+    topd = dcos.orderBy(F.col("cosine").desc(), F.col("id")).limit(_RRF_K)
+    # unpartitioned window, DELIBERATE: ranks only the <= k limit
+    # survivors (TakeOrderedAndProject already cut the corpus)
+    wv = W.orderBy(F.col("cosine").desc(), F.col("id"))
+    dense = topd.withColumn(
+        "vec_rank", F.row_number().over(wv).cast("bigint")
+    ).select("id", "vec_rank")
+
+    fused = (
+        lex.join(dense, lex["lid"] == dense["id"], "full_outer")
+        .select(
+            F.coalesce("lid", "id").alias("doc_id"),
+            F.col("lex_rank").cast("bigint").alias("lex_rank"),
+            "vec_rank",
+        )
+        .withColumn(
+            "rrf_micro",
+            (
+                F.coalesce(
+                    F.expr(f"1000000 div ({_RRF_C} + lex_rank)"), F.lit(0)
+                )
+                + F.coalesce(
+                    F.expr(f"1000000 div ({_RRF_C} + vec_rank)"), F.lit(0)
+                )
+            ).cast("bigint"),
+        )
+    )
+    wf = W.orderBy(F.col("rrf_micro").desc(), F.col("doc_id"))
+    return (
+        fused.withColumn(
+            "fused_rank", F.row_number().over(wf).cast("bigint")
+        )
+        .where(F.col("fused_rank") <= _RRF_K)
+        .select("doc_id", "lex_rank", "vec_rank", "rrf_micro", "fused_rank")
+    )
+
+
+# ---------------------------------------------------------------------------
 # d28: corpus-trained bigram-LM NLL per document — the KenLM-shaped
 # quality-filter signal (high NLL ⇒ unlike the corpus). Model tables are
 # keyed aggregations (vocab², not corpus-sized); see operators/search.py.

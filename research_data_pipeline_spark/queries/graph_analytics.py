@@ -1109,3 +1109,108 @@ def g17_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.expr("1000000 div hops"))), F.lit(0)
         ).cast("bigint").alias("harmonic_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# g18: STRONGLY connected components of the directed supplier HANDOFF
+# graph — the spider-trap detector (g05 is undirected CC; directed
+# cycles are what trap a crawler / random surfer). Edges: within each
+# order, suppliers ordered by their first line position (the position
+# key packs l_suppkey into the low digits of l_linenumber·10⁶, so it is
+# unique per supplier within an order and the LEAD walk is total-order
+# deterministic on both engines — synthetic lineitem REPEATS
+# l_linenumber); each consecutive pair is one handoff, and each
+# supplier keeps its top-2 strongest successors (row_number by count
+# desc, dst asc — a kNN-style sparsifier that yields non-trivial SCC
+# structure at every scale: 28 SCCs / max 73 at sf0.01, 299 / 702 at
+# sf0.1). Operator: graph/build.strongly_connected_components
+# (FW-BW min-id coloring distributed path; guarded driver Tarjan under
+# 1M edges). Oracle: recursive-CTE transitive closure + mutual-reach
+# minimum — tractable here even at sf0.1 (top-2 out-degree bounds the
+# closure).
+_SCC_TOP = 2
+_SCC_ORACLE = f"""
+    WITH RECURSIVE pos AS (
+        SELECT l_orderkey AS ok, l_suppkey AS s,
+               MIN(l_linenumber * 1000000 + l_suppkey) AS pos
+        FROM lineitem GROUP BY 1, 2
+    ), nxt AS (
+        SELECT ok, s, LEAD(s) OVER (PARTITION BY ok ORDER BY pos) AS t
+        FROM pos
+    ), h AS (
+        SELECT s AS src, t AS dst, COUNT(*) AS w FROM nxt
+        WHERE t IS NOT NULL GROUP BY 1, 2
+    ), e AS (
+        SELECT src, dst FROM (
+            SELECT src, dst,
+                   ROW_NUMBER() OVER (PARTITION BY src
+                                      ORDER BY w DESC, dst) AS rn
+            FROM h
+        ) WHERE rn <= {_SCC_TOP}
+    ),
+    reach(src, dst) AS (
+        SELECT src, dst FROM e
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN e ON e.src = r.dst
+    ),
+    mutual AS (
+        SELECT a.src AS v, a.dst AS u FROM reach a JOIN reach b
+          ON b.src = a.dst AND b.dst = a.src
+    ),
+    lab AS (
+        SELECT s.s_suppkey AS node,
+               LEAST(s.s_suppkey, COALESCE(MIN(m.u), s.s_suppkey)) AS scc_id
+        FROM supplier s LEFT JOIN mutual m ON m.v = s.s_suppkey
+        GROUP BY s.s_suppkey
+    )
+    SELECT CAST(node AS BIGINT) AS node,
+           CAST(scc_id AS BIGINT) AS scc_id,
+           CAST(COUNT(*) OVER (PARTITION BY scc_id) AS BIGINT) AS scc_size
+    FROM lab
+"""
+
+
+@REGISTRY.add("g18_strongly_connected", _SCC_ORACLE, "graph", "iterative")
+def g18_strongly_connected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCC labels (min member id) + SCC sizes for every supplier over
+    the directed top-2 handoff graph; singletons label themselves —
+    any scc_size > 1 row is a directed cycle a crawler could trap in."""
+    from pyspark.sql import Window as W
+
+    from ..graph.build import strongly_connected_components
+
+    l = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    pos = l.groupBy(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s")
+    ).agg(
+        F.min(F.col("l_linenumber") * 1_000_000 + F.col("l_suppkey"))
+        .alias("pos")
+    )
+    nxt = pos.select(
+        "s",
+        F.lead("s").over(W.partitionBy("ok").orderBy("pos")).alias("t"),
+    ).where(F.col("t").isNotNull())
+    h = nxt.groupBy(F.col("s").alias("src"), F.col("t").alias("dst")).agg(
+        F.count(F.lit(1)).alias("w")
+    )
+    e = (
+        h.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("src").orderBy(F.col("w").desc(), F.col("dst"))
+            ),
+        )
+        .where(F.col("rn") <= _SCC_TOP)
+        .select("src", "dst")
+    )
+    scc = strongly_connected_components(
+        s.select("s_suppkey"), e, id_col="s_suppkey"
+    )
+    wsz = W.partitionBy("scc_id")
+    return scc.select(
+        F.col("node").cast("bigint").alias("node"),
+        F.col("label").cast("bigint").alias("scc_id"),
+    ).withColumn(
+        "scc_size", F.count(F.lit(1)).over(wsz).cast("bigint")
+    )

@@ -156,6 +156,8 @@ _VERIFY_COST_S = {
     "s21_mann_whitney_u": 0.5, "q45_order_reconciliation": 0.4,
     "e43_churn_labels": 0.5, "q46_referential_orphans": 0.5,
     "m15_media_integrity": 0.4,
+    # round 10
+    "d73_hybrid_rrf_fusion": 1.2, "g18_strongly_connected": 1.5,
 }
 _DEFAULT_COST_S = 0.45
 

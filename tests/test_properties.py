@@ -1290,3 +1290,103 @@ def test_keyframe_extraction_matches_python_reference(spark):
     want = sorted((i, i * L, payload[i * L]) for i in want_idx)
     assert got == want
     assert [i for i, _, _ in got] == [0, 2]  # opening + the one cut
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    n=st.integers(1, 9),
+    edge_pairs=st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 8)), min_size=0, max_size=14
+    ),
+)
+def test_scc_distributed_matches_driver_tarjan(spark, n, edge_pairs):
+    """FW-BW coloring (distributed) vs iterative Tarjan (driver) on
+    random DIRECTED graphs — plus a pure-python reference: label(v) =
+    min{u : v ->* u and u ->* v}."""
+    from research_data_pipeline_spark.graph.build import (
+        strongly_connected_components,
+    )
+
+    edge_pairs = sorted({(a, b) for a, b in edge_pairs
+                         if a < n and b < n and a != b})
+    vertices = spark.createDataFrame([(i,) for i in range(n)], "node bigint")
+    edges = (
+        spark.createDataFrame(edge_pairs, "src bigint, dst bigint")
+        if edge_pairs
+        else spark.createDataFrame([], "src bigint, dst bigint")
+    )
+    # python reference via transitive closure
+    reach = {(a, b) for a, b in edge_pairs}
+    changed = True
+    while changed:
+        changed = False
+        for (a, b) in list(reach):
+            for (c, d) in list(reach):
+                if b == c and (a, d) not in reach:
+                    reach.add((a, d))
+                    changed = True
+    want = {
+        v: min([v] + [u for u in range(n)
+                      if (v, u) in reach and (u, v) in reach])
+        for v in range(n)
+    }
+    got = {
+        r["node"]: r["label"]
+        for r in strongly_connected_components(
+            vertices, edges, id_col="node"
+        ).collect()
+    }
+    got_dist = {
+        r["node"]: r["label"]
+        for r in strongly_connected_components(
+            vertices, edges, id_col="node", driver_max_edges=0
+        ).collect()
+    }
+    assert got == want
+    assert got_dist == want
+
+
+def test_scc_directed_cycle_vs_chain(spark):
+    """A 12-cycle is ONE SCC; the same edges as a chain are 12
+    singletons — direction is load-bearing (this is exactly what
+    undirected CC gets wrong). Also pins the multi-round outer loop:
+    a cycle feeding a chain resolves tail nodes in later FW-BW rounds."""
+    from research_data_pipeline_spark.graph.build import (
+        strongly_connected_components,
+    )
+
+    n = 12
+    vertices = spark.createDataFrame([(i,) for i in range(n)], "node bigint")
+    cycle = [(i, (i + 1) % n) for i in range(n)]
+    chain = [(i, i + 1) for i in range(n - 1)]
+    for edge_list, want in [
+        (cycle, {i: 0 for i in range(n)}),
+        (chain, {i: i for i in range(n)}),
+    ]:
+        edges = spark.createDataFrame(edge_list, "src bigint, dst bigint")
+        for dme in (1_000_000, 0):
+            got = {
+                r["node"]: r["label"]
+                for r in strongly_connected_components(
+                    vertices, edges, id_col="node", driver_max_edges=dme
+                ).collect()
+            }
+            assert got == want, (edge_list is cycle, dme)
+    # cycle {3,4,5} + tail 0<-1<-2... : tail hangs off, plus a second
+    # cycle {0,1} reachable FROM the first — forces >1 outer round on
+    # the distributed path (SCC-DAG depth 2)
+    edges2 = spark.createDataFrame(
+        [(3, 4), (4, 5), (5, 3), (5, 0), (0, 1), (1, 0), (1, 2)],
+        "src bigint, dst bigint",
+    )
+    v2 = spark.createDataFrame([(i,) for i in range(6)], "node bigint")
+    stats: dict = {}
+    got2 = {
+        r["node"]: r["label"]
+        for r in strongly_connected_components(
+            v2, edges2, id_col="node", driver_max_edges=0, stats=stats
+        ).collect()
+    }
+    assert got2 == {3: 3, 4: 3, 5: 3, 0: 0, 1: 0, 2: 2}
+    assert stats["algorithm"] == "fwbw_coloring"
+    assert stats["outer_rounds"] >= 2
