@@ -221,3 +221,102 @@ def export_neo4j_admin(
     )
     _write_text(f"{base_path}/import_command.txt", "\n".join(cmd) + "\n")
     return {"nodes": sorted(labels), "relationships": sorted(rels)}
+
+
+def _header_cols(header_line: str) -> list[str]:
+    """Column names from a neo4j-admin header line: strip the :type
+    suffixes, map the reserved markers back to engine column names."""
+    out = []
+    for field in header_line.strip().split(","):
+        if field == ":LABEL":
+            out.append("label")
+        elif field == ":TYPE":
+            out.append("rel")
+        elif field == ":START_ID":
+            out.append("src")
+        elif field == ":END_ID":
+            out.append("dst")
+        elif field.endswith(":ID"):
+            out.append(field[: -len(":ID")] or "id")
+        else:
+            out.append(field.split(":", 1)[0])
+    return out
+
+
+def read_neo4j_export(
+    spark, base_path: str, kind: str, name: str
+) -> DataFrame:
+    """Read one exported node label / relationship type back: the
+    header file supplies the schema (all-string — the header's :type
+    suffixes describe neo4j's parse, not ours), the headerless part
+    files go through the tolerant CSV reader with the export's exact
+    RFC-4180 dialect (escape='\"', multiLine for embedded newlines)."""
+    from .sources import read_csv_tolerant
+
+    with open(f"{base_path}/{kind}/{name}/header.csv") as f:
+        cols = _header_cols(f.readline())
+    schema = T.StructType([T.StructField(c, T.StringType()) for c in cols])
+    return read_csv_tolerant(
+        spark,
+        f"{base_path}/{kind}/{name}/data",
+        schema=schema,
+        header=False,
+        escape='"',
+        multiLine=True,
+    )
+
+
+def verify_neo4j_export(spark, base_path: str, manifest: dict) -> dict:
+    """Offline integrity check closing the S8 loop without a server:
+    replay every exported CSV family back through the tolerant reader
+    and re-assert exactly what neo4j-admin would enforce at import time
+    — global node-id uniqueness and zero dangling relationship
+    endpoints — plus per-family row counts for the caller to compare
+    against its source DataFrames. Raises ValueError on any violation
+    (the point is to catch a corrupted/hand-edited export BEFORE a
+    multi-hour import dies halfway); returns
+    {"nodes": {label: count}, "relationships": {rel: count}}.
+
+    ``manifest`` is ``export_neo4j_admin``'s return value (the
+    label/type listing — trusting the directory listing instead would
+    hide a dropped family)."""
+    node_counts: dict[str, int] = {}
+    all_ids = None
+    for label in manifest["nodes"]:
+        df = read_neo4j_export(spark, base_path, "nodes", label)
+        bad_label = df.where(F.col("label") != label).count()
+        if bad_label:
+            raise ValueError(
+                f"nodes/{label}: {bad_label} rows carry a foreign :LABEL"
+            )
+        node_counts[label] = df.count()
+        ids = df.select("id")
+        all_ids = ids if all_ids is None else all_ids.unionByName(ids)
+    if all_ids is not None:
+        all_ids = all_ids.localCheckpoint()
+        _check_unique(all_ids, "id", "exported nodes")
+    rel_counts: dict[str, int] = {}
+    for rel in manifest["relationships"]:
+        df = read_neo4j_export(spark, base_path, "relationships", rel)
+        bad_type = df.where(F.col("rel") != rel).count()
+        if bad_type:
+            raise ValueError(
+                f"relationships/{rel}: {bad_type} rows carry a foreign :TYPE"
+            )
+        rel_counts[rel] = df.count()
+        for endpoint in ("src", "dst"):
+            dangling = (
+                df.select(F.col(endpoint).alias("id"))
+                .join(all_ids, "id", "left_anti")
+                .limit(5)
+                .collect()
+                if all_ids is not None
+                else df.select(endpoint).limit(5).collect()
+            )
+            if dangling:
+                missing = [r[0] for r in dangling]
+                raise ValueError(
+                    f"exported relationships/{rel}.{endpoint} references "
+                    f"missing node ids (first {len(missing)}): {missing}"
+                )
+    return {"nodes": node_counts, "relationships": rel_counts}

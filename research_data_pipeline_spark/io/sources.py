@@ -33,13 +33,23 @@ def read_jsonl(spark: SparkSession, path: str, schema: T.StructType) -> DataFram
 
 
 def read_csv_tolerant(
-    spark: SparkSession, path: str, schema: T.StructType | None = None, sep: str = ","
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    sep: str = ",",
+    header: bool = True,
+    **options,
 ) -> DataFrame:
     """Malformed-row-dropping CSV read (S2; pandas
-    ``error_bad_lines=False`` at research_pipeline_dag.py:150-155)."""
+    ``error_bad_lines=False`` at research_pipeline_dag.py:150-155).
+    ``header=False`` + explicit schema reads headerless part files
+    (e.g. the neo4j-admin export layout); extra ``options`` pass
+    through to the reader (quote dialect, multiLine)."""
     reader = (
-        spark.read.option("header", True).option("mode", "DROPMALFORMED").option("sep", sep)
+        spark.read.option("header", header).option("mode", "DROPMALFORMED").option("sep", sep)
     )
+    for k, v in options.items():
+        reader = reader.option(k, v)
     if schema is not None:
         reader = reader.schema(schema)
     else:

@@ -151,3 +151,75 @@ def test_array_property_uses_list_delimiter(spark, tmp_path):
     ]
     [row] = _read_lines(str(tmp_path / "nodes/Category/data/part-*.csv"))
     assert row == "c1,cs.LG;cs.AI,Category"
+
+
+def test_export_integrity_roundtrip(spark, graph, tmp_path):
+    """r09 verdict #6: replay the exported CSVs through the tolerant
+    reader and assert counts + constraints match the SOURCE DataFrames
+    — the serverless S8 closing loop."""
+    from research_data_pipeline_spark.io.neo4j_export import (
+        verify_neo4j_export,
+    )
+
+    vertices, edges = graph
+    manifest = export_neo4j_admin(vertices, edges, str(tmp_path))
+    got = verify_neo4j_export(spark, str(tmp_path), manifest)
+    # node counts per label match the source exactly
+    want_nodes = {
+        r["label"]: r["n"]
+        for r in vertices.groupBy("label").count().withColumnRenamed(
+            "count", "n"
+        ).collect()
+    }
+    assert got["nodes"] == want_nodes
+    # edge counts match the source after the documented MERGE-idempotent
+    # full-row dedup (the fixture carries one exact-duplicate edge)
+    want_rels = {
+        r["rel"]: r["n"]
+        for r in edges.dropDuplicates().groupBy("rel").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    assert got["relationships"] == want_rels
+
+
+def test_export_integrity_catches_corruption(spark, graph, tmp_path):
+    """A hand-corrupted export must fail the replay check: (1) a
+    duplicate node id appended to a data part file, (2) a dangling
+    relationship endpoint."""
+    import pytest
+
+    from research_data_pipeline_spark.io.neo4j_export import (
+        verify_neo4j_export,
+    )
+
+    import os
+
+    def corrupt(pattern: str, line: str) -> None:
+        [part] = glob.glob(pattern)
+        with open(part, "a") as f:
+            f.write(line)
+        # drop Hadoop's local-FS checksum sidecar — a hand-edited
+        # export has no CRCs, and a stale one masks the corruption
+        # with a read error instead of the integrity failure
+        crc = os.path.join(
+            os.path.dirname(part), "." + os.path.basename(part) + ".crc"
+        )
+        if os.path.exists(crc):
+            os.remove(crc)
+
+    vertices, edges = graph
+    manifest = export_neo4j_admin(vertices, edges, str(tmp_path))
+    corrupt(
+        str(tmp_path / "nodes/Author/data/part-*.csv"),
+        "a1,DupSmith,7,Author\n",
+    )
+    with pytest.raises(ValueError, match="duplicate id"):
+        verify_neo4j_export(spark, str(tmp_path), manifest)
+    # restore, then corrupt an edge endpoint instead
+    manifest = export_neo4j_admin(vertices, edges, str(tmp_path))
+    corrupt(
+        str(tmp_path / "relationships/AUTHORED/data/part-*.csv"),
+        "ghost,p1,1.0,AUTHORED\n",
+    )
+    with pytest.raises(ValueError, match="missing node ids"):
+        verify_neo4j_export(spark, str(tmp_path), manifest)
