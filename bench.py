@@ -49,15 +49,22 @@ def main() -> int:
     # it) and the total would under-report real wall-clock by the build
     # cost.
     shared: dict[str, float] = {}
+    # wall-clock window of each shared build (epoch seconds) — drift
+    # attribution: if a driver run shows >2x on the docs/similarity
+    # family, these windows prove whether an artifact build overlapped
+    # the drifting queries' measurements (r09 verdict task 7)
+    shared_ts: dict[str, list[float]] = {}
     from research_data_pipeline_spark.queries.docs import (
         _lsh_pair_stream,
         _PAIR_STREAM_CACHE,
     )
 
     _PAIR_STREAM_CACHE.clear()
+    shared_ts["lsh_pair_stream"] = [time.time()]
     t0 = time.perf_counter()
     _lsh_pair_stream(spark, sf_dir)
     shared["lsh_pair_stream"] = round(time.perf_counter() - t0, 3)
+    shared_ts["lsh_pair_stream"].append(time.time())
 
     # d38/d54 share the iterated-BPE encode table the same way
     from research_data_pipeline_spark.queries.docs import (
@@ -66,9 +73,11 @@ def main() -> int:
     )
 
     _BPE_ENC_CACHE.clear()
+    shared_ts["bpe_enc_table"] = [time.time()]
     t0 = time.perf_counter()
     _bpe_enc_table(spark, sf_dir)
     shared["bpe_enc_table"] = round(time.perf_counter() - t0, 3)
+    shared_ts["bpe_enc_table"].append(time.time())
 
     # d19/d41/d43/d48/d58 share the resolved cluster-canonical table
     # (built from the pair stream above, so this times only the CC
@@ -79,9 +88,11 @@ def main() -> int:
     )
 
     _CLUSTER_CACHE.clear()
+    shared_ts["cluster_table"] = [time.time()]
     t0 = time.perf_counter()
     _cluster_table(spark, sf_dir)
     shared["cluster_table"] = round(time.perf_counter() - t0, 3)
+    shared_ts["cluster_table"].append(time.time())
 
     # d63/d64 share the materialized seed-centroid IVF assignment table
     # (one Arrow pass per session/dataset)
@@ -91,9 +102,11 @@ def main() -> int:
     )
 
     _IVF_ASSIGN_CACHE.clear()
+    shared_ts["ivf_assign_table"] = [time.time()]
     t0 = time.perf_counter()
     _ivf_assign_table(spark, sf_dir)
     shared["ivf_assign_table"] = round(time.perf_counter() - t0, 3)
+    shared_ts["ivf_assign_table"].append(time.time())
 
     # q43/q44/q47 share the five-key hot-key skew stats (one
     # map-side-combined groupBy per key, measured once per
@@ -105,10 +118,12 @@ def main() -> int:
     )
 
     _SKEW_STATS_CACHE.clear()
+    shared_ts["skew_stats"] = [time.time()]
     t0 = time.perf_counter()
     for label, _, _ in _SKEW_KEYS:
         _skew_stats(spark, sf_dir, label)
     shared["skew_stats"] = round(time.perf_counter() - t0, 3)
+    shared_ts["skew_stats"].append(time.time())
 
     # Best-of-2 per query: a transient load spike or first-touch codegen
     # compile can inflate a single run 2-4x (round 3's "regression" was
@@ -210,6 +225,7 @@ def main() -> int:
                 "runs_per_query": n_runs,
                 "timing": "best-of-n per query; spread = max-min across runs",
                 "shared": shared,
+                "shared_ts": shared_ts,
                 "regressions": regressions,
                 "queries": timings,
                 "spread": spreads,

@@ -350,3 +350,53 @@ def bigram_nll_heldout(
             ),
         )
     )
+
+
+def rrf_fuse(
+    legs: list[DataFrame],
+    id_col: str = "id",
+    rank_col: str = "rank",
+    k: int = 60,
+    top: int | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N ranked retrieval lists (Cormack,
+    Clarke & Buettcher 2009): RRF(d) = Σ_legs 10⁶ div (k + rank_leg(d)),
+    in exact integer micro-units so the fused order is associative and
+    hash-stable. Each leg is (id_col, rank_col [, ...]); a document
+    missing from a leg contributes 0. Returns one row per document seen
+    in ANY leg: (id_col, rank_1..rank_N nullable BIGINT, rrf_micro,
+    fused_rank), cut to ``top`` when given.
+
+    Scale shape: legs arrive top-k-bounded (that is what makes them
+    "retrieval lists"), so the full-outer join chain and the final rank
+    window touch Σ|legs| ≤ N·k rows — driver-size, never corpus-size.
+    The hot work happened upstream in the leg retrievals.
+    """
+    if not legs:
+        raise ValueError("rrf_fuse needs at least one leg")
+    fused = None
+    rank_cols = []
+    for i, leg in enumerate(legs, 1):
+        rc = f"rank_{i}"
+        rank_cols.append(rc)
+        part = leg.select(
+            F.col(id_col), F.col(rank_col).cast("bigint").alias(rc)
+        )
+        fused = part if fused is None else fused.join(
+            part, id_col, "full_outer"
+        )
+    score = None
+    for rc in rank_cols:
+        term = F.coalesce(
+            F.expr(f"1000000 div ({int(k)} + {rc})"), F.lit(0)
+        )
+        score = term if score is None else score + term
+    fused = fused.withColumn("rrf_micro", score.cast("bigint"))
+    w = Window.orderBy(F.col("rrf_micro").desc(), F.col(id_col))
+    # unpartitioned window, DELIBERATE: it ranks the <= N*k fused rows
+    out = fused.withColumn(
+        "fused_rank", F.row_number().over(w).cast("bigint")
+    )
+    if top is not None:
+        out = out.where(F.col("fused_rank") <= top)
+    return out

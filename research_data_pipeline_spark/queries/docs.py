@@ -1408,7 +1408,7 @@ def d73_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     join touches only the two ≤k-row lists."""
     d = load(spark, sf_dir, "documents")
     lex = _search.bm25_topk(d, _BM25_TERMS, k=_RRF_K).select(
-        F.col("doc_id").alias("lid"), F.col("rank").alias("lex_rank")
+        F.col("doc_id"), "rank"
     )
 
     e = sim.with_norm(
@@ -1432,35 +1432,17 @@ def d73_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     # survivors (TakeOrderedAndProject already cut the corpus)
     wv = W.orderBy(F.col("cosine").desc(), F.col("id"))
     dense = topd.withColumn(
-        "vec_rank", F.row_number().over(wv).cast("bigint")
-    ).select("id", "vec_rank")
+        "rank", F.row_number().over(wv).cast("bigint")
+    ).select(F.col("id").alias("doc_id"), "rank")
 
-    fused = (
-        lex.join(dense, lex["lid"] == dense["id"], "full_outer")
-        .select(
-            F.coalesce("lid", "id").alias("doc_id"),
-            F.col("lex_rank").cast("bigint").alias("lex_rank"),
-            "vec_rank",
-        )
-        .withColumn(
-            "rrf_micro",
-            (
-                F.coalesce(
-                    F.expr(f"1000000 div ({_RRF_C} + lex_rank)"), F.lit(0)
-                )
-                + F.coalesce(
-                    F.expr(f"1000000 div ({_RRF_C} + vec_rank)"), F.lit(0)
-                )
-            ).cast("bigint"),
-        )
-    )
-    wf = W.orderBy(F.col("rrf_micro").desc(), F.col("doc_id"))
-    return (
-        fused.withColumn(
-            "fused_rank", F.row_number().over(wf).cast("bigint")
-        )
-        .where(F.col("fused_rank") <= _RRF_K)
-        .select("doc_id", "lex_rank", "vec_rank", "rrf_micro", "fused_rank")
+    return _search.rrf_fuse(
+        [lex, dense], id_col="doc_id", k=_RRF_C, top=_RRF_K
+    ).select(
+        "doc_id",
+        F.col("rank_1").alias("lex_rank"),
+        F.col("rank_2").alias("vec_rank"),
+        "rrf_micro",
+        "fused_rank",
     )
 
 

@@ -72,9 +72,21 @@ NOTES = {
         " windows are keyed by purchase_id — no SinglePartition."
     ),
     "q44_guarded_hot_key_agg": (
-        "Guarded aggregation: the measurement pass is one map-side-"
-        "combined groupBy; the chosen path (plain here — skew 1.29x) is"
-        " a single keyed exchange."
+        "Guarded aggregation: the skew ppm comes from the per-session"
+        " q43 stats artifact (dict read when warm — r10); the chosen"
+        " path (plain here — skew 1.29x) is a single keyed exchange"
+        " with NO measurement aggregate in the plan."
+    ),
+    "d73_hybrid_rrf_fusion": (
+        "Hybrid RRF: the dense leg is a broadcast-one-vector fold over"
+        " the embeddings cut by TakeOrderedAndProject; the fusion joins"
+        " two <=k-row lists — no pair space anywhere."
+    ),
+    "g18_strongly_connected": (
+        "SCC: handoff edges from a keyed LAG window (partitioned by"
+        " order), top-2 sparsifier keyed by src; the guarded driver-"
+        "Tarjan path broadcasts labels back — the vertex table never"
+        " leaves the cluster."
     ),
 }
 
