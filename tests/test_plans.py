@@ -439,3 +439,28 @@ def test_d68_no_cc_recompute_in_plan(spark, sf_dir):
     assert "CartesianProduct" not in plan
     # the signature build's distinguishing ops must be absent
     assert "minhash" not in plan.lower()
+
+
+def test_d73_fusion_stays_kbounded_jvm(spark, sf_dir):
+    # hybrid RRF: both legs must be cut by per-partition heap + driver
+    # merge (TakeOrderedAndProject) BEFORE the fusion join; the dense
+    # cosine is a JVM fold (no Python nodes); the only nested-loop
+    # allowed is the documented one-row broadcast build side (query
+    # vector / corpus-stats row), never a data×data cartesian
+    plan = _plan(spark, sf_dir, "d73_hybrid_rrf_fusion")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("TakeOrderedAndProject") >= 2
+
+
+def test_g18_every_window_keyed_no_python(spark, sf_dir):
+    # SCC over the handoff graph: the per-order LAG, the top-2
+    # sparsifier and the scc_size count are ALL keyed windows — no
+    # SinglePartition exchange anywhere — and nothing falls to Python
+    # (the guarded driver path broadcasts its label table back)
+    plan = _plan(spark, sf_dir, "g18_strongly_connected")
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan

@@ -206,3 +206,20 @@ def test_guarded_queries_read_cached_skew_stats(spark):
     assert salted_j == plain_j
 
     _SKEW_STATS_CACHE.pop(key, None)
+
+
+def test_skew_stats_cache_evicts_foreign_sessions(spark):
+    """The cache contract: entries from a stopped/foreign applicationId
+    are dropped on the next read (no unbounded growth across sessions)."""
+    from research_data_pipeline_spark.queries.relational import (
+        _SKEW_STATS_CACHE,
+        _skew_stats,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    _SKEW_STATS_CACHE[("dead-app-id", sf)] = {"x": (1, 1, 1, 1)}
+    _skew_stats(spark, sf, "events.user_id")
+    assert ("dead-app-id", sf) not in _SKEW_STATS_CACHE
+    key = (spark.sparkContext.applicationId, sf)
+    assert key in _SKEW_STATS_CACHE
+    _SKEW_STATS_CACHE.pop(key, None)
