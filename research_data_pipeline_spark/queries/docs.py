@@ -1365,7 +1365,7 @@ _RRF_C = 60
 _RRF_QVEC = 0
 _RRF_ORACLE = f"""
     WITH lex AS ({_search.bm25_topk_oracle(_BM25_TERMS, _RRF_K)}),
-    e AS ({_E_CTE}),
+    e AS (SELECT * FROM ({_E_CTE}) WHERE v IS NOT NULL),
     q AS (SELECT v AS qv, norm AS qn FROM e WHERE vec_id = {_RRF_QVEC}),
     dcos AS (
         SELECT e.vec_id AS id,

@@ -77,6 +77,11 @@ POISONED_PARITY = [
     # never produces. Run the FULL oracle compare on the nulled corpus.
     "m13_phash_pairs", "m14_scene_cuts", "m16_keyframes",
     "m17_audio_fingerprint_pairs",
+    # d73's dense leg must drop NULL embeddings on BOTH engines (the
+    # nulled corpus nulls vec 0 — the pinned query vector — so the
+    # whole dense leg goes empty and fusion degenerates to lex-only,
+    # identically on both sides)
+    "d73_hybrid_rrf_fusion",
 ]
 
 
