@@ -571,7 +571,7 @@ def strongly_connected_components(
     src: str = "src",
     dst: str = "dst",
     max_outer: int = 30,
-    max_iter: int = 50,
+    max_iter: int = 200,
     stats: dict | None = None,
     driver_max_edges: int = 1_000_000,
 ) -> DataFrame:
@@ -700,9 +700,17 @@ def strongly_connected_components(
             .join(remaining.select(F.col("node").alias(dst)), dst, "left_semi")
             .localCheckpoint()
         )
-        # phase 1: forward min-color fixpoint (label sum strictly
+        # phase 1: forward min-color FIXPOINT (label sum strictly
         # decreases until convergence — same probe as CC; integral ids
-        # only, which the registered graphs satisfy)
+        # only, which the registered graphs satisfy). Fixpoint is
+        # LOAD-BEARING for correctness, not just quality: phase 2's
+        # same-color restriction assumes color(v) = min{u : u ->* v};
+        # a truncated propagation splits an SCC across color classes
+        # and the leftover fragment — strong connectivity broken by the
+        # removed members — would resolve to WRONG labels in later
+        # rounds. So an unconverged loop must raise, never fall through
+        # (max_iter bounds rounds per SCC-diameter; the driver-Tarjan
+        # path has no such bound and handles <=1M-edge graphs).
         colors = remaining.select(
             "node", F.col("node").alias("color")
         ).localCheckpoint()
@@ -725,6 +733,14 @@ def strongly_connected_components(
             if cur == prev:
                 break
             prev = cur
+        else:
+            raise RuntimeError(
+                f"SCC forward coloring did not reach fixpoint within "
+                f"max_iter={max_iter} rounds — the graph holds a "
+                f"min-id propagation chain longer than that (e.g. a "
+                f"directed cycle of > max_iter nodes). Raise max_iter; "
+                f"truncating here would silently mislabel the SCC."
+            )
         # phase 2: backward BFS from every class root, restricted to the
         # root's color class; reached set = SCC(root)
         member = colors.where(F.col("node") == F.col("color")).select(

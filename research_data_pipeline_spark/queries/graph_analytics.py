@@ -1115,11 +1115,12 @@ def g17_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
 # g18: STRONGLY connected components of the directed supplier HANDOFF
 # graph — the spider-trap detector (g05 is undirected CC; directed
 # cycles are what trap a crawler / random surfer). Edges: within each
-# order, suppliers ordered by their first line position (the position
-# key packs l_suppkey into the low digits of l_linenumber·10⁶, so it is
-# unique per supplier within an order and the LEAD walk is total-order
-# deterministic on both engines — synthetic lineitem REPEATS
-# l_linenumber); each consecutive pair is one handoff, and each
+# order, suppliers ordered by (first line number, suppkey) — the
+# composite is unique per supplier within an order at ANY scale (a
+# packed ln·10⁶+suppkey key would collide once suppkey passes 10⁶,
+# ~sf100), so the LEAD walk is total-order deterministic on both
+# engines even though synthetic lineitem REPEATS l_linenumber; each
+# consecutive pair is one handoff, and each
 # supplier keeps its top-2 strongest successors (row_number by count
 # desc, dst asc — a kNN-style sparsifier that yields non-trivial SCC
 # structure at every scale: 28 SCCs / max 73 at sf0.01, 299 / 702 at
@@ -1132,10 +1133,11 @@ _SCC_TOP = 2
 _SCC_ORACLE = f"""
     WITH RECURSIVE pos AS (
         SELECT l_orderkey AS ok, l_suppkey AS s,
-               MIN(l_linenumber * 1000000 + l_suppkey) AS pos
+               MIN(l_linenumber) AS first_ln
         FROM lineitem GROUP BY 1, 2
     ), nxt AS (
-        SELECT ok, s, LEAD(s) OVER (PARTITION BY ok ORDER BY pos) AS t
+        SELECT ok, s,
+               LEAD(s) OVER (PARTITION BY ok ORDER BY first_ln, s) AS t
         FROM pos
     ), h AS (
         SELECT s AS src, t AS dst, COUNT(*) AS w FROM nxt
@@ -1183,13 +1185,12 @@ def g18_strongly_connected(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load(spark, sf_dir, "supplier")
     pos = l.groupBy(
         F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s")
-    ).agg(
-        F.min(F.col("l_linenumber") * 1_000_000 + F.col("l_suppkey"))
-        .alias("pos")
-    )
+    ).agg(F.min("l_linenumber").alias("first_ln"))
     nxt = pos.select(
         "s",
-        F.lead("s").over(W.partitionBy("ok").orderBy("pos")).alias("t"),
+        F.lead("s").over(
+            W.partitionBy("ok").orderBy("first_ln", "s")
+        ).alias("t"),
     ).where(F.col("t").isNotNull())
     h = nxt.groupBy(F.col("s").alias("src"), F.col("t").alias("dst")).agg(
         F.count(F.lit(1)).alias("w")

@@ -1390,3 +1390,33 @@ def test_scc_directed_cycle_vs_chain(spark):
     assert got2 == {3: 3, 4: 3, 5: 3, 0: 0, 1: 0, 2: 2}
     assert stats["algorithm"] == "fwbw_coloring"
     assert stats["outer_rounds"] >= 2
+
+
+def test_scc_fixpoint_is_loud_not_truncated(spark):
+    """Phase-1 coloring must reach fixpoint or RAISE: a directed cycle
+    longer than max_iter would otherwise be silently split into wrong
+    labels (the min-id needs cycle-length rounds to reach every node).
+    A 25-cycle with max_iter=20 raises; with the default cap it resolves
+    to the single correct SCC on the distributed path."""
+    import pytest
+
+    from research_data_pipeline_spark.graph.build import (
+        strongly_connected_components,
+    )
+
+    n = 25
+    vertices = spark.createDataFrame([(i,) for i in range(n)], "node bigint")
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % n) for i in range(n)], "src bigint, dst bigint"
+    )
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        strongly_connected_components(
+            vertices, edges, id_col="node", driver_max_edges=0, max_iter=20
+        ).collect()
+    got = {
+        r["node"]: r["label"]
+        for r in strongly_connected_components(
+            vertices, edges, id_col="node", driver_max_edges=0
+        ).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
