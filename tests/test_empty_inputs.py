@@ -42,6 +42,9 @@ SAMPLE = [
     "d68_incremental_clusters", "d69_eval_decontamination",
     "d70_span_dedup_weights", "d71_cluster_conductance",
     "s22_cusum_drift", "s23_delta_method_ratio",
+    # round-10 families: empty corpora must flow through both RRF legs
+    # and the SCC driver path (0-edge union-find/Tarjan on empty frames)
+    "d73_hybrid_rrf_fusion", "g18_strongly_connected",
 ]
 
 
