@@ -249,7 +249,13 @@ def byte_histogram_features(media: DataFrame, bins: int = 4) -> DataFrame:
             yield pd.DataFrame(cols)
 
     schema = "doc_id bigint, " + ", ".join(f"h{b} double" for b in range(bins))
-    return media.select("doc_id", "payload").mapInPandas(run, schema=schema)
+    # drop-NULL-payload contract: a missing blob has no histogram and
+    # the byte kernel would die on the inhomogeneous Arrow batch
+    return (
+        media.where(F.col("payload").isNotNull())
+        .select("doc_id", "payload")
+        .mapInPandas(run, schema=schema)
+    )
 
 
 def resize_thumbnail(media: DataFrame, out_len: int = 8) -> DataFrame:

@@ -726,6 +726,7 @@ def ann_topk_lsh(
     """Approximate top-k: candidates restricted to the same sign-LSH
     bucket, ranked by exact cosine. The bucket equality turns the O(n²)
     crossJoin into a hash join on the bucket key — the scale path."""
+    df = _drop_null_vectors(df, vec_col)  # Arrow kernels die on NULLs
     e = with_norm(df, vec_col).select(
         F.col(id_col),
         F.col("_v"),
@@ -1038,6 +1039,7 @@ def ann_topk_multiprobe_lsh(
     — the classic LSH miss — is recovered here; ties and ranking follow
     the exact-cosine discipline of the single-probe variant.
     """
+    df = _drop_null_vectors(df, vec_col)  # Arrow kernels die on NULLs
     e = with_norm(df, vec_col).select(
         F.col(id_col),
         F.col("_v"),

@@ -45,6 +45,10 @@ SAMPLE = [
     "m17_audio_fingerprint_pairs", "m18_cross_modal_pairs",
     "d69_eval_decontamination", "d70_span_dedup_weights",
     "s22_cusum_drift", "s23_delta_method_ratio",
+    # round-10: the three queries whose Arrow kernels crashed on NULL
+    # inputs under full-column execution (found by the poisoned-corpus
+    # oracle sweep; fixed by API-boundary drops)
+    "d11_ann_lsh", "d39_ann_multiprobe_lsh", "m04_byte_histogram",
 ]
 
 
@@ -67,7 +71,12 @@ def nulled_dir(spark, tmp_path_factory):
 def test_query_survives_null_payloads(spark, nulled_dir, name):
     from research_data_pipeline_spark.registry import all_specs
 
-    assert all_specs()[name].fn(spark, nulled_dir).count() >= 0
+    # noop sink, NOT count(): count() lets Catalyst prune columns, which
+    # hid three Arrow-kernel crashes on NULL inputs (d11/d39/m04, round
+    # 10) — the full plan must execute every output column
+    all_specs()[name].fn(spark, nulled_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
 
 
 POISONED_PARITY = [
