@@ -101,6 +101,8 @@ def _broadcast_matrix(df: DataFrame, id_col: str, vec_col: str):
     brute-force scan. Norms use the same left-fold order as the oracle."""
     rows = df.select(id_col, vec_col).collect()
     ids = np.fromiter((r[0] for r in rows), dtype=np.int64, count=len(rows))
+    if not rows:  # empty corpus: np.array([]) is 1-dim and [:, k] dies
+        return ids, np.empty((0, 0), dtype=np.float64), np.empty(0)
     M = np.array([r[1] for r in rows], dtype=np.float64)
     acc = M[:, 0] * M[:, 0]
     for k in range(1, M.shape[1]):
@@ -550,13 +552,18 @@ def ann_topk_ivf(
         key=lambda r: r[0],
     )
     cids = np.fromiter((r[0] for r in crows), dtype=np.int64, count=len(crows))
-    C = np.array([r[1] for r in crows], dtype=np.float64)
-    if lloyd_iters > 0:
-        C = _lloyd_refine(df, id_col, vec_col, C, lloyd_iters)
-    cacc = C[:, 0] * C[:, 0]
-    for kk in range(1, C.shape[1]):
-        cacc = cacc + C[:, kk] * C[:, kk]
-    bc = df.sparkSession.sparkContext.broadcast((cids, C, np.sqrt(cacc)))
+    if not crows:  # empty corpus: only the driver-side fold would die;
+        C = np.empty((0, 0), dtype=np.float64)  # downstream Arrow
+        cnorms = np.empty(0)  # kernels see no batches at all
+    else:
+        C = np.array([r[1] for r in crows], dtype=np.float64)
+        if lloyd_iters > 0:
+            C = _lloyd_refine(df, id_col, vec_col, C, lloyd_iters)
+        cacc = C[:, 0] * C[:, 0]
+        for kk in range(1, C.shape[1]):
+            cacc = cacc + C[:, kk] * C[:, kk]
+        cnorms = np.sqrt(cacc)
+    bc = df.sparkSession.sparkContext.broadcast((cids, C, cnorms))
 
     def assign(batches):
         ids_c, M, cn = bc.value
@@ -800,11 +807,16 @@ def semantic_dedup(
         key=lambda r: r[0],
     )
     cids = np.fromiter((r[0] for r in crows), dtype=np.int64, count=len(crows))
-    C = np.array([r[1] for r in crows], dtype=np.float64)
-    cacc = C[:, 0] * C[:, 0]
-    for kk in range(1, C.shape[1]):
-        cacc = cacc + C[:, kk] * C[:, kk]
-    bc = df.sparkSession.sparkContext.broadcast((cids, C, np.sqrt(cacc)))
+    if not crows:  # empty corpus (see ann_topk_ivf): fold would die
+        C = np.empty((0, 0), dtype=np.float64)
+        cnorms = np.empty(0)
+    else:
+        C = np.array([r[1] for r in crows], dtype=np.float64)
+        cacc = C[:, 0] * C[:, 0]
+        for kk in range(1, C.shape[1]):
+            cacc = cacc + C[:, kk] * C[:, kk]
+        cnorms = np.sqrt(cacc)
+    bc = df.sparkSession.sparkContext.broadcast((cids, C, cnorms))
 
     def assign_cells(batches):
         ids_c, M, cn = bc.value

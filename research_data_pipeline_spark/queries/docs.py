@@ -477,9 +477,11 @@ def d13b_ivf_lloyd_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return totals.crossJoin(hits).select(
         F.col("_nq").cast("bigint").alias("n_queries"),
         F.lit(_IVF_K).cast("bigint").alias("k"),
-        (F.col("_nh") / F.col("_nx") >= F.lit(_IVF_RECALL_BOUND)).alias(
-            "within_bound"
-        ),
+        # vacuously within bound over zero queries (and ANSI-safe: the
+        # division never evaluates on an empty corpus)
+        F.when(F.col("_nx") == 0, F.lit(True))
+        .otherwise(F.col("_nh") / F.col("_nx") >= F.lit(_IVF_RECALL_BOUND))
+        .alias("within_bound"),
     )
 
 
@@ -1274,6 +1276,10 @@ def d24_length_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = keyed.count()  # computed-k pattern (SURVEY W3): driver scalar
     k = _NTILE_K
+    if n == 0:  # NTILE over an empty corpus is legitimately empty
+        return d.select(
+            "doc_id", "n_tokens", F.lit(0).cast("bigint").alias("bucket")
+        ).limit(0)
     assert n >= k, f"NTILE({k}) over {n} rows"
     q, rem = divmod(n, k)
     ranked = spark_rank(keyed, "_k", out_col="_r", ascending=True)

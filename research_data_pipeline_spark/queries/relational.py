@@ -2101,7 +2101,8 @@ _ORPHAN_ORACLE = "\n    UNION ALL\n".join(
            CAST((SELECT COUNT(*) FROM {child}) AS BIGINT) AS n_child_rows,
            CAST(COUNT(*) AS BIGINT) AS n_orphans,
            CAST(COUNT(*) * 1000000
-                // (SELECT COUNT(*) FROM {child}) AS BIGINT) AS orphan_ppm
+                // NULLIF((SELECT COUNT(*) FROM {child}), 0)
+                AS BIGINT) AS orphan_ppm
     FROM {child} c WHERE NOT EXISTS (
         SELECT 1 FROM {parent} p WHERE p.{pkey} = c.{ckey})
     """
@@ -2126,7 +2127,9 @@ def q46_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(label).alias("relation"),
             F.col("_n").cast("bigint").alias("n_child_rows"),
             F.col("_o").cast("bigint").alias("n_orphans"),
-            F.expr("CAST(_o * 1000000 div _n AS BIGINT)").alias(
+            # NULLIF: empty child table -> NULL ppm (ANSI-safe), not a
+            # divide-by-zero crash; identical on any non-empty table
+            F.expr("CAST(_o * 1000000 div nullif(_n, 0) AS BIGINT)").alias(
                 "orphan_ppm"
             ),
         )

@@ -224,6 +224,10 @@ def run_watermark_dedup_replay(spark: SparkSession, events_path: str,
     ev = normalize_nanos(spark.read.parquet(events_path))
     # one scalar to the driver (bounded): the fixture's max event time
     max_ts = ev.agg(F.max("ts")).first()[0]
+    if max_ts is None:  # empty source: a NULL literal breaks the
+        import datetime as dt  # interval arithmetic; any fixed epoch
+
+        max_ts = dt.datetime(1970, 1, 1)  # matches zero rows
     replay = (
         ev.where(
             (F.col("event_id") % 100 == 0)
@@ -486,6 +490,8 @@ def _sentinel_row(spark: SparkSession, events_path: str, margin_s: int) -> DataF
 
     raw = spark.read.parquet(events_path)
     mx = raw.agg(F.max("ts")).collect()[0][0]
+    if mx is None:  # empty source: nothing buffered, no flush needed
+        return raw.limit(0)
     if isinstance(raw.schema["ts"].dataType, LongType):  # nanos-as-long file
         ts_lit = F.lit(int(mx) + margin_s * 1_000_000_000).cast("bigint")
     else:
