@@ -812,7 +812,8 @@ _TWAP_ORACLE = """
     SELECT user_id,
            CAST(COUNT(*) AS BIGINT) AS n_held,
            CAST(SUM(hold_us) AS BIGINT) AS total_held_us,
-           CAST(SUM(cents * hold_us) // SUM(hold_us) AS BIGINT) AS twap_cents
+           CAST(SUM(CAST(cents AS HUGEINT) * hold_us) // SUM(hold_us)
+                AS BIGINT) AS twap_cents
     FROM held
     WHERE hold_us IS NOT NULL AND hold_us > 0
     GROUP BY user_id
@@ -840,9 +841,14 @@ def e21_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return held.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_held"),
         F.sum("hold_us").cast("bigint").alias("total_held_us"),
-        F.expr("CAST(SUM(cents * hold_us) div SUM(hold_us) AS BIGINT)").alias(
-            "twap_cents"
-        ),
+        # DECIMAL(38,0)/HUGEINT intermediate (the q43 discipline): the
+        # cents·hold_us product sum passes 2⁶³ at tick-data scale — big
+        # cents × µs-holds × many rows; the divided result is back in
+        # cents range, so the BIGINT output cast is safe
+        F.expr(
+            "CAST(SUM(CAST(cents AS DECIMAL(38,0)) * hold_us)"
+            " div SUM(hold_us) AS BIGINT)"
+        ).alias("twap_cents"),
     )
 
 

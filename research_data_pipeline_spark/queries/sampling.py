@@ -314,7 +314,8 @@ _STATS_ORACLE = """
     UNION ALL
     SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice),
            COUNT(DISTINCT o_totalprice),
-           CAST(MIN(o_totalprice) AS VARCHAR), CAST(MAX(o_totalprice) AS VARCHAR)
+           CAST(CAST(MIN(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR),
+           CAST(CAST(MAX(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR)
     FROM orders
     UNION ALL
     SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority),
@@ -333,12 +334,21 @@ def s08_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     cols = ["o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
     aggs = []
     for c in cols:
+        # doubles render through DECIMAL(18,2): Spark's double→string
+        # goes scientific past 1e7 ("4.997E9") while DuckDB stays plain
+        # ("4997050500.0") — a fixed-scale decimal prints identically on
+        # both engines at any magnitude (value-invariant below 1e7)
+        from pyspark.sql.types import DoubleType
+
+        mn, mx = F.min(c), F.max(c)
+        if isinstance(o.schema[c].dataType, DoubleType):
+            mn, mx = mn.cast("decimal(18,2)"), mx.cast("decimal(18,2)")
         aggs += [
             F.count(F.lit(1)).alias(f"{c}__n"),
             (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
             F.countDistinct(c).alias(f"{c}__ndv"),
-            F.min(c).cast("string").alias(f"{c}__min"),
-            F.max(c).cast("string").alias(f"{c}__max"),
+            mn.cast("string").alias(f"{c}__min"),
+            mx.cast("string").alias(f"{c}__max"),
         ]
     wide = o.agg(*aggs)
     rows = F.array(
