@@ -2591,10 +2591,12 @@ _SAVINGS_ORACLE = f"""{_CLUSTER_CTES}
            CAST(COUNT(*) FILTER (WHERE c.doc_id = c.canonical_id) AS BIGINT)
                AS n_kept,
            CAST(SUM(len({_TOKS})) AS BIGINT) AS tok_total,
-           CAST(SUM(len({_TOKS})) FILTER (WHERE c.doc_id = c.canonical_id)
+           CAST(COALESCE(SUM(len({_TOKS}))
+                         FILTER (WHERE c.doc_id = c.canonical_id), 0)
                 AS BIGINT) AS tok_kept,
            CAST((SUM(len({_TOKS}))
-                 - SUM(len({_TOKS})) FILTER (WHERE c.doc_id = c.canonical_id))
+                 - COALESCE(SUM(len({_TOKS}))
+                            FILTER (WHERE c.doc_id = c.canonical_id), 0))
                 * 1000000 // SUM(len({_TOKS})) AS BIGINT) AS saved_ppm
     FROM comp c JOIN documents d ON d.doc_id = c.doc_id
     GROUP BY d.source

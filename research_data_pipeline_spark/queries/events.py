@@ -1105,8 +1105,9 @@ _DRIFT_ORACLE = f"""
     WITH b AS (SELECT MIN(value) AS mn, MAX(value) AS mx FROM events),
     binned AS (
         SELECT e.event_type,
-               LEAST(CAST(FLOOR((e.value - b.mn) / (b.mx - b.mn)
-                                * {_DRIFT_BINS}) AS BIGINT),
+               LEAST(CAST(COALESCE(FLOOR((e.value - b.mn)
+                                          / NULLIF(b.mx - b.mn, 0)
+                                          * {_DRIFT_BINS}), 0) AS BIGINT),
                      {_DRIFT_BINS - 1}) AS bin,
                CASE WHEN e.ts < TIMESTAMP '{_DRIFT_SPLIT}' THEN 1 ELSE 0 END
                    AS early
@@ -1122,10 +1123,13 @@ _DRIFT_ORACLE = f"""
         FROM counts GROUP BY 1
     )
     SELECT c.event_type, c.bin, c.n_early, c.n_late,
-           CAST(c.n_early * 1000000 // t.t_early AS BIGINT) AS share_early_ppm,
-           CAST(c.n_late * 1000000 // t.t_late AS BIGINT) AS share_late_ppm,
-           CAST(c.n_early * 1000000 // t.t_early
-                - c.n_late * 1000000 // t.t_late AS BIGINT) AS delta_ppm
+           CAST(c.n_early * 1000000 // NULLIF(t.t_early, 0) AS BIGINT)
+               AS share_early_ppm,
+           CAST(c.n_late * 1000000 // NULLIF(t.t_late, 0) AS BIGINT)
+               AS share_late_ppm,
+           CAST(c.n_early * 1000000 // NULLIF(t.t_early, 0)
+                - c.n_late * 1000000 // NULLIF(t.t_late, 0) AS BIGINT)
+               AS delta_ppm
     FROM counts c JOIN tot t ON t.event_type = c.event_type
 """
 
@@ -1139,11 +1143,17 @@ def e27_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = F.to_timestamp(F.lit(_DRIFT_SPLIT))
     binned = ev.crossJoin(F.broadcast(b)).select(
         "event_type",
+        # NULLIF+COALESCE: a constant-value corpus (mx == mn) puts every
+        # row in bin 0 deterministically on both engines, instead of an
+        # ANSI 0/0 crash
         F.least(
-            F.floor(
-                (F.col("value") - F.col("mn"))
-                / (F.col("mx") - F.col("mn"))
-                * F.lit(_DRIFT_BINS)
+            F.coalesce(
+                F.floor(
+                    (F.col("value") - F.col("mn"))
+                    / F.expr("nullif(mx - mn, 0)")
+                    * F.lit(_DRIFT_BINS)
+                ),
+                F.lit(0),
             ).cast("bigint"),
             F.lit(_DRIFT_BINS - 1).cast("bigint"),
         ).alias("bin"),
@@ -1160,12 +1170,16 @@ def e27_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.join(tot, "event_type")
         .select(
             "event_type", "bin", "n_early", "n_late",
-            F.expr("n_early * 1000000 div t_early").cast("bigint")
-            .alias("share_early_ppm"),
-            F.expr("n_late * 1000000 div t_late").cast("bigint")
-            .alias("share_late_ppm"),
+            # NULLIF: if EVERY event falls on one side of the split
+            # (degenerate clock), the other window's share is NULL on
+            # both engines, never an ANSI divide-by-zero
+            F.expr("n_early * 1000000 div nullif(t_early, 0)")
+            .cast("bigint").alias("share_early_ppm"),
+            F.expr("n_late * 1000000 div nullif(t_late, 0)")
+            .cast("bigint").alias("share_late_ppm"),
             F.expr(
-                "n_early * 1000000 div t_early - n_late * 1000000 div t_late"
+                "n_early * 1000000 div nullif(t_early, 0)"
+                " - n_late * 1000000 div nullif(t_late, 0)"
             ).cast("bigint").alias("delta_ppm"),
         )
     )
