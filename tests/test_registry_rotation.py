@@ -52,6 +52,43 @@ def test_deferral_repayment_expires_after_fold():
         assert names[0] != "q23_part_name_positions"
 
 
+def test_r11_deferral_mechanics():
+    """The round-11 over-cap deferral (demand 52 vs the 50-row cap) must
+    (a) push exactly the two documented queries below the head while the
+    fold count is 10, (b) repay them FIRST once the r11 fold lands, and
+    (c) expire entirely after the r12 fold."""
+    import unittest.mock as mock
+
+    names = list(R.all_specs())
+    if len(R._GREEN_ROUNDS) == 10:
+        head = set(names[:50])
+        assert not (R._R11_DEFERRED & head)
+        # every rewritten entry and every non-deferred at-risk (lg == 6)
+        # query made the head — the deferral freed exactly enough slots
+        for rw in R._REWRITTEN_SINCE_GREEN:
+            assert rw in head, rw
+        for n in names:
+            if (R._last_green(n) == 6 and n not in R._REWRITTEN_SINCE_GREEN
+                    and n not in R._R11_DEFERRED):
+                assert n in head, n
+
+    # simulate the r11 fold landing: deferred entries repay first
+    extended = dict(R._GREEN_ROUNDS)
+    extended.setdefault("r11", frozenset())
+    if len(extended) == 11:
+        with mock.patch.object(R, "_GREEN_ROUNDS", extended):
+            names11 = list(R.all_specs())
+            assert set(names11[:2]) == set(R._R11_DEFERRED)
+
+    # simulate the r12 fold: the priority is gone, entries sort by
+    # their own green rows
+    extended12 = dict(extended)
+    extended12.setdefault("r12", frozenset())
+    with mock.patch.object(R, "_GREEN_ROUNDS", extended12):
+        names12 = list(R.all_specs())
+        assert set(names12[:2]) != set(R._R11_DEFERRED)
+
+
 def test_specs_complete():
     specs = R.all_specs()
     assert len(specs) >= 223
