@@ -602,7 +602,19 @@ def strongly_connected_components(
     stays distributed and isolated vertices fall through the left join.
     Lineage is cut per round with eager localCheckpoints.
     """
-    edges = edges.select(src, dst).localCheckpoint()
+    # Shared contract for BOTH paths (r10 advisor): the component universe
+    # is the VERTEX table — edges touching ids absent from it are dropped
+    # up front. Without this, the driver-Tarjan path labeled every edge
+    # endpoint (a cycle through a dangling id could yield a non-vertex
+    # label) while the distributed path semi-joined per round, so the two
+    # auto-selected paths disagreed on graphs with dangling endpoints.
+    vset = vertices.select(F.col(id_col).alias("node"))
+    edges = (
+        edges.select(src, dst)
+        .join(vset.select(F.col("node").alias(src)), src, "left_semi")
+        .join(vset.select(F.col("node").alias(dst)), dst, "left_semi")
+        .localCheckpoint()
+    )
     n_edges = edges.count()
     if driver_max_edges and n_edges <= driver_max_edges:
         from ..operators.decisions import record

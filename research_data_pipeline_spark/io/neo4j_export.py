@@ -244,13 +244,19 @@ def _header_cols(header_line: str) -> list[str]:
 
 
 def read_neo4j_export(
-    spark, base_path: str, kind: str, name: str
+    spark, base_path: str, kind: str, name: str,
+    mode: str = "DROPMALFORMED",
 ) -> DataFrame:
     """Read one exported node label / relationship type back: the
     header file supplies the schema (all-string — the header's :type
     suffixes describe neo4j's parse, not ours), the headerless part
     files go through the tolerant CSV reader with the export's exact
-    RFC-4180 dialect (escape='\"', multiLine for embedded newlines)."""
+    RFC-4180 dialect (escape='\"', multiLine for embedded newlines).
+
+    ``mode`` follows Spark's CSV parse modes; the default keeps the
+    tolerant-ingest contract, while the integrity replay passes
+    FAILFAST so a structurally malformed row (e.g. a truncated line)
+    fails the verification instead of silently vanishing."""
     from .sources import read_csv_tolerant
 
     with open(f"{base_path}/{kind}/{name}/header.csv") as f:
@@ -263,6 +269,7 @@ def read_neo4j_export(
         header=False,
         escape='"',
         multiLine=True,
+        mode=mode,
     )
 
 
@@ -283,8 +290,14 @@ def verify_neo4j_export(spark, base_path: str, manifest: dict) -> dict:
     node_counts: dict[str, int] = {}
     all_ids = None
     for label in manifest["nodes"]:
-        df = read_neo4j_export(spark, base_path, "nodes", label)
-        bad_label = df.where(F.col("label") != label).count()
+        # FAILFAST: verification must SEE malformed rows, not inherit the
+        # ingest path's drop-them tolerance; eqNullSafe: a NULL :LABEL
+        # (missing trailing column) is a violation, and `!=` is NULL-blind
+        df = read_neo4j_export(spark, base_path, "nodes", label,
+                               mode="FAILFAST")
+        bad_label = df.where(
+            ~F.col("label").eqNullSafe(F.lit(label))
+        ).count()
         if bad_label:
             raise ValueError(
                 f"nodes/{label}: {bad_label} rows carry a foreign :LABEL"
@@ -297,8 +310,11 @@ def verify_neo4j_export(spark, base_path: str, manifest: dict) -> dict:
         _check_unique(all_ids, "id", "exported nodes")
     rel_counts: dict[str, int] = {}
     for rel in manifest["relationships"]:
-        df = read_neo4j_export(spark, base_path, "relationships", rel)
-        bad_type = df.where(F.col("rel") != rel).count()
+        df = read_neo4j_export(spark, base_path, "relationships", rel,
+                               mode="FAILFAST")
+        bad_type = df.where(
+            ~F.col("rel").eqNullSafe(F.lit(rel))
+        ).count()
         if bad_type:
             raise ValueError(
                 f"relationships/{rel}: {bad_type} rows carry a foreign :TYPE"

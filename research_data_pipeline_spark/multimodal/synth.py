@@ -55,16 +55,30 @@ def md5_byte_sql(text_expr: str, i: str) -> str:
     )
 
 
-MEDIA_CTE = """
+# Unfiltered base: one row per document, payload-derived columns NULL when
+# text is NULL (matching the Spark side, where payload = unhex(repeat(
+# md5(text), r)) is NULL for NULL text). Used directly only by the pure
+# metadata audits (m01 inventory, m05 packer, m15 integrity), which keep
+# broken rows and must see the same NULLs the engine sees.
+MEDIA_CTE_ALL = """
     SELECT doc_id, text,
            CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
                 ELSE 'video' END AS kind,
            CAST(1 + doc_id % 7 AS BIGINT) AS r,
-           CAST(16 * (1 + doc_id % 7) AS BIGINT) AS n_bytes,
+           CASE WHEN text IS NULL THEN NULL
+                ELSE CAST(16 * (1 + doc_id % 7) AS BIGINT) END AS n_bytes,
            CASE WHEN doc_id % 3 = 0 THEN CAST(8 + doc_id % 24 AS INT) END AS width,
            CASE WHEN doc_id % 3 = 0 THEN CAST(8 + (doc_id * 7) % 24 AS INT) END AS height,
            CASE WHEN doc_id % 3 = 1 THEN CAST(8000 + (doc_id % 5) * 2000 AS INT) END
                AS sample_rate,
            CASE WHEN doc_id % 3 = 2 THEN CAST(4 + doc_id % 12 AS INT) END AS n_frames
     FROM documents
+"""
+
+# r11 (r10 verdict task 2): the default fragment shares the media
+# operators' drop-NULL-payload API contract (multimodal/ops.py filters
+# NULL payloads before any codec/Arrow kernel), so every nested oracle
+# stops emitting md5(NULL)-derived rows a poisoned corpus would create.
+MEDIA_CTE = f"""
+    SELECT * FROM ({MEDIA_CTE_ALL}) WHERE text IS NOT NULL
 """

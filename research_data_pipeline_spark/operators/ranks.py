@@ -170,13 +170,19 @@ def scalable_prefix_sum(
     )
     local = part.withColumn("_local", F.sum(value_col).over(w)).localCheckpoint()
     totals = {
-        r["_pid"]: r["_tot"]
-        for r in local.groupBy("_pid").agg(F.sum(value_col).alias("_tot")).collect()
+        r["_pid"]: (r["_tot"], r["_cnt"])
+        for r in local.groupBy("_pid").agg(
+            F.sum(value_col).alias("_tot"),
+            F.count(value_col).alias("_cnt"),  # non-NULL rows only
+        ).collect()
     }
-    offsets, run = {}, 0
+    offsets, priors, run, seen = {}, {}, 0, 0
     for pid in sorted(totals):
         offsets[pid] = run
-        run += totals[pid] or 0
+        priors[pid] = seen  # non-NULL values in all EARLIER partitions
+        tot, cnt = totals[pid]
+        run += tot or 0
+        seen += cnt
     if not offsets:
         # empty input: a zero-arg create_map() types as MAP<VOID,VOID> and
         # fails analysis on the int lookup — there is nothing to offset
@@ -184,6 +190,20 @@ def scalable_prefix_sum(
     omap = F.create_map(
         *[lit for pid, off in offsets.items() for lit in (F.lit(pid), F.lit(off))]
     )
+    pmap = F.create_map(
+        *[lit for pid, pr in priors.items() for lit in (F.lit(pid), F.lit(pr))]
+    )
+    # NULL semantics must match a GLOBAL window sum (the parity oracle and
+    # the single-machine mental model): the running total carries through a
+    # NULL-value row, and is NULL only while NO non-NULL value has occurred
+    # yet globally. Without the prior-count fallback, a NULL row that lands
+    # FIRST in a range partition saw a NULL _local and emitted NULL — an
+    # output that changed with the partition count (found by the nulled-
+    # corpus probe under local[8] vs local[4], round 11).
+    off = F.coalesce(omap[F.col("_pid")], F.lit(0))
     return local.withColumn(
-        out, F.col("_local") + F.coalesce(omap[F.col("_pid")], F.lit(0))
+        out,
+        F.when(F.col("_local").isNotNull(), F.col("_local") + off).otherwise(
+            F.when(F.coalesce(pmap[F.col("_pid")], F.lit(0)) > 0, off)
+        ),
     ).drop("_pid", "_local")

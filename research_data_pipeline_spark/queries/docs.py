@@ -310,7 +310,13 @@ _DOT = "list_sum(list_transform(list_zip({a}, {b}), x -> x[1]*x[2]))"
 _E_CTE = (
     "SELECT vec_id, embedding::DOUBLE[] AS v, "
     f"sqrt({_DOT.format(a='embedding::DOUBLE[]', b='embedding::DOUBLE[]')}) AS norm "
-    "FROM embeddings"
+    "FROM embeddings "
+    # r11 (r10 verdict task 2): every similarity operator drops NULL
+    # embeddings at the API boundary (_drop_null_vectors) — the shared
+    # oracle fragment must share that contract, else rank-shaped oracles
+    # emit rows for NULL query vectors on a poisoned corpus (invisible on
+    # the NULL-free driver corpora; d73's leg oracle was the template).
+    "WHERE embedding IS NOT NULL"
 )
 
 _COS_PAIRS_ORACLE = f"""
@@ -449,6 +455,7 @@ _IVF_RECALL_ORACLE = """
            CAST(3 AS BIGINT) AS k,
            TRUE AS within_bound
     FROM embeddings
+    WHERE embedding IS NOT NULL
 """
 
 
@@ -1254,6 +1261,7 @@ _NTILE_ORACLE = """
            CAST(NTILE(10) OVER (ORDER BY len(string_split(text, ' ')), doc_id) AS BIGINT)
                AS bucket
     FROM documents
+    WHERE text IS NOT NULL
 """
 
 
@@ -1266,9 +1274,14 @@ def d24_length_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     formula is exact."""
     from ..operators.ranks import spark_rank
 
-    d = load(spark, sf_dir, "documents").select(
-        "doc_id", T.token_count(F.col("text")).alias("n_tokens")
-    )
+    # Curriculum domain = documents WITH text (r11 alignment): a NULL
+    # token count has no place in a length ordering. The explicit filter
+    # also keeps the driver-scalar n consistent with the ranked set — the
+    # rank operator drops NULL keys, so an unfiltered count() would size
+    # the bucket formula over rows that never get ranked.
+    d = load(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    ).select("doc_id", T.token_count(F.col("text")).alias("n_tokens"))
     # unique composite order key: (n_tokens, doc_id) packed into one
     # bigint (doc_id stride safely above any doc_id in the corpus)
     keyed = d.withColumn(
@@ -1280,7 +1293,9 @@ def d24_length_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         return d.select(
             "doc_id", "n_tokens", F.lit(0).cast("bigint").alias("bucket")
         ).limit(0)
-    assert n >= k, f"NTILE({k}) over {n} rows"
+    # n < k is legal (NTILE over 1..9 rows = buckets of size <= 1): with
+    # q = 0 and rem = n the cut covers every row, so bucket == row_number
+    # and the q-division branch is never evaluated (r10 advisor note).
     q, rem = divmod(n, k)
     ranked = spark_rank(keyed, "_k", out_col="_r", ascending=True)
     r = F.col("_r")
@@ -2238,7 +2253,8 @@ _PQ_SUBD = """CAST(FLOOR(1000000000.0 * list_sum(list_transform(
 _PQ_ORACLE = f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
                       len(embedding) // {_PQ_M} AS w
-               FROM embeddings),
+               FROM embeddings
+               WHERE embedding IS NOT NULL),
     seeds AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {_PQ_CODES}),
     sub AS (
         SELECT e.vec_id, s.cid, t.m, {_PQ_SUBD} AS d_e9
@@ -2537,7 +2553,10 @@ _JL_ORACLE = f"""
 def d40_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JL projection 64→4 dims with the shared ±1 md5 matrix; emits the
     projected components and the integer-ppm norm-preservation ratio."""
-    e = load(spark, sf_dir, "embeddings")
+    # similarity-family contract: NULL vectors are dropped at the API
+    # boundary (a NULL projection row is useless downstream); matches
+    # _E_CTE's shared filter. Zero rows filtered on the driver corpora.
+    e = load(spark, sf_dir, "embeddings").where(F.col("embedding").isNotNull())
     v = F.transform("embedding", lambda x: x.cast("double"))
     base = e.select("vec_id", v.alias("v")).withColumn(
         "norm",
@@ -2819,7 +2838,10 @@ _SPAN_ORACLE = f"""
 def d45_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 3-token-span masking at p=0.15 with a portable md5
     signature of the corrupted text — zero-shuffle pure map."""
-    d = load(spark, sf_dir, "documents")
+    # corruption domain = documents WITH text (r11 alignment): masking a
+    # NULL document is meaningless and the oracle's UNNEST-over-tokens
+    # shape never emits such rows. Zero rows filtered on driver corpora.
+    d = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     toks = F.split("text", " ")
 
     def masked(i):  # i = 0-based token index from the transform lambda
@@ -3266,9 +3288,15 @@ _GOPHER_ORACLE = f"""
            CASE WHEN ok_word_count AND ok_mean_word_len AND ok_alpha_words
                      AND ok_stopwords AND ok_repetition
                 THEN 'kept' ELSE 'dropped' END AS verdict,
-           CAST((NOT ok_word_count)::INT + (NOT ok_mean_word_len)::INT
-                + (NOT ok_alpha_words)::INT + (NOT ok_stopwords)::INT
-                + (NOT ok_repetition)::INT AS BIGINT) AS n_failed
+           -- COALESCE: a NULL gate (NULL text) counts as FAILED, exactly
+           -- like Spark's when(ok, 0).otherwise(1); without it the sum
+           -- goes NULL and the column turns float64 (hash-gate breaker)
+           CAST((NOT COALESCE(ok_word_count, FALSE))::INT
+                + (NOT COALESCE(ok_mean_word_len, FALSE))::INT
+                + (NOT COALESCE(ok_alpha_words, FALSE))::INT
+                + (NOT COALESCE(ok_stopwords, FALSE))::INT
+                + (NOT COALESCE(ok_repetition, FALSE))::INT AS BIGINT)
+               AS n_failed
     FROM r
 """
 

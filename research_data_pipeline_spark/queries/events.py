@@ -951,12 +951,17 @@ def e23_watermark_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tie-break).
 _RECORD_ORACLE = """
     WITH w AS (
+        -- value IS NOT NULL: a NULL value neither sets nor breaks a
+        -- record (matches the operator's source filter; without it a
+        -- NULL event with no prior record passed the IS NULL arm below
+        -- and was counted as a record)
         SELECT user_id, value,
                MAX(value) OVER (
                    PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
                ) AS prev_max
         FROM events
+        WHERE value IS NOT NULL
     )
     SELECT user_id,
            CAST(COUNT(*) FILTER (WHERE prev_max IS NULL OR value > prev_max)
@@ -1316,24 +1321,33 @@ def e30_stream_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 # count/sum/min/max maintenance. Welford/Chan float combines are
 # order-sensitive (not reproducible across merge trees); the exact
 # alternative is sufficient statistics in integer units: v_e4 =
-# decimal(12,4)·10⁴ is an exact BIGINT, so (n, Σv, Σv²) merge by plain
+# decimal(12,4)·10⁴ is an exact integer, so (n, Σv, Σv²) merge by plain
 # integer addition — any merge order, any shard count, bit-identical.
 # Variance derives at read time as (n·Σv² − (Σv)²) div n² in e8 units.
-# (Magnitudes here stay far inside int64; a 100 TB deployment lifts the
-# sums to decimal(38,0) — same algebra.)
+# r11 (r10 verdict task 4): the sums ride DECIMAL(38,0)/HUGEINT — the
+# e21/q43 discipline — because Σv² passes 2⁶³ at tick-data magnitudes
+# (v_e4 ~4·10¹¹ on the big-values probe squares to 1.6·10²³ per event).
+# Outputs: Σv/Σv²/var render as exact digit STRINGS (the s08 pattern —
+# DuckDB materializes HUGEINT/DECIMAL(38,0) as float64 in pandas, so a
+# numeric emit breaks the representation-sensitive hash); n and the
+# value-ranged mean stay BIGINT. Residual envelope: s1², n·s2 and n²
+# must fit 38 digits — ~10× past int64 on s1, 10²⁰× on s2 — and BOTH
+# engines fail LOUDLY beyond it (Spark ANSI decimal overflow, DuckDB
+# HUGEINT overflow), never silently.
 _MOM_ORACLE = f"""
     WITH v AS (
         SELECT user_id,
-               CAST(CAST(value AS DECIMAL(12,4)) * 10000 AS BIGINT) AS v_e4
+               CAST(CAST(value AS DECIMAL(12,4)) * 10000 AS HUGEINT) AS v_e4
         FROM events
     )
     SELECT user_id,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(v_e4) AS BIGINT) AS s1_e4,
-           CAST(SUM(v_e4 * v_e4) AS BIGINT) AS s2_e8,
+           CAST(SUM(v_e4) AS VARCHAR) AS s1_e4,
+           CAST(SUM(v_e4 * v_e4) AS VARCHAR) AS s2_e8,
            CAST(SUM(v_e4) // COUNT(*) AS BIGINT) AS mean_e4,
            CAST((COUNT(*) * SUM(v_e4 * v_e4) - SUM(v_e4) * SUM(v_e4))
-                // (COUNT(*) * COUNT(*)) AS BIGINT) AS var_e8
+                // (CAST(COUNT(*) AS HUGEINT) * COUNT(*)) AS VARCHAR)
+               AS var_e8
     FROM v GROUP BY user_id
 """
 
@@ -1341,17 +1355,21 @@ _MOM_ORACLE = f"""
 @REGISTRY.add("e31_incremental_moments", _MOM_ORACLE, "events", "incremental")
 def e31_incremental_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user moment sufficient statistics assembled by MERGING
-    base-state ⊕ delta-state integer sums (split at 2024-01-26, as
-    e26) — must equal the direct full-table computation."""
+    base-state ⊕ delta-state exact integer sums on DECIMAL(38,0)
+    (split at 2024-01-26, as e26) — must equal the direct full-table
+    computation at any magnitude inside the 38-digit envelope."""
     ev = load(spark, sf_dir, "events").select("ts", "user_id", "value")
     split = F.to_timestamp(F.lit(_INC_SPLIT))
-    v_e4 = (F.col("value").cast("decimal(12,4)") * 10000).cast("bigint")
+    # decimal(18,0) per-row unit: the square types as decimal(37,0) and
+    # the sums widen to decimal(38,0) without hitting Spark's precision
+    # cap at the TYPE level; actual VALUE overflow raises under ANSI
+    v_e4 = (F.col("value").cast("decimal(12,4)") * 10000).cast("decimal(18,0)")
 
     def partial(df: DataFrame) -> DataFrame:
         return df.select("user_id", v_e4.alias("v")).groupBy("user_id").agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.sum("v").cast("bigint").alias("s1"),
-            F.sum(F.col("v") * F.col("v")).cast("bigint").alias("s2"),
+            F.sum("v").cast("decimal(38,0)").alias("s1"),
+            F.sum(F.col("v") * F.col("v")).cast("decimal(38,0)").alias("s2"),
         )
 
     merged = (
@@ -1360,15 +1378,29 @@ def e31_incremental_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(
             F.sum("n").cast("bigint").alias("n"),
-            F.sum("s1").cast("bigint").alias("s1_e4"),
-            F.sum("s2").cast("bigint").alias("s2_e8"),
+            F.sum("s1").cast("decimal(38,0)").alias("s1_e4"),
+            F.sum("s2").cast("decimal(38,0)").alias("s2_e8"),
         )
     )
+    merged = merged.withColumn(
+        "v_num",
+        F.expr("CAST(n AS DECIMAL(38,0)) * s2_e8 - s1_e4 * s1_e4"),
+    ).withColumn("nn", F.expr("CAST(n AS DECIMAL(38,0)) * n"))
     return merged.select(
-        "user_id", "n", "s1_e4", "s2_e8",
+        "user_id", "n",
+        F.col("s1_e4").cast("string").alias("s1_e4"),
+        F.col("s2_e8").cast("string").alias("s2_e8"),
         F.expr("s1_e4 div n").cast("bigint").alias("mean_e4"),
-        F.expr("(n * s2_e8 - s1_e4 * s1_e4) div (n * n)")
-        .cast("bigint").alias("var_e8"),
+        # exact integer division WITHOUT `div`: Spark's div on decimal
+        # operands returns BIGINT and silently WRAPS past 2⁶³ (measured
+        # on the big-values corpus: Spark emitted DuckDB's value − 2⁶⁴).
+        # X ≥ 0 (Cauchy-Schwarz), so subtract the exact decimal modulus
+        # first — the remaining quotient is an integer, which decimal
+        # division at scale 6 renders exactly before the (38,0) recast.
+        F.expr(
+            "CAST(CAST((v_num - v_num % nn) / nn AS DECIMAL(38,0))"
+            " AS STRING)"
+        ).alias("var_e8"),
     )
 
 

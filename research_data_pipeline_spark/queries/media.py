@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..multimodal import media_table, ops
-from ..multimodal.synth import MEDIA_CTE, md5_byte_sql
+from ..multimodal.synth import MEDIA_CTE, MEDIA_CTE_ALL, md5_byte_sql
 from ..registry import REGISTRY
 from ..tables import load
 
@@ -30,8 +30,11 @@ _BYTES_CTE = f"""
 
 @REGISTRY.add(
     "m01_media_metadata",
+    # MEDIA_CTE_ALL (not the NULL-filtered default): the ingest inventory
+    # keeps broken rows — a NULL payload surfaces as NULL n_bytes/magic on
+    # both engines, same as Spark's length(NULL)/hex(NULL).
     f"""
-    WITH media AS ({MEDIA_CTE})
+    WITH media AS ({MEDIA_CTE_ALL})
     SELECT doc_id, kind, n_bytes,
            substring(md5(text), 1, 8) AS magic,
            width, height, sample_rate, n_frames
@@ -133,7 +136,10 @@ def m04_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SHARD_BYTES = 4096
 
 _SHARD_ORACLE = f"""
-    WITH media AS ({MEDIA_CTE}),
+    -- MEDIA_CTE_ALL: the packer sees every row; a NULL payload has NULL
+    -- n_bytes, which SUM OVER skips in both engines (running unchanged)
+    -- and whose shard_id is NULL — identical to Spark's length(NULL).
+    WITH media AS ({MEDIA_CTE_ALL}),
     c AS (
         -- CAST: DuckDB window SUM(BIGINT) -> HUGEINT -> float64 in fetchdf(),
         -- while Spark emits int64; pin to BIGINT so the value hashes match.
@@ -653,7 +659,12 @@ def m14_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # and at 100 TB this predicate prunes at the parquet scan before any
 # Arrow batch ships.
 _INTEG_ORACLE = f"""
-    WITH media AS ({MEDIA_CTE})
+    -- MEDIA_CTE_ALL: the integrity audit is the one consumer that must
+    -- SEE broken payloads — a NULL payload (NULL n_bytes) counts as
+    -- empty (CASE WHEN n_bytes > 0 falls through on NULL, exactly like
+    -- Spark's when(length > 0, 0).otherwise(1)) and never as a shape
+    -- mismatch (NULL arithmetic fails every WHEN on both engines).
+    WITH media AS ({MEDIA_CTE_ALL})
     SELECT kind,
            CAST(COUNT(*) AS BIGINT) AS n_payloads,
            CAST(SUM(CASE WHEN n_bytes > 0 THEN 0 ELSE 1 END) AS BIGINT)

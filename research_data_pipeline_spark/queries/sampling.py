@@ -1345,9 +1345,13 @@ _MW_ORACLE = f"""
                SUM(CASE WHEN in_a THEN 0 ELSE 1 END) AS cb
         FROM ev GROUP BY 1, 2
     ), c AS (
+        -- NULLS FIRST pins DuckDB to Spark's ASC default (Spark ranks
+        -- NULLs first, DuckDB last): a NULL-cents event is one tie group
+        -- ranking below every real value — "missing ranks lowest", the
+        -- same convention as pandas rank(na_option='bottom') inverted
         SELECT event_type, cents, ca, cb,
                COALESCE(SUM(ca + cb) OVER (PARTITION BY event_type
-                   ORDER BY cents
+                   ORDER BY cents NULLS FIRST
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                    AS n_less
         FROM h

@@ -426,6 +426,10 @@ _REWRITTEN_SINCE_GREEN: set[str] = {
     "d10_ann_topk",
     "d11_ann_lsh",
     "d13_ann_ivf",
+    # r11: d40's inline JL projection now drops NULL vectors at the API
+    # boundary like the rest of the similarity family (found by the
+    # standing nulled-corpus probe, scripts/probe_corpus.py).
+    "d40_random_projection",
     "d13b_ivf_lloyd_recall",
     "d26_semantic_dedup",
     "d39_ann_multiprobe_lsh",
@@ -438,12 +442,39 @@ _REWRITTEN_SINCE_GREEN: set[str] = {
     # run_watermark_dedup_replay (e23); e07's helper was NOT touched.
     "e13_streaming_sessions",
     "e23_watermark_dedup_replay",
+    # r11 (verdict task 4): e31's sufficient statistics lifted to
+    # DECIMAL(38,0)/HUGEINT with string-rendered sums — schema change,
+    # so the old green no longer certifies the output shape.
+    "e31_incremental_moments",
 }
+
+# Queries whose implementation changed DURING round 11, after the r11
+# rotation head was already fully committed (demand 52 vs the 50-row cap):
+# scalable_prefix_sum's NULL-at-partition-boundary fix (operators/ranks.py)
+# touches d14 and m05. The fix provably filters/changes ZERO rows on the
+# driver's NULL-free corpora (pinned by the partition-invariance property
+# test and the sf0.01+sf0.1 sweeps), so the standing green evidence holds
+# numerically — but per the round-start protocol these must claim early
+# slots in the NEXT round. Gated on the r11 fold landing so no manual
+# edit is needed: once max_round >= 11 they join the rewritten band, and
+# their fresh green row clears them like any other rewrite.
+_REWRITTEN_DURING_R11: frozenset[str] = frozenset({
+    "d14_pack_context_windows",
+    "m05_shard_packing",
+    # d24: explicit text-IS-NOT-NULL curriculum domain (both engines) +
+    # the n<k assert relaxed to the closed form (r10 ADVICE item 4).
+    # (d45's same-day domain filter needs no entry here: it sits in the
+    # r11 at-risk head and takes its fresh driver green at final HEAD.)
+    "d24_length_ntile",
+    # e24: NULL event values neither set nor break records (the engine's
+    # walk was NaN-poisoned by the first NULL — monitor frozen per-user)
+    "e24_record_high_counts",
+})
 
 # Round-11 over-cap deferral (self-expiring, r08-q23 precedent): this
 # round's verification demand is 52 — the 43 at-risk r06 greens that
-# must re-verify to hold the 5-round cycle invariant, plus the 13
-# guard-touched rewrites above (overlap 4) — against the driver's hard
+# must re-verify to hold the 5-round cycle invariant, plus the 14
+# guard-touched rewrites above (overlap 5) — against the driver's hard
 # 50-row cap. The two MOST-verified, LONGEST-untouched at-risk queries
 # (3 green rows each, source unchanged since 2026-08-13 / round 3-4,
 # oracle-replayed locally every round by test_oracle_parity) are
@@ -542,6 +573,11 @@ def all_specs() -> dict[str, QuerySpec]:
                 return -2.0  # repay the documented r11 deferral first
         if name in _REWRITTEN_SINCE_GREEN:
             return -1.0
+        if name in _REWRITTEN_DURING_R11 and max_round >= 11:
+            # joins the rewritten band once the r11 fold lands, unless a
+            # newer green row already certifies the post-fix source
+            if _last_green(name) <= 11:
+                return -1.0
         lg = _last_green(name)
         if lg == 0:
             return -0.5  # never-green: first slots after rewrites

@@ -395,7 +395,14 @@ def record_break_stats(stream: DataFrame) -> DataFrame:
                 n_records += 1
         return cur_max, n_records
 
-    src = stream.select("user_id", "ts", "event_id", "value")
+    # A NULL value can neither set nor break a record (r11 alignment —
+    # without the filter, the first NULL arrived as NaN, became cur_max,
+    # and every later `v > nan` comparison was False: one malformed event
+    # froze the monitor for its user forever). Users with only NULL
+    # values are absent, same as the oracle's value IS NOT NULL frame.
+    src = stream.select("user_id", "ts", "event_id", "value").where(
+        F.col("value").isNotNull()
+    )
 
     if _tws_available():  # pragma: no cover - needs protobuf
         from pyspark.sql.streaming.stateful_processor import (

@@ -1,0 +1,93 @@
+"""Adversarial-corpus parity probe: replay EVERY registered query against
+its DuckDB oracle on a mutated copy of the sf0.001 tables.
+
+Round 10 ran these sweeps ad-hoc (poisoned / empty / big-values / skew /
+degenerate-text / constant-clock) and found 12 operator crashes plus 2 real
+100 TB hazards; this script makes the probe a standing, repeatable tool so
+round 11's oracle-alignment work (the `_E_CTE`/`MEDIA_CTE` NULL-row class
+and the five per-query alignments) has a measurable before/after.
+
+Usage:
+    python scripts/probe_corpus.py nulled [names...]
+    python scripts/probe_corpus.py empty
+Prints one line per divergent query and a final summary count.
+"""
+
+from __future__ import annotations
+
+import sys
+import tempfile
+
+from pyspark.sql import SparkSession, functions as F
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+# Same mutation as tests/test_null_inputs.py::nulled_dir — every 7th key's
+# payload column goes NULL (text / embedding / event value / order price).
+NULLABLE = {
+    "documents": ("text", "doc_id"),
+    "embeddings": ("embedding", "vec_id"),
+    "events": ("value", "event_id"),
+    "orders": ("o_totalprice", "o_orderkey"),
+}
+
+
+def build_corpus(spark: SparkSession, kind: str, out_dir: str) -> None:
+    for t in TABLES:
+        df = spark.read.parquet(f"/root/testdata/sf0.001/{t}.parquet")
+        if kind == "nulled" and t in NULLABLE:
+            col, key = NULLABLE[t]
+            df = df.withColumn(
+                col, F.when(F.col(key) % 7 == 0, None).otherwise(F.col(col))
+            )
+        elif kind == "empty":
+            df = df.limit(0)
+        df.write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
+
+
+def main() -> int:
+    kind = sys.argv[1] if len(sys.argv) > 1 else "nulled"
+    only = set(sys.argv[2:])
+    sys.path.insert(0, ".")
+    from research_data_pipeline_spark.registry import all_specs
+    sys.path.insert(0, "tests")
+    from tests.oracle import assert_parity
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName(f"probe-{kind}")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    with tempfile.TemporaryDirectory(prefix=f"probe_{kind}_") as d:
+        build_corpus(spark, kind, d)
+        specs = all_specs()
+        names = [n for n in specs if not only or n in only]
+        bad, crashed = [], []
+        for i, name in enumerate(names, 1):
+            spec = specs[name]
+            if spec.oracle is None:
+                continue
+            try:
+                assert_parity(spec.fn(spark, d), spec.oracle, d, name)
+            except AssertionError as e:
+                bad.append(name)
+                print(f"DIVERGE {name}: {str(e).splitlines()[0][:160]}")
+            except Exception as e:  # noqa: BLE001 — probe must survey all
+                crashed.append(name)
+                print(f"CRASH   {name}: {type(e).__name__}: {str(e).splitlines()[0][:160]}")
+            if i % 25 == 0:
+                print(f"... {i}/{len(names)} done", file=sys.stderr)
+        ok = len(names) - len(bad) - len(crashed)
+        print(f"SUMMARY kind={kind} ok={ok}/{len(names)} "
+              f"diverged={len(bad)} crashed={len(crashed)}")
+        print("DIVERGED:", sorted(bad))
+        print("CRASHED:", sorted(crashed))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

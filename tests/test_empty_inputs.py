@@ -77,3 +77,21 @@ def test_query_survives_empty_tables(spark, empty_dir, name):
     all_specs()[name].fn(spark, empty_dir).write.format("noop").mode(
         "overwrite"
     ).save()
+
+
+def test_d24_small_corpus_matches_ntile(spark, tmp_path):
+    """n < k is a legal curriculum (r10 advisor item 4): with 3 documents
+    NTILE(10) gives buckets of size <= 1, i.e. bucket == row_number —
+    the closed form's q=0 branch. Full oracle parity, not just no-crash."""
+    from research_data_pipeline_spark.registry import all_specs
+
+    from .oracle import assert_parity
+
+    d = str(tmp_path / "small")
+    for t in TABLES:
+        df = spark.read.parquet(f"/root/testdata/sf0.001/{t}.parquet")
+        if t == "documents":
+            df = df.limit(3)
+        df.write.parquet(f"{d}/{t}.parquet")
+    spec = all_specs()["d24_length_ntile"]
+    assert_parity(spec.fn(spark, d), spec.oracle, d, "d24@n=3")

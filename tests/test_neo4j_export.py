@@ -223,3 +223,22 @@ def test_export_integrity_catches_corruption(spark, graph, tmp_path):
     )
     with pytest.raises(ValueError, match="missing node ids"):
         verify_neo4j_export(spark, str(tmp_path), manifest)
+    # (3) a row with a MISSING trailing :LABEL column: the NULL-blind
+    # `!=` used to pass it; eqNullSafe must flag it as a foreign label
+    manifest = export_neo4j_admin(vertices, edges, str(tmp_path))
+    corrupt(
+        str(tmp_path / "nodes/Author/data/part-*.csv"),
+        "a9x,NoLabel,3\n",
+    )
+    with pytest.raises(Exception, match="foreign :LABEL|FAILFAST|Malformed"):
+        verify_neo4j_export(spark, str(tmp_path), manifest)
+    # (4) a structurally malformed (truncated/garbage) line: the ingest
+    # reader's DROPMALFORMED used to swallow it; the FAILFAST replay
+    # must surface it as a verification failure
+    manifest = export_neo4j_admin(vertices, edges, str(tmp_path))
+    corrupt(
+        str(tmp_path / "nodes/Author/data/part-*.csv"),
+        '"unterminated,quote,row\n',
+    )
+    with pytest.raises(Exception):
+        verify_neo4j_export(spark, str(tmp_path), manifest)

@@ -91,6 +91,23 @@ POISONED_PARITY = [
     # whole dense leg goes empty and fusion degenerates to lex-only,
     # identically on both sides)
     "d73_hybrid_rrf_fusion",
+    # round-11 (r10 verdict task 2): the whole _E_CTE family — the
+    # shared oracle fragment now filters NULL embeddings to match the
+    # operators' _drop_null_vectors contract
+    "d09_embedding_near_dups", "d10_ann_topk", "d11_ann_lsh",
+    "d13_ann_ivf", "d13b_ivf_lloyd_recall", "d26_semantic_dedup",
+    "d36_pq_adc_topk", "d39_ann_multiprobe_lsh", "d40_random_projection",
+    "d44_contrastive_pairs", "d60_incremental_ann_ingest",
+    "d63_ivf_balance_audit", "d64_embedding_outliers",
+    # the MEDIA_CTE family (filtered default) and the three metadata
+    # audits on MEDIA_CTE_ALL (NULL-aware n_bytes, kept rows)
+    "m01_media_metadata", "m02_media_decode_stats", "m03_frame_sample",
+    "m04_byte_histogram", "m05_shard_packing", "m06_media_exact_dedup",
+    "m07_frame_dedup", "m15_media_integrity",
+    # the round-11 per-query alignments (r10 verdict task 3)
+    "d14_pack_context_windows", "d24_length_ntile", "d45_span_corruption",
+    "d51_gopher_rules", "e24_record_high_counts", "s21_mann_whitney_u",
+    "e31_incremental_moments",
 ]
 
 

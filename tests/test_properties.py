@@ -184,6 +184,39 @@ def test_scalable_prefix_sum_matches_cumsum(spark, vals, n_parts):
     assert [r["run"] for r in got] == want
 
 
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    vals=st.lists(st.one_of(st.none(), st.integers(-50, 50)),
+                  min_size=1, max_size=30),
+    n_parts=st.integers(1, 8),
+)
+def test_scalable_prefix_sum_null_semantics_partition_invariant(
+    spark, vals, n_parts
+):
+    """NULL values must behave like a GLOBAL window sum regardless of the
+    partition count: the running total carries through a NULL row, and is
+    NULL only before the first non-NULL value. Round 11's nulled-corpus
+    probe caught a NULL row landing FIRST in a range partition emitting
+    NULL — an output that changed with parallelism (d14/m05 class)."""
+    from research_data_pipeline_spark.operators.ranks import scalable_prefix_sum
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "k bigint, v bigint"
+    )
+    got = (
+        scalable_prefix_sum(df, "k", "v", out="run", n_parts=n_parts)
+        .orderBy("k")
+        .collect()
+    )
+    want, acc, seen = [], 0, False
+    for v in vals:
+        if v is not None:
+            acc += v
+            seen = True
+        want.append(acc if seen else None)
+    assert [r["run"] for r in got] == want
+
+
 def test_contraction_logarithmic_rounds_on_long_path(spark):
     """A 64-node path has diameter 63: label propagation needs ~63 rounds,
     star contraction must close it in O(log n)."""
@@ -1420,3 +1453,29 @@ def test_scc_fixpoint_is_loud_not_truncated(spark):
         ).collect()
     }
     assert got == {i: 0 for i in range(n)}
+
+
+def test_scc_dangling_edge_endpoints_share_contract(spark):
+    """Edges touching ids absent from the vertex table are dropped BEFORE
+    either path runs (r10 advisor): a cycle through a non-vertex id must
+    not smuggle a non-vertex label into the output, and the driver and
+    distributed paths must agree. Vertex 1 cycles only through the
+    non-vertex id 9 (1->9->1), so it labels itself; 2<->3 is a real SCC."""
+    from research_data_pipeline_spark.graph.build import (
+        strongly_connected_components,
+    )
+
+    vertices = spark.createDataFrame([(i,) for i in range(5)], "node bigint")
+    edges = spark.createDataFrame(
+        [(1, 9), (9, 1), (2, 3), (3, 2), (9, 2)], "src bigint, dst bigint"
+    )
+    want = {0: 0, 1: 1, 2: 2, 3: 2, 4: 4}
+    for dme in (1_000_000, 0):  # driver-Tarjan path, then distributed
+        got = {
+            r["node"]: r["label"]
+            for r in strongly_connected_components(
+                vertices, edges, id_col="node", driver_max_edges=dme
+            ).collect()
+        }
+        assert got == want, dme
+        assert set(got.values()) <= set(range(5)), dme

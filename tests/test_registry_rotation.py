@@ -89,6 +89,39 @@ def test_r11_deferral_mechanics():
         assert set(names12[:2]) != set(R._R11_DEFERRED)
 
 
+def test_r11_midround_rewrites_claim_r12_slots():
+    """d14/m05 changed during r11 after the head was committed; once the
+    r11 fold lands they must join the rewritten band, and a later green
+    row (r12+) must clear them."""
+    import unittest.mock as mock
+
+    names = list(R.all_specs())
+    if len(R._GREEN_ROUNDS) == 10:
+        # inactive this round: they sort by their own green rows
+        pos = {n: i for i, n in enumerate(names)}
+        assert all(pos[n] >= 50 for n in R._REWRITTEN_DURING_R11)
+
+    extended = dict(R._GREEN_ROUNDS)
+    extended.setdefault("r11", frozenset())
+    if len(extended) == 11:
+        with mock.patch.object(R, "_GREEN_ROUNDS", extended):
+            names11 = list(R.all_specs())
+            pos11 = {n: i for i, n in enumerate(names11)}
+            # behind the 2 repaid deferrals, within the rewritten band
+            head = set(names11[:2 + len(R._REWRITTEN_DURING_R11)
+                               + len(R._REWRITTEN_SINCE_GREEN)])
+            for n in R._REWRITTEN_DURING_R11:
+                assert n in head, (n, pos11[n])
+
+        # a fresh r12 green row clears the flag
+        extended12 = dict(extended)
+        extended12["r12"] = frozenset(R._REWRITTEN_DURING_R11)
+        with mock.patch.object(R, "_GREEN_ROUNDS", extended12):
+            names12 = list(R.all_specs())
+            pos12 = {n: i for i, n in enumerate(names12)}
+            assert all(pos12[n] > 40 for n in R._REWRITTEN_DURING_R11)
+
+
 def test_specs_complete():
     specs = R.all_specs()
     assert len(specs) >= 223
