@@ -1887,18 +1887,72 @@ _SKEW_STATS_CACHE: dict[
     tuple[str, str], dict[str, tuple[int | None, ...]]
 ] = {}
 
+_SKEW_FIELDS = ("n_rows", "n_keys", "max_key_rows", "skew_ppm")
+
+
+def _skew_store_path(sf_dir: str) -> str:
+    """Durable home of a dataset's skew audit (r10 verdict task 6): at
+    100 TB the five-key measurement is worth keeping NEXT TO the dataset
+    across sessions, not re-scanning per session. The test datasets are
+    read-only, so the store lives under a relocatable artifact root
+    (env SPARK_GRAFT_ARTIFACT_DIR, default ./spark-warehouse) keyed by
+    the dataset's absolute path; refresh-by-delete via io.checkpoint.
+    invalidate() when the dataset is rewritten."""
+    import hashlib
+    import os
+
+    root = os.environ.get(
+        "SPARK_GRAFT_ARTIFACT_DIR", "spark-warehouse"
+    ).rstrip("/")
+    ds = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:16]
+    return f"{root}/skew_stats/{ds}"
+
+
+def _skew_store_read(spark: SparkSession, sf_dir: str) -> dict:
+    from ..io import fs
+
+    path = _skew_store_path(sf_dir)
+    if not fs.exists(spark, path.rstrip("/") + "/_SUCCESS"):
+        return {}
+    out = {}
+    for r in spark.read.parquet(path).collect():
+        out[r["join_key"]] = tuple(
+            None if r[c] is None else int(r[c]) for c in _SKEW_FIELDS
+        )
+    return out
+
+
+def _skew_store_write(spark: SparkSession, sf_dir: str, stats: dict) -> None:
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [StructField("join_key", StringType(), False)]
+        + [StructField(c, LongType(), True) for c in _SKEW_FIELDS]
+    )
+    rows = [(label, *vals) for label, vals in sorted(stats.items())]
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(_skew_store_path(sf_dir))
+
 
 def _skew_stats(
     spark: SparkSession, sf_dir: str, label: str
 ) -> tuple[int | None, int | None, int | None, int | None]:
     """Measured (n_rows, n_keys, max_key_rows, skew_ppm) for one audited
-    join key, cached per (session, dataset). One map-side-combined
-    groupBy + a 4-number scalar agg on miss; a dict hit afterwards — the
-    standing audit every salting guard reads instead of re-measuring."""
+    join key, cached per (session, dataset) AND persisted as a tiny
+    parquet next to the dataset (r10 verdict task 6). Read order: session
+    dict → parquet store (one 5-row read, zero skew jobs) → measure (one
+    map-side-combined groupBy + a 4-number scalar agg) and write through.
+    A second session on the same dataset therefore builds NO skew jobs."""
     key = (spark.sparkContext.applicationId, sf_dir)
     for k in [k for k in _SKEW_STATS_CACHE if k[0] != key[0]]:
         del _SKEW_STATS_CACHE[k]
     stats = _SKEW_STATS_CACHE.setdefault(key, {})
+    if label not in stats:
+        # warm path: one 5-row parquet read, no skew jobs; dict entries
+        # (e.g. a planted test sentinel) always win over the store
+        for k2, v2 in _skew_store_read(spark, sf_dir).items():
+            stats.setdefault(k2, v2)
     if label not in stats:
         _, col, table = next(x for x in _SKEW_KEYS if x[0] == label)
         t = load(spark, sf_dir, table)
@@ -1919,8 +1973,9 @@ def _skew_stats(
         ).first()
         stats[label] = tuple(
             None if row is None or row[c] is None else int(row[c])
-            for c in ("n_rows", "n_keys", "max_key_rows", "skew_ppm")
+            for c in _SKEW_FIELDS
         )
+        _skew_store_write(spark, sf_dir, stats)
     return stats[label]
 
 
