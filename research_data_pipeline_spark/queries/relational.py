@@ -1901,9 +1901,12 @@ def _skew_store_path(sf_dir: str) -> str:
     import hashlib
     import os
 
-    root = os.environ.get(
-        "SPARK_GRAFT_ARTIFACT_DIR", "spark-warehouse"
-    ).rstrip("/")
+    default = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))),
+        "spark-warehouse",
+    )  # repo root anchor: the driver harness's cwd is not guaranteed
+    root = os.environ.get("SPARK_GRAFT_ARTIFACT_DIR", default).rstrip("/")
     ds = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:16]
     return f"{root}/skew_stats/{ds}"
 

@@ -10,6 +10,7 @@ and the five per-query alignments) has a measurable before/after.
 Usage:
     python scripts/probe_corpus.py nulled [names...]
     python scripts/probe_corpus.py empty
+    python scripts/probe_corpus.py negval   # mixed-sign money/values
 Prints one line per divergent query and a final summary count.
 """
 
@@ -42,6 +43,26 @@ def build_corpus(spark: SparkSession, kind: str, out_dir: str) -> None:
             )
         elif kind == "empty":
             df = df.limit(0)
+        elif kind == "negval" and t in NULLABLE and t != "documents":
+            # mixed signs: every 3rd key's money/value column flips
+            # negative (refunds, chargebacks, corrections) — the regime
+            # where truncate-vs-floor integer division and sign-blind
+            # formulas diverge between engines
+            col, key = NULLABLE[t]
+            if t != "embeddings":
+                df = df.withColumn(
+                    col,
+                    F.when(F.col(key) % 3 == 0, -F.col(col))
+                    .otherwise(F.col(col)),
+                )
+            else:
+                df = df.withColumn(
+                    col,
+                    F.when(
+                        F.col(key) % 3 == 0,
+                        F.transform(col, lambda x: -x),
+                    ).otherwise(F.col(col)),
+                )
         df.write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
 
 
@@ -63,6 +84,12 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     with tempfile.TemporaryDirectory(prefix=f"probe_{kind}_") as d:
+        # isolate the persistent skew-stats store: a probe corpus is
+        # synthetic and must never read (or leave behind) a repo-level
+        # audit keyed to a reusable path
+        import os
+
+        os.environ["SPARK_GRAFT_ARTIFACT_DIR"] = f"{d}/_artifacts"
         build_corpus(spark, kind, d)
         specs = all_specs()
         names = [n for n in specs if not only or n in only]
