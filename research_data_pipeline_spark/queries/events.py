@@ -951,17 +951,17 @@ def e23_watermark_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tie-break).
 _RECORD_ORACLE = """
     WITH w AS (
-        -- value IS NOT NULL: a NULL value neither sets nor breaks a
-        -- record (matches the operator's source filter; without it a
-        -- NULL event with no prior record passed the IS NULL arm below
-        -- and was counted as a record)
+        -- NULL and NaN values neither set nor break a record (matches
+        -- the operator's source filter; without it a NULL event with no
+        -- prior record passed the IS NULL arm below and was counted,
+        -- and a NaN poisoned the running max on either engine)
         SELECT user_id, value,
                MAX(value) OVER (
                    PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
                ) AS prev_max
         FROM events
-        WHERE value IS NOT NULL
+        WHERE value IS NOT NULL AND NOT isnan(value)
     )
     SELECT user_id,
            CAST(COUNT(*) FILTER (WHERE prev_max IS NULL OR value > prev_max)
@@ -1248,20 +1248,27 @@ def e28_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
 # no window over the full data.
 _MAD_CUT = 3.0
 _MAD_ORACLE = """
-    WITH med AS (
+    -- ev: NaN is excluded from the robust screen's domain (it is a
+    -- DIFFERENT defect class than numeric deviation, and the engines'
+    -- quantile/percentile NaN conventions differ); NULL rows stay —
+    -- both engines' quantiles skip them while n_events counts them.
+    WITH ev AS (
+        SELECT event_type, value FROM events
+        WHERE value IS NULL OR NOT isnan(value)
+    ), med AS (
         SELECT event_type, quantile_cont(value, 0.50) AS med
-        FROM events GROUP BY 1
+        FROM ev GROUP BY 1
     ), mad AS (
         SELECT e.event_type,
                quantile_cont(abs(e.value - m.med), 0.50) AS mad
-        FROM events e JOIN med m ON m.event_type = e.event_type
+        FROM ev e JOIN med m ON m.event_type = e.event_type
         GROUP BY 1
     )
     SELECT e.event_type, m.med AS median_value, d.mad AS mad_value,
            CAST(COUNT(*) AS BIGINT) AS n_events,
            CAST(COUNT(*) FILTER (WHERE abs(e.value - m.med) > 3.0 * d.mad)
                 AS BIGINT) AS n_outliers
-    FROM events e
+    FROM ev e
     JOIN med m ON m.event_type = e.event_type
     JOIN mad d ON d.event_type = e.event_type
     GROUP BY 1, 2, 3
@@ -1271,8 +1278,12 @@ _MAD_ORACLE = """
 @REGISTRY.add("e29_mad_outliers", _MAD_ORACLE, "events", "quality")
 def e29_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type median/MAD and the 3·MAD outlier count — the robust
-    data-quality screen."""
-    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    data-quality screen. NaN values are excluded (a different defect
+    class; the engines' quantile NaN conventions differ), NULLs stay:
+    quantiles skip them while n_events counts them."""
+    ev = load(spark, sf_dir, "events").select("event_type", "value").where(
+        F.col("value").isNull() | ~F.isnan("value")
+    )
     med = ev.groupBy("event_type").agg(
         F.percentile("value", F.lit(0.5)).alias("med")
     )

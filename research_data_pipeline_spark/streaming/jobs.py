@@ -395,13 +395,13 @@ def record_break_stats(stream: DataFrame) -> DataFrame:
                 n_records += 1
         return cur_max, n_records
 
-    # A NULL value can neither set nor break a record (r11 alignment —
-    # without the filter, the first NULL arrived as NaN, became cur_max,
-    # and every later `v > nan` comparison was False: one malformed event
-    # froze the monitor for its user forever). Users with only NULL
-    # values are absent, same as the oracle's value IS NOT NULL frame.
+    # A NULL or NaN value can neither set nor break a record (r11
+    # alignment — without the filter, the first NULL/NaN arrived as NaN,
+    # became cur_max, and every later `v > nan` comparison was False:
+    # one malformed event froze the monitor for its user forever). Users
+    # with only NULL/NaN values are absent, same as the oracle's frame.
     src = stream.select("user_id", "ts", "event_id", "value").where(
-        F.col("value").isNotNull()
+        F.col("value").isNotNull() & ~F.isnan("value")
     )
 
     if _tws_available():  # pragma: no cover - needs protobuf

@@ -10,8 +10,15 @@ and the five per-query alignments) has a measurable before/after.
 Usage:
     python scripts/probe_corpus.py nulled [names...]
     python scripts/probe_corpus.py empty
-    python scripts/probe_corpus.py negval   # mixed-sign money/values
+    python scripts/probe_corpus.py negval    # mixed-sign money/values
+    python scripts/probe_corpus.py bigvals   # money x10^4, cents > 2^31
+    python scripts/probe_corpus.py degtext   # empty/whitespace/megatoken docs
+    python scripts/probe_corpus.py constant  # one clock tick, one value, one text
+    python scripts/probe_corpus.py nan       # IEEE NaN in double columns
 Prints one line per divergent query and a final summary count.
+(The 70%-hot-key skew sweep lives as a permanent pytest instead:
+tests/test_skew_corpus_parity.py — it must FLIP the salting guards,
+which needs a corpus sized to the guard thresholds, not a mutation.)
 """
 
 from __future__ import annotations
@@ -43,6 +50,50 @@ def build_corpus(spark: SparkSession, kind: str, out_dir: str) -> None:
             )
         elif kind == "empty":
             df = df.limit(0)
+        elif kind == "bigvals":
+            # r10's big-values regime: money/value columns x10^4 push
+            # exact cents past 2^31 and decimal products past 2^63.
+            # Unit-price columns (decimal(12,4) spec width) are NOT
+            # scaled — prices don't grow with data volume; sums do.
+            if t == "events":
+                df = df.withColumn("value", F.col("value") * 10000)
+            elif t == "orders":
+                df = df.withColumn(
+                    "o_totalprice", F.col("o_totalprice") * 10000
+                )
+        elif kind == "degtext" and t == "documents":
+            # empty / whitespace-only / single-5000-char-token documents
+            df = df.withColumn(
+                "text",
+                F.when(F.col("doc_id") % 5 == 0, F.lit(""))
+                .when(F.col("doc_id") % 5 == 1, F.lit("   "))
+                .when(F.col("doc_id") % 5 == 2,
+                      F.expr("repeat('x', 5000)"))
+                .otherwise(F.col("text")),
+            )
+        elif kind == "constant":
+            # one clock tick, one value, one text: degenerate ranges,
+            # all-duplicate corpora, 0-width histograms
+            if t == "events":
+                df = df.withColumn(
+                    "ts", F.lit("2024-01-15 12:00:00").cast("timestamp")
+                ).withColumn("value", F.lit(42.5))
+            elif t == "documents":
+                df = df.withColumn(
+                    "text", F.lit("the same document text every time")
+                )
+        elif kind == "nan":
+            # IEEE NaN (not NULL) in double columns — engines disagree
+            # on NaN more often than on NULL (ordering, grouping,
+            # equality); every 11th key's value goes NaN
+            if t == "events":
+                df = df.withColumn(
+                    "value",
+                    F.when(
+                        F.col("event_id") % 11 == 0,
+                        F.lit(float("nan")),
+                    ).otherwise(F.col("value")),
+                )
         elif kind == "negval" and t in NULLABLE and t != "documents":
             # mixed signs: every 3rd key's money/value column flips
             # negative (refunds, chargebacks, corrections) — the regime

@@ -1,0 +1,58 @@
+"""NaN robustness (round-11 eighth adversarial sweep): IEEE NaN in a
+double column is a DIFFERENT defect class than NULL — engines disagree
+on NaN far more often (ordering, quantiles, casts). The full-registry
+state is recorded by `scripts/probe_corpus.py nan`; this file pins the
+two queries whose NaN contract is now explicit (e24, e29) and the
+engine behavior the remaining triage is built on."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from .test_null_inputs import TABLES
+
+
+@pytest.fixture(scope="module")
+def nan_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("nan_tables"))
+    for t in TABLES:
+        df = spark.read.parquet(f"/root/testdata/sf0.001/{t}.parquet")
+        if t == "events":
+            df = df.withColumn(
+                "value",
+                F.when(F.col("event_id") % 11 == 0, F.lit(float("nan")))
+                .otherwise(F.col("value")),
+            )
+        df.write.parquet(f"{d}/{t}.parquet")
+    return d
+
+
+@pytest.mark.parametrize(
+    "name", ["e24_record_high_counts", "e29_mad_outliers"]
+)
+def test_nan_contract_queries_stay_oracle_exact(spark, nan_dir, name):
+    """e24: NaN neither sets nor breaks a record (a NaN used to become
+    cur_max and freeze the per-user monitor). e29: NaN is excluded from
+    the robust screen's quantile domain. Both pinned by full parity."""
+    from research_data_pipeline_spark.registry import all_specs
+
+    from .oracle import assert_parity
+
+    spec = all_specs()[name]
+    assert_parity(spec.fn(spark, nan_dir), spec.oracle, nan_dir, name)
+
+
+def test_spark_floor_nan_is_silent_zero(spark):
+    """The engine-behavior fact the NaN triage documents (SURVEY r11):
+    Spark's FLOOR(double) returns BIGINT and maps NaN to 0 SILENTLY even
+    under ANSI mode, while DuckDB refuses the NaN->INT64 conversion
+    loudly. The exact-cents idiom `CAST(FLOOR(v*100+0.5) AS BIGINT)`
+    therefore silently turns a NaN money value into 0 cents — the
+    documented hazard behind the scheduled money_cents() loud helper.
+    If a Spark upgrade changes this, the triage must be revisited."""
+    row = spark.range(1).select(
+        F.expr("CAST(FLOOR(double('NaN') * 100 + 0.5) AS BIGINT)").alias("c")
+    ).first()
+    assert row["c"] == 0  # silent — the hazard, not the desired behavior
