@@ -1107,7 +1107,13 @@ def e26_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRIFT_SPLIT = "2024-01-16"
 _DRIFT_BINS = 10
 _DRIFT_ORACLE = f"""
-    WITH b AS (SELECT MIN(value) AS mn, MAX(value) AS mx FROM events),
+    -- ev: NaN excluded from the distribution domain (engine contract;
+    -- NULL stays and bins at 0 via the COALESCE, as before)
+    WITH ev AS (
+        SELECT ts, event_type, value FROM events
+        WHERE value IS NULL OR NOT isnan(value)
+    ),
+    b AS (SELECT MIN(value) AS mn, MAX(value) AS mx FROM ev),
     binned AS (
         SELECT e.event_type,
                LEAST(CAST(COALESCE(FLOOR((e.value - b.mn)
@@ -1116,7 +1122,7 @@ _DRIFT_ORACLE = f"""
                      {_DRIFT_BINS - 1}) AS bin,
                CASE WHEN e.ts < TIMESTAMP '{_DRIFT_SPLIT}' THEN 1 ELSE 0 END
                    AS early
-        FROM events e CROSS JOIN b
+        FROM ev e CROSS JOIN b
     ), counts AS (
         SELECT event_type, bin,
                CAST(SUM(early) AS BIGINT) AS n_early,
@@ -1142,8 +1148,12 @@ _DRIFT_ORACLE = f"""
 @REGISTRY.add("e27_distribution_drift", _DRIFT_ORACLE, "events", "quality")
 def e27_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type early-vs-late value-distribution drift over 10 global
-    equi-width bins: counts, ppm shares, ppm delta — all exact."""
-    ev = load(spark, sf_dir, "events").select("ts", "event_type", "value")
+    equi-width bins: counts, ppm shares, ppm delta — all exact. NaN is
+    excluded from the distribution domain (r11 NaN sweep: Spark's
+    floor(NaN) silently bins it at 0 while DuckDB refuses the cast)."""
+    ev = load(spark, sf_dir, "events").select(
+        "ts", "event_type", "value"
+    ).where(F.col("value").isNull() | ~F.isnan("value"))
     b = ev.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
     split = F.to_timestamp(F.lit(_DRIFT_SPLIT))
     binned = ev.crossJoin(F.broadcast(b)).select(
@@ -1347,9 +1357,14 @@ def e30_stream_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 # HUGEINT overflow), never silently.
 _MOM_ORACLE = f"""
     WITH v AS (
+        -- NaN excluded from the moment domain (r11 NaN sweep: Spark's
+        -- NaN->decimal cast is silent while DuckDB's is loud; exclusion
+        -- is the explicit contract, same as e27/e29). NULL values stay
+        -- and are skipped by the sums while COUNT(*) counts the row.
         SELECT user_id,
                CAST(CAST(value AS DECIMAL(12,4)) * 10000 AS HUGEINT) AS v_e4
         FROM events
+        WHERE value IS NULL OR NOT isnan(value)
     )
     SELECT user_id,
            CAST(COUNT(*) AS BIGINT) AS n,
@@ -1368,8 +1383,12 @@ def e31_incremental_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user moment sufficient statistics assembled by MERGING
     base-state ⊕ delta-state exact integer sums on DECIMAL(38,0)
     (split at 2024-01-26, as e26) — must equal the direct full-table
-    computation at any magnitude inside the 38-digit envelope."""
-    ev = load(spark, sf_dir, "events").select("ts", "user_id", "value")
+    computation at any magnitude inside the 38-digit envelope. NaN is
+    excluded from the moment domain (explicit contract, as e27/e29);
+    NULLs stay — sums skip them, n counts them."""
+    ev = load(spark, sf_dir, "events").select(
+        "ts", "user_id", "value"
+    ).where(F.col("value").isNull() | ~F.isnan("value"))
     split = F.to_timestamp(F.lit(_INC_SPLIT))
     # decimal(18,0) per-row unit: the square types as decimal(37,0) and
     # the sums widen to decimal(38,0) without hitting Spark's precision
