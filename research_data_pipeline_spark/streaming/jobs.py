@@ -459,11 +459,32 @@ def record_break_stats(stream: DataFrame) -> DataFrame:
     )
 
 
-def run_record_breaks_to_batch(spark: SparkSession, events_path: str) -> DataFrame:
+def run_record_breaks_to_batch(
+    spark: SparkSession, events_path: str,
+    user_sample_ppm: int | None = None,
+) -> DataFrame:
     """Drain the transformWithState operator over the file source; the
     single-batch source makes the update-mode emission the exact
-    per-user event-time answer."""
-    return _run_stream_to_batch(spark, events_path, record_break_stats, "update")
+    per-user event-time answer.
+
+    ``user_sample_ppm`` applies the e38 discipline (r11 scale grid:
+    full-population e24 measured 3.4 s → 25.1 s at 10× rows — the
+    Python stateful API pays a per-key call, wall time linear in
+    ENTITIES): a deterministic md5 user bucket caps the registered
+    artifact's key volume while the full-population operator stays
+    exercised in tests/test_streaming_semantics.py. Production-scale
+    full-population monitors belong on the JVM state backends."""
+
+    def transform(s: DataFrame) -> DataFrame:
+        if user_sample_ppm is not None:
+            bucket = F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+                16, 10,
+            ).cast("bigint")
+            s = s.where(bucket % 1000000 < user_sample_ppm)
+        return record_break_stats(s)
+
+    return _run_stream_to_batch(spark, events_path, transform, "update")
 
 
 SESSION_GAP_US = 30 * 60 * 1_000_000

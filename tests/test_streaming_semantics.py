@@ -170,3 +170,35 @@ def test_scd2_versions_survive_the_batch_boundary(spark, sf_dir):
     # and open versions were flushed exactly once per user
     opens = out.where(F.col("is_current")).groupBy("user_id").count()
     assert opens.where(F.col("count") > 1).count() == 0
+
+
+def test_record_breaks_full_population_matches_batch_window(spark, sf_dir):
+    """The registered e24 artifact drains a 20% user sample (per-key
+    Python call cost — see the registration comment); THIS pins the
+    full-population operator against the batch running-max window on
+    every user, so the sampling is an artifact-size decision only."""
+    from research_data_pipeline_spark.streaming.jobs import (
+        run_record_breaks_to_batch,
+    )
+
+    from .oracle import assert_parity
+
+    full_oracle = """
+        WITH w AS (
+            SELECT user_id, value,
+                   MAX(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS prev_max
+            FROM events
+            WHERE value IS NOT NULL AND NOT isnan(value)
+        )
+        SELECT user_id,
+               CAST(COUNT(*) FILTER (WHERE prev_max IS NULL
+                                        OR value > prev_max)
+                    AS BIGINT) AS n_records,
+               MAX(value) AS max_value
+        FROM w GROUP BY user_id
+    """
+    got = run_record_breaks_to_batch(spark, f"{sf_dir}/events.parquet")
+    assert_parity(got, full_oracle, sf_dir, "e24-full-population")
