@@ -73,3 +73,31 @@ def year_from_date_string(c: Column) -> Column:
 def pct_string(c: Column) -> Column:
     """Postgres ``TO_CHAR(x,'fm99%')`` parity (F11; README.md:198)."""
     return F.concat(c.cast("int").cast("string"), F.lit("%"))
+
+
+def money_cents(c: Column | str) -> Column:
+    """Exact cents from a double money column, LOUD on NaN.
+
+    The repo-wide idiom ``CAST(FLOOR(v*100 + 0.5) AS BIGINT)`` is exact
+    for every representable money value — but Spark's ``floor(double)``
+    maps NaN to 0 SILENTLY even under ANSI mode (pinned by
+    tests/test_nan_inputs.py), so one malformed upstream event corrupts
+    money totals without a trace, while the DuckDB oracle refuses the
+    NaN→INT64 conversion loudly. This helper restores the loud contract:
+    a NaN raises (matching the oracle's behavior class), a NULL passes
+    through as NULL, everything else is the exact idiom. The NaN branch
+    is never taken on contract-conforming data, so it costs one codegen
+    comparison per row and changes no output anywhere NaN is absent.
+
+    Scheduled to replace the ~18 inline Spark-side cents/e4 call sites
+    across r12-r13 rotation budgets (SURVEY round-11 NaN triage); new
+    code should use it from day one.
+    """
+    col = F.col(c) if isinstance(c, str) else c
+    return F.when(
+        F.isnan(col),
+        F.expr(
+            "raise_error('NaN money value: quarantine upstream — "
+            "silent floor(NaN)=0 would corrupt exact-cents totals')"
+        ).cast("bigint"),
+    ).otherwise(F.floor(col * 100 + F.lit(0.5)).cast("bigint"))

@@ -59,3 +59,24 @@ def test_spark_floor_nan_is_silent_zero(spark):
         F.expr("CAST(FLOOR(double('NaN') * 100 + 0.5) AS BIGINT)").alias("c")
     ).first()
     assert row["c"] == 0  # silent — the hazard, not the desired behavior
+
+
+def test_money_cents_loud_on_nan_null_passthrough(spark):
+    """The r12-batch helper: exact cents on values, NULL passthrough,
+    RAISE on NaN (the loud contract the inline idiom lacks)."""
+    from pyspark.sql.utils import AnalysisException  # noqa: F401
+
+    from research_data_pipeline_spark.functions.core import money_cents
+
+    # expectations follow IEEE doubles exactly as the inline idiom does:
+    # 1.005 is stored as 1.00499…, so *100+0.5 floors to 100 (both
+    # engines agree — the idiom's exactness claim is about the shared
+    # double, not decimal re-interpretation)
+    ok = spark.createDataFrame(
+        [(1.005,), (2.994,), (-3.005,), (None,)], "v double"
+    ).select(money_cents("v").alias("c")).collect()
+    assert [r["c"] for r in ok] == [100, 299, -300, None]
+
+    bad = spark.createDataFrame([(1.0,), (float("nan"),)], "v double")
+    with pytest.raises(Exception, match="NaN money value"):
+        bad.select(money_cents("v").alias("c")).collect()
