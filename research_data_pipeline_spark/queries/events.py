@@ -1067,6 +1067,10 @@ def e25_interval_overlap_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # merged (sum, count), never maintained itself (non-algebraic).
 _INC_SPLIT = "2024-01-26"
 _INC_AGG_ORACLE = f"""
+    -- NaN excluded from the maintained-aggregate domain (r11 NaN sweep,
+    -- same contract as e27/e29/e31: Spark's NaN->decimal cast is silent
+    -- while DuckDB's is loud, and MIN/MAX NaN conventions differ); NULL
+    -- rows stay — sums/extrema skip them, n_events counts them.
     SELECT user_id,
            CAST(COUNT(*) AS BIGINT) AS n_events,
            CAST(CAST(SUM(CAST(value AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE)
@@ -1074,6 +1078,7 @@ _INC_AGG_ORACLE = f"""
            MIN(value) AS min_value,
            MAX(value) AS max_value
     FROM events
+    WHERE value IS NULL OR NOT isnan(value)
     GROUP BY user_id
 """
 
@@ -1082,8 +1087,11 @@ _INC_AGG_ORACLE = f"""
               "incremental")
 def e26_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user stats via base-state ⊕ delta-state merge (split at
-    2024-01-26) — must equal the direct full-table aggregation."""
-    ev = load(spark, sf_dir, "events").select("ts", "user_id", "value")
+    2024-01-26) — must equal the direct full-table aggregation. NaN is
+    excluded from the maintained domain (explicit contract, as e31)."""
+    ev = load(spark, sf_dir, "events").select(
+        "ts", "user_id", "value"
+    ).where(F.col("value").isNull() | ~F.isnan("value"))
     split = F.to_timestamp(F.lit(_INC_SPLIT))
 
     def partial(df: DataFrame) -> DataFrame:

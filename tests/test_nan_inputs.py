@@ -32,11 +32,12 @@ def nan_dir(spark, tmp_path_factory):
 @pytest.mark.parametrize(
     "name",
     ["e24_record_high_counts", "e29_mad_outliers",
-     "e27_distribution_drift", "e31_incremental_moments"],
+     "e27_distribution_drift", "e31_incremental_moments",
+     "e26_incremental_agg_merge"],
 )
 def test_nan_contract_queries_stay_oracle_exact(spark, nan_dir, name):
     """e24: NaN neither sets nor breaks a record (a NaN used to become
-    cur_max and freeze the per-user monitor). e29/e27/e31: NaN is
+    cur_max and freeze the per-user monitor). e29/e27/e31/e26: NaN is
     excluded from the quantile/distribution/moment domain (explicit
     contract on both engines). All pinned by full parity."""
     from research_data_pipeline_spark.registry import all_specs
