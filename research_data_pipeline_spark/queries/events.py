@@ -401,10 +401,19 @@ def e10_event_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def e11_multigrain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous-aggregate-style rollup at 3 granularities in ONE scan:
     each event explodes to its (grain, bucket) coordinates, then a single
-    groupBy aggregates all grains together (vs 3 separate scans)."""
+    groupBy aggregates all grains together (vs 3 separate scans).
+
+    The 5-min bucket FLOORS via exact integer arithmetic
+    (``us - pmod(us, gap)``): the old ``CAST(us/gap AS BIGINT)*gap``
+    truncates toward zero, which puts pre-1970 events (negative epoch
+    micros) in a bucket one gap too HIGH and makes bucket 0 two gaps
+    wide — found by the round-11 epoch-straddle corpus probe
+    (scripts/probe_corpus.py epochs); DuckDB's time_bucket (origin
+    2000-01-03, 300s-aligned ⇒ epoch-equivalent) and Spark's own
+    window()/date_trunc all floor. Identical output for ts >= 1970."""
     e = load(spark, sf_dir, "events")
     us = F.unix_micros("ts")
-    five_min = F.timestamp_micros((us / 300_000_000).cast("bigint") * 300_000_000)
+    five_min = F.timestamp_micros(us - F.pmod(us, F.lit(300_000_000)))
     grains = F.array(
         F.struct(F.lit("5min").alias("grain"), five_min.alias("bucket")),
         F.struct(F.lit("hour").alias("grain"), F.date_trunc("hour", "ts").alias("bucket")),
@@ -591,7 +600,14 @@ _COHORT_ORACLE = """
         FROM events e JOIN first_seen f ON f.user_id = e.user_id
     )
     SELECT epoch_us(cohort_week) AS cohort_week_us,
-           CAST(date_diff('week', cohort_week, active_week) AS BIGINT) AS weeks_since,
+           -- exact division of Monday-aligned week starts, NOT
+           -- date_diff('week', ...): DuckDB's week diff counts
+           -- truncated epoch-anchored 7-day boundaries, so on a
+           -- 1970-straddling range it merges adjacent weeks (Dec-29 and
+           -- Jan-5 both "2 weeks since" a Dec-15 cohort) — found by the
+           -- round-11 epoch-straddle probe; identical for ts >= 1970
+           (epoch_us(active_week) - epoch_us(cohort_week))
+               // 604800000000 AS weeks_since,
            CAST(COUNT(*) AS BIGINT) AS n_active_users
     FROM activity
     GROUP BY 1, 2

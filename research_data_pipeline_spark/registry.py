@@ -469,6 +469,17 @@ _REWRITTEN_DURING_R11: frozenset[str] = frozenset({
     # e24: NULL event values neither set nor break records (the engine's
     # walk was NaN-poisoned by the first NULL — monitor frozen per-user)
     "e24_record_high_counts",
+    # epoch-straddle probe (scripts/probe_corpus.py epochs, late r11):
+    # e11's 5-min bucket now FLOORS via us - pmod(us, gap) — the old
+    # CAST(us/gap AS BIGINT) truncated toward zero, bucketing pre-1970
+    # events one gap too high (oracle time_bucket floors); e16's oracle
+    # replaces date_diff('week', ...) — whose truncated epoch-anchored
+    # boundary count merges adjacent weeks across 1970 — with exact
+    # division of the Monday-aligned week starts. Both outputs are
+    # provably unchanged for ts >= 1970 (the driver corpora), pinned by
+    # tests/test_epoch_inputs.py on the straddling corpus.
+    "e11_multigrain_rollup",
+    "e16_cohort_retention",
 })
 
 # Round-11 over-cap deferral (self-expiring, r08-q23 precedent): this

@@ -15,10 +15,18 @@ Usage:
     python scripts/probe_corpus.py degtext   # empty/whitespace/megatoken docs
     python scripts/probe_corpus.py constant  # one clock tick, one value, one text
     python scripts/probe_corpus.py nan       # IEEE NaN in double columns
+    python scripts/probe_corpus.py unicode   # emoji/CJK/RTL/combining text
+    python scripts/probe_corpus.py epochs    # pre-1970 + far-future clocks
 Prints one line per divergent query and a final summary count.
 (The 70%-hot-key skew sweep lives as a permanent pytest instead:
 tests/test_skew_corpus_parity.py — it must FLIP the salting guards,
 which needs a corpus sized to the guard thresholds, not a mutation.)
+
+Expected divergences on `epochs` (documented engine semantics, pinned by
+tests/test_epoch_inputs.py): e13/e17/e18/e23 — Spark Structured
+Streaming initializes the event-time watermark to epoch 0, so pre-1970
+event times are dropped as late in the first micro-batch while the
+batch oracles keep them. Standing state 224/228.
 """
 
 from __future__ import annotations
@@ -94,6 +102,66 @@ def build_corpus(spark: SparkSession, kind: str, out_dir: str) -> None:
                         F.lit(float("nan")),
                     ).otherwise(F.col("value")),
                 )
+        elif kind == "unicode" and t == "documents":
+            # Multibyte / non-Latin regimes where Spark (UTF8String +
+            # Java regex) and DuckDB (RE2-flavored, utf8proc) most often
+            # disagree: astral-plane emoji (4-byte UTF-8, surrogate
+            # pairs in UTF-16), unsegmented CJK, RTL Arabic, NFD
+            # combining marks, zero-width joiners, non-ASCII whitespace,
+            # mathematical-alphanumeric letters. Keyed by doc_id so the
+            # mutation is deterministic and both engines read the same
+            # parquet bytes.
+            df = df.withColumn(
+                "text",
+                F.when(F.col("doc_id") % 11 == 0,
+                       F.lit("I \U0001F496 data \U0001F680\U0001F680 "
+                             "pipelines \U0001F600 but\U0001F916tokenizers"))
+                .when(F.col("doc_id") % 11 == 1,
+                      F.lit("数据管道的质量评估与去重需要精确的分词"))
+                .when(F.col("doc_id") % 11 == 2,
+                      F.lit("معالجة البيانات الضخمة بسرعة وكفاءة عالية"))
+                .when(F.col("doc_id") % 11 == 3,
+                      # NFD: base letter + combining acute / diaeresis
+                      F.lit("e\u0301te\u0301 cafe\u0301 nai\u0308ve "
+                            "re\u0301sume\u0301"))
+                .when(F.col("doc_id") % 11 == 4,
+                      # U+200B ZWSP, U+200C ZWNJ, U+200D ZWJ
+                      F.lit("zero\u200bwidth\u200cjoined\u200dtext here"))
+                .when(F.col("doc_id") % 11 == 5,
+                      # U+00A0 NBSP, U+2003 EM SPACE, U+2009 THIN SPACE
+                      F.lit("non\u00a0breaking\u2003em\u2009thin spaces"))
+                .when(F.col("doc_id") % 11 == 6,
+                      F.lit("Ω≈ç√∫ "
+                            "\U0001D518\U0001D52B\U0001D526 \U00010348")
+                      )
+                .otherwise(F.col("text")),
+            )
+        elif kind == "epochs" and t == "events":
+            # Shift the WHOLE clock by a constant so the corpus straddles
+            # epoch zero: half the events land pre-1970 (negative unix
+            # seconds/micros). Relative order and every inter-event gap
+            # are preserved, so watermark/session/lag semantics are
+            # untouched — per-event scatter would create legitimately-
+            # late data that streaming drops by design and batch oracles
+            # keep, drowning the probe in expected-semantics noise.
+            # The target class: truncate-vs-floor integer bucketing —
+            # for t < 0, CAST(us/gap AS BIGINT) truncates toward zero
+            # while floor/`window()` bucket downward, so engines that
+            # mix the idioms put the same event in different windows.
+            mid = df.selectExpr(
+                "CAST((min(unix_micros(CAST(ts AS TIMESTAMP)))"
+                " + max(unix_micros(CAST(ts AS TIMESTAMP)))) DIV 2"
+                " AS BIGINT) AS m"
+            ).first()["m"]
+            # land the midpoint 150 s past epoch zero — NOT on a window
+            # boundary — so 5-minute windows straddle zero asymmetrically
+            df = df.withColumn(
+                "ts",
+                F.timestamp_micros(
+                    F.unix_micros(F.col("ts").cast("timestamp"))
+                    - F.lit(mid - 150_000_000)
+                ).cast("timestamp_ntz"),
+            )
         elif kind == "negval" and t in NULLABLE and t != "documents":
             # mixed signs: every 3rd key's money/value column flips
             # negative (refunds, chargebacks, corrections) — the regime
@@ -129,6 +197,7 @@ def main() -> int:
         SparkSession.builder.master("local[8]")
         .appName(f"probe-{kind}")
         .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
