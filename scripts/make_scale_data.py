@@ -13,11 +13,14 @@ Replication is NOT naive row copying where that would distort workload
 shape:
 
 - ``documents.text``: each replica applies a *value-level* token mutation
-  (token t -> t||'r<rep>' when xxhash64(t) % 3 == 0). The map is a
-  bijection on token space, so within-replica token-set Jaccard is
+  (token t -> t||'r<rep>' when xxhash64(t) % 3 < rename_thirds). The map
+  is a bijection on token space, so within-replica token-set Jaccard is
   EXACTLY the original's (near-dup pair structure replicates linearly),
-  while cross-replica Jaccard collapses to ~0.5 — far below the 0.9/0.95
-  thresholds — so MinHash/SimHash/n-gram pair counts scale by R, not R².
+  while cross-replica Jaccard collapses below every dedup threshold —
+  so MinHash/SimHash/n-gram EMITTED pair counts scale by R, not R².
+  CANDIDATE mass needs the rename fraction scaled with R: pass
+  ``--rename-thirds 2`` at R >= 100 (see _mutate_documents for the
+  band-collision arithmetic the round-11 100x grid measured).
 - ``embeddings.embedding``: each replica rotates the vector by ``rep``
   positions — norms (and hence cosine geometry within a replica) are
   preserved, directions across replicas decorrelate.
@@ -82,14 +85,28 @@ def _replicate(df: DataFrame, mult: int) -> DataFrame:
     return out
 
 
-def _mutate_documents(df: DataFrame) -> DataFrame:
+def _mutate_documents(df: DataFrame, rename_thirds: int = 1) -> DataFrame:
     # bijective per-replica token map: rep 0 is the untouched source
-    # corpus; higher reps rename 1/3 of token TYPES (value-hashed, not
-    # position-hashed, so every occurrence moves together and token-set
-    # Jaccard within a replica is exactly the source's)
+    # corpus; higher reps rename rename_thirds/3 of token TYPES
+    # (value-hashed, not position-hashed, so every occurrence moves
+    # together and token-set Jaccard within a replica is exactly the
+    # source's).
+    #
+    # rename_thirds=1 (default, the 10x/30x grid) leaves cross-replica
+    # Jaccard ~0.44 — realistic partial overlap, and fine while R is
+    # small. It does NOT hold at R=100: the rename set is the SAME in
+    # every replica, so a 4-row minhash band drawn entirely from
+    # unmutated tokens ((2/3)^4 ≈ 20% per band, ~59% over 4 bands)
+    # collides across ALL R copies of a source doc, and LSH candidate
+    # mass grows as R² even though emitted pairs stay linear (j=0.44 is
+    # below every threshold). Measured on the round-11 100x grid: ~15M
+    # sub-threshold cross-replica candidates wedged the exact-Jaccard
+    # verification join for 30+ min on 32 cores. rename_thirds=2 drops
+    # cross-replica Jaccard to 0.2 (band-collision ~5%), restoring
+    # linear candidate structure at R=100 while keeping real overlap.
     mutated = F.expr(
         "array_join(transform(split(text, ' '), t -> "
-        "CASE WHEN rep > 0 AND pmod(xxhash64(t), 3) = 0 "
+        f"CASE WHEN rep > 0 AND pmod(xxhash64(t), 3) < {int(rename_thirds)} "
         "THEN concat(t, 'r', CAST(rep AS STRING)) ELSE t END), ' ')"
     )
     return df.withColumn("text", mutated).withColumn(
@@ -116,6 +133,8 @@ def generate(
     mult: int,
     docs_mult: int | None = None,
     emb_mult: int | None = None,
+    rename_thirds: int = 1,
+    only_tables: list[str] | None = None,
 ) -> None:
     per_table = {
         "documents": docs_mult or mult,
@@ -125,6 +144,8 @@ def generate(
         "region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events", "documents", "embeddings",
     ]
+    if only_tables:
+        tables = [t for t in tables if t in only_tables]
     for name in tables:
         t0 = time.perf_counter()
         df = spark.read.parquet(f"{src}/{name}.parquet")
@@ -140,7 +161,7 @@ def generate(
                     )
             rep = _replicate(df, m)
             if name == "documents":
-                rep = _mutate_documents(rep)
+                rep = _mutate_documents(rep, rename_thirds)
             elif name == "embeddings":
                 rep = _mutate_embeddings(rep)
             rep = rep.drop("rep")
@@ -163,6 +184,12 @@ def main() -> int:
     ap.add_argument("--mult", type=int, default=10)
     ap.add_argument("--docs-mult", type=int, default=None)
     ap.add_argument("--emb-mult", type=int, default=None)
+    ap.add_argument("--rename-thirds", type=int, default=1,
+                    help="thirds of token types renamed per replica; use "
+                    "2 at R>=100 so LSH candidate mass stays linear "
+                    "(see _mutate_documents)")
+    ap.add_argument("--tables", default=None,
+                    help="comma-separated subset to (re)generate")
     args = ap.parse_args()
 
     from research_data_pipeline_spark.session import get_spark
@@ -170,7 +197,9 @@ def main() -> int:
     spark = get_spark(app="make-scale-data")
     os.makedirs(args.out, exist_ok=True)
     generate(
-        spark, args.src, args.out, args.mult, args.docs_mult, args.emb_mult
+        spark, args.src, args.out, args.mult, args.docs_mult,
+        args.emb_mult, args.rename_thirds,
+        args.tables.split(",") if args.tables else None,
     )
     spark.stop()
     return 0
