@@ -376,6 +376,31 @@ _GREEN_ROUNDS: dict[str, frozenset[str]] = {
         "s19_log_histogram_quantiles", "s22_cusum_drift",
         "s23_delta_method_ratio", "s24_msprt_always_valid"
     }),
+    "r11": frozenset({
+        "d02_lang_id", "d04_fingerprint_dedup", "d08_ngram_jaccard",
+        "d09_embedding_near_dups", "d10_ann_topk", "d11_ann_lsh",
+        "d13_ann_ivf", "d13b_ivf_lloyd_recall", "d15_rare_bigrams",
+        "d17_repetition_ratio", "d18_source_contamination",
+        "d26_semantic_dedup", "d30_mixture_resample",
+        "d34_sq8_quantization", "d35_overlap_chunks", "d36_pq_adc_topk",
+        "d37_containment_pairs", "d39_ann_multiprobe_lsh",
+        "d40_random_projection", "d41_dedup_savings",
+        "d45_span_corruption", "d46_regex_pretokenizer",
+        "d49_winnowing_fingerprints", "e07_streaming_dedup",
+        "e09_asof_purchase_attribution", "e12_gapfill_hourly",
+        "e13_streaming_sessions", "e15_funnel",
+        "e23_watermark_dedup_replay", "e25_interval_overlap_counts",
+        "e26_incremental_agg_merge", "e27_distribution_drift",
+        "e28_activity_streaks", "e29_mad_outliers",
+        "e31_incremental_moments", "e32_out_of_order_audit",
+        "m01_media_metadata", "m04_byte_histogram",
+        "q02_revenue_by_nation", "q10_running_revenue",
+        "q13_first_order_per_customer", "q16_cosupplier_edges",
+        "q17_segment_price_stats", "q18_user_event_pivot",
+        "q20_urgent_share_by_nation", "q22_collect_unwind_priorities",
+        "q24_cube_revenue", "q28_segment_quartiles",
+        "q46_referential_orphans", "s02_heavy_hitters",
+    }),
     "r10": frozenset({
         "d06_minhash_lsh", "d07_simhash_pairs", "d22_chunk_dedup",
         "d23_benchmark_decontamination", "d24_length_ntile",
@@ -411,41 +436,33 @@ _GREEN_ROUNDS: dict[str, frozenset[str]] = {
 # the rewrite claims an early verification slot in the next round; clear
 # the set once the post-rewrite green row lands.
 _REWRITTEN_SINCE_GREEN: set[str] = {
-    # (r10 verified every round-10 rewrite — s19, m13, m16, m17, q43,
-    # q44, q47 all took post-rewrite green rows in CORRECTNESS_r10.json
-    # at final HEAD; set cleared at round-11 start.)
+    # (r11 verified every round-11 rewrite — all 15 flagged entries took
+    # post-rewrite green rows in CORRECTNESS_r11.json; set cleared at
+    # round-12 start per the ledger protocol.)
     #
-    # Round-11 additions (r10 verdict task 1): the round-10 robustness
-    # probes landed ENGINE-side guards (NULL-vector/payload API-boundary
-    # drops, zero-row centroid/matrix folds, NULLIF drift shares, oracle
-    # COALESCE) on these queries AFTER their newest driver green row.
-    # Local evidence (full sf0.01 pytest + sf0.1 sweep at HEAD, commit
-    # ffc0407) proves bit-exactness, but the driver hard-signal row
-    # predates the source — flag so each claims an early r11 slot.
-    "d09_embedding_near_dups",
-    "d10_ann_topk",
-    "d11_ann_lsh",
-    "d13_ann_ivf",
-    # r11: d40's inline JL projection now drops NULL vectors at the API
-    # boundary like the rest of the similarity family (found by the
-    # standing nulled-corpus probe, scripts/probe_corpus.py).
-    "d40_random_projection",
-    "d13b_ivf_lloyd_recall",
-    "d26_semantic_dedup",
-    "d39_ann_multiprobe_lsh",
-    "m04_byte_histogram",
-    "e27_distribution_drift",
-    "d41_dedup_savings",
-    "q46_referential_orphans",
-    # the empty-source sentinel guards touched _sentinel_row (consumed by
-    # e13 and e18 — e18 re-greened in r10 at final HEAD, post-guard) and
-    # run_watermark_dedup_replay (e23); e07's helper was NOT touched.
-    "e13_streaming_sessions",
-    "e23_watermark_dedup_replay",
-    # r11 (verdict task 4): e31's sufficient statistics lifted to
-    # DECIMAL(38,0)/HUGEINT with string-rendered sums — schema change,
-    # so the old green no longer certifies the output shape.
-    "e31_incremental_moments",
+    # Round-12 additions land here commit-by-commit as the r12 verdict
+    # tasks touch engine sources after a green row:
+    #
+    # task 3/4 (LSH candidate-mass levers): the shared pair-stream
+    # builder gains integer-id token encoding before exact verification
+    # (output-invariant — identical intersect counts → identical pairs,
+    # property-pinned) and a population-thresholded band-escalation pass
+    # for mega-cluster buckets (threshold far above any driver-corpus
+    # bucket, so emitted recall on sf0.01/sf0.1 is unchanged; oracle
+    # mirrors the same rule). d06 registers the pair stream directly and
+    # d19 the cluster table — both flagged per the r11 verdict scope.
+    "d06_minhash_lsh",
+    "d19_dedup_clusters",
+    # task 2 (NaN exact-cents class, floor-shape batch): silent
+    # FLOOR(NaN)->0 swapped for the loud money_cents helper at the two
+    # sites whose newest green row predates the swap (the other six
+    # floor/decimal sites ride this round's at-risk band or r13's).
+    "e21_time_weighted_avg",
+    "q44_guarded_hot_key_agg",
+    # task 5 (NaN-exclusion contract, e27/e29/e31 template): e01's
+    # double-agg NaN propagation excluded from the value domain on both
+    # engines.
+    "e01_tumbling_counts",
 }
 
 # Queries whose implementation changed DURING round 11, after the r11
@@ -498,6 +515,33 @@ _REWRITTEN_DURING_R11: frozenset[str] = frozenset({
 _R11_DEFERRED: frozenset[str] = frozenset({
     "q21_dualkey_nation_lookup",
     "q27_profile_customer",
+})
+
+# Round-12 over-cap deferral (self-expiring, same mechanics as r11's):
+# r12 demand is 53 before any new rewrite (45-query r07-latest at-risk
+# band + the 2 r11 repayments + the 6 _REWRITTEN_DURING_R11 entries) and
+# the 5 round-12 rewrite flags above push it to 58 against the hard
+# 50-row cap — so exactly EIGHT at-risk queries defer one round. Chosen
+# per the established criterion (most-verified first, then
+# longest-untouched): the five 2-green members of the r07 band whose
+# source is unchanged since their 2026-08-14 add (e30 is excluded — it
+# takes a NaN-exclusion edit this round and must re-green on the new
+# source), then three 1-green pure-aggregation audits untouched since
+# add and oracle-replayed locally every round by test_oracle_parity.
+# Repaid FIRST in r13, where demand is 34 remaining r08-band + these 8
+# + the ~3 r13 NaN swaps = ~45 <= 50, so the cascade ends at r13 as the
+# r11 verdict requires. Gated on len(_GREEN_ROUNDS): max_round == 11 →
+# pushed below the at-risk band this round; max_round == 12 → repayment
+# priority; max_round >= 13 → entries sort by their own green rows.
+_R12_DEFERRED: frozenset[str] = frozenset({
+    "d28_bigram_lm_nll",
+    "d38_bpe_encode",
+    "d44_contrastive_pairs",
+    "d47_scorer_agreement",
+    "q36_fuzzy_name_blocks",
+    "d51_gopher_rules",
+    "d52_source_kl_divergence",
+    "d54_tokenizer_fertility",
 })
 
 
@@ -582,6 +626,12 @@ def all_specs() -> dict[str, QuerySpec]:
                 return 6.5
             if max_round == 11:
                 return -2.0  # repay the documented r11 deferral first
+        if name in _R12_DEFERRED:
+            if max_round == 11:
+                # push below the r07 at-risk band this round only
+                return 7.5
+            if max_round == 12:
+                return -2.0  # repay the documented r12 deferral first
         if name in _REWRITTEN_SINCE_GREEN:
             return -1.0
         if name in _REWRITTEN_DURING_R11 and max_round >= 11:

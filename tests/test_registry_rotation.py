@@ -89,6 +89,47 @@ def test_r11_deferral_mechanics():
         assert set(names12[:2]) != set(R._R11_DEFERRED)
 
 
+def test_r12_deferral_mechanics():
+    """The round-12 over-cap deferral (demand 58 vs the 50-row cap) must
+    (a) push exactly the eight documented queries below the head while
+    the fold count is 11, (b) repay them FIRST once the r12 fold lands,
+    and (c) expire after the r13 fold."""
+    import unittest.mock as mock
+
+    names = list(R.all_specs())
+    if len(R._GREEN_ROUNDS) == 11:
+        head = set(names[:50])
+        assert not (R._R12_DEFERRED & head)
+        # the r11 repayments lead, every rewrite made the head, and every
+        # non-deferred at-risk (lg == 7) query made the head — the
+        # deferral freed exactly enough slots
+        assert set(names[:2]) == set(R._R11_DEFERRED)
+        for rw in R._REWRITTEN_SINCE_GREEN | set(R._REWRITTEN_DURING_R11):
+            assert rw in head, rw
+        for n in names:
+            if (R._last_green(n) == 7
+                    and n not in R._REWRITTEN_SINCE_GREEN
+                    and n not in R._REWRITTEN_DURING_R11
+                    and n not in R._R12_DEFERRED):
+                assert n in head, n
+
+    # simulate the r12 fold landing: deferred entries repay first
+    extended = dict(R._GREEN_ROUNDS)
+    extended.setdefault("r12", frozenset())
+    if len(extended) == 12:
+        with mock.patch.object(R, "_GREEN_ROUNDS", extended):
+            names12 = list(R.all_specs())
+            assert set(names12[:len(R._R12_DEFERRED)]) == set(R._R12_DEFERRED)
+
+    # simulate the r13 fold: the priority is gone, entries sort by
+    # their own (by-then fresh) green rows
+    extended13 = dict(extended)
+    extended13["r13"] = frozenset(R._R12_DEFERRED)
+    with mock.patch.object(R, "_GREEN_ROUNDS", extended13):
+        names13 = list(R.all_specs())
+        assert not (set(names13[:len(R._R12_DEFERRED)]) & R._R12_DEFERRED)
+
+
 def test_r11_midround_rewrites_claim_r12_slots():
     """d14/m05 changed during r11 after the head was committed; once the
     r11 fold lands they must join the rewritten band, and a later green
