@@ -101,3 +101,27 @@ def money_cents(c: Column | str) -> Column:
             "silent floor(NaN)=0 would corrupt exact-cents totals')"
         ).cast("bigint"),
     ).otherwise(F.floor(col * 100 + F.lit(0.5)).cast("bigint"))
+
+
+def money_cents_decimal(c: Column | str) -> Column:
+    """Exact cents via the DECIMAL(12,4) idiom, LOUD on NaN.
+
+    The sibling idiom ``CAST(CAST(v AS DECIMAL(12,4)) * 100 AS BIGINT)``
+    (HALF_UP round at 4 decimals, then truncate at cents) has a
+    DIFFERENT silent NaN failure than the floor shape: Spark's
+    double→DECIMAL cast maps NaN to NULL, so a NaN money value silently
+    vanishes from sums instead of corrupting them — still a trace-less
+    data loss the DuckDB oracle refuses loudly. Same remedy, same
+    never-taken codegen branch; the non-NaN arithmetic is byte-identical
+    to the inline idiom (rounding semantics preserved — this is NOT
+    floor+0.5; parity on cents-boundary values pinned by
+    tests/test_nan_inputs.py)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.when(
+        F.isnan(col),
+        F.expr(
+            "raise_error('NaN money value: quarantine upstream — "
+            "silent DECIMAL(NaN)=NULL would drop rows from exact-cents "
+            "totals')"
+        ).cast("bigint"),
+    ).otherwise((col.cast("decimal(12,4)") * F.lit(100)).cast("bigint"))

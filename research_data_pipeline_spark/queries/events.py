@@ -46,14 +46,38 @@ def _tumbling(df: DataFrame) -> DataFrame:
     )
 
 
-@REGISTRY.add("e01_tumbling_counts", _TUMBLING_ORACLE, "events", "window-agg")
+# e01's own oracle: NaN excluded from the aggregate domain (r11 NaN
+# sweep, the e27/e29/e31 contract — Spark's NaN->decimal cast is silent
+# while DuckDB's is loud); NULL rows stay (counted; the sum skips them).
+# Kept SEPARATE from _TUMBLING_ORACLE so e02's streaming twin is
+# untouched until its own r13 slot.
+_TUMBLING_NANSAFE_ORACLE = """
+WITH ev AS (
+    SELECT * FROM events WHERE value IS NULL OR NOT isnan(value)
+)
+SELECT epoch_us(time_bucket(INTERVAL '5 minutes', ts)) AS window_start_us,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS total_value
+FROM ev
+GROUP BY 1, 2
+"""
+
+
+@REGISTRY.add("e01_tumbling_counts", _TUMBLING_NANSAFE_ORACLE, "events",
+              "window-agg")
 def e01_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5-minute tumbling window counts/sums (batch form).
 
     ``F.window`` buckets align to the epoch, as does DuckDB
     ``time_bucket`` for sub-day widths — both engines agree bucket-exact.
-    """
-    return _tumbling(load(spark, sf_dir, "events"))
+    NaN rows are excluded from the aggregate domain on both engines (r11
+    NaN-sweep contract); NULLs stay."""
+    return _tumbling(
+        load(spark, sf_dir, "events").where(
+            F.col("value").isNull() | ~F.isnan("value")
+        )
+    )
 
 
 @REGISTRY.add("e02_streaming_tumbling", _TUMBLING_ORACLE, "events", "streaming")
@@ -382,18 +406,24 @@ def e10_event_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @REGISTRY.add(
     "e11_multigrain_rollup",
     """
+    -- ev: NaN excluded from the aggregate domain (r11 NaN sweep, the
+    -- e27/e29/e31 contract: Spark's NaN->decimal cast is silent while
+    -- DuckDB's is loud); NULL rows stay (counted; the sum skips them)
+    WITH ev AS (
+        SELECT * FROM events WHERE value IS NULL OR NOT isnan(value)
+    )
     SELECT '5min' AS grain, epoch_us(time_bucket(INTERVAL '5 minutes', ts)) AS bucket_us,
            CAST(COUNT(*) AS BIGINT) AS n_events,
            CAST(CAST(SUM(CAST(value AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS total_value
-    FROM events GROUP BY 2
+    FROM ev GROUP BY 2
     UNION ALL
     SELECT 'hour', epoch_us(date_trunc('hour', ts)),
            CAST(COUNT(*) AS BIGINT), CAST(CAST(SUM(CAST(value AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE)
-    FROM events GROUP BY 2
+    FROM ev GROUP BY 2
     UNION ALL
     SELECT 'day', epoch_us(date_trunc('day', ts)),
            CAST(COUNT(*) AS BIGINT), CAST(CAST(SUM(CAST(value AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE)
-    FROM events GROUP BY 2
+    FROM ev GROUP BY 2
     """,
     "events",
     "rollup",
@@ -410,8 +440,12 @@ def e11_multigrain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     wide — found by the round-11 epoch-straddle corpus probe
     (scripts/probe_corpus.py epochs); DuckDB's time_bucket (origin
     2000-01-03, 300s-aligned ⇒ epoch-equivalent) and Spark's own
-    window()/date_trunc all floor. Identical output for ts >= 1970."""
-    e = load(spark, sf_dir, "events")
+    window()/date_trunc all floor. Identical output for ts >= 1970.
+    NaN rows are excluded from the aggregate domain on both engines (r11
+    NaN-sweep contract); NULLs stay."""
+    e = load(spark, sf_dir, "events").where(
+        F.col("value").isNull() | ~F.isnan("value")
+    )
     us = F.unix_micros("ts")
     five_min = F.timestamp_micros(us - F.pmod(us, F.lit(300_000_000)))
     grains = F.array(
@@ -845,11 +879,15 @@ def e21_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..tables import epoch_us
 
+    from ..functions.core import money_cents
+
     e = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     held = e.select(
         "user_id",
-        F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+        # money_cents, not the inline FLOOR idiom: floor(NaN) is a silent
+        # 0 engine-side while the oracle refuses loudly (r11 NaN triage)
+        money_cents("value").alias("cents"),
         (F.lead(epoch_us(F.col("ts"))).over(w) - epoch_us(F.col("ts"))).alias(
             "hold_us"
         ),
@@ -1650,7 +1688,13 @@ def e34_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 # windows are keyed by user; value sums ride DECIMAL(12,4) (exact,
 # order-free), recency crosses engines as epoch microseconds.
 _PIT_ORACLE = """
-    WITH h AS (
+    WITH ev AS (
+        -- NaN rows excluded from the feature-history domain on both
+        -- engines (r11 NaN-sweep contract: Spark's NaN->decimal cast is
+        -- silent while DuckDB's is loud); NULL values stay — counted in
+        -- n_prior_events, skipped by the spend sum.
+        SELECT * FROM events WHERE value IS NULL OR NOT isnan(value)
+    ), h AS (
         SELECT event_id, user_id, event_type, ts,
                epoch_us(ts) AS ts_us,
                COUNT(*) OVER w AS n_prior_events,
@@ -1660,7 +1704,7 @@ _PIT_ORACLE = """
                LAG(epoch_us(ts)) OVER
                    (PARTITION BY user_id ORDER BY ts, event_id)
                    AS prev_us
-        FROM events
+        FROM ev
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
     )
@@ -1680,10 +1724,14 @@ _PIT_ORACLE = """
 def e35_pit_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe training rows: one row per purchase label with the
     user's strictly-prior activity features (counts, exact prior spend,
-    microseconds since the previous event)."""
+    microseconds since the previous event). NaN rows are excluded from
+    the feature-history domain on both engines (r11 NaN-sweep
+    contract); NULLs stay."""
     from ..tables import epoch_us
 
-    ev = load(spark, sf_dir, "events")
+    ev = load(spark, sf_dir, "events").where(
+        F.col("value").isNull() | ~F.isnan("value")
+    )
     wo = W.partitionBy("user_id").orderBy("ts", "event_id")
     wp = wo.rowsBetween(W.unboundedPreceding, -1)
     h = ev.select(
@@ -1791,6 +1839,7 @@ _DECAY_ORACLE = """
 def e37_decayed_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user spend under a 30-day step half-life anchored at the log
     maximum (integer ppm weights — engine-exact, no float pow)."""
+    from ..functions.core import money_cents_decimal
     from ..tables import epoch_us
 
     ev = load(spark, sf_dir, "events")
@@ -1800,8 +1849,9 @@ def e37_decayed_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select(
             "user_id",
             us.alias("us"),
-            F.expr("CAST(CAST(value AS DECIMAL(12,4)) * 100 AS BIGINT)")
-            .alias("cents"),
+            # loud-on-NaN variant of the DECIMAL cents idiom (r11 triage:
+            # DECIMAL(NaN)=NULL silently dropped rows from sums)
+            money_cents_decimal("value").alias("cents"),
         )
         .crossJoin(F.broadcast(t))
         .withColumn(
@@ -1889,6 +1939,7 @@ _TDJ_ORACLE = f"""
 def e39_temporal_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Purchases enriched with the user's SCD2 state as of each event's
     timestamp (keyed join + interval filter; version fan-out bounded)."""
+    from ..functions.core import money_cents_decimal
     from ..tables import epoch_us
 
     scd = e34_scd2_intervals(spark, sf_dir).select(
@@ -1901,8 +1952,8 @@ def e39_temporal_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             "user_id",
             epoch_us(F.col("ts")).alias("ts_us"),
-            F.expr("CAST(CAST(value AS DECIMAL(12,4)) * 100 AS BIGINT)")
-            .alias("cents"),
+            # loud-on-NaN variant of the DECIMAL cents idiom (r11 triage)
+            money_cents_decimal("value").alias("cents"),
         )
     )
     return (

@@ -2043,11 +2043,14 @@ def q44_guarded_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     comes from the per-session q43 stats artifact — measured once per
     (session, dataset), a dict read afterwards — so no measurement
     aggregate runs here on the warm path."""
+    from ..functions.core import money_cents
     from ..operators.skew import maybe_salted_agg
 
     ev = load(spark, sf_dir, "events").select(
         "user_id",
-        F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+        # money_cents, not the inline FLOOR idiom: floor(NaN) is a silent
+        # 0 engine-side while the oracle refuses loudly (r11 NaN triage)
+        money_cents("value").alias("cents"),
     )
     out = maybe_salted_agg(
         ev,

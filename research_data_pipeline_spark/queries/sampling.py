@@ -1090,6 +1090,7 @@ def s18_cuped_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUPED θ (ppm, exact integral division) and covariate R² (µ-units)
     for per-user spend: pre-period = first half of the event log as the
     covariate for the second half."""
+    from ..functions.core import money_cents_decimal
     from ..tables import epoch_us
 
     ev = load(spark, sf_dir, "events")
@@ -1097,9 +1098,8 @@ def s18_cuped_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = ev.agg(F.min(us).alias("_mn"), F.max(us).alias("_mx")).select(
         F.expr("CAST((_mn + _mx) div 2 AS BIGINT)").alias("snap_us")
     )
-    cents = F.expr(
-        "CAST(CAST(value AS DECIMAL(12,4)) * 100 AS BIGINT)"
-    )
+    # loud-on-NaN variant of the DECIMAL cents idiom (r11 NaN triage)
+    cents = money_cents_decimal("value")
     u = (
         ev.select("user_id", us.alias("us"), cents.alias("cents"))
         .crossJoin(F.broadcast(t))

@@ -893,6 +893,12 @@ def run_stream_agg_merge_to_batch(
         (
             spark.read.parquet(os.path.abspath(events_path))
             .select("user_id", "value")
+            # NaN excluded from the maintained-aggregate domain at the
+            # staging boundary (r11 NaN-sweep contract, mirrors e26's
+            # batch domain and the shared oracle's WHERE); NULLs stay —
+            # counted, skipped by sum, and MIN/MAX NaN conventions never
+            # engage.
+            .where(F.col("value").isNull() | ~F.isnan("value"))
             .repartition(n_source_files)
             .write.mode("overwrite")
             .parquet(src_dir)

@@ -81,3 +81,91 @@ def test_money_cents_loud_on_nan_null_passthrough(spark):
     bad = spark.createDataFrame([(1.0,), (float("nan"),)], "v double")
     with pytest.raises(Exception, match="NaN money value"):
         bad.select(money_cents("v").alias("c")).collect()
+
+
+def test_money_cents_decimal_matches_inline_idiom_and_raises_on_nan(spark):
+    """The decimal-shape variant must be BYTE-IDENTICAL to the inline
+    `CAST(CAST(v AS DECIMAL(12,4)) * 100 AS BIGINT)` on every non-NaN
+    value — including the cents-boundary values where HALF_UP-at-4-
+    decimals-then-truncate differs from floor(v*100+0.5) — and LOUD on
+    NaN (the inline idiom silently maps NaN->NULL via the decimal
+    cast)."""
+    from research_data_pipeline_spark.functions.core import (
+        money_cents_decimal,
+    )
+
+    # cents-boundary corpus: .xx5 and .xx49/.xx51 neighborhoods, exact
+    # halves at the 4th decimal, negatives, zero, large magnitudes
+    vals = [
+        1.005, 2.994, -3.005, 0.0, 0.004999, 0.005001, 12.34495,
+        12.34505, -12.34505, 99999999.9999, -99999999.9999, 0.00005,
+        -0.00005, 7.77775, 123.4567, None,
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = df.select(money_cents_decimal("v").alias("c")).collect()
+    ref = df.select(
+        F.expr("CAST(CAST(v AS DECIMAL(12,4)) * 100 AS BIGINT)").alias("c")
+    ).collect()
+    assert [r["c"] for r in got] == [r["c"] for r in ref]
+
+    # the inline idiom is SILENT on NaN (NULL) — the hazard
+    silent = spark.createDataFrame([(float("nan"),)], "v double").select(
+        F.expr("CAST(CAST(v AS DECIMAL(12,4)) * 100 AS BIGINT)").alias("c")
+    ).first()
+    assert silent["c"] is None
+    # the helper is loud
+    bad = spark.createDataFrame([(1.0,), (float("nan"),)], "v double")
+    with pytest.raises(Exception, match="NaN money value"):
+        bad.select(money_cents_decimal("v").alias("c")).collect()
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["e01_tumbling_counts", "e11_multigrain_rollup",
+     "e30_stream_agg_merge", "e35_pit_training_set"],
+)
+def test_r12_nan_exclusion_queries_stay_oracle_exact(spark, nan_dir, name):
+    """Round-12 batch of the NaN-exclusion contract (e27/e29/e31
+    template): NaN rows leave the aggregate/feature-history domain on
+    BOTH engines, NULLs stay. Full parity on the NaN-poisoned corpus."""
+    from research_data_pipeline_spark.registry import all_specs
+
+    from .oracle import assert_parity
+
+    spec = all_specs()[name]
+    assert_parity(spec.fn(spark, nan_dir), spec.oracle, nan_dir, name)
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["e21_time_weighted_avg", "q44_guarded_hot_key_agg",
+     "e37_decayed_user_value", "e39_temporal_dim_join",
+     "s18_cuped_theta"],
+)
+def test_r12_money_cents_swaps_raise_loudly_on_nan(spark, nan_dir, name):
+    """Round-12 money_cents/_decimal swaps: on a NaN-poisoned value
+    column these queries now REFUSE loudly (matching the oracle's
+    behavior class) instead of silently zeroing/dropping cents."""
+    from research_data_pipeline_spark.registry import all_specs
+
+    spec = all_specs()[name]
+    with pytest.raises(Exception, match="NaN money value"):
+        spec.fn(spark, nan_dir).collect()
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["e21_time_weighted_avg", "q44_guarded_hot_key_agg",
+     "e37_decayed_user_value", "e39_temporal_dim_join",
+     "s18_cuped_theta"],
+)
+def test_r12_money_cents_swaps_unchanged_on_clean_data(spark, name):
+    """The never-taken NaN branch changes nothing on contract-conforming
+    data: full oracle parity at sf0.001 post-swap."""
+    from research_data_pipeline_spark.registry import all_specs
+
+    from .oracle import assert_parity
+
+    spec = all_specs()[name]
+    sf = "/root/testdata/sf0.001"
+    assert_parity(spec.fn(spark, sf), spec.oracle, sf, name)
