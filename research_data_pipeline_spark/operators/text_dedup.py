@@ -185,6 +185,49 @@ def _dictionary_minhash_table(
     return combined, n_words, tok
 
 
+def _encoded_token_sets(
+    df: DataFrame, id_col: str, text_col: str, force_strings: bool = False
+) -> DataFrame:
+    """Distinct-token sets for exact pair verification, dictionary-encoded
+    to 64-bit integer ids when that encode is provably lossless.
+
+    Per-candidate exact verification on mega-cluster corpora is the LSH
+    pair stream's 100×-scale wall (SCALE.md round-11-late: ~15 µs per
+    string-array intersection × ~1.16e9 candidates ≈ 5 core-hours), and
+    integer arrays intersect ~1.9× faster than string arrays (measured on
+    the exact wedge stage). The encode is ``xxhash64(token)`` — zero extra
+    joins or shuffles — guarded by an EXACT corpus-wide injectivity probe:
+    one aggregation comparing COUNT(DISTINCT token) with
+    COUNT(DISTINCT xxhash64(token)). Equal counts prove the hash is
+    injective on THIS corpus's vocabulary, and an injective element map
+    preserves set intersection/union sizes exactly — so every emitted
+    (i, j, jaccard) is identical to the string path, pair for pair
+    (pinned by tests/test_properties.py). On a hash collision
+    (~V²/2⁶⁵ — never observed; the guard exists so the fallback is loud
+    in telemetry, not silent corruption) verification falls back to the
+    string arrays.
+    """
+    tok = _distinct_tokens(df, id_col, text_col)
+    if force_strings:
+        n_vocab, n_hashed = -1, -2
+    else:
+        n_vocab, n_hashed = tok.agg(
+            F.countDistinct("token"),
+            F.countDistinct(F.xxhash64("token")),
+        ).first()
+    from .decisions import record
+
+    record(
+        "verify_token_encoding",
+        n_vocab=n_vocab,
+        path="int_ids" if n_vocab == n_hashed else "strings",
+    )
+    arr = tokens(F.col(text_col))
+    if n_vocab == n_hashed:
+        arr = F.transform(arr, lambda t: F.xxhash64(t))
+    return df.select(F.col(id_col), F.array_distinct(arr).alias("tokens"))
+
+
 def _mask_intersection_size(ma, mb, n_words: int) -> F.Column:
     # unrolled at plan time: plain codegen expressions, no interpreted
     # higher-order functions in the per-pair hot path
@@ -209,6 +252,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.9,
     materialize: bool = True,
     emit_counts: bool = False,
+    verify_encoding: str = "auto",
 ) -> DataFrame:
     """Near-duplicate pairs via banded MinHash LSH, verified with exact
     token-set Jaccard. Returns (i, j, jaccard), i < j, jaccard ≥ threshold;
@@ -220,7 +264,10 @@ def minhash_lsh_pairs(
     hash self-join on (band_idx, xxhash64(band_val)) — a 64-bit join key
     instead of a 128-char concat string; verification via broadcast
     bitmask lookup (``token_bitmasks``) when the vocabulary is dictionary-
-    sized, else per-pair token-array intersection. The xxhash64 can only
+    sized, else per-pair intersection of int-id-encoded token arrays
+    (``_encoded_token_sets`` — injectivity-guarded xxhash64 encode,
+    ~1.9× per pair vs string arrays; ``verify_encoding="strings"``
+    forces the string fallback). The xxhash64 can only
     ADD candidate pairs (a 2⁻⁶⁴ bucket merge), never drop one, and every
     candidate is verified with exact Jaccard — the output is unchanged.
 
@@ -326,8 +373,11 @@ def minhash_lsh_pairs(
             F.col(f"a.{id_col}").alias("i"), F.col(f"b.{id_col}").alias("j")
         )
         cand = branch if cand is None else cand.unionByName(branch)
-    tok_sets = df.select(
-        F.col(id_col), F.array_distinct(tokens(F.col(text_col))).alias("tokens")
+    # verification arrays are int-id-encoded when provably lossless
+    # (``verify_encoding="strings"`` pins the fallback path for the
+    # pair-for-pair identity test) — see _encoded_token_sets
+    tok_sets = _encoded_token_sets(
+        df, id_col, text_col, force_strings=verify_encoding == "strings"
     )
     ti = tok_sets.select(F.col(id_col).alias("i"), F.col("tokens").alias("tokens_i"))
     tj = tok_sets.select(F.col(id_col).alias("j"), F.col("tokens").alias("tokens_j"))
@@ -633,9 +683,11 @@ def exact_jaccard_ppm(
             )
             .drop("_na", "_nb", "_ma", "_mb", "_inter")
         )
-    toks = docs.select(
-        F.col(id_col),
-        F.array_distinct(F.split(F.col(text_col), " ")).alias("_t"),
+    # same int-id verification lever as minhash_lsh_pairs' open-vocab
+    # path: ~1.9x per-pair when the injectivity probe holds, integer
+    # (inter, union) counts identical by injectivity either way
+    toks = _encoded_token_sets(docs, id_col, text_col).withColumnRenamed(
+        "tokens", "_t"
     )
     if use_broadcast:
         toks = F.broadcast(toks)

@@ -1479,3 +1479,60 @@ def test_scc_dangling_edge_endpoints_share_contract(spark):
         }
         assert got == want, dme
         assert set(got.values()) <= set(range(5)), dme
+
+
+# ---------------------------------------------------------------------------
+# Round-12: int-id verification in the open-vocabulary LSH path
+
+
+def _open_vocab_corpus():
+    # vocab > 4096 distinct tokens forces the open-vocabulary path (the
+    # dictionary bitmask table bails), with exact dups and 27/28-token
+    # near-dups so the pair stream is non-trivial at threshold 0.9
+    rows = []
+    for d in range(220):
+        base = [f"tok{(d * 29 + k) % 6500}" for k in range(28)]
+        rows.append((3 * d, " ".join(base)))
+        rows.append((3 * d + 1, " ".join(base[:-1])))  # jaccard 27/28
+        if d % 4 == 0:
+            rows.append((3 * d + 2, " ".join(base)))  # exact dup
+    return rows
+
+
+def test_minhash_int_id_verification_is_pair_for_pair_identical(spark):
+    """The injectivity-guarded xxhash64 token encode must not change ONE
+    emitted pair or jaccard double vs the string path (output invariance
+    of SCALE.md's round-11 int-id lever), and the guard must report the
+    int path was actually taken on an open-vocabulary corpus."""
+    from research_data_pipeline_spark.operators import decisions
+    from research_data_pipeline_spark.operators.text_dedup import (
+        minhash_lsh_pairs,
+    )
+
+    rows = _open_vocab_corpus()
+    vocab = {t for _, txt in rows for t in txt.split()}
+    assert len(vocab) > 4096  # open-vocab path engaged
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got_int = {
+        (r["i"], r["j"]): r["jaccard"]
+        for r in minhash_lsh_pairs(df, "doc_id", "text", threshold=0.9).collect()
+    }
+    assert decisions.LAST["verify_token_encoding"]["path"] == "int_ids"
+    got_str = {
+        (r["i"], r["j"]): r["jaccard"]
+        for r in minhash_lsh_pairs(
+            df, "doc_id", "text", threshold=0.9, verify_encoding="strings"
+        ).collect()
+    }
+    assert decisions.LAST["verify_token_encoding"]["path"] == "strings"
+    assert got_int == got_str  # pair-for-pair, double-for-double
+    # and the reported jaccards are the exact set jaccards
+    sets = {i: frozenset(t.split()) for i, t in rows}
+    for (a, b), j in got_int.items():
+        exact = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+        assert abs(j - exact) < 1e-12
+        assert j >= 0.9
+    # exact dups always collide (identical signature -> every band)
+    assert all(
+        (3 * d, 3 * d + 2) in got_int for d in range(0, 220, 4)
+    )
