@@ -253,6 +253,7 @@ def minhash_lsh_pairs(
     materialize: bool = True,
     emit_counts: bool = False,
     verify_encoding: str = "auto",
+    escalate_pop: int = 1000,
 ) -> DataFrame:
     """Near-duplicate pairs via banded MinHash LSH, verified with exact
     token-set Jaccard. Returns (i, j, jaccard), i < j, jaccard ≥ threshold;
@@ -277,6 +278,24 @@ def minhash_lsh_pairs(
     executor memory (same contract as similarity.ann_topk_ivf).
     ``materialize=False`` returns the lazy plan and leaves the caches
     live; the caller must consume the result once, then clear them.
+
+    **Mega-cluster band escalation** (``escalate_pop``): real web corpora
+    put large fractions of documents into ONE band bucket (shared
+    boilerplate skeleton — measured 46% of the sf0.1 corpus in a single
+    band-0 bucket, SCALE.md round-11-late), and candidate mass within a
+    bucket is pop² while its true near-dup pairs are ~linear — the
+    verification stage becomes the first 100 TB wall. Any band bucket
+    whose population exceeds ``escalate_pop`` therefore escalates its
+    candidacy rule from the rows-per-band band key to the DOUBLE-width
+    extended key (this band's rows + the next band's, cyclically): the
+    join key itself gets finer, so the quadratic bucket mass collapses
+    at the shuffle, not post-hoc. This CHANGES emitted recall inside
+    mega buckets (a true pair there must now match 2× rows-per-band
+    signature rows; identical documents always still match), so every
+    oracle mirrors the rule exactly (queries/docs.py::_band_cand_ctes)
+    and the d55/d59 calibration audits re-pin the agreement curve.
+    Corpora with ``n_docs <= escalate_pop`` can never reach the bar and
+    skip the population pass entirely (plans unchanged).
     """
     rows_per_band = n_hashes // bands
     encoded = _dictionary_minhash_table(df, id_col, text_col, n_hashes)
@@ -312,7 +331,40 @@ def minhash_lsh_pairs(
         for b in range(bands)
     ]
     carry = ["n_tokens", "mask"] if combined is not None else []
-    banded = sig.select(F.col(id_col), *carry, *band_cols)
+    # escalation engages only when a bucket COULD exceed the bar (and an
+    # extended key exists to escalate to); otherwise no population pass,
+    # no extra columns — the plan is byte-identical to the plain path
+    escalation = bands > 1 and n_docs > escalate_pop
+    record(
+        "minhash_lsh_band_escalation",
+        n=n_docs,
+        escalate_pop=escalate_pop,
+        path="escalating" if escalation else "plain",
+    )
+    if escalation:
+        from pyspark.sql import Window as W
+
+        bandx_cols = [
+            F.xxhash64(
+                *[
+                    F.col(f"mh{bb * rows_per_band + r}")
+                    for bb in (b, (b + 1) % bands)
+                    for r in range(rows_per_band)
+                ]
+            ).alias(f"bandx{b}")
+            for b in range(bands)
+        ]
+        banded = sig.select(F.col(id_col), *carry, *band_cols, *bandx_cols)
+        for b in range(bands):
+            banded = banded.withColumn(
+                f"pop{b}", F.count(F.lit(1)).over(W.partitionBy(f"band{b}"))
+            )
+        # one row per doc; materialize so the per-band population windows
+        # run once, not once per branch, then the sig cache can go
+        banded = banded.localCheckpoint()
+        sig.unpersist()
+    else:
+        banded = sig.select(F.col(id_col), *carry, *band_cols)
 
     # First-match band emission: a pair colliding in k bands must be
     # verified once, not k times. Branch b joins on band-b equality and
@@ -325,14 +377,45 @@ def minhash_lsh_pairs(
     # each branch is a plain hash self-join on its band value — the
     # scalable path, chosen exactly like similarity.py's guarded
     # broadcast.
-    def _branch(bi: int):
-        a, b = banded.alias("a"), banded.alias("b")
-        cond = (F.col(f"a.band{bi}") == F.col(f"b.band{bi}")) & (
-            F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
-        )
+    def _pair_cond(bi: int) -> F.Column:
+        cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
         for bj in range(bi):
-            cond &= F.col(f"a.band{bj}") != F.col(f"b.band{bj}")
-        return a.join(F.broadcast(b) if use_broadcast else b, cond)
+            # NOT collide(bj): band value differs, or — under escalation,
+            # when bj's bucket is a mega bucket — the extended key
+            # differs. a.pop == b.pop whenever the band values match, so
+            # a's population decides symmetrically.
+            differ = F.col(f"a.band{bj}") != F.col(f"b.band{bj}")
+            if escalation:
+                differ = differ | (
+                    (F.col(f"a.pop{bj}") > escalate_pop)
+                    & (F.col(f"a.bandx{bj}") != F.col(f"b.bandx{bj}"))
+                )
+            cond &= differ
+        return cond
+
+    def _branch_joins(bi: int) -> list[DataFrame]:
+        if not escalation:
+            a, b = banded.alias("a"), banded.alias("b")
+            cond = (F.col(f"a.band{bi}") == F.col(f"b.band{bi}")) & _pair_cond(bi)
+            return [a.join(F.broadcast(b) if use_broadcast else b, cond)]
+        # two keyed sub-joins per band: sub-bar buckets join on the band
+        # value as before; mega buckets join on (band, extended) so the
+        # finer shuffle key — not a post-join filter — kills the pop²
+        # candidate mass. A pair's bucket population is a bucket
+        # property, so both members land on the same side of the split.
+        small = banded.where(F.col(f"pop{bi}") <= escalate_pop)
+        big = banded.where(F.col(f"pop{bi}") > escalate_pop)
+        out = []
+        for side, keys in (
+            (small, [f"band{bi}"]),
+            (big, [f"band{bi}", f"bandx{bi}"]),
+        ):
+            a, b = side.alias("a"), side.alias("b")
+            cond = _pair_cond(bi)
+            for k in keys:
+                cond = (F.col(f"a.{k}") == F.col(f"b.{k}")) & cond
+            out.append(a.join(F.broadcast(b) if use_broadcast else b, cond))
+        return out
 
     if combined is not None:
         # verification is fused into the candidate joins: mask + size
@@ -352,27 +435,28 @@ def minhash_lsh_pairs(
         )
         out = None
         for bi in range(bands):
-            branch = (
-                _branch(bi)
-                .withColumn("jaccard", jac)
-                .where(F.col("jaccard") >= threshold)
-                .select(
-                    F.col(f"a.{id_col}").alias("i"),
-                    F.col(f"b.{id_col}").alias("j"),
-                    "jaccard",
-                    *extra,
+            for joined in _branch_joins(bi):
+                branch = (
+                    joined.withColumn("jaccard", jac)
+                    .where(F.col("jaccard") >= threshold)
+                    .select(
+                        F.col(f"a.{id_col}").alias("i"),
+                        F.col(f"b.{id_col}").alias("j"),
+                        "jaccard",
+                        *extra,
+                    )
                 )
-            )
-            out = branch if out is None else out.unionByName(branch)
+                out = branch if out is None else out.unionByName(branch)
         return _finish(out)
     # open vocabulary: candidates are already distinct (first-match
     # emission), so token arrays ship to each pair exactly once
     cand = None
     for bi in range(bands):
-        branch = _branch(bi).select(
-            F.col(f"a.{id_col}").alias("i"), F.col(f"b.{id_col}").alias("j")
-        )
-        cand = branch if cand is None else cand.unionByName(branch)
+        for joined in _branch_joins(bi):
+            branch = joined.select(
+                F.col(f"a.{id_col}").alias("i"), F.col(f"b.{id_col}").alias("j")
+            )
+            cand = branch if cand is None else cand.unionByName(branch)
     # verification arrays are int-id-encoded when provably lossless
     # (``verify_encoding="strings"`` pins the fallback path for the
     # pair-for-pair identity test) — see _encoded_token_sets

@@ -159,12 +159,58 @@ _mh_cols = ",\n           ".join(
     f"min(md5('{i}:' || token)) AS mh{i}" for i in range(_N_HASHES)
 )
 _rpb = _N_HASHES // _BANDS
-_band_selects = "\n        UNION ALL ".join(
-    "SELECT doc_id, {b} AS band_idx, {concat} AS band_val FROM mh".format(
-        b=b, concat="||".join(f"mh{b * _rpb + r}" for r in range(_rpb))
+
+# Mega-cluster band-escalation bar (round 12, the 100×-grid LSH wedge):
+# a band bucket holding more than this many documents has pop² candidate
+# mass against ~linear true pairs (the boilerplate pathology — 46% of the
+# sf0.1 corpus shares ONE band-0 bucket, SCALE.md round-11-late), so
+# within such buckets candidacy escalates to the double-width extended
+# band key. sf0.01's 500-doc corpus can never reach the bar (driver
+# correctness rows unchanged); sf0.1's 2,311-doc bucket and the sf10
+# grid's ~2.7k-doc replica buckets DO escalate — a declared recall
+# change, engine and oracle in lockstep (d06/d19 rotation-flagged,
+# d55/d59 calibration audits re-pin the agreement curve).
+_ESCALATE_POP = 1000
+
+
+def _band_cand_ctes(escalate_pop: int = _ESCALATE_POP) -> str:
+    """bands/pband/cand CTE fragment shared by every LSH oracle — mirrors
+    ``operators/text_dedup.minhash_lsh_pairs``'s band-escalation rule
+    exactly: a pair is a candidate iff some band's value matches AND
+    (that bucket's population ≤ the bar OR the extended key — this
+    band's rows plus the next band's, cyclically — also matches). Tests
+    pass a tiny ``escalate_pop`` to pin the RULE against the engine on
+    corpora where buckets actually exceed it, not just the default bar.
+    """
+    band_selects = "\n        UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_idx, {concat} AS band_val, "
+        "{ext} AS band_ext FROM mh".format(
+            b=b,
+            concat="||".join(f"mh{b * _rpb + r}" for r in range(_rpb)),
+            ext="||".join(
+                f"mh{bb * _rpb + r}"
+                for bb in (b, (b + 1) % _BANDS)
+                for r in range(_rpb)
+            ),
+        )
+        for b in range(_BANDS)
     )
-    for b in range(_BANDS)
-)
+    return f"""bands AS (
+        {band_selects}
+    ), pband AS (
+        SELECT doc_id, band_idx, band_val, band_ext,
+               COUNT(*) OVER (PARTITION BY band_idx, band_val) AS pop
+        FROM bands
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+        FROM pband a JOIN pband b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+         AND (a.pop <= {escalate_pop} OR a.band_ext = b.band_ext)
+    )"""
+
+
+_BAND_CAND_CTES = _band_cand_ctes()
 
 _MINHASH_ORACLE = f"""
     WITH toks AS (
@@ -174,14 +220,7 @@ _MINHASH_ORACLE = f"""
     ), mh AS (
         SELECT doc_id, {_mh_cols}
         FROM tok GROUP BY doc_id
-    ), bands AS (
-        {_band_selects}
-    ), cand AS (
-        SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
-        FROM bands a JOIN bands b
-          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
-         AND a.doc_id < b.doc_id
-    )
+    ), {_BAND_CAND_CTES}
     SELECT c.i, c.j,
            len(list_intersect(ta.tokens, tb.tokens)) * 1.0
              / (len(ta.tokens) + len(tb.tokens) - len(list_intersect(ta.tokens, tb.tokens)))
@@ -797,14 +836,7 @@ _CLUSTER_CTES = f"""
     ), mh AS (
         SELECT doc_id, {_mh_cols}
         FROM tok GROUP BY doc_id
-    ), bands AS (
-        {_band_selects}
-    ), cand AS (
-        SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
-        FROM bands a JOIN bands b
-          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
-         AND a.doc_id < b.doc_id
-    ), pairs AS (
+    ), {_BAND_CAND_CTES}, pairs AS (
         SELECT c.i, c.j
         FROM cand c
         JOIN toks ta ON ta.doc_id = c.i
@@ -3931,14 +3963,7 @@ _MHCAL_ORACLE = f"""
     ), mh AS (
         SELECT doc_id, {_mh_cols}
         FROM tok GROUP BY doc_id
-    ), bands AS (
-        {_band_selects}
-    ), cand AS (
-        SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
-        FROM bands a JOIN bands b
-          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
-         AND a.doc_id < b.doc_id
-    ), toks AS (
+    ), {_BAND_CAND_CTES}, toks AS (
         SELECT doc_id, {_DTOKS} AS tokens FROM {_MHCAL_DOCS_SQL}
     ), scored AS (
         SELECT CAST({_MH_EST} AS BIGINT) AS est_match,
@@ -4569,14 +4594,7 @@ _SWEEP_ORACLE = f"""
     ), mh AS (
         SELECT doc_id, {_mh_cols}
         FROM tok GROUP BY doc_id
-    ), bands AS (
-        {_band_selects}
-    ), cand AS (
-        SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
-        FROM bands a JOIN bands b
-          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
-         AND a.doc_id < b.doc_id
-    ), pairs AS (
+    ), {_BAND_CAND_CTES}, pairs AS (
         SELECT c.i, c.j,
                len(list_intersect(ta.tokens, tb.tokens)) * 1.0
                  / (len(ta.tokens) + len(tb.tokens)
@@ -5146,14 +5164,7 @@ _COND_ORACLE = f"""
     ), mh AS (
         SELECT doc_id, {_mh_cols}
         FROM tok GROUP BY doc_id
-    ), bands AS (
-        {_band_selects}
-    ), cand AS (
-        SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
-        FROM bands a JOIN bands b
-          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
-         AND a.doc_id < b.doc_id
-    ), pj AS (
+    ), {_BAND_CAND_CTES}, pj AS (
         SELECT c.i, c.j,
                len(list_intersect(ta.tokens, tb.tokens)) * 1.0
                  / (len(ta.tokens) + len(tb.tokens)

@@ -1485,13 +1485,16 @@ def test_scc_dangling_edge_endpoints_share_contract(spark):
 # Round-12: int-id verification in the open-vocabulary LSH path
 
 
-def _open_vocab_corpus():
+def _open_vocab_corpus(n_groups=350):
     # vocab > 4096 distinct tokens forces the open-vocabulary path (the
     # dictionary bitmask table bails), with exact dups and 27/28-token
-    # near-dups so the pair stream is non-trivial at threshold 0.9
+    # near-dups so the pair stream is non-trivial at threshold 0.9; the
+    # stride-14 overlap gives neighbor groups jaccard ~0.33 so band
+    # buckets genuinely chain across groups (the escalation test needs
+    # over-bar buckets whose members differ on the extended key)
     rows = []
-    for d in range(220):
-        base = [f"tok{(d * 29 + k) % 6500}" for k in range(28)]
+    for d in range(n_groups):
+        base = [f"tok{d * 14 + k}" for k in range(28)]
         rows.append((3 * d, " ".join(base)))
         rows.append((3 * d + 1, " ".join(base[:-1])))  # jaccard 27/28
         if d % 4 == 0:
@@ -1534,5 +1537,85 @@ def test_minhash_int_id_verification_is_pair_for_pair_identical(spark):
         assert j >= 0.9
     # exact dups always collide (identical signature -> every band)
     assert all(
-        (3 * d, 3 * d + 2) in got_int for d in range(0, 220, 4)
+        (3 * d, 3 * d + 2) in got_int for d in range(0, 350, 4)
     )
+
+
+@pytest.mark.parametrize("corpus", ["open_vocab", "dict_vocab"])
+def test_band_escalation_rule_matches_oracle_and_has_teeth(
+    spark, tmp_path, corpus
+):
+    """Engine and DuckDB oracle must apply the SAME mega-bucket
+    escalation rule (band match AND (pop <= bar OR extended-key match)),
+    pinned at a tiny bar where buckets actually exceed it — on both
+    verification paths (dictionary bitmask and open-vocab int-id). And
+    the rule must have teeth: strictly fewer pairs than the plain band
+    join on a corpus with over-bar buckets, while staying a subset."""
+    import duckdb
+
+    from research_data_pipeline_spark.operators.text_dedup import (
+        minhash_lsh_pairs,
+    )
+    from research_data_pipeline_spark.queries.docs import (
+        _DTOKS,
+        _band_cand_ctes,
+        _mh_cols,
+    )
+
+    if corpus == "open_vocab":
+        rows = _open_vocab_corpus()
+    else:
+        # 6-word vocab -> bitmask path; groups of sharing docs so band
+        # buckets exceed a bar of 2
+        words = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+        rows = []
+        for d in range(40):
+            base = [words[(d + k) % 6] for k in range(5)]
+            rows.append((3 * d, " ".join(base)))
+            rows.append((3 * d + 1, " ".join(base[:-1])))
+            rows.append((3 * d + 2, " ".join(base)))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    # threshold 0.0: every verified candidate is emitted, so the compare
+    # pins the full candidate set (the thing escalation changes), not
+    # just the >=0.9 survivors
+    bar = 2
+    got = {
+        (r["i"], r["j"])
+        for r in minhash_lsh_pairs(
+            df, "doc_id", "text", threshold=0.0, escalate_pop=bar
+        ).collect()
+    }
+    plain = {
+        (r["i"], r["j"])
+        for r in minhash_lsh_pairs(
+            df, "doc_id", "text", threshold=0.0, escalate_pop=10**9
+        ).collect()
+    }
+    assert got <= plain
+    d = str(tmp_path / f"docs_{corpus}")
+    df.write.mode("overwrite").parquet(d)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{d}/*.parquet'")
+    jac = (
+        "len(list_intersect(ta.tokens, tb.tokens)) * 1.0 / "
+        "(len(ta.tokens) + len(tb.tokens) "
+        "- len(list_intersect(ta.tokens, tb.tokens)))"
+    )
+    exp = {
+        (i, j)
+        for i, j in con.execute(f"""
+            WITH toks AS (SELECT doc_id, {_DTOKS} AS tokens FROM documents),
+            tok AS (SELECT doc_id, unnest(tokens) AS token FROM toks),
+            mh AS (SELECT doc_id, {_mh_cols} FROM tok GROUP BY doc_id),
+            {_band_cand_ctes(bar)}
+            SELECT c.i, c.j FROM cand c
+            JOIN toks ta ON ta.doc_id = c.i
+            JOIN toks tb ON tb.doc_id = c.j
+            WHERE {jac} >= 0.0
+        """).fetchall()
+    }
+    con.close()
+    assert got == exp
+    # teeth: these corpora have over-bar buckets with sub-extended-key
+    # near-dup pairs, so escalation must actually drop some
+    assert len(got) < len(plain), (len(got), len(plain))
