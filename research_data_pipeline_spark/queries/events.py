@@ -20,16 +20,6 @@ from ..tables import load
 
 D = "decimal(12,4)"
 
-_TUMBLING_ORACLE = """
-SELECT epoch_us(time_bucket(INTERVAL '5 minutes', ts)) AS window_start_us,
-       event_type,
-       CAST(COUNT(*) AS BIGINT) AS n_events,
-       CAST(CAST(SUM(CAST(value AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS total_value
-FROM events
-GROUP BY 1, 2
-"""
-
-
 def _tumbling(df: DataFrame) -> DataFrame:
     return (
         df.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
@@ -46,11 +36,10 @@ def _tumbling(df: DataFrame) -> DataFrame:
     )
 
 
-# e01's own oracle: NaN excluded from the aggregate domain (r11 NaN
-# sweep, the e27/e29/e31 contract — Spark's NaN->decimal cast is silent
-# while DuckDB's is loud); NULL rows stay (counted; the sum skips them).
-# Kept SEPARATE from _TUMBLING_ORACLE so e02's streaming twin is
-# untouched until its own r13 slot.
+# Shared by e01 and its streaming twin e02 (r12 closed the twin's slot):
+# NaN excluded from the aggregate domain (r11 NaN sweep, the e27/e29/e31
+# contract — Spark's NaN->decimal cast is silent while DuckDB's is
+# loud); NULL rows stay (counted; the sum skips them).
 _TUMBLING_NANSAFE_ORACLE = """
 WITH ev AS (
     SELECT * FROM events WHERE value IS NULL OR NOT isnan(value)
@@ -80,13 +69,16 @@ def e01_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@REGISTRY.add("e02_streaming_tumbling", _TUMBLING_ORACLE, "events", "streaming")
+@REGISTRY.add("e02_streaming_tumbling", _TUMBLING_NANSAFE_ORACLE, "events",
+              "streaming")
 def e02_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same aggregation executed as a Structured Streaming query.
 
     Runs the parquet file through ``readStream`` (complete output mode →
     every window present once the source drains) and returns the final
-    in-memory table. Proves batch/stream semantic parity on one oracle.
+    in-memory table. Proves batch/stream semantic parity on one oracle —
+    including e01's NaN-exclusion domain contract (the filter lives in
+    the streaming job so batch and stream share one oracle).
     """
     from ..streaming.jobs import run_tumbling_stream_to_batch
 
@@ -310,7 +302,9 @@ def e07_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
            MAX(value) AS max_value
-    FROM events GROUP BY user_id
+    FROM events
+    WHERE value IS NOT NULL AND NOT isnan(value)
+    GROUP BY user_id
     """,
     "events",
     "streaming",
@@ -319,7 +313,12 @@ def e07_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def e08_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator (GroupState) executed as a real streaming
     query and drained to batch; single-batch source → the update-mode
-    emission equals the batch aggregate, giving an exact oracle."""
+    emission equals the batch aggregate, giving an exact oracle.
+
+    NULL/NaN values are outside the stateful domain on both engines
+    (e24's contract — Arrow hands pandas both as NaN, so one malformed
+    event would otherwise freeze the user's running max; see
+    streaming/jobs.py::stateful_user_stats)."""
     from ..streaming.jobs import run_stateful_stats_to_batch
 
     return run_stateful_stats_to_batch(spark, f"{sf_dir}/events.parquet")
@@ -546,6 +545,7 @@ _SSJOIN_ORACLE = """
            CAST(COUNT(*) AS BIGINT) AS n_events,
            CAST(CAST(SUM(CAST(e.value AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS total_value
     FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.value IS NULL OR NOT isnan(e.value)
     GROUP BY 1
 """
 
@@ -2111,6 +2111,7 @@ def e41_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     so n·(c div n) + c % n == c holds on both engines — pinned by
     tests/test_unicode_parity.py::
     test_integer_split_division_parity_on_negatives."""
+    from ..functions.core import money_cents
     from ..tables import epoch_us
 
     e = load(spark, sf_dir, "events")
@@ -2124,7 +2125,9 @@ def e41_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.col("event_id").alias("purchase_id"),
         epoch_us(F.col("ts")).alias("p_us"),
-        F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+        # money_cents, not the inline FLOOR idiom: floor(NaN) is a silent
+        # 0 engine-side while the oracle refuses loudly (r11 NaN triage)
+        money_cents("value").alias("cents"),
     )
     j = p.join(t, "user_id").where(
         (F.col("t_us") < F.col("p_us"))

@@ -2110,9 +2110,13 @@ def q45_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recomputed-vs-stored order totals per status in exact
     10⁻⁶-dollar integers: within-a-cent counts, mismatch ppm, mean
     absolute drift."""
+    from ..functions.core import money_cents
+
     l = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders")
-    cents = lambda c: F.expr(f"CAST(FLOOR({c} * 100 + 0.5) AS BIGINT)")  # noqa: E731
+    # money_cents, not the inline FLOOR idiom: floor(NaN) is a silent
+    # 0 engine-side while the oracle refuses loudly (r11 NaN triage)
+    cents = lambda c: money_cents(F.col(c))  # noqa: E731
     ln = l.groupBy("l_orderkey").agg(
         F.sum(
             cents("l_extendedprice")

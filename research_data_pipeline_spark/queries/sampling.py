@@ -1380,9 +1380,13 @@ def s21_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     u2_a + u2_b = 2·n_a·n_b identity as a hard signal."""
     from pyspark.sql import Window as W
 
+    from ..functions.core import money_cents
+
     ev = load(spark, sf_dir, "events").select(
         "event_type",
-        F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+        # money_cents, not the inline FLOOR idiom: floor(NaN) is a silent
+        # 0 engine-side while the oracle refuses loudly (r11 NaN triage)
+        money_cents("value").alias("cents"),
         (md5_bucket(F.col("user_id")) % _BUCKETS < 500_000).alias("in_a"),
     )
     h = ev.groupBy("event_type", "cents").agg(
@@ -1474,6 +1478,7 @@ def s22_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     value sums, the max(0, ·) recursion folded over the sorted day
     array JVM-side, alarm at μ div 2 above the μ + μ div 20 drift
     allowance."""
+    from ..functions.core import money_cents
     from ..tables import epoch_us
 
     ev = load(spark, sf_dir, "events").select(
@@ -1481,7 +1486,8 @@ def s22_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         # integer div, not float /: a double quotient landing an ULP
         # under an exact day boundary would floor to the previous day
         epoch_us(F.col("ts")).alias("us"),
-        F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+        # money_cents, not the inline FLOOR idiom (r11 NaN triage)
+        money_cents("value").alias("cents"),
     ).select(
         "event_type",
         F.expr(f"us div {_CUSUM_DAY_US}").alias("day"),
@@ -1588,11 +1594,16 @@ def s23_delta_method_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-arm revenue-per-view ratio with the delta-method 95% CI:
     exact integer sufficient statistics (squares in DECIMAL(38,0)),
     one double formula identical on both engines."""
+    from ..functions.core import money_cents
+
     ev = load(spark, sf_dir, "events")
     pu = ev.groupBy("user_id").agg(
-        F.expr(
-            f"SUM(CASE WHEN event_type = 'purchase' THEN {_DM_CENTS}"
-            " ELSE 0 END)"
+        # money_cents under the purchase guard, not inline {_DM_CENTS}:
+        # floor(NaN) is a silent 0 engine-side while the oracle refuses
+        # loudly (r11 NaN triage); non-purchase rows never evaluate it
+        F.sum(
+            F.when(F.col("event_type") == "purchase", money_cents("value"))
+            .otherwise(F.lit(0).cast("bigint"))
         ).alias("x"),
         F.expr(
             "SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)"
@@ -1706,11 +1717,14 @@ def s24_msprt_always_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
     difference: exact integer sufficient statistics per arm, log Λ via
     the shared-text ln formula, decision at log Λ > ln 20 (always-valid
     p < 0.05)."""
+    from ..functions.core import money_cents
+
     ev = load(spark, sf_dir, "events")
     pu = ev.groupBy("user_id").agg(
-        F.expr(
-            f"SUM(CASE WHEN event_type = 'purchase' THEN {_DM_CENTS}"
-            " ELSE 0 END)"
+        # money_cents under the purchase guard (r11 NaN triage, s23 twin)
+        F.sum(
+            F.when(F.col("event_type") == "purchase", money_cents("value"))
+            .otherwise(F.lit(0).cast("bigint"))
         ).alias("x"),
     ).select(
         F.when(md5_bucket(F.col("user_id")) % 1000000 < 500000, "A")

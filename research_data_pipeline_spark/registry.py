@@ -499,6 +499,32 @@ _REWRITTEN_DURING_R11: frozenset[str] = frozenset({
     "e16_cohort_retention",
 })
 
+# Queries whose implementation changed DURING round 12, after the r12
+# rotation head (the 5 _REWRITTEN_SINCE_GREEN flags above + the 8-query
+# deferral below) was already committed at cap: the round-12 completion
+# of the NaN program — e02/e14 take e01's NaN-exclusion domain contract
+# in their streaming jobs, e08's stateful walk takes e24's
+# neither-sets-nor-breaks guard, and the LAST six exact-cents sites swap
+# the silent inline FLOOR idiom for the loud money_cents helper (e41,
+# s21, s22, q45's lambda, s23/s24's purchase-guarded aggregates). Every
+# edit is parity-pinned at sf0.01 locally (tests/test_nan_inputs.py +
+# test_oracle_parity) and provably output-identical on NaN-free corpora;
+# all nine sit in the r08/r09 green bands, so gating on max_round >= 12
+# hands them r13 head slots — exactly the slots the r11 verdict's cap
+# arithmetic budgeted for the r13 NaN batch (34 r08-band + 8 deferred +
+# these ≤ 50). Cleared by their fresh r13 greens like any rewrite.
+_REWRITTEN_DURING_R12: frozenset[str] = frozenset({
+    "e02_streaming_tumbling",
+    "e08_stateful_user_stats",
+    "e14_stream_static_join",
+    "e41_multitouch_attribution",
+    "s21_mann_whitney_u",
+    "s22_cusum_drift",
+    "s23_delta_method_ratio",
+    "s24_msprt_always_valid",
+    "q45_order_reconciliation",
+})
+
 # Round-11 over-cap deferral (self-expiring, r08-q23 precedent): this
 # round's verification demand is 52 — the 43 at-risk r06 greens that
 # must re-verify to hold the 5-round cycle invariant, plus the 14
@@ -638,6 +664,10 @@ def all_specs() -> dict[str, QuerySpec]:
             # joins the rewritten band once the r11 fold lands, unless a
             # newer green row already certifies the post-fix source
             if _last_green(name) <= 11:
+                return -1.0
+        if name in _REWRITTEN_DURING_R12 and max_round >= 12:
+            # same mechanics, one round later (the r12 NaN-program batch)
+            if _last_green(name) <= 12:
                 return -1.0
         lg = _last_green(name)
         if lg == 0:

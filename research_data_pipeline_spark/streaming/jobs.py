@@ -173,8 +173,20 @@ def _run_stream_to_batch(spark: SparkSession, events_path: str, transform,
 def run_tumbling_stream_to_batch(spark: SparkSession, events_path: str) -> DataFrame:
     """Tumbling aggregation as a streaming query; complete output mode →
     the in-memory table holds every window once the source is exhausted,
-    making the result comparable to the batch oracle."""
-    return _run_stream_to_batch(spark, events_path, tumbling_agg, "complete")
+    making the result comparable to the batch oracle.
+
+    NaN values are excluded from the aggregate domain at the stream
+    boundary (e01's batch contract, shared oracle — Spark's NaN->decimal
+    cast is silent while DuckDB refuses); NULL rows stay: counted, the
+    decimal sum skips them identically in both engines."""
+    return _run_stream_to_batch(
+        spark,
+        events_path,
+        lambda s: tumbling_agg(
+            s.where(F.col("value").isNull() | ~F.isnan("value"))
+        ),
+        "complete",
+    )
 
 
 def run_dedup_stream_to_batch(spark: SparkSession, events_path: str,
@@ -328,8 +340,16 @@ def stateful_user_stats(stream: DataFrame) -> DataFrame:
             {"user_id": [key[0]], "n_events": [n], "max_value": [mx]}
         )
 
+    # NULL and NaN values are excluded from the stateful domain before
+    # the walk (e24's neither-sets-nor-breaks contract, r12): Arrow hands
+    # the pandas worker BOTH as NaN, so a single malformed event would
+    # make ``max(-inf, nan)`` poison the running max for its user forever
+    # while the DuckDB oracle's MAX ranks NaN greatest — neither engine's
+    # convention is the monitored quantity. Users with only excluded
+    # values are absent, same as the oracle's filtered frame.
     return (
         stream.select("user_id", "value")
+        .where(F.col("value").isNotNull() & ~F.isnan("value"))
         .groupBy("user_id")
         .applyInPandasWithState(
             update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
@@ -563,6 +583,10 @@ def run_stream_static_join_to_batch(
     the drained totals equal the batch result."""
 
     def transform(s: DataFrame) -> DataFrame:
+        # NaN excluded from the maintained-aggregate domain at the stream
+        # boundary (e01/e02 contract, mirrored in e14's oracle WHERE);
+        # NULL rows stay — counted, skipped by the decimal sum
+        s = s.where(F.col("value").isNull() | ~F.isnan("value"))
         return (
             s.join(F.broadcast(dim), s["user_id"] == dim["c_custkey"])
             .groupBy("c_mktsegment")

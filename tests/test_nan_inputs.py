@@ -122,7 +122,9 @@ def test_money_cents_decimal_matches_inline_idiom_and_raises_on_nan(spark):
 @pytest.mark.parametrize(
     "name",
     ["e01_tumbling_counts", "e11_multigrain_rollup",
-     "e30_stream_agg_merge", "e35_pit_training_set"],
+     "e30_stream_agg_merge", "e35_pit_training_set",
+     "e02_streaming_tumbling", "e14_stream_static_join",
+     "e08_stateful_user_stats"],
 )
 def test_r12_nan_exclusion_queries_stay_oracle_exact(spark, nan_dir, name):
     """Round-12 batch of the NaN-exclusion contract (e27/e29/e31
@@ -140,7 +142,9 @@ def test_r12_nan_exclusion_queries_stay_oracle_exact(spark, nan_dir, name):
     "name",
     ["e21_time_weighted_avg", "q44_guarded_hot_key_agg",
      "e37_decayed_user_value", "e39_temporal_dim_join",
-     "s18_cuped_theta"],
+     "s18_cuped_theta", "e41_multitouch_attribution",
+     "s21_mann_whitney_u", "s22_cusum_drift", "s23_delta_method_ratio",
+     "s24_msprt_always_valid"],
 )
 def test_r12_money_cents_swaps_raise_loudly_on_nan(spark, nan_dir, name):
     """Round-12 money_cents/_decimal swaps: on a NaN-poisoned value
@@ -157,7 +161,9 @@ def test_r12_money_cents_swaps_raise_loudly_on_nan(spark, nan_dir, name):
     "name",
     ["e21_time_weighted_avg", "q44_guarded_hot_key_agg",
      "e37_decayed_user_value", "e39_temporal_dim_join",
-     "s18_cuped_theta"],
+     "s18_cuped_theta", "e41_multitouch_attribution",
+     "s21_mann_whitney_u", "s22_cusum_drift", "s23_delta_method_ratio",
+     "s24_msprt_always_valid", "q45_order_reconciliation"],
 )
 def test_r12_money_cents_swaps_unchanged_on_clean_data(spark, name):
     """The never-taken NaN branch changes nothing on contract-conforming
@@ -169,3 +175,24 @@ def test_r12_money_cents_swaps_unchanged_on_clean_data(spark, name):
     spec = all_specs()[name]
     sf = "/root/testdata/sf0.001"
     assert_parity(spec.fn(spark, sf), spec.oracle, sf, name)
+
+
+def test_q45_money_cents_raises_on_nan_money_columns(spark, tmp_path):
+    """q45's cents lambda hits lineitem/orders money columns, not
+    events.value — poison l_extendedprice to prove the swap is loud on
+    ITS domain (the shared nan_dir only poisons events)."""
+    from research_data_pipeline_spark.registry import all_specs
+
+    d = str(tmp_path / "q45_nan")
+    for t in TABLES:
+        df = spark.read.parquet(f"/root/testdata/sf0.001/{t}.parquet")
+        if t == "lineitem":
+            df = df.withColumn(
+                "l_extendedprice",
+                F.when(F.col("l_orderkey") % 7 == 0, F.lit(float("nan")))
+                .otherwise(F.col("l_extendedprice")),
+            )
+        df.write.parquet(f"{d}/{t}.parquet")
+    spec = all_specs()["q45_order_reconciliation"]
+    with pytest.raises(Exception, match="NaN money value"):
+        spec.fn(spark, d).collect()
