@@ -192,14 +192,35 @@ def main() -> int:
                     help="comma-separated subset to (re)generate")
     args = ap.parse_args()
 
+    # 0 silently disables token mutation (replicas become naive copies,
+    # near-dup candidate mass scales R² and distorts the documented
+    # workload shape); >=3 renames every token (cross-replica jaccard 0)
+    if not 1 <= args.rename_thirds <= 2:
+        ap.error(
+            f"--rename-thirds must be 1 or 2, got {args.rename_thirds}"
+        )
+    only_tables = args.tables.split(",") if args.tables else None
+    if only_tables:
+        known = {
+            "region", "nation", "customer", "supplier", "part",
+            "orders", "lineitem", "events", "documents", "embeddings",
+        }
+        unknown = [t for t in only_tables if t not in known]
+        # a typo must not "succeed" generating nothing and leave a grid
+        # directory with stale mixed-multiplier tables
+        if unknown:
+            ap.error(
+                f"--tables has unknown name(s) {unknown}; "
+                f"valid: {sorted(known)}"
+            )
+
     from research_data_pipeline_spark.session import get_spark
 
     spark = get_spark(app="make-scale-data")
     os.makedirs(args.out, exist_ok=True)
     generate(
         spark, args.src, args.out, args.mult, args.docs_mult,
-        args.emb_mult, args.rename_thirds,
-        args.tables.split(",") if args.tables else None,
+        args.emb_mult, args.rename_thirds, only_tables,
     )
     spark.stop()
     return 0
