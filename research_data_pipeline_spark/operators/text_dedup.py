@@ -76,15 +76,24 @@ def minhash_signatures(
 
 
 def token_bitmasks(df: DataFrame, id_col: str, text_col: str,
-                   max_vocab: int = 4096) -> tuple[DataFrame, int] | None:
+                   max_vocab: int = 512) -> tuple[DataFrame, int] | None:
     """Dictionary-encode each document's distinct-token SET as an array of
     64-bit mask words, or None when the vocabulary exceeds ``max_vocab``.
 
     Token-set intersection/union then cost O(vocab/64) bit-ops per pair
-    instead of a per-pair string-array hash intersection — the difference
-    between ~10µs and ~100ns of verification per candidate pair. The
-    vocabulary table is tiny by construction (≤ max_vocab), so both the
-    token→bit join and the mask lookup broadcast.
+    instead of a per-pair array hash intersection. The vocabulary table
+    is tiny by construction (≤ max_vocab), so both the token→bit join
+    and the mask lookup broadcast.
+
+    ``max_vocab`` is a JIT budget, not a memory bound (r12, measured at
+    the 100× grid): the mask intersection unrolls to ~3×n_words
+    popcount terms inside the consumer's generated code, and once that
+    method passes HotSpot's huge-method bytecode limit it is never
+    JIT-compiled — n_words=7 ran at full speed while n_words=33 fell
+    off the cliff and ran INTERPRETED, 10×+ slower than plain int-array
+    intersection. vocab ≤ 512 keeps n_words ≤ 8, comfortably inside the
+    budget; larger vocabularies take the int-id array path, which is a
+    small always-JIT expression.
     """
     from pyspark.sql import Window as W
 
@@ -125,10 +134,12 @@ def token_bitmasks(df: DataFrame, id_col: str, text_col: str,
 
 
 def _dictionary_minhash_table(
-    df: DataFrame, id_col: str, text_col: str, n_hashes: int, max_vocab: int = 4096
+    df: DataFrame, id_col: str, text_col: str, n_hashes: int, max_vocab: int = 512
 ) -> tuple[DataFrame, int, DataFrame] | None:
     """Fused per-document (minhash signature, token bitmask) table for
-    dictionary-sized vocabularies, or None above ``max_vocab``.
+    dictionary-sized vocabularies, or None above ``max_vocab`` (the JIT
+    budget — see ``token_bitmasks``; over it the caller's int-id array
+    path is strictly faster because its generated code stays JITable).
 
     The n_hashes md5 hash families are computed once per DISTINCT token on
     the (tiny) broadcast vocabulary side instead of once per token
@@ -263,10 +274,10 @@ def minhash_lsh_pairs(
 
     Scale shape: one explode+groupBy for signatures; candidates from a
     hash self-join on (band_idx, xxhash64(band_val)) — a 64-bit join key
-    instead of a 128-char concat string; verification via broadcast
-    bitmask lookup (``token_bitmasks``) when the vocabulary is dictionary-
-    sized, else per-pair intersection of int-id-encoded token arrays
-    (``_encoded_token_sets`` — injectivity-guarded xxhash64 encode,
+    instead of a 128-char concat string; verification is FUSED into the
+    band joins on both paths (no per-pair lookup join): bitmask words
+    when the vocabulary is dictionary-sized, else int-id-encoded token
+    arrays riding the join sides (injectivity-guarded xxhash64 encode,
     ~1.9× per pair vs string arrays; ``verify_encoding="strings"``
     forces the string fallback). The xxhash64 can only
     ADD candidate pairs (a 2⁻⁶⁴ bucket merge), never drop one, and every
@@ -286,32 +297,83 @@ def minhash_lsh_pairs(
     bucket is pop² while its true near-dup pairs are ~linear — the
     verification stage becomes the first 100 TB wall. Any band bucket
     whose population exceeds ``escalate_pop`` therefore escalates its
-    candidacy rule from the rows-per-band band key to the DOUBLE-width
-    extended key (this band's rows + the next band's, cyclically): the
+    candidacy rule from the rows-per-band band key to the FULL
+    signature (rows-per-band → n_hashes: one band of every row): the
     join key itself gets finer, so the quadratic bucket mass collapses
-    at the shuffle, not post-hoc. This CHANGES emitted recall inside
-    mega buckets (a true pair there must now match 2× rows-per-band
-    signature rows; identical documents always still match), so every
-    oracle mirrors the rule exactly (queries/docs.py::_band_cand_ctes)
-    and the d55/d59 calibration audits re-pin the agreement curve.
-    Corpora with ``n_docs <= escalate_pop`` can never reach the bar and
-    skip the population pass entirely (plans unchanged).
+    at the shuffle, not post-hoc. Full-width is the measured choice,
+    not caution — on the sf0.1 corpus each band carries its own
+    skeleton-dominated mega bucket and a HALF-width extended key only
+    splits it in two (raw 2.7-3.6e6 pairs/band → 1.3-1.7e6), while the
+    full signature reaches the irreducible floor (~0.77e6/band: 1,219
+    documents share an IDENTICAL 16-hash signature, and
+    signature-identical docs collide under every banding scheme — LSH
+    completeness makes that mass unprunable). This CHANGES emitted
+    recall inside mega buckets (a true pair there must now match every
+    signature row, P = jaccardⁿ; identical documents always still
+    match), so every oracle mirrors the rule exactly
+    (queries/docs.py::_band_cand_ctes) and the d55/d59 calibration
+    audits re-pin the agreement curve. Corpora with
+    ``n_docs <= escalate_pop`` can never reach the bar and skip the
+    population pass entirely (plans unchanged).
     """
+    from .decisions import record
+
     rows_per_band = n_hashes // bands
     encoded = _dictionary_minhash_table(df, id_col, text_col, n_hashes)
     combined, n_words, tok = encoded if encoded is not None else (None, 0, None)
     if combined is not None:
         sig = combined
     else:
-        sig = minhash_signatures(df, id_col, text_col, n_hashes).cache()
+        # Open vocabulary: the verification arrays are built in the SAME
+        # groupBy as the signature (collect_list over the distinct-token
+        # stream) and RIDE the band joins exactly like the bitmask
+        # path's masks — jaccard is computed inline in each branch, so
+        # shuffle volume is bands × (signatures + token sets), never
+        # candidate-mass × arrays. The alternative (joining arrays onto
+        # the candidate pairs) re-shuffles every candidate row with a
+        # token array attached — measured at the 100× grid as a ~70 GB
+        # exchange where this shape is megabytes per side. Tokens are
+        # int-id-encoded (8-byte elements, ~1.9× faster intersects than
+        # strings) under an EXACT corpus-wide injectivity probe —
+        # countDistinct(token) == countDistinct(xxhash64(token)) proves
+        # the encode lossless on THIS corpus, so intersect/union sizes
+        # and every emitted (i, j, jaccard) are identical to the string
+        # fallback (``verify_encoding="strings"`` pins it).
+        tokd = _distinct_tokens(df, id_col, text_col)
+        if verify_encoding == "strings":
+            n_vocab, n_hashed = -1, -2
+        else:
+            n_vocab, n_hashed = tokd.agg(
+                F.countDistinct("token"),
+                F.countDistinct(F.xxhash64("token")),
+            ).first()
+        record(
+            "verify_token_encoding",
+            n_vocab=n_vocab,
+            path="int_ids" if n_vocab == n_hashed else "strings",
+        )
+        elem = (
+            F.xxhash64("token") if n_vocab == n_hashed else F.col("token")
+        )
+        sig = (
+            tokd.groupBy(id_col)
+            .agg(
+                *[
+                    F.min(
+                        F.md5(F.concat(F.lit(f"{i}:"), F.col("token")))
+                    ).alias(f"mh{i}")
+                    for i in range(n_hashes)
+                ],
+                F.collect_list(elem).alias("tokens"),
+            )
+            .cache()
+        )
     # the count is not wasted: it materializes the cache every band
     # branch (stream + build side) reuses
     n_docs = sig.count()
     if tok is not None:
         tok.unpersist()  # only fed the now-materialized signature table
     use_broadcast = n_docs <= MAX_BROADCAST_SIGNATURES
-    from .decisions import record
-
     record(
         "minhash_lsh_pairs",
         n=n_docs,
@@ -330,7 +392,7 @@ def minhash_lsh_pairs(
         ).alias(f"band{b}")
         for b in range(bands)
     ]
-    carry = ["n_tokens", "mask"] if combined is not None else []
+    carry = ["n_tokens", "mask"] if combined is not None else ["tokens"]
     # escalation engages only when a bucket COULD exceed the bar (and an
     # extended key exists to escalate to); otherwise no population pass,
     # no extra columns — the plan is byte-identical to the plain path
@@ -344,17 +406,10 @@ def minhash_lsh_pairs(
     if escalation:
         from pyspark.sql import Window as W
 
-        bandx_cols = [
-            F.xxhash64(
-                *[
-                    F.col(f"mh{bb * rows_per_band + r}")
-                    for bb in (b, (b + 1) % bands)
-                    for r in range(rows_per_band)
-                ]
-            ).alias(f"bandx{b}")
-            for b in range(bands)
-        ]
-        banded = sig.select(F.col(id_col), *carry, *band_cols, *bandx_cols)
+        fullsig = F.xxhash64(
+            *[F.col(f"mh{i}") for i in range(n_hashes)]
+        ).alias("fullsig")
+        banded = sig.select(F.col(id_col), *carry, *band_cols, fullsig)
         for b in range(bands):
             banded = banded.withColumn(
                 f"pop{b}", F.count(F.lit(1)).over(W.partitionBy(f"band{b}"))
@@ -381,14 +436,14 @@ def minhash_lsh_pairs(
         cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
         for bj in range(bi):
             # NOT collide(bj): band value differs, or — under escalation,
-            # when bj's bucket is a mega bucket — the extended key
+            # when bj's bucket is a mega bucket — the full signature
             # differs. a.pop == b.pop whenever the band values match, so
             # a's population decides symmetrically.
             differ = F.col(f"a.band{bj}") != F.col(f"b.band{bj}")
             if escalation:
                 differ = differ | (
                     (F.col(f"a.pop{bj}") > escalate_pop)
-                    & (F.col(f"a.bandx{bj}") != F.col(f"b.bandx{bj}"))
+                    & (F.col("a.fullsig") != F.col("b.fullsig"))
                 )
             cond &= differ
         return cond
@@ -399,16 +454,16 @@ def minhash_lsh_pairs(
             cond = (F.col(f"a.band{bi}") == F.col(f"b.band{bi}")) & _pair_cond(bi)
             return [a.join(F.broadcast(b) if use_broadcast else b, cond)]
         # two keyed sub-joins per band: sub-bar buckets join on the band
-        # value as before; mega buckets join on (band, extended) so the
-        # finer shuffle key — not a post-join filter — kills the pop²
-        # candidate mass. A pair's bucket population is a bucket
+        # value as before; mega buckets join on (band, full signature)
+        # so the finer shuffle key — not a post-join filter — kills the
+        # pop² candidate mass. A pair's bucket population is a bucket
         # property, so both members land on the same side of the split.
         small = banded.where(F.col(f"pop{bi}") <= escalate_pop)
         big = banded.where(F.col(f"pop{bi}") > escalate_pop)
         out = []
         for side, keys in (
             (small, [f"band{bi}"]),
-            (big, [f"band{bi}", f"bandx{bi}"]),
+            (big, [f"band{bi}", "fullsig"]),
         ):
             a, b = side.alias("a"), side.alias("b")
             cond = _pair_cond(bi)
@@ -417,68 +472,41 @@ def minhash_lsh_pairs(
             out.append(a.join(F.broadcast(b) if use_broadcast else b, cond))
         return out
 
+    # verification is fused into the candidate joins on BOTH paths:
+    # masks (dictionary vocab) or int-id token arrays (open vocab) ride
+    # along on both join sides, so jaccard is computed inline and no
+    # separate per-pair lookup join exists at all
     if combined is not None:
-        # verification is fused into the candidate joins: mask + size
-        # ride along on both join sides, so jaccard is computed inline
-        # and no separate per-pair lookup join exists at all
         inter = _mask_intersection_size(F.col("a.mask"), F.col("b.mask"), n_words)
-        jac = inter.cast("double") / (
-            F.col("a.n_tokens") + F.col("b.n_tokens") - inter
+        union = F.col("a.n_tokens") + F.col("b.n_tokens") - inter
+    else:
+        inter = F.size(F.array_intersect(F.col("a.tokens"), F.col("b.tokens")))
+        union = (
+            F.size(F.col("a.tokens")) + F.size(F.col("b.tokens")) - inter
         )
-        extra = (
-            [
-                inter.cast("bigint").alias("n_inter"),
-                (F.col("a.n_tokens") + F.col("b.n_tokens") - inter)
-                .cast("bigint").alias("n_union"),
-            ]
-            if emit_counts else []
-        )
-        out = None
-        for bi in range(bands):
-            for joined in _branch_joins(bi):
-                branch = (
-                    joined.withColumn("jaccard", jac)
-                    .where(F.col("jaccard") >= threshold)
-                    .select(
-                        F.col(f"a.{id_col}").alias("i"),
-                        F.col(f"b.{id_col}").alias("j"),
-                        "jaccard",
-                        *extra,
-                    )
-                )
-                out = branch if out is None else out.unionByName(branch)
-        return _finish(out)
-    # open vocabulary: candidates are already distinct (first-match
-    # emission), so token arrays ship to each pair exactly once
-    cand = None
-    for bi in range(bands):
-        for joined in _branch_joins(bi):
-            branch = joined.select(
-                F.col(f"a.{id_col}").alias("i"), F.col(f"b.{id_col}").alias("j")
-            )
-            cand = branch if cand is None else cand.unionByName(branch)
-    # verification arrays are int-id-encoded when provably lossless
-    # (``verify_encoding="strings"`` pins the fallback path for the
-    # pair-for-pair identity test) — see _encoded_token_sets
-    tok_sets = _encoded_token_sets(
-        df, id_col, text_col, force_strings=verify_encoding == "strings"
-    )
-    ti = tok_sets.select(F.col(id_col).alias("i"), F.col("tokens").alias("tokens_i"))
-    tj = tok_sets.select(F.col(id_col).alias("j"), F.col("tokens").alias("tokens_j"))
-    inter = F.size(F.array_intersect("tokens_i", "tokens_j"))
-    union = F.size("tokens_i") + F.size("tokens_j") - inter
+    jac = inter.cast("double") / union
     extra = (
-        [inter.cast("bigint").alias("n_inter"),
-         union.cast("bigint").alias("n_union")]
+        [
+            inter.cast("bigint").alias("n_inter"),
+            union.cast("bigint").alias("n_union"),
+        ]
         if emit_counts else []
     )
-    return _finish(
-        cand.join(ti, "i")
-        .join(tj, "j")
-        .withColumn("jaccard", inter.cast("double") / union)
-        .where(F.col("jaccard") >= threshold)
-        .select("i", "j", "jaccard", *extra)
-    )
+    out = None
+    for bi in range(bands):
+        for joined in _branch_joins(bi):
+            branch = (
+                joined.withColumn("jaccard", jac)
+                .where(F.col("jaccard") >= threshold)
+                .select(
+                    F.col(f"a.{id_col}").alias("i"),
+                    F.col(f"b.{id_col}").alias("j"),
+                    "jaccard",
+                    *extra,
+                )
+            )
+            out = branch if out is None else out.unionByName(branch)
+    return _finish(out)
 
 
 def simhash_values(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:

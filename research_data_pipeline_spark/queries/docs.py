@@ -164,12 +164,17 @@ _rpb = _N_HASHES // _BANDS
 # a band bucket holding more than this many documents has pop² candidate
 # mass against ~linear true pairs (the boilerplate pathology — 46% of the
 # sf0.1 corpus shares ONE band-0 bucket, SCALE.md round-11-late), so
-# within such buckets candidacy escalates to the double-width extended
-# band key. sf0.01's 500-doc corpus can never reach the bar (driver
-# correctness rows unchanged); sf0.1's 2,311-doc bucket and the sf10
-# grid's ~2.7k-doc replica buckets DO escalate — a declared recall
-# change, engine and oracle in lockstep (d06/d19 rotation-flagged,
-# d55/d59 calibration audits re-pin the agreement curve).
+# within such buckets candidacy escalates to the FULL-signature key
+# (rows-per-band → n_hashes). Full-width is the measured choice: every
+# band carries its own skeleton-dominated mega bucket, a half-width
+# extended key only splits it in two, and the full signature reaches the
+# irreducible floor (1,219 sf0.1 docs share an IDENTICAL 16-hash
+# signature — unprunable under any banding by LSH completeness).
+# sf0.01's 500-doc corpus can never reach the bar (driver correctness
+# rows unchanged); sf0.1's 2,311-doc bucket and the sf10 grid's
+# ~2.7k-doc replica buckets DO escalate — a declared recall change,
+# engine and oracle in lockstep (d06/d19 rotation-flagged, d55/d59
+# calibration audits re-pin the agreement curve).
 _ESCALATE_POP = 1000
 
 
@@ -177,21 +182,18 @@ def _band_cand_ctes(escalate_pop: int = _ESCALATE_POP) -> str:
     """bands/pband/cand CTE fragment shared by every LSH oracle — mirrors
     ``operators/text_dedup.minhash_lsh_pairs``'s band-escalation rule
     exactly: a pair is a candidate iff some band's value matches AND
-    (that bucket's population ≤ the bar OR the extended key — this
-    band's rows plus the next band's, cyclically — also matches). Tests
-    pass a tiny ``escalate_pop`` to pin the RULE against the engine on
-    corpora where buckets actually exceed it, not just the default bar.
+    (that bucket's population ≤ the bar OR the FULL 16-hash signature
+    also matches). Tests pass a tiny ``escalate_pop`` to pin the RULE
+    against the engine on corpora where buckets actually exceed it, not
+    just the default bar.
     """
+    full = "||".join(f"mh{i}" for i in range(_N_HASHES))
     band_selects = "\n        UNION ALL ".join(
         "SELECT doc_id, {b} AS band_idx, {concat} AS band_val, "
         "{ext} AS band_ext FROM mh".format(
             b=b,
             concat="||".join(f"mh{b * _rpb + r}" for r in range(_rpb)),
-            ext="||".join(
-                f"mh{bb * _rpb + r}"
-                for bb in (b, (b + 1) % _BANDS)
-                for r in range(_rpb)
-            ),
+            ext=full,
         )
         for b in range(_BANDS)
     )
