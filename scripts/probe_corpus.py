@@ -17,6 +17,7 @@ Usage:
     python scripts/probe_corpus.py nan       # IEEE NaN in double columns
     python scripts/probe_corpus.py unicode   # emoji/CJK/RTL/combining text
     python scripts/probe_corpus.py epochs    # pre-1970 + far-future clocks
+    python scripts/probe_corpus.py nanmoney  # NaN in lineitem/orders money
 Prints one line per divergent query and a final summary count.
 (The 70%-hot-key skew sweep lives as a permanent pytest instead:
 tests/test_skew_corpus_parity.py — it must FLIP the salting guards,
@@ -101,6 +102,29 @@ def build_corpus(spark: SparkSession, kind: str, out_dir: str) -> None:
                         F.col("event_id") % 11 == 0,
                         F.lit(float("nan")),
                     ).otherwise(F.col("value")),
+                )
+        elif kind == "nanmoney":
+            # The r12 frontier-sizing corpus: NaN in the RELATIONAL money
+            # columns (lineitem/orders) instead of events.value. Expected
+            # state until the r13/r14 contract program lands (SURVEY
+            # round-12-late): 3 silent order-statistics divergences
+            # (q17/q28/s04 — NaN placement differs between engines'
+            # percentile), 13 oracle-side loud refusals where Spark's
+            # double→DECIMAL cast silently drops the row (the
+            # money_cents_decimal failure shape), q45 + s19 engine-loud.
+            if t == "lineitem":
+                df = df.withColumn(
+                    "l_extendedprice",
+                    F.when(
+                        F.col("l_orderkey") % 13 == 0, F.lit(float("nan"))
+                    ).otherwise(F.col("l_extendedprice")),
+                )
+            elif t == "orders":
+                df = df.withColumn(
+                    "o_totalprice",
+                    F.when(
+                        F.col("o_orderkey") % 13 == 0, F.lit(float("nan"))
+                    ).otherwise(F.col("o_totalprice")),
                 )
         elif kind == "unicode" and t == "documents":
             # Multibyte / non-Latin regimes where Spark (UTF8String +
