@@ -1671,8 +1671,14 @@ _Q40_SQL = """
     JOIN customer c ON c.c_custkey = o.o_custkey
     JOIN nation n ON n.n_nationkey = c.c_nationkey
     JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE o.o_totalprice IS NULL OR NOT isnan(o.o_totalprice)
     GROUP BY 1, 2
 """
+# the WHERE is the NaN-exclusion domain contract (r12 nanmoney class):
+# Spark's NaN->DECIMAL cast silently drops the row from the sum while
+# DuckDB refuses loudly — both engines share this SQL text verbatim, so
+# the excluded domain is identical by construction; NULL prices stay
+# (counted, skipped by the sum on both engines)
 
 
 @REGISTRY.add("q40_sql_surface", _Q40_SQL, "relational", "sql-api")

@@ -781,6 +781,7 @@ _BOOT_ORACLE = f"""
                                    || CAST(b.b AS VARCHAR)), 1, 8))
                    ::UBIGINT % 1000000 AS u
         FROM orders, UNNEST(generate_series(1, {_BOOT_B})) AS b(b)
+        WHERE o_totalprice IS NULL OR NOT isnan(o_totalprice)
     ), reps AS (
         SELECT b, CAST(SUM(w) AS BIGINT) AS n,
                CAST(SUM(w * cents) AS BIGINT) AS total_cents,
@@ -807,7 +808,17 @@ def s14_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ranks 3 and 48 = ceil(.05·50), ceil(.95·50))."""
     from pyspark.sql import Window as W
 
-    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    # NaN prices leave the bootstrap domain on both engines (the r12
+    # nanmoney contract — Spark's NaN->DECIMAL cast silently drops the
+    # row, DuckDB refuses loudly); NULL prices stay, as the nulled-probe
+    # green pins
+    o = (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .where(
+            F.col("o_totalprice").isNull() | ~F.isnan("o_totalprice")
+        )
+    )
     draws = o.select(
         (F.col("o_totalprice").cast("decimal(12,2)") * 100)
         .cast("bigint")

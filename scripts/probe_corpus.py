@@ -109,9 +109,11 @@ def build_corpus(spark: SparkSession, kind: str, out_dir: str) -> None:
             # state until the r13/r14 contract program lands (SURVEY
             # round-12-late): 3 silent order-statistics divergences
             # (q17/q28/s04 — NaN placement differs between engines'
-            # percentile), 13 oracle-side loud refusals where Spark's
+            # percentile), 11 oracle-side loud refusals where Spark's
             # double→DECIMAL cast silently drops the row (the
-            # money_cents_decimal failure shape), q45 + s19 engine-loud.
+            # money_cents_decimal failure shape; q40/s14 took their
+            # NaN-exclusion contracts in free r12 head slots and are
+            # value-exact), q45 + s19 engine-loud.
             if t == "lineitem":
                 df = df.withColumn(
                     "l_extendedprice",

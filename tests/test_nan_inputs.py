@@ -196,3 +196,43 @@ def test_q45_money_cents_raises_on_nan_money_columns(spark, tmp_path):
     spec = all_specs()["q45_order_reconciliation"]
     with pytest.raises(Exception, match="NaN money value"):
         spec.fn(spark, d).collect()
+
+
+@pytest.fixture(scope="module")
+def nanmoney_dir(spark, tmp_path_factory):
+    """The r12 nanmoney corpus shape (scripts/probe_corpus.py nanmoney):
+    NaN in lineitem/orders money columns instead of events.value."""
+    d = str(tmp_path_factory.mktemp("nanmoney_tables"))
+    for t in TABLES:
+        df = spark.read.parquet(f"/root/testdata/sf0.001/{t}.parquet")
+        if t == "lineitem":
+            df = df.withColumn(
+                "l_extendedprice",
+                F.when(F.col("l_orderkey") % 13 == 0, F.lit(float("nan")))
+                .otherwise(F.col("l_extendedprice")),
+            )
+        elif t == "orders":
+            df = df.withColumn(
+                "o_totalprice",
+                F.when(F.col("o_orderkey") % 13 == 0, F.lit(float("nan")))
+                .otherwise(F.col("o_totalprice")),
+            )
+        df.write.parquet(f"{d}/{t}.parquet")
+    return d
+
+
+@pytest.mark.parametrize(
+    "name", ["q40_sql_surface", "s14_poisson_bootstrap"]
+)
+def test_nanmoney_contract_queries_stay_oracle_exact(
+    spark, nanmoney_dir, name
+):
+    """First two sites of the lineitem/orders NaN program (free r12 head
+    slots): NaN prices leave the revenue/bootstrap domain on BOTH
+    engines, NULLs stay. Full parity on the nanmoney corpus."""
+    from research_data_pipeline_spark.registry import all_specs
+
+    from .oracle import assert_parity
+
+    spec = all_specs()[name]
+    assert_parity(spec.fn(spark, nanmoney_dir), spec.oracle, nanmoney_dir, name)
