@@ -103,7 +103,7 @@ def money_cents(c: Column | str) -> Column:
     ).otherwise(F.floor(col * 100 + F.lit(0.5)).cast("bigint"))
 
 
-def money_cents_decimal(c: Column | str) -> Column:
+def money_cents_decimal(c: Column | str, dec: str = "decimal(12,4)") -> Column:
     """Exact cents via the DECIMAL(12,4) idiom, LOUD on NaN.
 
     The sibling idiom ``CAST(CAST(v AS DECIMAL(12,4)) * 100 AS BIGINT)``
@@ -115,7 +115,9 @@ def money_cents_decimal(c: Column | str) -> Column:
     never-taken codegen branch; the non-NaN arithmetic is byte-identical
     to the inline idiom (rounding semantics preserved — this is NOT
     floor+0.5; parity on cents-boundary values pinned by
-    tests/test_nan_inputs.py)."""
+    tests/test_nan_inputs.py). ``dec`` pins the site's exact decimal
+    shape — e42's stream uses DECIMAL(12,2) and the swap must stay
+    byte-identical to its inline idiom on clean corpora."""
     col = F.col(c) if isinstance(c, str) else c
     return F.when(
         F.isnan(col),
@@ -124,4 +126,28 @@ def money_cents_decimal(c: Column | str) -> Column:
             "silent DECIMAL(NaN)=NULL would drop rows from exact-cents "
             "totals')"
         ).cast("bigint"),
-    ).otherwise((col.cast("decimal(12,4)") * F.lit(100)).cast("bigint"))
+    ).otherwise((col.cast(dec) * F.lit(100)).cast("bigint"))
+
+
+def money_dec(c: Column | str, dec: str = "decimal(12,4)") -> Column:
+    """Loud double→DECIMAL money cast — the summable-value sibling of
+    :func:`money_cents_decimal` for sites that keep the DECIMAL itself
+    (``SUM(CAST(v AS DECIMAL(12,4)))`` revenue shapes, q01/q15-class).
+
+    Spark's double→DECIMAL cast maps NaN to NULL even under ANSI mode,
+    so one poisoned price silently VANISHES from revenue totals — a
+    trace-less row-loss at 100 TB — while the DuckDB oracle refuses
+    NaN→DECIMAL loudly (measured: `scripts/probe_corpus.py nanmoney`).
+    This helper matches the oracle's behavior class: NaN raises, NULL
+    passes through, everything else is the plain cast. The NaN branch is
+    never taken on contract-conforming data (one codegen comparison per
+    row; sum unchanged anywhere NaN is absent — parity pinned by
+    tests/test_nan_inputs.py both ways)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.when(
+        F.isnan(col),
+        F.expr(
+            "raise_error('NaN money value: quarantine upstream — "
+            "silent DECIMAL(NaN)=NULL would drop rows from money totals')"
+        ).cast(dec),
+    ).otherwise(col.cast(dec))

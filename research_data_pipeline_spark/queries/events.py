@@ -2196,15 +2196,24 @@ _CDC_ORACLE = """
 def e42_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apply an at-least-once CDC stream (self-unioned to model replay)
     to a snapshot: dedup (key, lsn), keep each key's max-lsn change,
-    drop keys whose last op is a delete."""
+    drop keys whose last op is a delete.
+
+    r13 nanmoney swap: the payload cents use the loud
+    ``money_cents_decimal`` helper at this site's exact DECIMAL(12,2)
+    shape — Spark's silent NaN→NULL cast would erase a poisoned price
+    from the CDC payload (and shift the deterministic (lsn, op, cents)
+    commit order) while the oracle refuses loudly. Raises on the
+    nanmoney corpus, byte-identical on clean ones
+    (tests/test_nan_inputs.py)."""
+    from ..functions.core import money_cents_decimal
+
     l = load(spark, sf_dir, "lineitem")
     raw = l.select(
         F.col("l_orderkey").alias("key"),
         F.col("l_linenumber").cast("bigint").alias("lsn"),
         F.when(F.col("l_returnflag") == "R", "D").otherwise("U").alias("op"),
-        F.expr(
-            "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)"
-        ).alias("cents"),
+        money_cents_decimal("l_extendedprice", dec="decimal(12,2)")
+        .alias("cents"),
     )
     stream = raw.unionByName(raw)  # at-least-once replay
     dedup = stream.distinct()

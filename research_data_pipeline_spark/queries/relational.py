@@ -578,7 +578,15 @@ def q14_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg",
 )
 def q15_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hierarchical rollup totals (SURVEY A11)."""
+    """Hierarchical rollup totals (SURVEY A11).
+
+    r13 nanmoney swap: the revenue sum uses the loud ``money_dec`` cast —
+    Spark's silent NaN→NULL DECIMAL cast would drop poisoned prices from
+    the rollup without a trace while the oracle refuses loudly. Raises on
+    the nanmoney corpus, byte-identical on clean ones (both pinned by
+    tests/test_nan_inputs.py)."""
+    from ..functions.core import money_dec
+
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
     n = load(spark, sf_dir, "nation")
@@ -589,7 +597,7 @@ def q15_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .rollup("r_name", "n_name")
         .agg(
-            F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
+            F.sum(money_dec("o_totalprice")).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
@@ -638,6 +646,7 @@ def q16_cosupplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
            MAX(o.o_totalprice) AS max_price,
            CAST(COUNT(*) AS BIGINT) AS n_orders
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_totalprice IS NULL OR NOT isnan(o.o_totalprice)
     GROUP BY c.c_mktsegment
     """,
     "agg",
@@ -648,11 +657,20 @@ def q17_segment_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``median`` is exact (interpolating) in both engines; at 100 TB one
     would switch to ``percentile_approx`` — exposed by the same operator
     with approx=True — but reference parity needs the exact statistic.
+
+    NaN-exclusion domain contract (r13, nanmoney class): Spark's
+    percentile sorts NaN HIGH (an orderable value that shifts the
+    median) while DuckDB's quantile ignores it — a SILENT value
+    divergence on poisoned money columns. Both engines exclude NaN
+    prices from the stats domain; NULL prices stay (ignored by the
+    aggregates on both engines). Identical output on NaN-free corpora;
+    pinned both ways by tests/test_nan_inputs.py on the nanmoney corpus.
     """
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.where(F.col("o_totalprice").isNull() | ~F.isnan("o_totalprice"))
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
             F.median("o_totalprice").alias("median_price"),
@@ -1024,6 +1042,7 @@ def q27_profile_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
            quantile_cont(o.o_totalprice, 0.50) AS p50,
            quantile_cont(o.o_totalprice, 0.75) AS p75
     FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    WHERE o.o_totalprice IS NULL OR NOT isnan(o.o_totalprice)
     GROUP BY 1
     """,
     "agg",
@@ -1031,13 +1050,22 @@ def q27_profile_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q28_segment_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact linear-interpolated quartiles per market segment
-    (``percentile`` = sort-based exact, vs approx s04)."""
+    (``percentile`` = sort-based exact, vs approx s04).
+
+    NaN-exclusion domain contract (r13, nanmoney class — q17's twin):
+    Spark's percentile orders NaN above every real price while DuckDB's
+    quantile_cont skips it, silently shifting all three quartiles on a
+    poisoned corpus. Both engines exclude NaN prices; NULLs stay.
+    Output-identical on NaN-free corpora; pinned both ways by
+    tests/test_nan_inputs.py.
+    """
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
     q = F.percentile("o_totalprice", F.lit([0.25, 0.50, 0.75]))
     return (
-        o.join(F.broadcast(c.select("c_custkey", "c_mktsegment")),
-               o["o_custkey"] == c["c_custkey"])
+        o.where(F.col("o_totalprice").isNull() | ~F.isnan("o_totalprice"))
+        .join(F.broadcast(c.select("c_custkey", "c_mktsegment")),
+              o["o_custkey"] == c["c_custkey"])
         .groupBy("c_mktsegment")
         .agg(q.alias("_q"))
         .select(

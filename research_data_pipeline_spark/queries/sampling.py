@@ -137,6 +137,7 @@ _GK_SLACK = 0.02
            quantile_cont(o_totalprice, 0.75) AS p75,
            TRUE AS within_rank_bound
     FROM orders
+    WHERE o_totalprice IS NULL OR NOT isnan(o_totalprice)
     GROUP BY 1
     """,
     "sketch",
@@ -148,8 +149,18 @@ def s04_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``quantile_cont`` parity proven by q28) as scalar columns, plus one
     boolean asserting every GK estimate lies between the exact percentiles
     at q ± 10/accuracy — the sketch's rank-error contract. No array
-    columns in the output (harness canonicalizer constraint)."""
-    o = load(spark, sf_dir, "orders")
+    columns in the output (harness canonicalizer constraint).
+
+    NaN-exclusion domain contract (r13, nanmoney class): Spark's exact
+    percentile AND the GK sketch both order NaN high while DuckDB's
+    quantile_cont skips it — the third silent quantile divergence found
+    by scripts/probe_corpus.py nanmoney. Both engines exclude NaN
+    prices; NULLs stay. Output-identical on NaN-free corpora; pinned
+    both ways by tests/test_nan_inputs.py.
+    """
+    o = load(spark, sf_dir, "orders").where(
+        F.col("o_totalprice").isNull() | ~F.isnan("o_totalprice")
+    )
     qs = [0.25, 0.50, 0.75]
     brackets = [(max(q - _GK_SLACK, 0.0), min(q + _GK_SLACK, 1.0)) for q in qs]
     exact_pts = sorted({q for q in qs} | {b for lo_hi in brackets for b in lo_hi})

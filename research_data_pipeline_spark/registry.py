@@ -376,6 +376,28 @@ _GREEN_ROUNDS: dict[str, frozenset[str]] = {
         "s19_log_histogram_quantiles", "s22_cusum_drift",
         "s23_delta_method_ratio", "s24_msprt_always_valid"
     }),
+    "r12": frozenset({
+        "d06_minhash_lsh", "d14_pack_context_windows", "d19_dedup_clusters",
+        "d24_length_ntile", "d32b_bpe_training", "d55_sketch_calibration",
+        "d56_dsir_importance", "d57_vocab_coverage",
+        "d59_minhash_calibration", "d60_incremental_ann_ingest",
+        "e01_tumbling_counts", "e11_multigrain_rollup",
+        "e16_cohort_retention", "e21_time_weighted_avg",
+        "e24_record_high_counts", "e30_stream_agg_merge", "e33_user_growth",
+        "e34_scd2_intervals", "e35_pit_training_set", "e36_asof_snapshot",
+        "e37_decayed_user_value", "e38_streaming_scd2",
+        "e39_temporal_dim_join", "e40_session_paths", "g12_hits_authorities",
+        "g13_label_prop_communities", "g14_link_prediction",
+        "g15_degree_assortativity", "m05_shard_packing", "m08_png_roundtrip",
+        "m09_wav_roundtrip", "m10_thumbnail", "m11_audio_downsample",
+        "m12_audio_quality", "q21_dualkey_nation_lookup",
+        "q27_profile_customer", "q37_snapshot_diff", "q38_retention_purge",
+        "q39_target_encoding", "q40_sql_surface", "q41_survivorship_merge",
+        "q42_k_anonymity", "q44_guarded_hot_key_agg", "s12_quality_report",
+        "s13_hll_registers", "s14_poisson_bootstrap",
+        "s15_stratified_topk_sample", "s16_weighted_median",
+        "s17_weighted_quartiles", "s18_cuped_theta",
+    }),
     "r11": frozenset({
         "d02_lang_id", "d04_fingerprint_dedup", "d08_ngram_jaccard",
         "d09_embedding_near_dups", "d10_ann_topk", "d11_ann_lsh",
@@ -436,34 +458,38 @@ _GREEN_ROUNDS: dict[str, frozenset[str]] = {
 # the rewrite claims an early verification slot in the next round; clear
 # the set once the post-rewrite green row lands.
 _REWRITTEN_SINCE_GREEN: set[str] = {
-    # (r11 verified every round-11 rewrite — all 15 flagged entries took
-    # post-rewrite green rows in CORRECTNESS_r11.json; set cleared at
-    # round-12 start per the ledger protocol.)
+    # (r12 verified every round-12 rewrite — all 5 flagged entries took
+    # post-rewrite green rows in CORRECTNESS_r12.json; set cleared at
+    # round-13 start per the ledger protocol.)
     #
-    # Round-12 additions land here commit-by-commit as the r12 verdict
+    # Round-13 additions land here commit-by-commit as the r13 verdict
     # tasks touch engine sources after a green row:
     #
-    # task 3/4 (LSH candidate-mass levers): the shared pair-stream
-    # builder gains integer-id token encoding before exact verification
-    # (output-invariant — identical intersect counts → identical pairs,
-    # property-pinned) and a population-thresholded band-escalation pass
-    # for mega-cluster buckets (threshold far above any driver-corpus
-    # bucket, so emitted recall on sf0.01/sf0.1 is unchanged; oracle
-    # mirrors the same rule). d06 registers the pair stream directly and
-    # d19 the cluster table — both flagged per the r11 verdict scope.
-    "d06_minhash_lsh",
-    "d19_dedup_clusters",
-    # task 2 (NaN exact-cents class, floor-shape batch): silent
-    # FLOOR(NaN)->0 swapped for the loud money_cents helper at the two
-    # sites whose newest green row predates the swap (the other six
-    # floor/decimal sites ride this round's at-risk band or r13's).
-    "e21_time_weighted_avg",
-    "q44_guarded_hot_key_agg",
-    # task 5 (NaN-exclusion contract, e27/e29/e31 template): e01's
-    # double-agg NaN propagation excluded from the value domain on both
-    # engines.
-    "e01_tumbling_counts",
+    # task 2 (the 3 silent nanmoney quantile divergences): Spark's
+    # percentile and DuckDB's disagree on NaN placement in order
+    # statistics over lineitem/orders money columns. q17 (median) and
+    # q28 (quartiles) take the e29-style NaN-exclusion domain contract
+    # on BOTH engines — provably output-identical on NaN-free corpora
+    # (the driver's), parity-pinned on the nanmoney corpus in
+    # tests/test_nan_inputs.py. (s04 needs the same contract but rides
+    # its r08-band at-risk slot this round — no flag, no double count.)
+    "q17_segment_price_stats",
+    "q28_segment_quartiles",
 }
+
+# Round-14 pre-scheduled batch (r12 verdict task 3 — the remaining
+# engine-silent NaN→DECIMAL row-loss sites, measured by
+# `scripts/probe_corpus.py nanmoney`): q01, q02, q10, q24, q29, q34,
+# q35, q47, s08 swap their double→DECIMAL money casts for the loud
+# `money_cents_decimal` helper in the ROUND-14 head (each takes a
+# rotation flag in the round its code changes; their newest greens are
+# r10/r11 so they are NOT in the r13 at-risk band). Pre-computing the
+# r14 arithmetic: 9 swaps + the ~41-query r09-latest band (these nine
+# all sit in the r10/r11 bands, zero overlap) must be trimmed to the
+# 50-row cap by the band's own rotation — no deferral is needed because
+# the r09 band is ~16 names. Recorded here so the r14 head is
+# arithmetic, not archaeology. q15 and e42 are NOT in this list: they
+# sit in the r13 at-risk band and take their swaps THIS round.
 
 # Queries whose implementation changed DURING round 11, after the r11
 # rotation head was already fully committed (demand 52 vs the 50-row cap):

@@ -106,14 +106,16 @@ def build_corpus(spark: SparkSession, kind: str, out_dir: str) -> None:
         elif kind == "nanmoney":
             # The r12 frontier-sizing corpus: NaN in the RELATIONAL money
             # columns (lineitem/orders) instead of events.value. Expected
-            # state until the r13/r14 contract program lands (SURVEY
-            # round-12-late): 3 silent order-statistics divergences
-            # (q17/q28/s04 — NaN placement differs between engines'
-            # percentile), 11 oracle-side loud refusals where Spark's
-            # double→DECIMAL cast silently drops the row (the
-            # money_cents_decimal failure shape; q40/s14 took their
-            # NaN-exclusion contracts in free r12 head slots and are
-            # value-exact), q45 + s19 engine-loud.
+            # state after the r13 contract batch (SURVEY round-13): ZERO
+            # silent value divergences — q17/q28/s04 took the
+            # NaN-exclusion domain contract (both engines; the old silent
+            # order-statistics divergence class), q15/e42 swapped to the
+            # loud money_cents_decimal/money_dec helpers (engine-loud,
+            # matching the oracle's refusal class, alongside q45 + s19),
+            # and 9 oracle-side-only loud refusals remain where Spark's
+            # double→DECIMAL cast still silently drops the row (q01, q02,
+            # q10, q24, q29, q34, q35, q47, s08 — the pre-scheduled r14
+            # swap batch, registry.py). q40/s14 r12 contracts value-exact.
             if t == "lineitem":
                 df = df.withColumn(
                     "l_extendedprice",

@@ -222,17 +222,78 @@ def nanmoney_dir(spark, tmp_path_factory):
 
 
 @pytest.mark.parametrize(
-    "name", ["q40_sql_surface", "s14_poisson_bootstrap"]
+    "name", ["q40_sql_surface", "s14_poisson_bootstrap",
+             "q17_segment_price_stats", "q28_segment_quartiles",
+             "s04_approx_quantiles"]
 )
 def test_nanmoney_contract_queries_stay_oracle_exact(
     spark, nanmoney_dir, name
 ):
-    """First two sites of the lineitem/orders NaN program (free r12 head
-    slots): NaN prices leave the revenue/bootstrap domain on BOTH
-    engines, NULLs stay. Full parity on the nanmoney corpus."""
+    """The lineitem/orders NaN-exclusion sites — q40/s14 (free r12 head
+    slots) plus the three r13 silent quantile divergences (q17 median,
+    q28 quartiles, s04 GK sketch: Spark orders NaN HIGH in percentiles
+    while DuckDB's quantile skips it). NaN prices leave the domain on
+    BOTH engines, NULLs stay. Full parity on the nanmoney corpus."""
     from research_data_pipeline_spark.registry import all_specs
 
     from .oracle import assert_parity
 
     spec = all_specs()[name]
     assert_parity(spec.fn(spark, nanmoney_dir), spec.oracle, nanmoney_dir, name)
+
+
+@pytest.mark.parametrize(
+    "name", ["q15_rollup_revenue", "e42_cdc_apply"]
+)
+def test_r13_money_decimal_swaps_raise_loudly_on_nanmoney(
+    spark, nanmoney_dir, name
+):
+    """Round-13 in-band decimal swaps: on a NaN-poisoned money column
+    these queries now REFUSE loudly (matching the oracle's NaN→DECIMAL
+    refusal class) instead of silently dropping the row via Spark's
+    NaN→NULL decimal cast."""
+    from research_data_pipeline_spark.registry import all_specs
+
+    spec = all_specs()[name]
+    with pytest.raises(Exception, match="NaN money value"):
+        spec.fn(spark, nanmoney_dir).collect()
+
+
+@pytest.mark.parametrize(
+    "name", ["q15_rollup_revenue", "e42_cdc_apply",
+             "q17_segment_price_stats", "q28_segment_quartiles",
+             "s04_approx_quantiles"]
+)
+def test_r13_nanmoney_sites_unchanged_on_clean_data(spark, name):
+    """The never-taken NaN branch (q15/e42) and the never-matching NaN
+    filter (q17/q28/s04) change nothing on contract-conforming data:
+    full oracle parity at sf0.001 post-change."""
+    from research_data_pipeline_spark.registry import all_specs
+
+    from .oracle import assert_parity
+
+    spec = all_specs()[name]
+    sf = "/root/testdata/sf0.001"
+    assert_parity(spec.fn(spark, sf), spec.oracle, sf, name)
+
+
+def test_money_dec_matches_plain_cast_and_raises_on_nan(spark):
+    """money_dec (the summable-DECIMAL sibling): byte-identical to the
+    plain CAST(v AS DECIMAL(12,4)) on every non-NaN value including
+    NULL, loud on NaN (the plain cast silently maps NaN->NULL)."""
+    from research_data_pipeline_spark.functions.core import money_dec
+
+    vals = [1.005, 2.994, -3.005, 0.0, 12.34505, -12.34505,
+            99999999.9999, 0.00005, 123.4567, None]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = df.select(money_dec("v").alias("c")).collect()
+    ref = df.select(F.expr("CAST(v AS DECIMAL(12,4))").alias("c")).collect()
+    assert [r["c"] for r in got] == [r["c"] for r in ref]
+
+    silent = spark.createDataFrame([(float("nan"),)], "v double").select(
+        F.expr("CAST(v AS DECIMAL(12,4))").alias("c")
+    ).first()
+    assert silent["c"] is None  # the hazard
+    bad = spark.createDataFrame([(1.0,), (float("nan"),)], "v double")
+    with pytest.raises(Exception, match="NaN money value"):
+        bad.select(money_dec("v").alias("c")).collect()
