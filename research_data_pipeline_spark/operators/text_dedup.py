@@ -196,6 +196,35 @@ def _dictionary_minhash_table(
     return combined, n_words, tok
 
 
+def _int_encode_is_lossless(tok: DataFrame, force_strings: bool = False) -> bool:
+    """The SINGLE owner of the int-id verification-encode decision
+    (advisor r12: two copies of this probe had started to drift).
+
+    Runs the EXACT corpus-wide injectivity probe — one aggregation
+    comparing COUNT(DISTINCT token) with COUNT(DISTINCT xxhash64(token))
+    — records the ``verify_token_encoding`` decision (the -1/-2 sentinel
+    marks a forced string path without paying the probe), and returns
+    True iff the xxhash64 encode is provably lossless on this corpus's
+    vocabulary, so callers may ``F.xxhash64`` their token elements with
+    pair-for-pair identical intersect/union sizes.
+    """
+    from .decisions import record
+
+    if force_strings:
+        n_vocab, n_hashed = -1, -2
+    else:
+        n_vocab, n_hashed = tok.agg(
+            F.countDistinct("token"),
+            F.countDistinct(F.xxhash64("token")),
+        ).first()
+    record(
+        "verify_token_encoding",
+        n_vocab=n_vocab,
+        path="int_ids" if n_vocab == n_hashed else "strings",
+    )
+    return n_vocab == n_hashed
+
+
 def _encoded_token_sets(
     df: DataFrame, id_col: str, text_col: str, force_strings: bool = False
 ) -> DataFrame:
@@ -219,22 +248,8 @@ def _encoded_token_sets(
     string arrays.
     """
     tok = _distinct_tokens(df, id_col, text_col)
-    if force_strings:
-        n_vocab, n_hashed = -1, -2
-    else:
-        n_vocab, n_hashed = tok.agg(
-            F.countDistinct("token"),
-            F.countDistinct(F.xxhash64("token")),
-        ).first()
-    from .decisions import record
-
-    record(
-        "verify_token_encoding",
-        n_vocab=n_vocab,
-        path="int_ids" if n_vocab == n_hashed else "strings",
-    )
     arr = tokens(F.col(text_col))
-    if n_vocab == n_hashed:
+    if _int_encode_is_lossless(tok, force_strings):
         arr = F.transform(arr, lambda t: F.xxhash64(t))
     return df.select(F.col(id_col), F.array_distinct(arr).alias("tokens"))
 
@@ -279,16 +294,30 @@ def minhash_lsh_pairs(
     when the vocabulary is dictionary-sized, else int-id-encoded token
     arrays riding the join sides (injectivity-guarded xxhash64 encode,
     ~1.9× per pair vs string arrays; ``verify_encoding="strings"``
-    forces the string fallback). The xxhash64 can only
-    ADD candidate pairs (a 2⁻⁶⁴ bucket merge), never drop one, and every
-    candidate is verified with exact Jaccard — the output is unchanged.
+    forces the string fallback). On the NON-escalated path the xxhash64
+    band key can only ADD candidate pairs (a 2⁻⁶⁴ bucket merge), never
+    drop one, and every candidate is verified with exact Jaccard — the
+    output is unchanged. Under escalation that invariant weakens by the
+    same 2⁻⁶⁴ class: a band-hash bucket merge inflates the window pop
+    count and can push a sub-bar bucket over ``escalate_pop``, dropping
+    true-band pairs whose (also hashed) full signature differs — a
+    ~2⁻⁶⁴-per-bucket-pair divergence from an oracle keyed on the raw
+    band values, never observed and far below the md5-collision noise
+    floor the signature itself already carries.
 
     With ``materialize=True`` (default) the pair table is eagerly
     materialized via ``localCheckpoint`` and the internal signature/token
     caches are released before returning — library callers don't leak
     executor memory (same contract as similarity.ann_topk_ivf).
-    ``materialize=False`` returns the lazy plan and leaves the caches
-    live; the caller must consume the result once, then clear them.
+    ``materialize=False`` returns a lazy pair plan and skips the final
+    checkpoint; the caller must consume the result once, then clear the
+    internal caches. Caveat: when band escalation engages, the
+    population pass itself runs EAGERLY in both modes (the banded table
+    is localCheckpoint-ed so the per-band count windows execute once,
+    not once per join branch, and the signature cache is released then
+    and there — nothing left for the caller to clear); the checkpointed
+    banded blocks are freed by Spark's ContextCleaner when the returned
+    DataFrame is GC'd, in both modes.
 
     **Mega-cluster band escalation** (``escalate_pop``): real web corpora
     put large fractions of documents into ONE band bucket (shared
@@ -340,20 +369,10 @@ def minhash_lsh_pairs(
         # and every emitted (i, j, jaccard) are identical to the string
         # fallback (``verify_encoding="strings"`` pins it).
         tokd = _distinct_tokens(df, id_col, text_col)
-        if verify_encoding == "strings":
-            n_vocab, n_hashed = -1, -2
-        else:
-            n_vocab, n_hashed = tokd.agg(
-                F.countDistinct("token"),
-                F.countDistinct(F.xxhash64("token")),
-            ).first()
-        record(
-            "verify_token_encoding",
-            n_vocab=n_vocab,
-            path="int_ids" if n_vocab == n_hashed else "strings",
-        )
         elem = (
-            F.xxhash64("token") if n_vocab == n_hashed else F.col("token")
+            F.xxhash64("token")
+            if _int_encode_is_lossless(tokd, verify_encoding == "strings")
+            else F.col("token")
         )
         sig = (
             tokd.groupBy(id_col)

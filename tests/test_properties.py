@@ -1486,7 +1486,8 @@ def test_scc_dangling_edge_endpoints_share_contract(spark):
 
 
 def _open_vocab_corpus(n_groups=350):
-    # vocab > 4096 distinct tokens forces the open-vocabulary path (the
+    # vocab > 512 distinct tokens (the r12 max_vocab JIT budget) forces
+    # the open-vocabulary path — this corpus's ~4,900 far exceed it (the
     # dictionary bitmask table bails), with exact dups and 27/28-token
     # near-dups so the pair stream is non-trivial at threshold 0.9; the
     # stride-14 overlap gives neighbor groups jaccard ~0.33 so band
@@ -1514,7 +1515,7 @@ def test_minhash_int_id_verification_is_pair_for_pair_identical(spark):
 
     rows = _open_vocab_corpus()
     vocab = {t for _, txt in rows for t in txt.split()}
-    assert len(vocab) > 4096  # open-vocab path engaged
+    assert len(vocab) > 512  # over the max_vocab JIT budget: open-vocab path
     df = spark.createDataFrame(rows, "doc_id bigint, text string")
     got_int = {
         (r["i"], r["j"]): r["jaccard"]
