@@ -277,3 +277,110 @@ def row_groups_pruned(path: str, col: str, lo, hi) -> tuple[int, int]:
             elif not (st.max < lo or st.min > hi):
                 kept += 1
     return kept, total
+
+
+# ---------------------------------------------------------------------------
+# Durable bucketed-authorship store (round-12 verdict task 7)
+#
+# The sf10 measurement (SCALE.md round-12): bucketing the authorship fact
+# on author_id makes dwh3 9.1x faster (71.1 -> 7.8 s) and dwh4 2.0x, for
+# one 24.5 s write. The DECISION, made here once instead of per-caller:
+# `star_tables` PROBES for this store and prefers it when present, but
+# never builds it implicitly — materializing a fact-scale bucketed copy
+# is a WRITE (24.5 s at sf10, hours at 100 TB, double storage) and a
+# read-path query that silently performs it would wreck the first
+# caller's latency and surprise the storage bill. Building is one
+# explicit maintenance call (`build_bucketed_authorship`), after which
+# every consumer — dwh1-dwh4, the bench, ad-hoc per-author queries, in
+# THIS session or any later one — flips automatically via the probe.
+# Refresh-by-delete when the dataset is rewritten (fs.delete on the
+# store path), the same contract as the skew-stats store.
+#
+# Cross-session mechanics: bucket metadata lives in the session catalog,
+# which is in-memory here — so the store keeps a tiny _BUCKET_META
+# sidecar (n_buckets + schema DDL) next to the data, and the probe
+# re-registers the external bucketed table into a fresh session's
+# catalog with one DDL statement. No Hive metastore needed.
+
+_AUTHORSHIP_META = "_BUCKET_META"
+
+
+def _artifact_path(kind: str, sf_dir: str) -> str:
+    """Relocatable artifact home keyed by dataset path — the same scheme
+    as the skew-stats store (queries/relational.py:_skew_store_path)."""
+    import hashlib
+    import os
+
+    default = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))),
+        "spark-warehouse",
+    )
+    root = os.environ.get("SPARK_GRAFT_ARTIFACT_DIR", default).rstrip("/")
+    ds = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:16]
+    return f"{root}/{kind}/{ds}"
+
+
+def bucketed_authorship_path(sf_dir: str) -> str:
+    return _artifact_path("bucketed_authorship", sf_dir)
+
+
+def _authorship_table_name(sf_dir: str) -> str:
+    import hashlib
+    import os
+
+    ds = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:16]
+    return f"rdp_bucketed_authorship_{ds}"
+
+
+def build_bucketed_authorship(
+    spark: SparkSession, sf_dir: str, n_buckets: int = 32
+) -> str:
+    """One-time maintenance write: materialize the distinct authorship
+    projection of ``sf_dir``'s lineitem, bucketed + sorted on author_id,
+    into the artifact store. Returns the registered table name. Every
+    subsequent `star_tables(spark, sf_dir)` in any session prefers it
+    via `probe_bucketed_authorship` until the store is deleted."""
+    from pyspark.sql import functions as F
+
+    from . import fs
+    from ..tables import load
+
+    l = load(spark, sf_dir, "lineitem")
+    authorship = l.select(
+        F.col("l_orderkey").alias("article_id"),
+        F.col("l_suppkey").alias("author_id"),
+    ).distinct()
+    path = bucketed_authorship_path(sf_dir)
+    table = _authorship_table_name(sf_dir)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    write_bucketed(
+        authorship, table, ["author_id"], n_buckets=n_buckets, path=path
+    )
+    schema_ddl = spark.table(table)._jdf.schema().toDDL()
+    fs.write_text(
+        spark, f"{path}/{_AUTHORSHIP_META}", f"{n_buckets}\n{schema_ddl}"
+    )
+    return table
+
+
+def probe_bucketed_authorship(spark: SparkSession, sf_dir: str):
+    """The guarded layout probe: the bucketed authorship table for
+    ``sf_dir`` if its store exists (registering it into this session's
+    catalog if needed), else None. One fs.exists on the sidecar when the
+    store is absent — cheap enough for every star_tables call."""
+    from . import fs
+
+    path = bucketed_authorship_path(sf_dir)
+    meta = f"{path}/{_AUTHORSHIP_META}"
+    if not fs.exists(spark, meta):
+        return None
+    table = _authorship_table_name(sf_dir)
+    if not spark.catalog.tableExists(table):
+        n_buckets, schema_ddl = fs.read_text(spark, meta).split("\n", 1)
+        spark.sql(
+            f"CREATE TABLE {table} ({schema_ddl}) USING PARQUET "
+            f"CLUSTERED BY (author_id) SORTED BY (author_id) "
+            f"INTO {int(n_buckets)} BUCKETS LOCATION '{path}'"
+        )
+    return spark.table(table)

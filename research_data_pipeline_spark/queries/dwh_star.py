@@ -72,11 +72,28 @@ def star_tables(
     n = load(spark, sf_dir, "nation")
 
     if authorship is None:
-        l = load(spark, sf_dir, "lineitem")
-        authorship = l.select(
-            F.col("l_orderkey").alias("article_id"),
-            F.col("l_suppkey").alias("author_id"),
-        ).distinct()
+        # layout probe (r13, decision documented at io/layout.py): prefer
+        # the durable bucketed authorship store when one was built for
+        # this dataset — the per-author aggregations below become
+        # exchange-free (measured at sf10: dwh3 9.1×, dwh4 2.0×,
+        # SCALE.md round-12) and the rows are identical by construction
+        # (the store IS the distinct projection, materialized). Never
+        # built implicitly: that's a fact-scale write a read path must
+        # not hide. One cheap fs.exists when absent.
+        from ..io.layout import probe_bucketed_authorship
+        from ..operators.decisions import record
+
+        authorship = probe_bucketed_authorship(spark, sf_dir)
+        record(
+            "star_authorship",
+            path="bucketed_store" if authorship is not None else "raw_scan",
+        )
+        if authorship is None:
+            l = load(spark, sf_dir, "lineitem")
+            authorship = l.select(
+                F.col("l_orderkey").alias("article_id"),
+                F.col("l_suppkey").alias("author_id"),
+            ).distinct()
     # else: caller supplies a materialized authorship — typically a table
     # bucketed on author_id (io.layout.write_bucketed), which makes the
     # per-author aggregation below exchange-free (tests/test_layout.py

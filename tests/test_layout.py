@@ -259,3 +259,55 @@ def test_hive_partition_pruning_reaches_scan(spark, sf_dir, tmp_path):
     # correctness: pruned read equals the unpartitioned filter
     want = e.where(F.col("event_type") == "click").count()
     assert q.count() == want
+
+
+def test_star_tables_prefers_bucketed_store_when_present(spark, sf_dir):
+    """The r13 layout probe: star_tables flips to the durable bucketed
+    authorship store once build_bucketed_authorship has run for the
+    dataset — fewer exchanges, identical rows — re-registers the table
+    into a fresh catalog from the sidecar, and stays on the raw path
+    when no store exists (no implicit fact-scale write)."""
+    from research_data_pipeline_spark.io import fs
+    from research_data_pipeline_spark.io.layout import (
+        _authorship_table_name,
+        bucketed_authorship_path,
+        build_bucketed_authorship,
+        probe_bucketed_authorship,
+    )
+    from research_data_pipeline_spark.operators import decisions
+    from research_data_pipeline_spark.queries.dwh_star import star_tables
+
+    table = _authorship_table_name(sf_dir)
+    # no store: probe is None, star_tables records the raw path
+    assert probe_bucketed_authorship(spark, sf_dir) is None
+    author_raw, *_ = star_tables(spark, sf_dir)
+    assert decisions.LAST["star_authorship"]["path"] == "raw_scan"
+    raw_rows = sorted(map(tuple, author_raw.collect()))
+
+    try:
+        build_bucketed_authorship(spark, sf_dir, n_buckets=8)
+        author_b, *_ = star_tables(spark, sf_dir)
+        assert decisions.LAST["star_authorship"]["path"] == "bucketed_store"
+        assert sorted(map(tuple, author_b.collect())) == raw_rows
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            assert n_exchanges(author_b) < n_exchanges(author_raw)
+        finally:
+            spark.conf.unset("spark.sql.adaptive.enabled")
+
+        # fresh-session catalog: drop the entry, keep the store on disk —
+        # the probe re-registers from the _BUCKET_META sidecar
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        again = probe_bucketed_authorship(spark, sf_dir)
+        assert again is not None
+        author_c, *_ = star_tables(spark, sf_dir)
+        assert decisions.LAST["star_authorship"]["path"] == "bucketed_store"
+        assert sorted(map(tuple, author_c.collect())) == raw_rows
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            assert n_exchanges(author_c) < n_exchanges(author_raw)
+        finally:
+            spark.conf.unset("spark.sql.adaptive.enabled")
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        fs.delete(spark, bucketed_authorship_path(sf_dir))
