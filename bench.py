@@ -125,6 +125,27 @@ def main() -> int:
     shared["skew_stats"] = round(time.perf_counter() - t0, 3)
     shared_ts["skew_stats"].append(time.time())
 
+    # dwh1-dwh4 share the durable bucketed authorship store (r13,
+    # io.layout): the production layout decision measured at sf10 (dwh3
+    # 9.1x, SCALE.md round-12) — star_tables probes for it, so building
+    # it here flips all four star queries to the exchange-elided plan
+    # exactly as a production suite would. Deleted and rebuilt from
+    # scratch EVERY run so the durable store can't make run N+1's
+    # accounting differ from run N's (the build cost is this shared
+    # line, every round, not a one-time hidden subsidy).
+    from research_data_pipeline_spark.io import fs as _fs
+    from research_data_pipeline_spark.io.layout import (
+        bucketed_authorship_path,
+        build_bucketed_authorship,
+    )
+
+    _fs.delete(spark, bucketed_authorship_path(sf_dir))
+    shared_ts["bucketed_authorship"] = [time.time()]
+    t0 = time.perf_counter()
+    build_bucketed_authorship(spark, sf_dir)
+    shared["bucketed_authorship"] = round(time.perf_counter() - t0, 3)
+    shared_ts["bucketed_authorship"].append(time.time())
+
     # Best-of-2 per query: a transient load spike or first-touch codegen
     # compile can inflate a single run 2-4x (round 3's "regression" was
     # exactly that — 7 unchanged queries drifted 2-4x on a loaded
