@@ -482,14 +482,32 @@ _REWRITTEN_SINCE_GREEN: set[str] = {
 # `scripts/probe_corpus.py nanmoney`): q01, q02, q10, q24, q29, q34,
 # q35, q47, s08 swap their double→DECIMAL money casts for the loud
 # `money_cents_decimal` helper in the ROUND-14 head (each takes a
-# rotation flag in the round its code changes; their newest greens are
-# r10/r11 so they are NOT in the r13 at-risk band). Pre-computing the
-# r14 arithmetic: 9 swaps + the ~41-query r09-latest band (these nine
-# all sit in the r10/r11 bands, zero overlap) must be trimmed to the
-# 50-row cap by the band's own rotation — no deferral is needed because
-# the r09 band is ~16 names. Recorded here so the r14 head is
-# arithmetic, not archaeology. q15 and e42 are NOT in this list: they
-# sit in the r13 at-risk band and take their swaps THIS round.
+# rotation flag in the round its code changes). Pre-computed r14
+# arithmetic (exact, from the post-r13-fold histogram): the r14 at-risk
+# band is the 34 r09-latest names and ALREADY CONTAINS q01, so the
+# money batch adds 8 flags → 42 of the 50 rows. Recorded here so the
+# r14 head is arithmetic, not archaeology. q15 and e42 are NOT in this
+# list: they sit in the r13 at-risk band and take their swaps THIS
+# round.
+#
+# Round-13-late frontier, sized and scheduled (`scripts/probe_corpus.py
+# nanemb` — NaN inside embedding vectors, the ANN family's untested NaN
+# surface, measured at r13 HEAD): 9 SILENT value divergences (d09, d10,
+# d11, d13, d26, d39, d63, d64, m18 — Spark SQL orders NaN GREATER than
+# every value, so a NaN cosine passes >= threshold gates and wins top-k
+# windows engine-side while DuckDB's list math diverges) + 4 loud
+# crashes (d34/d36/d40: oracle-side NaN→INT64 quantization refusals
+# with Spark silently casting; d13b: an engine-side numpy dtype error
+# that should become a tidy loud guard). Contract design: e29-style —
+# vectors CONTAINING NaN leave the vector domain on BOTH engines (one
+# shared engine-side exclusion at the similarity loaders + per-oracle
+# WHERE fragments); NULL embeddings keep their existing semantics.
+# Schedule against the cap: the r14 band already contains d63/d64/m18,
+# so r14 = 34 band + 8 money flags + 5 nanemb flags (d26, d34, d36,
+# d40, d13b) = 47 ≤ 50, and r15 takes the remaining 5 cosine rankers
+# (d09, d10, d11, d13, d39) whose fix is one shared loader fragment.
+# Until those land, NaN components are documented OUT of the embedding
+# data contract — measured, not assumed.
 
 # Queries whose implementation changed DURING round 11, after the r11
 # rotation head was already fully committed (demand 52 vs the 50-row cap):

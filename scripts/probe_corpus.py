@@ -18,6 +18,7 @@ Usage:
     python scripts/probe_corpus.py unicode   # emoji/CJK/RTL/combining text
     python scripts/probe_corpus.py epochs    # pre-1970 + far-future clocks
     python scripts/probe_corpus.py nanmoney  # NaN in lineitem/orders money
+    python scripts/probe_corpus.py nanemb   # NaN inside embedding vectors
 Prints one line per divergent query and a final summary count.
 (The 70%-hot-key skew sweep lives as a permanent pytest instead:
 tests/test_skew_corpus_parity.py — it must FLIP the salting guards,
@@ -103,6 +104,29 @@ def build_corpus(spark: SparkSession, kind: str, out_dir: str) -> None:
                         F.lit(float("nan")),
                     ).otherwise(F.col("value")),
                 )
+        elif kind == "nanemb" and t == "embeddings":
+            # r13 frontier-sizing corpus: IEEE NaN INSIDE the embedding
+            # arrays (component 0 of every 13th vector) — the ANN/
+            # similarity family's untested NaN surface. A NaN component
+            # turns every dot product / norm that touches the vector
+            # into NaN; the hazard classes to measure are (a) silent
+            # ranking divergence — Spark SQL comparisons order NaN
+            # GREATER than every value while IEEE comparisons are all
+            # false, so a NaN cosine can pass `>= threshold` gates and
+            # win top-k windows engine-side, and (b) silent row loss
+            # where a NaN similarity is cast/filtered differently by
+            # the two engines. Expected state is documented in SURVEY
+            # round-13 once measured.
+            df = df.withColumn(
+                "embedding",
+                F.when(
+                    F.col("vec_id") % 13 == 0,
+                    F.expr(
+                        "concat(array(cast('NaN' as float)), "
+                        "slice(embedding, 2, size(embedding) - 1))"
+                    ),
+                ).otherwise(F.col("embedding")),
+            )
         elif kind == "nanmoney":
             # The r12 frontier-sizing corpus: NaN in the RELATIONAL money
             # columns (lineitem/orders) instead of events.value. Expected
