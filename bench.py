@@ -187,14 +187,23 @@ def main() -> int:
         # only compare like-for-like scale factors — a dev run at sf0.01
         # must not become the baseline for the driver's sf0.1 run
         prev = prev_doc.get("queries", {}) if prev_doc.get("sf") == sf else {}
+        prev_spread = (
+            prev_doc.get("spread", {}) if prev_doc.get("sf") == sf else {}
+        )
         for n, t in timings.items():
             p = prev.get(n, -1.0)
             # absolute floor: a sub-quarter-second delta on a tiny query
-            # (e.g. 0.08 s -> 0.13 s) is scheduler noise, not a plan change
+            # (e.g. 0.08 s -> 0.13 s) is scheduler noise, not a plan change.
+            # The baseline's own recorded spread also raises the bar: a
+            # best-of-2 baseline that landed on a fast outlier (r13: q36
+            # best 0.416 with 0.295 spread, history ~0.62) would otherwise
+            # flag every honest later run — if the baseline's two runs
+            # disagreed by X, a later run within p + X + 0.25 is inside
+            # the baseline's OWN noise, not a regression.
             if (
                 p > 0
                 and t > 1.5 * p
-                and t - p > 0.25
+                and t - p > 0.25 + max(prev_spread.get(n, 0.0), 0.0)
                 and spreads.get(n, 99.0) < 0.5
             ):
                 regressions[n] = [p, t]
@@ -219,7 +228,8 @@ def main() -> int:
                     break
                 spark.catalog.clearCache()
             best = min(retry, default=99.0)
-            if retry and not (best > 1.5 * p and best - p > 0.25):
+            bar = 0.25 + max(prev_spread.get(n, 0.0), 0.0)
+            if retry and not (best > 1.5 * p and best - p > bar):
                 timings[n] = min(timings[n], best)
                 spreads[n] = round(
                     max(regressions[n][1], best) - min(timings[n], best), 3

@@ -354,6 +354,12 @@ def build_bucketed_authorship(
     path = bucketed_authorship_path(sf_dir)
     table = _authorship_table_name(sf_dir)
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # crash ordering: the sidecar is the probe's validity marker, so it
+    # must be ABSENT for the whole rewrite window — delete it first (a
+    # rebuild that dies mid-write then leaves no marker, and the probe
+    # correctly reports no store) and write it LAST, after the data
+    # committed.
+    fs.delete(spark, f"{path}/{_AUTHORSHIP_META}")
     write_bucketed(
         authorship, table, ["author_id"], n_buckets=n_buckets, path=path
     )
