@@ -1620,3 +1620,46 @@ def test_band_escalation_rule_matches_oracle_and_has_teeth(
     # teeth: these corpora have over-bar buckets with sub-extended-key
     # near-dup pairs, so escalation must actually drop some
     assert len(got) < len(plain), (len(got), len(plain))
+
+
+# ---------------------------------------------------------------------------
+# Round-13: the loud money helpers are byte-identical to the inline
+# idioms they replace — property over arbitrary finite doubles. The r14
+# batch swaps nine more sites onto these helpers, so the equivalence
+# claim deserves more than hand-picked boundary values.
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    vals=st.lists(
+        st.one_of(
+            st.none(),
+            st.floats(
+                allow_nan=False, allow_infinity=False, width=64,
+                min_value=-9.9e7, max_value=9.9e7,
+            ),
+        ),
+        min_size=1, max_size=40,
+    )
+)
+def test_money_helpers_match_inline_idioms_on_finite_doubles(spark, vals):
+    from pyspark.sql import functions as F
+
+    from research_data_pipeline_spark.functions.core import (
+        money_cents_decimal,
+        money_dec,
+    )
+
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = df.select(
+        money_cents_decimal("v").alias("c4"),
+        money_cents_decimal("v", dec="decimal(12,2)").alias("c2"),
+        money_dec("v").alias("d4"),
+    ).collect()
+    ref = df.select(
+        F.expr("CAST(CAST(v AS DECIMAL(12,4)) * 100 AS BIGINT)").alias("c4"),
+        F.expr("CAST(CAST(v AS DECIMAL(12,2)) * 100 AS BIGINT)").alias("c2"),
+        F.expr("CAST(v AS DECIMAL(12,4))").alias("d4"),
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in ref]
