@@ -376,6 +376,29 @@ _GREEN_ROUNDS: dict[str, frozenset[str]] = {
         "s19_log_histogram_quantiles", "s22_cusum_drift",
         "s23_delta_method_ratio", "s24_msprt_always_valid"
     }),
+    "r13": frozenset({
+        "d01_token_stats", "d20_curation_filter", "d21_incremental_dedup",
+        "d28_bigram_lm_nll", "d38_bpe_encode", "d43_corpus_funnel",
+        "d44_contrastive_pairs", "d47_scorer_agreement",
+        "d48_quality_canonicals", "d50_substring_spans", "d51_gopher_rules",
+        "d52_source_kl_divergence", "d53_cross_source_leakage",
+        "d54_tokenizer_fertility", "d58_leakage_free_split",
+        "d62_source_quality_prior", "d65_token_budget_allocation",
+        "d66_heldout_nll", "d67_dedup_threshold_sweep",
+        "d68_incremental_clusters", "d69_eval_decontamination",
+        "d70_span_dedup_weights", "dwh1_top_publishers", "dwh2_top_journals",
+        "dwh3_most_productive_year", "dwh4_most_influential_year",
+        "e02_streaming_tumbling", "e08_stateful_user_stats",
+        "e14_stream_static_join", "e41_multitouch_attribution",
+        "e42_cdc_apply", "e43_churn_labels", "g16_personalized_pagerank",
+        "g17_harmonic_centrality", "m14_scene_cuts", "m15_media_integrity",
+        "q14_set_ops", "q15_rollup_revenue", "q17_segment_price_stats",
+        "q28_segment_quartiles", "q36_fuzzy_name_blocks",
+        "q45_order_reconciliation", "s03_approx_distinct",
+        "s04_approx_quantiles", "s07_weighted_sample", "s20_srm_check",
+        "s21_mann_whitney_u", "s22_cusum_drift", "s23_delta_method_ratio",
+        "s24_msprt_always_valid",
+    }),
     "r12": frozenset({
         "d06_minhash_lsh", "d14_pack_context_windows", "d19_dedup_clusters",
         "d24_length_ntile", "d32b_bpe_training", "d55_sketch_calibration",
@@ -457,25 +480,11 @@ _GREEN_ROUNDS: dict[str, frozenset[str]] = {
 # predated the rewrite). Names listed here are treated as never-green so
 # the rewrite claims an early verification slot in the next round; clear
 # the set once the post-rewrite green row lands.
-_REWRITTEN_SINCE_GREEN: set[str] = {
-    # (r12 verified every round-12 rewrite — all 5 flagged entries took
-    # post-rewrite green rows in CORRECTNESS_r12.json; set cleared at
-    # round-13 start per the ledger protocol.)
-    #
-    # Round-13 additions land here commit-by-commit as the r13 verdict
-    # tasks touch engine sources after a green row:
-    #
-    # task 2 (the 3 silent nanmoney quantile divergences): Spark's
-    # percentile and DuckDB's disagree on NaN placement in order
-    # statistics over lineitem/orders money columns. q17 (median) and
-    # q28 (quartiles) take the e29-style NaN-exclusion domain contract
-    # on BOTH engines — provably output-identical on NaN-free corpora
-    # (the driver's), parity-pinned on the nanmoney corpus in
-    # tests/test_nan_inputs.py. (s04 needs the same contract but rides
-    # its r08-band at-risk slot this round — no flag, no double count.)
-    "q17_segment_price_stats",
-    "q28_segment_quartiles",
-}
+# (r13 verified every round-13 rewrite — q17 and q28 took post-rewrite
+# green rows in CORRECTNESS_r13.json; set cleared at round-14 start per
+# the ledger protocol. Round-14 additions land here commit-by-commit as
+# the r14 verdict tasks touch engine sources after a green row.)
+_REWRITTEN_SINCE_GREEN: set[str] = set()
 
 # Round-14 pre-scheduled batch (r12 verdict task 3 — the remaining
 # engine-silent NaN→DECIMAL row-loss sites, measured by
