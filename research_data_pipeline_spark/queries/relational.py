@@ -59,20 +59,28 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: partial aggregation map-side, 2-key groupBy → tiny shuffle;
     decimal sums are associative so results are retry-stable.
+
+    r14 nanmoney swap: every double→DECIMAL cast uses the loud
+    ``money_dec`` helper — Spark's plain cast maps NaN→NULL silently
+    (trace-less row loss from every sum) while the DuckDB oracle refuses
+    NaN→DECIMAL loudly; the helper matches the oracle's refusal class
+    and is byte-identical to the inline cast on NaN-free corpora.
     """
+    from ..functions.core import money_dec
+
     l = load(spark, sf_dir, "lineitem")
     one = F.lit(1).cast(D)
-    disc_price = _dec("l_extendedprice") * (one - _dec("l_discount"))
+    disc_price = money_dec("l_extendedprice") * (one - money_dec("l_discount"))
     return (
         l.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
-            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(money_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(money_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
             F.sum(disc_price).cast("double").alias("sum_disc_price"),
-            F.sum(disc_price * (one + _dec("l_tax"))).cast("double").alias("sum_charge"),
-            (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
-            (F.sum(_dec("l_extendedprice")).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            F.sum(disc_price * (one + money_dec("l_tax"))).cast("double").alias("sum_charge"),
+            (F.sum(money_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(money_dec("l_extendedprice")).cast("double") / F.count(F.lit(1))).alias("avg_price"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -104,7 +112,12 @@ def q02_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: nation/region/customer are dims → broadcast (no shuffle of the
     fact); the only shuffle is the final 1-key aggregation. countDistinct
     forces an expand, kept after the joins where rows are already pruned.
+
+    r14 nanmoney swap: revenue casts go through the loud ``money_dec``
+    (oracle-matching NaN refusal; identical on clean corpora).
     """
+    from ..functions.core import money_dec
+
     l = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
@@ -118,7 +131,7 @@ def q02_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.sum(_dec("l_extendedprice") * (one - _dec("l_discount")))
+            F.sum(money_dec("l_extendedprice") * (one - money_dec("l_discount")))
             .cast("double")
             .alias("revenue"),
             F.countDistinct("o_orderkey").alias("n_orders"),
@@ -404,7 +417,12 @@ def q10_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Decimal accumulation keeps the prefix sums exact → deterministic
     across partitionings.
+
+    r14 nanmoney swap: ``money_dec`` keeps the prefix-sum cast loud on
+    NaN (oracle-matching; identical on clean corpora).
     """
+    from ..functions.core import money_dec
+
     o = load(spark, sf_dir, "orders")
     w = (
         W.partitionBy("o_custkey")
@@ -414,7 +432,7 @@ def q10_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.sum(_dec("o_totalprice")).over(w).cast("double").alias("running_spend"),
+        F.sum(money_dec("o_totalprice")).over(w).cast("double").alias("running_spend"),
     )
 
 
@@ -912,14 +930,18 @@ def q23_part_name_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q24_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full cube over two dimensions (SURVEY A11). Grouping keys are
-    non-null in the data, so COALESCE labels the subtotal rows."""
+    non-null in the data, so COALESCE labels the subtotal rows.
+
+    r14 nanmoney swap: revenue cast is the loud ``money_dec``."""
+    from ..functions.core import money_dec
+
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
     return (
         o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .cube("c_mktsegment", "o_orderstatus")
         .agg(
-            F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
+            F.sum(money_dec("o_totalprice")).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_orders"),
         )
         .select(
@@ -1101,7 +1123,11 @@ def q28_segment_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q29_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two disjoint grouping sets in one aggregation (one Expand node,
-    one shuffle — not two scans)."""
+    one shuffle — not two scans).
+
+    r14 nanmoney swap: revenue cast is the loud ``money_dec``."""
+    from ..functions.core import money_dec
+
     o = load(spark, sf_dir, "orders")
     return (
         o.groupingSets(
@@ -1111,7 +1137,7 @@ def q29_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast(D))
+            F.sum(money_dec("o_totalprice"))
             .cast("string")
             .cast("double")
             .alias("revenue"),
@@ -1330,8 +1356,13 @@ _RANGE_FRAME_ORACLE = """
 @REGISTRY.add("q34_range_frame_revenue", _RANGE_FRAME_ORACLE, "window")
 def q34_range_frame_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-30-calendar-day revenue per customer at each order via a
-    RANGE window frame over epoch days (peers = same-day orders)."""
+    RANGE window frame over epoch days (peers = same-day orders).
+
+    r14 nanmoney swap: the frame sum casts through the loud
+    ``money_dec`` at this site's exact DECIMAL(18,2) shape."""
     from pyspark.sql import Window
+
+    from ..functions.core import money_dec
 
     o = load(spark, sf_dir, "orders")
     dnum = F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01"))
@@ -1344,7 +1375,7 @@ def q34_range_frame_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "o_custkey",
         F.date_format(F.to_date("o_orderdate"), "yyyy-MM-dd").alias("day"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        F.sum(money_dec("o_totalprice", "decimal(18,2)"))
         .over(w)
         .cast("double")
         .alias("trailing30_revenue"),
@@ -1381,13 +1412,16 @@ _GLOBAL_SHARE_ORACLE = """
 def q35_global_share_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parts holding ≥ 500 ppm of total discounted revenue; the global
     total rides a single-row broadcast, the share is one BIGINT division
-    over floored micro-units."""
+    over floored micro-units.
+
+    r14 nanmoney swap: the revenue casts use the loud ``money_dec``
+    (oracle-matching NaN refusal; identical on clean corpora)."""
+    from ..functions.core import money_dec
+
     l = load(spark, sf_dir, "lineitem")
     rev = F.sum(
-        F.expr(
-            "CAST(l_extendedprice AS DECIMAL(12,4))"
-            " * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))"
-        )
+        money_dec("l_extendedprice")
+        * (F.lit(1).cast(D) - money_dec("l_discount"))
     ).alias("rev")
     pr = l.groupBy("l_partkey").agg(rev)
     pr = pr.withColumn(
@@ -2263,14 +2297,16 @@ _GSJ_ORACLE = """
 def q47_guarded_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-nation supplier revenue through the skew-measuring salted-
     join guard (plain broadcast/hash join on this uniform key; the same
-    call flips to the scatter join on a ≥10× hot supplier)."""
+    call flips to the scatter join on a ≥10× hot supplier).
+
+    r14 nanmoney swap: the cents projection uses the loud
+    ``money_cents_decimal`` at this site's exact DECIMAL(12,2) shape."""
+    from ..functions.core import money_cents_decimal
     from ..operators.skew import maybe_salted_join
 
     li = load(spark, sf_dir, "lineitem").select(
         F.col("l_suppkey").alias("suppkey"),
-        F.expr(
-            "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)"
-        ).alias("cents"),
+        money_cents_decimal("l_extendedprice", "decimal(12,2)").alias("cents"),
     )
     supp = load(spark, sf_dir, "supplier").select(
         F.col("s_suppkey").alias("suppkey"),

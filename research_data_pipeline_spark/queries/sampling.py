@@ -340,7 +340,13 @@ def s08_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-column profile of ``orders`` (bigint, char, decimal-ish
     double, varchar columns): one aggregation node computes every
     statistic; the long format (one row per column) keeps the output
-    scalar-typed for the comparator."""
+    scalar-typed for the comparator.
+
+    r14 nanmoney swap: the double min/max render through the loud
+    ``money_dec`` DECIMAL(18,2) cast — a NaN extreme raises on BOTH
+    engines instead of Spark silently printing NULL."""
+    from ..functions.core import money_dec
+
     o = load(spark, sf_dir, "orders")
     cols = ["o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
     aggs = []
@@ -353,7 +359,8 @@ def s08_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         mn, mx = F.min(c), F.max(c)
         if isinstance(o.schema[c].dataType, DoubleType):
-            mn, mx = mn.cast("decimal(18,2)"), mx.cast("decimal(18,2)")
+            mn = money_dec(mn, "decimal(18,2)")
+            mx = money_dec(mx, "decimal(18,2)")
         aggs += [
             F.count(F.lit(1)).alias(f"{c}__n"),
             (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),

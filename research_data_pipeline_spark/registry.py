@@ -484,7 +484,25 @@ _GREEN_ROUNDS: dict[str, frozenset[str]] = {
 # green rows in CORRECTNESS_r13.json; set cleared at round-14 start per
 # the ledger protocol. Round-14 additions land here commit-by-commit as
 # the r14 verdict tasks touch engine sources after a green row.)
-_REWRITTEN_SINCE_GREEN: set[str] = set()
+_REWRITTEN_SINCE_GREEN: set[str] = {
+    # r14 task 1 (the pre-scheduled money batch): the last 9
+    # engine-silent NaN→DECIMAL row-loss sites swap their inline casts
+    # for the loud money_dec / money_cents_decimal helpers
+    # (functions/core.py:106,132 — property-tested byte-identical to the
+    # inline idioms on non-NaN doubles). Provably output-identical on
+    # NaN-free corpora (the driver's); nanmoney probe now shows the
+    # refusal on BOTH engines instead of oracle-side only. q01 already
+    # sits in the r09 at-risk band, so the batch adds 8 net head rows.
+    "q01_pricing_summary",
+    "q02_revenue_by_nation",
+    "q10_running_revenue",
+    "q24_cube_revenue",
+    "q29_grouping_sets",
+    "q34_range_frame_revenue",
+    "q35_global_share_parts",
+    "q47_guarded_skew_join",
+    "s08_column_stats",
+}
 
 # Round-14 pre-scheduled batch (r12 verdict task 3 — the remaining
 # engine-silent NaN→DECIMAL row-loss sites, measured by

@@ -130,16 +130,17 @@ def build_corpus(spark: SparkSession, kind: str, out_dir: str) -> None:
         elif kind == "nanmoney":
             # The r12 frontier-sizing corpus: NaN in the RELATIONAL money
             # columns (lineitem/orders) instead of events.value. Expected
-            # state after the r13 contract batch (SURVEY round-13): ZERO
-            # silent value divergences — q17/q28/s04 took the
-            # NaN-exclusion domain contract (both engines; the old silent
-            # order-statistics divergence class), q15/e42 swapped to the
-            # loud money_cents_decimal/money_dec helpers (engine-loud,
-            # matching the oracle's refusal class, alongside q45 + s19),
-            # and 9 oracle-side-only loud refusals remain where Spark's
-            # double→DECIMAL cast still silently drops the row (q01, q02,
-            # q10, q24, q29, q34, q35, q47, s08 — the pre-scheduled r14
-            # swap batch, registry.py). q40/s14 r12 contracts value-exact.
+            # state after the r14 swap batch (the class is CLOSED): ZERO
+            # silent value divergences and ZERO oracle-side-only
+            # refusals — q17/q28/s04 carry the NaN-exclusion domain
+            # contract (both engines), and every remaining money-cast
+            # site (q15/e42 in r13; q01, q02, q10, q24, q29, q34, q35,
+            # q47, s08 in r14) raises the loud money_dec /
+            # money_cents_decimal refusal ENGINE-side, matching the
+            # oracle's NaN→DECIMAL refusal class (alongside q45's floor
+            # helper and s19's ANSI overflow). Standing state:
+            # 215/228 ok, diverged=0, crashed=13 — all 13 loud by
+            # design on both engines. q40/s14 r12 contracts value-exact.
             if t == "lineitem":
                 df = df.withColumn(
                     "l_extendedprice",

@@ -297,3 +297,39 @@ def test_money_dec_matches_plain_cast_and_raises_on_nan(spark):
     bad = spark.createDataFrame([(1.0,), (float("nan"),)], "v double")
     with pytest.raises(Exception, match="NaN money value"):
         bad.select(money_dec("v").alias("c")).collect()
+
+
+_R14_MONEY_SWAP_SITES = [
+    "q01_pricing_summary", "q02_revenue_by_nation", "q10_running_revenue",
+    "q24_cube_revenue", "q29_grouping_sets", "q34_range_frame_revenue",
+    "q35_global_share_parts", "q47_guarded_skew_join", "s08_column_stats",
+]
+
+
+@pytest.mark.parametrize("name", _R14_MONEY_SWAP_SITES)
+def test_r14_money_decimal_swaps_raise_loudly_on_nanmoney(
+    spark, nanmoney_dir, name
+):
+    """Round-14 pre-scheduled batch (the last 9 engine-silent
+    NaN→DECIMAL row-loss sites): on a NaN-poisoned money column these
+    queries now REFUSE loudly, matching the oracle's NaN→DECIMAL
+    refusal class, instead of Spark's silent NaN→NULL cast dropping the
+    row from every sum/min/max."""
+    from research_data_pipeline_spark.registry import all_specs
+
+    spec = all_specs()[name]
+    with pytest.raises(Exception, match="NaN money value"):
+        spec.fn(spark, nanmoney_dir).collect()
+
+
+@pytest.mark.parametrize("name", _R14_MONEY_SWAP_SITES)
+def test_r14_money_swap_sites_unchanged_on_clean_data(spark, name):
+    """The never-taken NaN branch changes nothing on contract-conforming
+    data: full oracle parity at sf0.001 post-swap for all 9 sites."""
+    from research_data_pipeline_spark.registry import all_specs
+
+    from .oracle import assert_parity
+
+    spec = all_specs()[name]
+    sf = "/root/testdata/sf0.001"
+    assert_parity(spec.fn(spark, sf), spec.oracle, sf, name)
