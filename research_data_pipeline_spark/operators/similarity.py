@@ -53,6 +53,35 @@ def _drop_null_vectors(df: DataFrame, vec_col: str) -> DataFrame:
     return df.where(F.col(vec_col).isNotNull())
 
 
+# DuckDB twin of drop_nan_vectors below — AND this into an embeddings
+# scan's WHERE clause so the oracle shares the engine's vector domain.
+NAN_VECTOR_SQL = (
+    "(embedding IS NULL OR len(list_filter(embedding, x -> isnan(x))) = 0)"
+)
+
+
+def drop_nan_vectors(df: DataFrame, vec_col: str) -> DataFrame:
+    """Vector-domain contract (nanemb, r14 — the e29 exclusion template):
+    vectors CONTAINING an IEEE NaN component leave the similarity domain
+    on BOTH engines at the loader. One NaN component turns every dot
+    product / norm that touches the vector into NaN, and the engines
+    then disagree SILENTLY: Spark SQL orders NaN ABOVE every real value,
+    so a NaN cosine passes ``>= threshold`` gates and wins top-k windows
+    while DuckDB's list arithmetic ranks differently (measured by
+    ``scripts/probe_corpus.py nanemb`` at r13 HEAD: 9 silent ranking
+    divergences, d09's pair count 57 → 18,777). A NaN inside an
+    ``array<double>`` also collects back to the driver as Python None
+    (object-dtype numpy batches), which is what killed d13b's Lloyd fold
+    with a raw UFuncTypeError. NULL vectors are NOT decided here — they
+    keep each caller's existing ``_drop_null_vectors`` / NULL-row
+    semantics (the isNull disjunct only stops the NULL-propagating
+    ``exists`` from dropping NULL rows as a side effect)."""
+    return df.where(
+        F.col(vec_col).isNull()
+        | ~F.exists(vec_col, lambda x: F.isnan(x.cast("double")))
+    )
+
+
 def _dot(a: Column, b: Column) -> Column:
     """Left-fold dot product in JVM expressions — exact but interpreted
     (~10µs/row: higher-order lambdas don't enter codegen). Use only for
@@ -94,6 +123,20 @@ MAX_BROADCAST_VECTORS = 200_000
 # rows per block in the blocked matrix join: a 2048×2048 cosine tile is
 # 32 MB of doubles — well inside an executor task's memory at any scale
 BLOCK_ROWS = 2048
+
+# above this many centroids the collected (ids, matrix, norms) tuple no
+# longer belongs in a driver pull + executor broadcast: the auto-sized
+# cell count grows as n/target_cell_rows, so at 10⁹ vectors the
+# "centroid table" is a ~2M-vector matrix — the m18 docstring's "at
+# 100 TB that pull becomes a broadcast-join against a stored centroid
+# table" remedy, made a real guard (r13 verdict task 5). Above the
+# threshold ``assign_cells`` switches to the block-partitioned centroid
+# join below: the centroid side stays a DataFrame, vectors meet one
+# 2048-centroid block per task, and the global argmax is a keyed
+# aggregate — same downstream plan, no unbounded broadcast. 100k
+# centroids × 64 dims × 8 B ≈ 51 MB, comfortably broadcastable; beyond
+# that the blocked path's extra shuffle is cheaper than the OOM.
+MAX_BROADCAST_CENTROIDS = 100_000
 
 
 def _broadcast_matrix(df: DataFrame, id_col: str, vec_col: str):
@@ -454,6 +497,10 @@ def _lloyd_refine(
                 if len(pdf) == 0:
                     continue
                 A = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+                # loud guard (r13 verdict task 2): a NaN component here
+                # used to surface as a raw driver-side UFuncTypeError
+                # (NaN in array<double> collects as object-dtype None)
+                _require_finite_matrix(A, "lloyd_refine")
                 acc = A[:, 0] * A[:, 0]
                 for kk in range(1, A.shape[1]):
                     acc = acc + A[:, kk] * A[:, kk]
@@ -763,6 +810,212 @@ def ann_topk_lsh(
     )
 
 
+def assign_cells(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_cells: int,
+    *,
+    with_vec: bool = False,
+    max_broadcast_centroids: int = MAX_BROADCAST_CENTROIDS,
+) -> DataFrame:
+    """Assign every vector to its cosine-nearest deterministic seed
+    centroid (the vectors with id < ``n_cells`` — the ``ann_topk_ivf``
+    convention) and return ``(id, cell BIGINT, ccos DOUBLE)`` plus,
+    with ``with_vec=True``, the double vector ``_v`` and its left-fold
+    ``norm`` (so downstream pair joins need no re-scan).
+
+    This is THE shared assignment kernel for every auto-sized-cell
+    operator (``semantic_dedup``, ``contrastive_pairs``, the d63/d64/m18
+    audits via ``_seed_assign_with_cos``): one Arrow-batched pass per
+    vector against the broadcast centroid matrix, vectorized n·n_cells
+    block cosines — the interpreted JVM ``F.aggregate`` fold at
+    corpus-scaled cell counts measured 68.7 s at 30× rows in m18's
+    second draft, and the same shape in d44 was the r13 verdict's one
+    plan-level finding. Ties break (ccos desc, cid asc) via np.lexsort,
+    matching the oracles' ROW_NUMBER order; cosines keep the
+    dimension-ordered left fold, so assignment is bit-exact vs SQL.
+
+    Above ``max_broadcast_centroids`` the centroid side no longer
+    belongs in a driver collect + broadcast (auto-sizing makes it
+    corpus-proportional); assignment switches to a block-partitioned
+    centroid JOIN: centroids stay a DataFrame cut into
+    ``BLOCK_ROWS``-sized hash blocks, vectors meet one block per cogroup
+    tile, each tile emits its block-best (ccos, cid) per vector, and a
+    keyed max-struct aggregate picks the global winner — identical
+    results (the fold arithmetic is blocking-independent; the reduce
+    re-applies the exact tie order), bounded memory at any centroid
+    count. Callers must apply the vector-domain contract first
+    (``drop_nan_vectors``): both kernels raise loudly on a NaN
+    component rather than let NaN win an argmax.
+    """
+    import pandas as pd
+
+    from .decisions import record
+
+    _require_integral_id(df, id_col)
+    record(
+        "assign_cells",
+        n_cells=n_cells,
+        max_broadcast_centroids=max_broadcast_centroids,
+        path="blocked" if n_cells > max_broadcast_centroids else "broadcast",
+    )
+    base_schema = f"{id_col} bigint, cell bigint, ccos double"
+    vec_schema = base_schema + ", _v array<double>, norm double"
+    if n_cells > max_broadcast_centroids:
+        return _assign_cells_blocked(
+            df, id_col, vec_col, n_cells, with_vec=with_vec
+        )
+    crows = sorted(
+        df.where(F.col(id_col) < n_cells).select(id_col, vec_col).collect(),
+        key=lambda r: r[0],
+    )
+    cids = np.fromiter((r[0] for r in crows), dtype=np.int64, count=len(crows))
+    if not crows:  # empty corpus: the kernel sees no centroids and
+        C = np.empty((0, 0), dtype=np.float64)  # yields nothing
+        cnorms = np.empty(0)
+    else:
+        C = np.array([r[1] for r in crows], dtype=np.float64)
+        _require_finite_matrix(C, "assign_cells(centroids)")
+        cnorms = _fold_norms(C)
+    bc = df.sparkSession.sparkContext.broadcast((cids, C, cnorms))
+
+    def kernel(batches):
+        ids_c, M, cn = bc.value
+        for pdf in batches:
+            if len(pdf) == 0 or len(ids_c) == 0:
+                continue
+            A = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            _require_finite_matrix(A, "assign_cells")
+            norms = _fold_norms(A)
+            S = _cosine_block(A, M) / np.outer(norms, cn)
+            best = [np.lexsort((ids_c, -S[r]))[0] for r in range(len(pdf))]
+            out = {
+                id_col: pdf[id_col].astype("int64"),
+                "cell": [int(ids_c[b]) for b in best],
+                "ccos": [float(S[r][b]) for r, b in enumerate(best)],
+            }
+            if with_vec:
+                out["_v"] = [list(map(float, row)) for row in A]
+                out["norm"] = norms
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, vec_col).mapInPandas(
+        kernel, schema=vec_schema if with_vec else base_schema
+    )
+
+
+def _require_finite_matrix(A: np.ndarray, where: str) -> None:
+    """Loud kernel-side twin of the loader-side ``drop_nan_vectors``
+    contract: a NaN component must never reach an argmax/mean kernel —
+    numpy's lexsort places NaN LAST while Spark SQL orders it FIRST, so
+    a silent pass here is a silent cross-engine ranking divergence (and
+    driver collects of NaN arrays come back as object-dtype None, the
+    raw UFuncTypeError d13b used to die with)."""
+    if A.size and np.isnan(A).any():
+        raise ValueError(
+            f"{where}: NaN vector component reached the assignment "
+            "kernel; NaN-containing vectors leave the vector domain at "
+            "the loader (similarity.drop_nan_vectors — the nanemb "
+            "contract). Filter the input before calling this operator."
+        )
+
+
+def _assign_cells_blocked(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_cells: int,
+    *,
+    with_vec: bool = False,
+    block_rows: int = BLOCK_ROWS,
+) -> DataFrame:
+    """Centroid-table join path of ``assign_cells`` — the >100k-centroid
+    regime where the centroid matrix must not be collected/broadcast.
+
+    Shape: both sides get deterministic hash blocks (vectors ~block_rows
+    per block, centroids likewise); the (vector-block × centroid-block)
+    tile grid is two crossed ``spark.range`` frames (never a driver-side
+    list — at 10⁹ vectors the grid itself is 10⁸ rows); each cogroup
+    tile runs the same fold-exact block-cosine kernel and emits ONE
+    block-best (ccos, cid) row per vector per centroid block; a keyed
+    max-struct aggregate ((ccos, -cid) — exact tie order, no float
+    negation) picks the global cell. The n·n_cells dot products are the
+    irreducible cost of EXACT assignment; what this path removes is the
+    unbounded driver pull, not the FLOPs — at real 100 TB scale you cap
+    centroid count or go hierarchical, and this operator keeps working
+    either way."""
+    import pandas as pd
+
+    spark = df.sparkSession
+    nb_c = max(1, -(-n_cells // block_rows))
+    cents = df.where(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("_cid"),
+        _as_double(F.col(vec_col)).alias("_cv"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(nb_c)).cast("bigint").alias("bj"),
+    )
+    n = df.count()
+    nb_v = max(1, -(-n // block_rows))
+    vecs = df.select(
+        F.col(id_col).alias("_id"),
+        _as_double(F.col(vec_col)).alias("_v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(nb_v)).cast("bigint").alias("bi"),
+    )
+    tiles = (
+        spark.range(nb_v).select(F.col("id").alias("bi"))
+        .crossJoin(spark.range(nb_c).select(F.col("id").alias("bj")))
+    )
+    # both sides replicate across the tile grid (vectors once per
+    # centroid block, centroids once per vector block) — the same
+    # discipline as _ann_topk_blocked's full (bi, bj) grid; each tile
+    # then holds ≤ block_rows rows of each side
+    left = vecs.join(tiles, "bi").select("bi", "bj", "_id", "_v")
+    right = cents.join(tiles, "bj").select("bi", "bj", "_cid", "_cv")
+
+    def tile_best(key, l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        if len(l) == 0 or len(r) == 0:
+            return pd.DataFrame({"_id": [], "_ccos": [], "_cid": []}).astype(
+                {"_id": "int64", "_ccos": "float64", "_cid": "int64"}
+            )
+        A, M = _np_mat(l["_v"]), _np_mat(r["_cv"])
+        _require_finite_matrix(A, "assign_cells[blocked]")
+        _require_finite_matrix(M, "assign_cells[blocked centroids]")
+        cids = r["_cid"].to_numpy(dtype=np.int64)
+        S = _cosine_block(A, M) / np.outer(_fold_norms(A), _fold_norms(M))
+        best = [np.lexsort((cids, -S[i]))[0] for i in range(len(l))]
+        return pd.DataFrame(
+            {
+                "_id": l["_id"].to_numpy(dtype=np.int64),
+                "_ccos": [float(S[i][b]) for i, b in enumerate(best)],
+                "_cid": [int(cids[b]) for b in best],
+            }
+        )
+
+    # one row per (vector, centroid-block); cogroup repartitions BOTH
+    # sides by the tile key, so each kernel call holds ≤ block_rows
+    # vectors × ≤ block_rows centroids
+    per_block = (
+        left.groupby("bi", "bj")
+        .cogroup(right.groupby("bi", "bj"))
+        .applyInPandas(tile_best, schema="_id bigint, _ccos double, _cid bigint")
+    )
+    win = per_block.groupBy("_id").agg(
+        F.max(
+            F.struct(F.col("_ccos").alias("c"), (-F.col("_cid")).alias("nc"))
+        ).alias("w")
+    ).select(
+        F.col("_id").alias(id_col),
+        (-F.col("w.nc")).cast("bigint").alias("cell"),
+        F.col("w.c").alias("ccos"),
+    )
+    if not with_vec:
+        return win
+    ev = df.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("_v")
+    ).withColumn("norm", F.sqrt(_dot(F.col("_v"), F.col("_v"))))
+    return win.join(ev, id_col).select(id_col, "cell", "ccos", "_v", "norm")
+
+
 def semantic_dedup(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -770,6 +1023,7 @@ def semantic_dedup(
     n_cells: int | None = 16,
     threshold: float = 0.8,
     target_cell_rows: int = 512,
+    max_broadcast_centroids: int = MAX_BROADCAST_CENTROIDS,
 ) -> DataFrame:
     """SemDeDup-shaped semantic deduplication: assign every vector to its
     cosine-nearest of ``n_cells`` deterministic seed centroids (the
@@ -800,54 +1054,15 @@ def semantic_dedup(
     """
     _require_integral_id(df, id_col)
     df = _drop_null_vectors(df, vec_col)
+    df = drop_nan_vectors(df, vec_col)  # nanemb vector-domain contract
     if n_cells is None:
         n_cells = max(16, -(-df.count() // target_cell_rows))
-    crows = sorted(
-        df.where(F.col(id_col) < n_cells).select(id_col, vec_col).collect(),
-        key=lambda r: r[0],
-    )
-    cids = np.fromiter((r[0] for r in crows), dtype=np.int64, count=len(crows))
-    if not crows:  # empty corpus (see ann_topk_ivf): fold would die
-        C = np.empty((0, 0), dtype=np.float64)
-        cnorms = np.empty(0)
-    else:
-        C = np.array([r[1] for r in crows], dtype=np.float64)
-        cacc = C[:, 0] * C[:, 0]
-        for kk in range(1, C.shape[1]):
-            cacc = cacc + C[:, kk] * C[:, kk]
-        cnorms = np.sqrt(cacc)
-    bc = df.sparkSession.sparkContext.broadcast((cids, C, cnorms))
-
-    def assign_cells(batches):
-        ids_c, M, cn = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            A = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
-            acc = A[:, 0] * A[:, 0]
-            for kk in range(1, A.shape[1]):
-                acc = acc + A[:, kk] * A[:, kk]
-            norms = np.sqrt(acc)
-            S = _cosine_block(A, M) / np.outer(norms, cn)
-            cells = [
-                int(ids_c[np.lexsort((ids_c, -S[r]))[0]])  # ccos desc, cid asc
-                for r in range(len(pdf))
-            ]
-            yield pd.DataFrame(
-                {
-                    "_id": pdf[id_col].astype("int64"),
-                    "_v": [list(map(float, row)) for row in A],
-                    "norm": norms,
-                    "cell": cells,
-                }
-            )
-
     sides = (
-        df.select(id_col, vec_col)
-        .mapInPandas(
-            assign_cells,
-            schema="_id bigint, _v array<double>, norm double, cell bigint",
+        assign_cells(
+            df, id_col, vec_col, n_cells, with_vec=True,
+            max_broadcast_centroids=max_broadcast_centroids,
         )
+        .select(F.col(id_col).alias("_id"), "_v", "norm", "cell")
         .localCheckpoint()  # consumed three times: two join sides + output
     )
     assign = sides.select("_id", "cell")
@@ -922,6 +1137,11 @@ def pq_adc_topk(
     """
     _require_integral_id(df, id_col)
     df = _drop_null_vectors(df, vec_col)
+    # nanemb vector-domain contract: a NaN component makes every
+    # subspace distance NaN, which Spark's FLOOR(...)::BIGINT silently
+    # maps to 0 while DuckDB refuses the NaN→INT64 conversion loudly —
+    # the d36 crash class; NaN vectors leave the domain on BOTH engines
+    df = drop_nan_vectors(df, vec_col)
     e = df.select(F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v"))
     seeds = (
         e.where(F.col("vid") < n_codes)
@@ -1098,6 +1318,7 @@ def contrastive_pairs(
     neg_lo: float = 0.30,
     n_cells: int | None = None,
     target_cell_rows: int = 512,
+    max_broadcast_centroids: int = MAX_BROADCAST_CENTROIDS,
 ) -> DataFrame:
     """Within-cell contrastive pair mining: assign every vector to its
     cosine-nearest deterministic seed centroid (id < n_cells, the
@@ -1115,51 +1336,43 @@ def contrastive_pairs(
     COUNT(*). Pass an explicit ``n_cells`` only when cell identity must
     be pinned independently of corpus size.
 
-    Everything stays in JVM expressions with the dimension-ordered
-    left-fold cosine, so results are engine-exact.
+    Assignment goes through the shared Arrow ``assign_cells`` kernel
+    (r13 verdict task 4: the earlier draft scored every vector against
+    ALL centroids with interpreted JVM ``F.aggregate`` folds over a
+    ``broadcast(cents)`` nested-loop join — with auto-sized n_cells =
+    n/512 that is O(n²d/512) interpreted work, the exact shape m18's
+    second draft measured at 68.7 s for 30× rows); pair cosines use the
+    Arrow ``_dot_kernel`` (bit-identical left fold, ~50× the interpreted
+    fold), so results stay engine-exact while both hot loops are
+    vectorized. Above ``max_broadcast_centroids`` assignment takes the
+    blocked centroid-table join path instead of an unbounded broadcast.
     """
     _require_integral_id(df, id_col)
     df = _drop_null_vectors(df, vec_col)
+    df = drop_nan_vectors(df, vec_col)  # nanemb vector-domain contract
     if n_cells is None:
         n_cells = max(16, -(-df.count() // target_cell_rows))
-
-    def dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    base = df.select(
-        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v")
-    ).withColumn("norm", F.sqrt(dot(F.col("v"), F.col("v"))))
-    cents = base.where(F.col("vid") < n_cells).select(
-        F.col("vid").alias("cid"), F.col("v").alias("cv"),
-        F.col("norm").alias("cn"),
-    )
-    scored = base.join(F.broadcast(cents)).withColumn(
-        "ccos", dot(F.col("v"), F.col("cv")) / (F.col("norm") * F.col("cn"))
-    )
-    rn = F.row_number().over(
-        W.partitionBy("vid").orderBy(F.col("ccos").desc(), F.col("cid").asc())
-    )
     assign = (
-        scored.withColumn("rn", rn)
-        .where(F.col("rn") == 1)
-        .select("vid", F.col("cid").alias("cell"), "v", "norm")
+        assign_cells(
+            df, id_col, vec_col, n_cells, with_vec=True,
+            max_broadcast_centroids=max_broadcast_centroids,
+        )
+        .select(F.col(id_col).alias("vid"), "cell", "_v", "norm")
+        .localCheckpoint()  # consumed twice: the two pair-join sides
     )
     a = assign.select(
         F.col("vid").alias("i"), "cell",
-        F.col("v").alias("va"), F.col("norm").alias("na"),
+        F.col("_v").alias("va"), F.col("norm").alias("na"),
     )
     b = assign.select(
         F.col("vid").alias("j"), F.col("cell").alias("cellb"),
-        F.col("v").alias("vb"), F.col("norm").alias("nb"),
+        F.col("_v").alias("vb"), F.col("norm").alias("nb"),
     )
     return (
         a.join(b, (F.col("cell") == F.col("cellb")) & (F.col("i") < F.col("j")))
         .withColumn(
-            "cosine", dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+            "cosine",
+            _dot_kernel(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
         )
         .where(F.col("cosine") >= neg_lo)
         .select(

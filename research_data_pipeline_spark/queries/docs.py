@@ -360,6 +360,16 @@ _E_CTE = (
     "WHERE embedding IS NOT NULL"
 )
 
+# Shared NaN-vector exclusion (the nanemb contract, r14 — see
+# similarity.drop_nan_vectors): vectors CONTAINING a NaN component leave
+# the vector domain on BOTH engines. `_E_CTE_FIN` is the finite-domain
+# variant of the shared embeddings CTE, adopted oracle-by-oracle as each
+# query's engine side takes the loader filter (r14: d26/d34/d36/d40/d13b
+# + the in-band d44/d63/d64/m18; r15 per the registry schedule: the five
+# cosine rankers d09/d10/d11/d13/d39 still read `_E_CTE`).
+_NANEMB_SQL = "len(list_filter(embedding, x -> isnan(x))) = 0"
+_E_CTE_FIN = _E_CTE + f" AND {_NANEMB_SQL}"
+
 _COS_PAIRS_ORACLE = f"""
     WITH e AS ({_E_CTE})
     SELECT a.vec_id AS i, b.vec_id AS j,
@@ -491,12 +501,12 @@ def d13_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # boolean is stable across runs and partitionings.
 _IVF_LLOYD_ITERS = 2
 _IVF_RECALL_BOUND = 0.35
-_IVF_RECALL_ORACLE = """
+_IVF_RECALL_ORACLE = f"""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
            CAST(3 AS BIGINT) AS k,
            TRUE AS within_bound
     FROM embeddings
-    WHERE embedding IS NOT NULL
+    WHERE embedding IS NOT NULL AND {_NANEMB_SQL}
 """
 
 
@@ -507,8 +517,16 @@ def d13b_ivf_lloyd_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     (n_queries, k, within_bound) where within_bound ⇔ mean recall ≥ 0.35.
     Every query has exactly k exact neighbors (n ≫ k), so mean per-query
     recall equals hits / (k · n_queries) — computed as two scalar
-    aggregates joined in-plan, no driver-side math."""
-    e = load(spark, sf_dir, "embeddings")
+    aggregates joined in-plan, no driver-side math.
+
+    NaN-containing vectors leave the domain on BOTH engines at this
+    loader (nanemb contract): a NaN component used to reach the Lloyd
+    mean fold, where the driver collect turned it into object-dtype
+    None and died with a raw UFuncTypeError — the kernel now also
+    carries a loud finite guard (similarity._require_finite_matrix)."""
+    e = sim.drop_nan_vectors(
+        load(spark, sf_dir, "embeddings"), "embedding"
+    )
     exact = sim.ann_topk_bruteforce(e, "vec_id", "embedding", k=_IVF_K).select(
         "query_id", "neighbor_id"
     )
@@ -1532,7 +1550,7 @@ def d28_bigram_lm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Operator: similarity.semantic_dedup.
 _SEM_ROWS, _SEM_T = 512, 0.4
 _SEM_ORACLE = f"""
-    WITH e AS ({_E_CTE}),
+    WITH e AS ({_E_CTE_FIN}),
     nc AS (SELECT GREATEST(16, CAST(CEIL(COUNT(*) / {_SEM_ROWS}.0) AS BIGINT)) AS n
            FROM e),
     cents AS (SELECT vec_id AS cid, v AS cv, norm AS cn FROM e
@@ -2090,7 +2108,12 @@ def d33_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # array (so the hash compare covers every dimension, not just min/max);
 # the max reconstruction error is floored to integer nano-units.
 _SQ8_ORACLE = """
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+               -- nanemb contract: NaN-containing vectors leave the
+               -- domain on both engines; NULL vectors keep d34's
+               -- existing NULL-row semantics
+               WHERE embedding IS NULL
+                  OR len(list_filter(embedding, x -> isnan(x))) = 0),
     m AS (SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx FROM e),
     q AS (
         SELECT vec_id, v, mn, mx,
@@ -2125,8 +2148,12 @@ _SQ8_ORACLE = """
 def d34_sq8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector SQ8 quantization audit: dimension count, code range,
     exact integer code-array checksum, and max reconstruction error in
-    nano-units. Pure map — zero shuffles (asserted in test_plans.py)."""
-    e = load(spark, sf_dir, "embeddings")
+    nano-units. Pure map — zero shuffles (asserted in test_plans.py).
+    NaN-containing vectors leave the domain on both engines (nanemb
+    contract — Spark silently casts the NaN code/checksum to BIGINT
+    where DuckDB refuses loudly); NULL vectors keep their existing
+    NULL-row semantics."""
+    e = sim.drop_nan_vectors(load(spark, sf_dir, "embeddings"), "embedding")
     v = F.col("embedding").cast("array<double>")
     m = e.select(
         "vec_id",
@@ -2288,7 +2315,7 @@ _PQ_ORACLE = f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
                       len(embedding) // {_PQ_M} AS w
                FROM embeddings
-               WHERE embedding IS NOT NULL),
+               WHERE embedding IS NOT NULL AND {_NANEMB_SQL}),
     seeds AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {_PQ_CODES}),
     sub AS (
         SELECT e.vec_id, s.cid, t.m, {_PQ_SUBD} AS d_e9
@@ -2574,7 +2601,7 @@ _JL_PROJ_SQL = ", ".join(
 )
 _JL_NORM2_SQL = " + ".join(f"p_{j} * p_{j}" for j in range(_JL_K))
 _JL_ORACLE = f"""
-    WITH e AS ({_E_CTE}),
+    WITH e AS ({_E_CTE_FIN}),
     p AS (SELECT vec_id, norm, {_JL_PROJ_SQL} FROM e)
     SELECT vec_id, {", ".join(f"p_{j}" for j in range(_JL_K))},
            CAST(FLOOR(1000000.0 * (sqrt({_JL_NORM2_SQL}) / sqrt({_JL_K}.0))
@@ -2588,9 +2615,17 @@ def d40_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JL projection 64→4 dims with the shared ±1 md5 matrix; emits the
     projected components and the integer-ppm norm-preservation ratio."""
     # similarity-family contract: NULL vectors are dropped at the API
-    # boundary (a NULL projection row is useless downstream); matches
-    # _E_CTE's shared filter. Zero rows filtered on the driver corpora.
-    e = load(spark, sf_dir, "embeddings").where(F.col("embedding").isNotNull())
+    # boundary (a NULL projection row is useless downstream) and
+    # NaN-containing vectors leave the domain on both engines (nanemb —
+    # a NaN component floods every projection AND floors to a silent
+    # BIGINT where the oracle refuses); matches _E_CTE_FIN's shared
+    # filter. Zero rows filtered on the driver corpora.
+    e = sim.drop_nan_vectors(
+        load(spark, sf_dir, "embeddings").where(
+            F.col("embedding").isNotNull()
+        ),
+        "embedding",
+    )
     v = F.transform("embedding", lambda x: x.cast("double"))
     base = e.select("vec_id", v.alias("v")).withColumn(
         "norm",
@@ -2788,7 +2823,7 @@ def d43_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 10.5× wall at 10× rows; SCALE.md).
 _CP_POS, _CP_NEG_LO, _CP_ROWS = 0.45, 0.30, 512
 _CONTRAST_ORACLE = f"""
-    WITH e AS ({_E_CTE}),
+    WITH e AS ({_E_CTE_FIN}),
     nc AS (SELECT GREATEST(16, CAST(CEIL(COUNT(*) / {_CP_ROWS}.0) AS BIGINT)) AS n
            FROM e),
     cents AS (SELECT vec_id AS cid, v AS cv, norm AS cn FROM e
@@ -4321,8 +4356,14 @@ def _ivf_assign_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     cached = _IVF_ASSIGN_CACHE.get(key)
     if cached is None:
-        e = sim._drop_null_vectors(
-            load(spark, sf_dir, "embeddings"), "embedding"
+        # NULL vectors drop (existing contract) AND NaN-containing
+        # vectors leave the domain (nanemb, r14 — both d63/d64 oracles
+        # read _E_CTE_FIN)
+        e = sim.drop_nan_vectors(
+            sim._drop_null_vectors(
+                load(spark, sf_dir, "embeddings"), "embedding"
+            ),
+            "embedding",
         )
         cached = _seed_assign_with_cos(spark, e).localCheckpoint()
         for k in [k for k in _IVF_ASSIGN_CACHE if k[0] != key[0]]:
@@ -4338,57 +4379,18 @@ def _seed_assign_with_cos(
     seed centroids — bit-exact left-fold cosines, argmax ties to the
     smaller id. The Arrow block kernel keeps the n·n_cells assignment
     vectorized (the interpreted JVM fold at corpus-scaled cell counts
-    measured 68.7 s at 30× rows in m18's second draft; this kernel does
-    the same arithmetic in numpy blocks). The centroid pull is
-    n_cells-bounded (16 for the d63/d64 audits; corpus/512 for m18 —
-    at 100 TB that pull becomes a broadcast-join against a stored
-    centroid table, same plan downstream)."""
-    import numpy as np
-    import pandas as pd
-
-    crows = sorted(
-        e.where(F.col("vec_id") < n_cells)
-        .select("vec_id", "embedding").collect(),
-        key=lambda r: r[0],
-    )
-    cids = np.fromiter((r[0] for r in crows), dtype=np.int64, count=len(crows))
-    C = np.array([r[1] for r in crows], dtype=np.float64)
-    if len(crows):  # empty corpus: no centroids, kernel yields nothing
-        cacc = C[:, 0] * C[:, 0]
-        for kk in range(1, C.shape[1]):
-            cacc = cacc + C[:, kk] * C[:, kk]
-        cn = np.sqrt(cacc)
-    else:
-        cn = np.zeros(0)
-    bc = spark.sparkContext.broadcast((cids, C, cn))
-
-    def assign(batches):
-        ids_c, M, cn = bc.value
-        for pdf in batches:
-            if len(pdf) == 0 or len(ids_c) == 0:
-                continue
-            A = np.array([list(v) for v in pdf["embedding"]], dtype=np.float64)
-            acc = A[:, 0] * A[:, 0]
-            for kk in range(1, A.shape[1]):
-                acc = acc + A[:, kk] * A[:, kk]
-            S = sim._cosine_block(A, M) / np.outer(np.sqrt(acc), cn)
-            rows = []
-            for r in range(len(pdf)):
-                order = np.lexsort((ids_c, -S[r]))  # ccos desc, cid asc
-                best = order[0]
-                rows.append(
-                    (int(pdf["vec_id"].iloc[r]), int(ids_c[best]),
-                     float(S[r][best]))
-                )
-            yield pd.DataFrame(rows, columns=["vec_id", "cell", "ccos"])
-
-    return e.select("vec_id", "embedding").mapInPandas(
-        assign, schema="vec_id bigint, cell bigint, ccos double"
-    )
+    measured 68.7 s at 30× rows in m18's second draft). Delegates to the
+    SHARED operator kernel ``similarity.assign_cells`` (r13 verdict
+    tasks 4-5): the centroid pull stays n_cells-bounded below
+    ``MAX_BROADCAST_CENTROIDS``, and above it the old docstring's "at
+    100 TB that pull becomes a broadcast-join against a stored centroid
+    table" remedy is now a REAL guard — assignment switches to the
+    block-partitioned centroid join, same plan downstream."""
+    return sim.assign_cells(e, "vec_id", "embedding", n_cells)
 
 
 _IVF_BAL_ORACLE = f"""
-    WITH e AS ({_E_CTE}),
+    WITH e AS ({_E_CTE_FIN}),
     cents AS (SELECT vec_id AS cid, v AS cv, norm AS cn FROM e
               WHERE vec_id < {_IVF_CELLS}),
     scored AS (
@@ -4439,7 +4441,7 @@ def d63_ivf_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _OUTL_FRAC_DIV = 20  # bottom 5% of each cell by centroid cosine
 _OUTL_ORACLE = f"""
-    WITH e AS ({_E_CTE}),
+    WITH e AS ({_E_CTE_FIN}),
     cents AS (SELECT vec_id AS cid, v AS cv, norm AS cn FROM e
               WHERE vec_id < {_IVF_CELLS}),
     scored AS (
@@ -4948,7 +4950,7 @@ def d69_eval_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 # derives the identical cell count from COUNT(*).
 _XM_ROWS = 512
 _XM_ORACLE = f"""
-    WITH e AS ({_E_CTE}),
+    WITH e AS ({_E_CTE_FIN}),
     nc AS (SELECT GREATEST(16, CAST(CEIL(COUNT(*) / {_XM_ROWS}.0) AS BIGINT))
                AS n FROM e),
     cents AS (SELECT vec_id AS cid, v AS cv, norm AS cn FROM e
@@ -4997,8 +4999,11 @@ def m18_cross_modal_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the smaller candidate id."""
     from pyspark.sql import Window as W
 
-    e0 = sim._drop_null_vectors(
-        load(spark, sf_dir, "embeddings"), "embedding"
+    e0 = sim.drop_nan_vectors(
+        sim._drop_null_vectors(
+            load(spark, sf_dir, "embeddings"), "embedding"
+        ),
+        "embedding",  # nanemb vector-domain contract (oracle: _E_CTE_FIN)
     )
     n_cells = max(16, -(-e0.count() // _XM_ROWS))
     # Arrow block-cosine assignment (vectorized n·n_cells) — the

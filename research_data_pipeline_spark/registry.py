@@ -502,6 +502,25 @@ _REWRITTEN_SINCE_GREEN: set[str] = {
     "q35_global_share_parts",
     "q47_guarded_skew_join",
     "s08_column_stats",
+    # r14 task 2 (the pre-scheduled nanemb batch, first half): the
+    # vector-domain contract — NaN-containing embeddings leave the
+    # similarity domain on BOTH engines (similarity.drop_nan_vectors +
+    # the _E_CTE_FIN / per-oracle WHERE fragments). Provably
+    # output-identical on NaN-free corpora (the driver's); the nanemb
+    # probe flips these five from silent-divergence/crash to
+    # value-exact. d63/d64/m18 take the same loader fragment but sit in
+    # the 34-name r09 at-risk band, so they re-verify without flags.
+    "d26_semantic_dedup",
+    "d34_sq8_quantization",
+    "d36_pq_adc_topk",
+    "d40_random_projection",
+    "d13b_ivf_lloyd_recall",
+    # r14 task 4 (r13 verdict): contrastive_pairs' centroid assignment
+    # re-routed through the shared Arrow assign_cells kernel (was an
+    # interpreted JVM-fold broadcast nested-loop — the r13 verdict's one
+    # plan-level finding), plus the same vector-domain contract. Last
+    # green r13 → flag.
+    "d44_contrastive_pairs",
 }
 
 # Round-14 pre-scheduled batch (r12 verdict task 3 — the remaining

@@ -333,3 +333,97 @@ def test_r14_money_swap_sites_unchanged_on_clean_data(spark, name):
     spec = all_specs()[name]
     sf = "/root/testdata/sf0.001"
     assert_parity(spec.fn(spark, sf), spec.oracle, sf, name)
+
+
+@pytest.fixture(scope="module")
+def nanemb_dir(spark, tmp_path_factory):
+    """The r13 nanemb corpus shape (scripts/probe_corpus.py nanemb):
+    IEEE NaN in component 0 of every 13th embedding vector — the ANN
+    family's NaN surface (Spark orders NaN above every real value, so a
+    NaN cosine passes thresholds and wins top-k windows)."""
+    d = str(tmp_path_factory.mktemp("nanemb_tables"))
+    for t in TABLES:
+        df = spark.read.parquet(f"/root/testdata/sf0.001/{t}.parquet")
+        if t == "embeddings":
+            df = df.withColumn(
+                "embedding",
+                F.when(
+                    F.col("vec_id") % 13 == 0,
+                    F.expr(
+                        "concat(array(cast('NaN' as float)), "
+                        "slice(embedding, 2, size(embedding) - 1))"
+                    ),
+                ).otherwise(F.col("embedding")),
+            )
+        df.write.parquet(f"{d}/{t}.parquet")
+    return d
+
+
+_R14_NANEMB_SITES = [
+    "d26_semantic_dedup", "d34_sq8_quantization", "d36_pq_adc_topk",
+    "d40_random_projection", "d13b_ivf_lloyd_recall",
+    "d63_ivf_balance_audit", "d64_embedding_outliers",
+    "m18_cross_modal_pairs", "d44_contrastive_pairs",
+]
+
+
+@pytest.mark.parametrize("name", _R14_NANEMB_SITES)
+def test_r14_nanemb_sites_stay_oracle_exact(spark, nanemb_dir, name):
+    """The r14 vector-domain batch: NaN-containing vectors leave the
+    similarity domain on BOTH engines (similarity.drop_nan_vectors +
+    the _E_CTE_FIN / per-oracle WHERE fragments), so these nine sites
+    are value-exact on a NaN-poisoned embedding corpus — they were 4
+    silent divergences + 4 crashes (+ d44's would-be regression under
+    its Arrow-kernel rewrite) before the contract."""
+    from research_data_pipeline_spark.registry import all_specs
+
+    from .oracle import assert_parity
+
+    spec = all_specs()[name]
+    assert_parity(spec.fn(spark, nanemb_dir), spec.oracle, nanemb_dir, name)
+
+
+@pytest.mark.parametrize("name", _R14_NANEMB_SITES)
+def test_r14_nanemb_sites_unchanged_on_clean_data(spark, name):
+    """The never-matching NaN filter changes nothing on
+    contract-conforming data: full oracle parity at sf0.001."""
+    from research_data_pipeline_spark.registry import all_specs
+
+    from .oracle import assert_parity
+
+    spec = all_specs()[name]
+    sf = "/root/testdata/sf0.001"
+    assert_parity(spec.fn(spark, sf), spec.oracle, sf, name)
+
+
+def test_assign_kernel_raises_loudly_on_nan_vector(spark):
+    """Kernel-side twin of the loader contract: a NaN component that
+    reaches the shared assignment kernel raises a named error instead of
+    silently losing the argmax (numpy sorts NaN LAST where Spark SQL
+    sorts it FIRST) — and instead of d13b's old raw UFuncTypeError from
+    the object-dtype driver collect."""
+    from research_data_pipeline_spark.operators import similarity as sim
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [0.5, float("nan")])],
+        "vec_id bigint, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="NaN vector component"):
+        sim.assign_cells(df, "vec_id", "embedding", 1).collect()
+
+
+def test_lloyd_refine_raises_loudly_on_nan_vector(spark):
+    """The Lloyd mean fold takes the same loud guard (r13 verdict task
+    2): NaN vectors reaching lloyd_iters>0 raise the contract error."""
+    from research_data_pipeline_spark.operators import similarity as sim
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(8)]
+        + [(8, [float("nan"), 1.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="NaN vector component"):
+        sim.ann_topk_ivf(
+            df, "vec_id", "embedding", k=2, n_cells=4, nprobe=1,
+            lloyd_iters=1,
+        ).count()

@@ -136,3 +136,65 @@ def test_pq_adc_rejects_indivisible_dimension(spark):
         pq_adc_topk(
             bad, "vec_id", "embedding", m_sub=3, k=2, n_codes=8, query_mod=10
         ).count()
+
+
+def test_assign_cells_blocked_matches_broadcast(emb):
+    """The >MAX_BROADCAST_CENTROIDS guard (r13 verdict task 5): the
+    block-partitioned centroid join must reproduce the broadcast
+    kernel's (cell, ccos) bit-exactly — the fold arithmetic is
+    blocking-independent and the keyed max-struct reduce re-applies the
+    (ccos desc, cid asc) tie order. block_rows=4 forces a real
+    multi-block grid on the tiny fixture."""
+    e = sim.drop_nan_vectors(
+        sim._drop_null_vectors(emb, "embedding"), "embedding"
+    )
+    base = _sorted_pdf(sim.assign_cells(e, "vec_id", "embedding", 16))
+    blocked = _sorted_pdf(
+        sim._assign_cells_blocked(
+            e, "vec_id", "embedding", 16, block_rows=4
+        )
+    )
+    pd.testing.assert_frame_equal(base, blocked, check_exact=True)
+
+
+def test_assign_cells_blocked_with_vec_matches_broadcast(emb):
+    """with_vec=True on the blocked path joins the vectors back by key;
+    _v and the left-fold norm must equal the broadcast kernel's."""
+    e = sim.drop_nan_vectors(
+        sim._drop_null_vectors(emb, "embedding"), "embedding"
+    )
+    base = _sorted_pdf(
+        sim.assign_cells(e, "vec_id", "embedding", 16, with_vec=True)
+        .withColumn("_v", sim.F.col("_v").cast("string"))
+    )
+    blocked = _sorted_pdf(
+        sim._assign_cells_blocked(
+            e, "vec_id", "embedding", 16, with_vec=True, block_rows=4
+        ).withColumn("_v", sim.F.col("_v").cast("string"))
+    )
+    pd.testing.assert_frame_equal(base, blocked, check_exact=True)
+
+
+def test_semantic_dedup_flips_to_blocked_centroids(emb):
+    """max_broadcast_centroids=0 forces the auto-sized-cell operator onto
+    the centroid-table join path: identical verdict rows."""
+    base = _sorted_pdf(
+        sim.semantic_dedup(emb, "vec_id", "embedding", n_cells=16,
+                           threshold=0.4)
+    )
+    flipped = _sorted_pdf(
+        sim.semantic_dedup(emb, "vec_id", "embedding", n_cells=16,
+                           threshold=0.4, max_broadcast_centroids=0)
+    )
+    pd.testing.assert_frame_equal(base, flipped, check_exact=True)
+
+
+def test_contrastive_pairs_flips_to_blocked_centroids(emb):
+    base = _sorted_pdf(
+        sim.contrastive_pairs(emb, "vec_id", "embedding", n_cells=16)
+    )
+    flipped = _sorted_pdf(
+        sim.contrastive_pairs(emb, "vec_id", "embedding", n_cells=16,
+                              max_broadcast_centroids=0)
+    )
+    pd.testing.assert_frame_equal(base, flipped, check_exact=True)
