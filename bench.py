@@ -190,6 +190,17 @@ def main() -> int:
         prev_spread = (
             prev_doc.get("spread", {}) if prev_doc.get("sf") == sf else {}
         )
+
+        def _allow(n: str, p: float) -> float:
+            # the baseline's own recorded spread raises the bar, but
+            # CAPPED (r13 advisor): after a retry-confirmed regression
+            # spreads[n] stores the regression delta itself, and one
+            # noisy round must not inflate the next round's bar into
+            # uselessness — allow at most half the baseline best, never
+            # more than 1.0 s
+            s = max(prev_spread.get(n, 0.0), 0.0)
+            return 0.25 + min(s, 0.5 * p, 1.0)
+
         for n, t in timings.items():
             p = prev.get(n, -1.0)
             # absolute floor: a sub-quarter-second delta on a tiny query
@@ -203,7 +214,7 @@ def main() -> int:
             if (
                 p > 0
                 and t > 1.5 * p
-                and t - p > 0.25 + max(prev_spread.get(n, 0.0), 0.0)
+                and t - p > _allow(n, p)
                 and spreads.get(n, 99.0) < 0.5
             ):
                 regressions[n] = [p, t]
@@ -228,7 +239,7 @@ def main() -> int:
                     break
                 spark.catalog.clearCache()
             best = min(retry, default=99.0)
-            bar = 0.25 + max(prev_spread.get(n, 0.0), 0.0)
+            bar = _allow(n, p)
             if retry and not (best > 1.5 * p and best - p > bar):
                 timings[n] = min(timings[n], best)
                 spreads[n] = round(

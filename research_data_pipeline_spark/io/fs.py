@@ -64,3 +64,23 @@ def read_text(spark: SparkSession, path: str) -> str:
         )
     finally:
         stream.close()
+
+
+def fingerprint(spark: SparkSession, path: str) -> str:
+    """Cheap recursive dataset fingerprint: total bytes + newest file
+    modification time under ``path`` ("absent" if it doesn't exist).
+    Used by layout-store sidecars to detect a dataset regenerated IN
+    PLACE (same path, new bytes), which the path-keyed artifact scheme
+    alone cannot see — a stale bucketed store would otherwise serve old
+    rows until someone remembers the refresh-by-delete contract."""
+    fs, p = _fs_and_path(spark, path)
+    if not fs.exists(p):
+        return "absent"
+    total = 0
+    newest = 0
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        st = it.next()
+        total += int(st.getLen())
+        newest = max(newest, int(st.getModificationTime()))
+    return f"{total}:{newest}"

@@ -317,6 +317,16 @@ def _artifact_path(kind: str, sf_dir: str) -> str:
         "spark-warehouse",
     )
     root = os.environ.get("SPARK_GRAFT_ARTIFACT_DIR", default).rstrip("/")
+    # the store path is interpolated into re-registration DDL
+    # (probe_bucketed_authorship); validate ONCE at configuration time so
+    # a quote/newline in the artifact root fails here with a clear error
+    # instead of as a broken CREATE TABLE at probe time (r13 advisor)
+    bad = set(root) & set("'`\"\n\r;")
+    if bad:
+        raise ValueError(
+            "SPARK_GRAFT_ARTIFACT_DIR contains characters unsafe for the "
+            f"layout store's registration DDL ({sorted(bad)}): {root!r}"
+        )
     ds = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:16]
     return f"{root}/{kind}/{ds}"
 
@@ -354,18 +364,29 @@ def build_bucketed_authorship(
     path = bucketed_authorship_path(sf_dir)
     table = _authorship_table_name(sf_dir)
     spark.sql(f"DROP TABLE IF EXISTS {table}")
-    # crash ordering: the sidecar is the probe's validity marker, so it
-    # must be ABSENT for the whole rewrite window — delete it first (a
-    # rebuild that dies mid-write then leaves no marker, and the probe
-    # correctly reports no store) and write it LAST, after the data
+    # crash ordering + CTAS contract (r13 advisor): write_bucketed's
+    # saveAsTable into an external LOCATION refuses a non-empty directory
+    # (allowNonEmptyLocationInCTAS=false), so leftover data files from a
+    # crash mid-write — or a cross-session rebuild where the table isn't
+    # in this catalog — would fail the documented refresh/retry path.
+    # Delete the ENTIRE store path first; the sidecar (the probe's
+    # validity marker) goes with it, so the probe reports no store for
+    # the whole rewrite window, and it is written LAST, after the data
     # committed.
-    fs.delete(spark, f"{path}/{_AUTHORSHIP_META}")
+    fs.delete(spark, path)
+    # dataset fingerprint BEFORE the write (the store must describe the
+    # bytes it was built from): probe treats a mismatch as store-absent,
+    # so a dataset regenerated in place invalidates the store instead of
+    # silently serving stale authorship rows
+    fprint = fs.fingerprint(spark, f"{sf_dir.rstrip('/')}/lineitem.parquet")
     write_bucketed(
         authorship, table, ["author_id"], n_buckets=n_buckets, path=path
     )
     schema_ddl = spark.table(table)._jdf.schema().toDDL()
     fs.write_text(
-        spark, f"{path}/{_AUTHORSHIP_META}", f"{n_buckets}\n{schema_ddl}"
+        spark,
+        f"{path}/{_AUTHORSHIP_META}",
+        f"{n_buckets}\n{fprint}\n{schema_ddl}",
     )
     return table
 
@@ -381,9 +402,22 @@ def probe_bucketed_authorship(spark: SparkSession, sf_dir: str):
     meta = f"{path}/{_AUTHORSHIP_META}"
     if not fs.exists(spark, meta):
         return None
+    parts = fs.read_text(spark, meta).split("\n", 2)
+    if len(parts) < 3:
+        # pre-r14 sidecar without a dataset fingerprint: stale format,
+        # treat as store-absent (rebuild is one explicit call)
+        return None
+    n_buckets, fprint, schema_ddl = parts
+    if fprint != fs.fingerprint(
+        spark, f"{sf_dir.rstrip('/')}/lineitem.parquet"
+    ):
+        # the dataset was regenerated IN PLACE since the store was
+        # built — serving it would silently return stale authorship
+        # rows (r13 advisor); the caller falls back to the raw scan
+        # until build_bucketed_authorship refreshes the store
+        return None
     table = _authorship_table_name(sf_dir)
     if not spark.catalog.tableExists(table):
-        n_buckets, schema_ddl = fs.read_text(spark, meta).split("\n", 1)
         spark.sql(
             f"CREATE TABLE {table} ({schema_ddl}) USING PARQUET "
             f"CLUSTERED BY (author_id) SORTED BY (author_id) "

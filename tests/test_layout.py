@@ -311,3 +311,90 @@ def test_star_tables_prefers_bucketed_store_when_present(spark, sf_dir):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         fs.delete(spark, bucketed_authorship_path(sf_dir))
+
+
+def test_bucketed_store_rebuild_survives_leftover_data_files(spark, sf_dir):
+    """Crash-retry contract (r13 advisor, medium): saveAsTable into an
+    external LOCATION refuses a non-empty directory, so a rebuild after
+    a crash mid-write (data files present, no sidecar) — or any
+    cross-session rebuild — must delete the whole store path first, not
+    just the sidecar."""
+    from research_data_pipeline_spark.io import fs
+    from research_data_pipeline_spark.io.layout import (
+        _authorship_table_name,
+        bucketed_authorship_path,
+        build_bucketed_authorship,
+        probe_bucketed_authorship,
+    )
+
+    path = bucketed_authorship_path(sf_dir)
+    table = _authorship_table_name(sf_dir)
+    try:
+        # simulate the crash window: data files on disk, NO sidecar, and
+        # (cross-session) no catalog entry
+        build_bucketed_authorship(spark, sf_dir, n_buckets=8)
+        fs.delete(spark, f"{path}/_BUCKET_META")
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        assert probe_bucketed_authorship(spark, sf_dir) is None
+        # the documented retry: must succeed, not die on non-empty CTAS
+        build_bucketed_authorship(spark, sf_dir, n_buckets=8)
+        assert probe_bucketed_authorship(spark, sf_dir) is not None
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        fs.delete(spark, path)
+
+
+def test_bucketed_store_probe_detects_in_place_regeneration(
+    spark, sf_dir, tmp_path
+):
+    """Freshness contract (r13 advisor): the sidecar records a dataset
+    fingerprint (bytes + newest mtime of lineitem); a dataset
+    regenerated IN PLACE makes the probe report store-absent instead of
+    silently serving stale authorship rows."""
+    from research_data_pipeline_spark.io import fs
+    from research_data_pipeline_spark.io.layout import (
+        _authorship_table_name,
+        bucketed_authorship_path,
+        build_bucketed_authorship,
+        probe_bucketed_authorship,
+    )
+
+    ds = str(tmp_path / "ds")
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").write.parquet(
+        f"{ds}/lineitem.parquet"
+    )
+    path = bucketed_authorship_path(ds)
+    table = _authorship_table_name(ds)
+    try:
+        build_bucketed_authorship(spark, ds, n_buckets=4)
+        assert probe_bucketed_authorship(spark, ds) is not None
+        # regenerate the dataset in place (fewer rows -> new bytes)
+        df = spark.read.parquet(f"{ds}/lineitem.parquet").limit(100)
+        df.write.mode("overwrite").parquet(str(tmp_path / "regen"))
+        spark.read.parquet(str(tmp_path / "regen")).write.mode(
+            "overwrite"
+        ).parquet(f"{ds}/lineitem.parquet")
+        spark.sql(f"DROP TABLE IF EXISTS {table}")  # fresh-session view
+        assert probe_bucketed_authorship(spark, ds) is None
+        # explicit refresh re-validates
+        build_bucketed_authorship(spark, ds, n_buckets=4)
+        assert probe_bucketed_authorship(spark, ds) is not None
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        fs.delete(spark, path)
+
+
+def test_artifact_root_with_quote_fails_at_configuration_time(
+    spark, monkeypatch
+):
+    """A quote in SPARK_GRAFT_ARTIFACT_DIR must fail loudly in
+    _artifact_path, not as a broken CREATE TABLE at probe time."""
+    import pytest as _pytest
+
+    from research_data_pipeline_spark.io.layout import (
+        bucketed_authorship_path,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_ARTIFACT_DIR", "/tmp/it's-a-trap")
+    with _pytest.raises(ValueError, match="unsafe"):
+        bucketed_authorship_path("/root/testdata/sf0.001")
