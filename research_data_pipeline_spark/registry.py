@@ -523,37 +523,37 @@ _REWRITTEN_SINCE_GREEN: set[str] = {
     "d44_contrastive_pairs",
 }
 
-# Round-14 pre-scheduled batch (r12 verdict task 3 — the remaining
-# engine-silent NaN→DECIMAL row-loss sites, measured by
-# `scripts/probe_corpus.py nanmoney`): q01, q02, q10, q24, q29, q34,
-# q35, q47, s08 swap their double→DECIMAL money casts for the loud
-# `money_cents_decimal` helper in the ROUND-14 head (each takes a
-# rotation flag in the round its code changes). Pre-computed r14
-# arithmetic (exact, from the post-r13-fold histogram): the r14 at-risk
-# band is the 34 r09-latest names and ALREADY CONTAINS q01, so the
-# money batch adds 8 flags → 42 of the 50 rows. Recorded here so the
-# r14 head is arithmetic, not archaeology. q15 and e42 are NOT in this
-# list: they sit in the r13 at-risk band and take their swaps THIS
-# round.
+# Round-14 batches, LANDED (state at r14 HEAD):
+# - money (r12 verdict task 3): q01, q02, q10, q24, q29, q34, q35, q47,
+#   s08 swapped to the loud money_dec / money_cents_decimal helpers —
+#   the nanmoney class is CLOSED (zero silent divergences, zero
+#   oracle-side-only refusals; every refusal loud on BOTH engines).
+# - nanemb first half (r13 verdict task 2): the vector-domain contract
+#   (NaN-containing vectors leave the similarity domain on both
+#   engines — similarity.drop_nan_vectors + _E_CTE_FIN / per-oracle
+#   WHERE fragments) landed at d26/d34/d36/d40/d13b plus the in-band
+#   d63/d64/m18, and d44 took it alongside its Arrow assign_cells
+#   rewrite. The nanemb probe flips those nine from 4 silent
+#   divergences + 4 crashes (+ d44's would-be regression) to 9/9
+#   value-exact; d13b's raw UFuncTypeError is a named guard
+#   (_require_finite_matrix).
+# Measured r14 head: 15 flags (9 money + 5 nanemb + d44) + the 33
+# remaining r09-band names = 48 ≤ 50; the 2 spare slots fall to the
+# cheapest r10-latest names (d73, g18). No deferral.
 #
-# Round-13-late frontier, sized and scheduled (`scripts/probe_corpus.py
-# nanemb` — NaN inside embedding vectors, the ANN family's untested NaN
-# surface, measured at r13 HEAD): 9 SILENT value divergences (d09, d10,
-# d11, d13, d26, d39, d63, d64, m18 — Spark SQL orders NaN GREATER than
-# every value, so a NaN cosine passes >= threshold gates and wins top-k
-# windows engine-side while DuckDB's list math diverges) + 4 loud
-# crashes (d34/d36/d40: oracle-side NaN→INT64 quantization refusals
-# with Spark silently casting; d13b: an engine-side numpy dtype error
-# that should become a tidy loud guard). Contract design: e29-style —
-# vectors CONTAINING NaN leave the vector domain on BOTH engines (one
-# shared engine-side exclusion at the similarity loaders + per-oracle
-# WHERE fragments); NULL embeddings keep their existing semantics.
-# Schedule against the cap: the r14 band already contains d63/d64/m18,
-# so r14 = 34 band + 8 money flags + 5 nanemb flags (d26, d34, d36,
-# d40, d13b) = 47 ≤ 50, and r15 takes the remaining 5 cosine rankers
-# (d09, d10, d11, d13, d39) whose fix is one shared loader fragment.
-# Until those land, NaN components are documented OUT of the embedding
-# data contract — measured, not assumed.
+# ROUND-15 pre-computed head (exact, from the r14 histogram {r09: 33,
+# r10: 41, r11: 40, r12: 50, r13: 49} + the 50 expected r14 greens):
+# after the r14 fold the at-risk band is the 39 r10-latest names
+# (41 − the 2 spare-slot greens), and the second half of the nanemb
+# schedule — the 5 cosine rankers d09_embedding_near_dups, d10_ann_topk,
+# d11_ann_lsh, d13_ann_ivf, d39_ann_multiprobe_lsh (all r11-latest) —
+# takes the SAME loader fragment (drop_nan_vectors at their operator
+# boundaries + _E_CTE → _E_CTE_FIN in their oracles) and 5 rewrite
+# flags: 39 + 5 = 44 ≤ 50, six spare slots, no deferral. Until r15
+# lands, those five are the only remaining nanemb silent divergences
+# (engine ranks NaN cosines first, oracle diverges) — NaN components
+# are documented OUT of the embedding data contract for them, measured,
+# not assumed.
 
 # Queries whose implementation changed DURING round 11, after the r11
 # rotation head was already fully committed (demand 52 vs the 50-row cap):

@@ -105,18 +105,20 @@ def build_corpus(spark: SparkSession, kind: str, out_dir: str) -> None:
                     ).otherwise(F.col("value")),
                 )
         elif kind == "nanemb" and t == "embeddings":
-            # r13 frontier-sizing corpus: IEEE NaN INSIDE the embedding
-            # arrays (component 0 of every 13th vector) — the ANN/
-            # similarity family's untested NaN surface. A NaN component
-            # turns every dot product / norm that touches the vector
-            # into NaN; the hazard classes to measure are (a) silent
-            # ranking divergence — Spark SQL comparisons order NaN
-            # GREATER than every value while IEEE comparisons are all
-            # false, so a NaN cosine can pass `>= threshold` gates and
-            # win top-k windows engine-side, and (b) silent row loss
-            # where a NaN similarity is cast/filtered differently by
-            # the two engines. Expected state is documented in SURVEY
-            # round-13 once measured.
+            # r13 frontier corpus: IEEE NaN INSIDE the embedding arrays
+            # (component 0 of every 13th vector) — the ANN/similarity
+            # family's NaN surface. A NaN component turns every dot
+            # product / norm that touches the vector into NaN; Spark SQL
+            # orders NaN GREATER than every value, so a NaN cosine
+            # passes `>= threshold` gates and wins top-k windows
+            # engine-side while DuckDB's list math diverges. Expected
+            # state after the r14 batch (the vector-domain contract —
+            # similarity.drop_nan_vectors + _E_CTE_FIN — at
+            # d26/d34/d36/d40/d13b/d63/d64/m18/d44): those nine are
+            # value-exact; the ONLY remaining divergences are the five
+            # r15-scheduled cosine rankers d09/d10/d11/d13/d39
+            # (registry.py schedule), i.e. 223/228 ok, diverged=5,
+            # crashed=0.
             df = df.withColumn(
                 "embedding",
                 F.when(

@@ -464,3 +464,13 @@ def test_g18_every_window_keyed_no_python(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_d44_contrastive_no_nested_loop(spark, sf_dir):
+    # r14: assignment rides the shared Arrow assign_cells kernel — the
+    # old broadcast(cents) all-centroids scoring was an unkeyed
+    # BroadcastNestedLoopJoin (the r13 verdict's one plan-level finding);
+    # no unkeyed join may reach the plan
+    plan = _plan(spark, sf_dir, "d44_contrastive_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
