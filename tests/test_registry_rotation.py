@@ -122,12 +122,19 @@ def test_r12_deferral_mechanics():
             assert set(names12[:len(R._R12_DEFERRED)]) == set(R._R12_DEFERRED)
 
     # simulate the r13 fold: the priority is gone, entries sort by
-    # their own (by-then fresh) green rows
+    # their own (by-then fresh) green rows. A deferral-list name may
+    # still legitimately sit at the head through a LATER rewrite flag
+    # (r14: d44 re-entered via _REWRITTEN_SINCE_GREEN after its Arrow
+    # assign_cells rewrite) — that is the flag mechanism working, not
+    # the deferral priority surviving, so exclude current flags.
     extended13 = dict(extended)
     extended13["r13"] = frozenset(R._R12_DEFERRED)
     with mock.patch.object(R, "_GREEN_ROUNDS", extended13):
         names13 = list(R.all_specs())
-        assert not (set(names13[:len(R._R12_DEFERRED)]) & R._R12_DEFERRED)
+        assert not (
+            set(names13[:len(R._R12_DEFERRED)])
+            & (R._R12_DEFERRED - R._REWRITTEN_SINCE_GREEN)
+        )
 
 
 def test_r11_midround_rewrites_claim_r12_slots():
