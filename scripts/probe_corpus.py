@@ -29,6 +29,15 @@ tests/test_epoch_inputs.py): e13/e17/e18/e23 — Spark Structured
 Streaming initializes the event-time watermark to epoch 0, so pre-1970
 event times are dropped as late in the first micro-batch while the
 batch oracles keep them. Standing state 224/228.
+
+Full-battery standing state at round-14 HEAD (zero silent divergences
+on any kind except the five r15-scheduled nanemb cosine rankers):
+nulled/negval/degtext/constant/unicode 228/228; nan 218/228 + 10
+loud-by-design money refusals; empty 221/228 (documented scalar
+shapes); bigvals 224/228 (4 loud overflows); epochs 224/228 (above);
+nanmoney 215/228, diverged=0, 13 refusals loud on BOTH engines;
+nanemb 223/228, diverged=5 (d09/d10/d11/d13/d39 — registry.py r15
+schedule), crashed=0.
 """
 
 from __future__ import annotations
