@@ -913,11 +913,17 @@ def _require_finite_matrix(A: np.ndarray, where: str) -> None:
     driver collects of NaN arrays come back as object-dtype None, the
     raw UFuncTypeError d13b used to die with)."""
     if A.size and np.isnan(A).any():
+        # NOTE: a SQL NULL *component* inside the array also lands here —
+        # Arrow/numpy materialize None as NaN in the float64 batch (the
+        # nullemb probe's crash class). Loud either way; the r15/r16
+        # schedule (registry.py) widens the loader contract to exclude
+        # NULL components explicitly on both engines.
         raise ValueError(
-            f"{where}: NaN vector component reached the assignment "
-            "kernel; NaN-containing vectors leave the vector domain at "
-            "the loader (similarity.drop_nan_vectors — the nanemb "
-            "contract). Filter the input before calling this operator."
+            f"{where}: NaN (or NULL) vector component reached the "
+            "assignment kernel; vectors containing non-finite "
+            "components leave the vector domain at the loader "
+            "(similarity.drop_nan_vectors — the nanemb contract). "
+            "Filter the input before calling this operator."
         )
 
 

@@ -549,11 +549,38 @@ _REWRITTEN_SINCE_GREEN: set[str] = {
 # d11_ann_lsh, d13_ann_ivf, d39_ann_multiprobe_lsh (all r11-latest) —
 # takes the SAME loader fragment (drop_nan_vectors at their operator
 # boundaries + _E_CTE → _E_CTE_FIN in their oracles) and 5 rewrite
-# flags: 39 + 5 = 44 ≤ 50, six spare slots, no deferral. Until r15
-# lands, those five are the only remaining nanemb silent divergences
-# (engine ranks NaN cosines first, oracle diverges) — NaN components
-# are documented OUT of the embedding data contract for them, measured,
-# not assumed.
+# flags. Until r15 lands, those five are the only remaining nanemb
+# silent divergences (engine ranks NaN cosines first, oracle diverges)
+# — NaN components are documented OUT of the embedding data contract
+# for them, measured, not assumed.
+#
+# Round-14-late frontier, sized and scheduled (`scripts/probe_corpus.py
+# nullemb` — SQL NULL *components* inside embedding arrays, the nanemb
+# class's sibling, measured at r14 HEAD): **213/228 ok, 9 SILENT
+# divergences + 6 loud crashes.** Mechanics: Spark's IsNaN returns
+# FALSE for NULL, so a NULL-component vector passes the r14 NaN filter;
+# JVM folds then propagate NULL dots/cosines (comparisons → unknown →
+# filtered) while DuckDB's aggregates/ranks skip them differently, and
+# the Arrow kernels see None → NaN in the float64 batch, firing the
+# loud _require_finite_matrix guard. Silent sites: the 5 cosine rankers
+# (again) + d36/d40 (NULL poisons the BIGINT output column into
+# float64) + d60 (row count 1 vs 16) + d73 (rank drift). Loud sites
+# (no silent corruption, message names the class): d26, d44, d63, d64,
+# m18, d13b. CONTRACT: widen the vector domain — vectors containing
+# NULL components OR NaN leave the domain on both engines
+# (engine: ~exists(v, x -> x IS NULL OR isnan(x)); oracle:
+# len(list_filter(embedding, x -> x IS NULL OR isnan(x))) = 0).
+# Schedule against the cap:
+# - r15 = 39-name r10 band + the 5 cosine rankers (taking the FULL
+#   NULL-or-NaN component contract in ONE visit) + d36 + d40 + d60 +
+#   d73 (full contract; all four newly-green by r14's fold so each
+#   takes a flag) = 48 ≤ 50, no deferral.
+# - r16 = its r11-latest band + the 6 loud sites widening their loader
+#   fragment to the full contract (6 flags; band ≈ 40 − r15's spare
+#   slots, so ≈ 44-46 ≤ 50).
+# Until then: NULL components are OUT of the embedding data contract —
+# every registered site is either value-exact or loud on the nullemb
+# corpus except the 9 named silent sites, measured, not assumed.
 
 # Queries whose implementation changed DURING round 11, after the r11
 # rotation head was already fully committed (demand 52 vs the 50-row cap):

@@ -19,6 +19,7 @@ Usage:
     python scripts/probe_corpus.py epochs    # pre-1970 + far-future clocks
     python scripts/probe_corpus.py nanmoney  # NaN in lineitem/orders money
     python scripts/probe_corpus.py nanemb   # NaN inside embedding vectors
+    python scripts/probe_corpus.py nullemb  # NULL components inside vectors
 Prints one line per divergent query and a final summary count.
 (The 70%-hot-key skew sweep lives as a permanent pytest instead:
 tests/test_skew_corpus_parity.py — it must FLIP the salting guards,
@@ -134,6 +135,31 @@ def build_corpus(spark: SparkSession, kind: str, out_dir: str) -> None:
                     F.col("vec_id") % 13 == 0,
                     F.expr(
                         "concat(array(cast('NaN' as float)), "
+                        "slice(embedding, 2, size(embedding) - 1))"
+                    ),
+                ).otherwise(F.col("embedding")),
+            )
+        elif kind == "nullemb" and t == "embeddings":
+            # r14 frontier-sizing corpus: SQL NULL INSIDE the embedding
+            # arrays (component 0 of every 13th vector — same key
+            # pattern as nanemb so the two classes are directly
+            # comparable). Distinct hazard from NULL whole-vectors
+            # (dropped at the loaders) and from NaN components (ordered
+            # HIGH by Spark): a NULL element propagates as NULL through
+            # JVM folds (zip_with/aggregate yield NULL dots → NULL
+            # cosines, which comparisons treat as unknown → filtered),
+            # while the Arrow kernels see None inside the list and build
+            # object-dtype numpy batches — the same crash class d13b had
+            # for NaN. DuckDB list arithmetic propagates NULL too but
+            # its aggregates/ranks then SKIP the NULL where Spark's
+            # windows may keep the row. Measured to size the class;
+            # expected state documented in SURVEY round-14 once sized.
+            df = df.withColumn(
+                "embedding",
+                F.when(
+                    F.col("vec_id") % 13 == 0,
+                    F.expr(
+                        "concat(array(cast(NULL as float)), "
                         "slice(embedding, 2, size(embedding) - 1))"
                     ),
                 ).otherwise(F.col("embedding")),
