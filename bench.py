@@ -146,6 +146,23 @@ def main() -> int:
     shared["bucketed_authorship"] = round(time.perf_counter() - t0, 3)
     shared_ts["bucketed_authorship"].append(time.time())
 
+    # g05-g17 (12 graph queries) + q08/q16 share the weighted co-supplier
+    # edge table (graph_analytics._co_edge_table) — one 2-exchange build
+    # per session/dataset, memoized exactly like the LSH pair stream
+    # above; cleared and rebuilt here so the build cost is charged to
+    # every run, never silently amortized away.
+    from research_data_pipeline_spark.queries.graph_analytics import (
+        _CO_EDGE_CACHE,
+        _co_edge_table,
+    )
+
+    _CO_EDGE_CACHE.clear()
+    shared_ts["cosupplier_edges"] = [time.time()]
+    t0 = time.perf_counter()
+    _co_edge_table(spark, sf_dir)
+    shared["cosupplier_edges"] = round(time.perf_counter() - t0, 3)
+    shared_ts["cosupplier_edges"].append(time.time())
+
     # Best-of-2 per query: a transient load spike or first-touch codegen
     # compile can inflate a single run 2-4x (round 3's "regression" was
     # exactly that — 7 unchanged queries drifted 2-4x on a loaded

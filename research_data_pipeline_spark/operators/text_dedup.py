@@ -278,6 +278,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.9,
     materialize: bool = True,
     emit_counts: bool = False,
+    emit_est: bool = False,
     verify_encoding: str = "auto",
     escalate_pop: int = 1000,
 ) -> DataFrame:
@@ -285,7 +286,12 @@ def minhash_lsh_pairs(
     token-set Jaccard. Returns (i, j, jaccard), i < j, jaccard ≥ threshold;
     ``emit_counts=True`` adds the exact integer (n_inter, n_union)
     columns so calibration callers (d59) derive integer-ppm similarity
-    without a second verification pass — the default output is unchanged.
+    without a second verification pass; ``emit_est=True`` additionally
+    carries the n_hashes signature columns through the band joins and
+    emits ``est_match`` (how many components agree) per pair — the
+    estimator-calibration column, fused here so callers never rebuild
+    the signature pipeline or re-join the signature sides per pair. The
+    default output is unchanged by both flags.
 
     Scale shape: one explode+groupBy for signatures; candidates from a
     hash self-join on (band_idx, xxhash64(band_val)) — a 64-bit join key
@@ -412,6 +418,12 @@ def minhash_lsh_pairs(
         for b in range(bands)
     ]
     carry = ["n_tokens", "mask"] if combined is not None else ["tokens"]
+    if emit_est:
+        # calibration callers only: the signature columns ride the band
+        # joins (bands × n_hashes × 32-char md5 per doc of extra shuffle,
+        # paid only under the flag) so est_match needs no signature
+        # re-derivation or per-pair lookup join
+        carry = carry + [f"mh{i}" for i in range(n_hashes)]
     # escalation engages only when a bucket COULD exceed the bar (and an
     # extended key exists to escalate to); otherwise no population pass,
     # no extra columns — the plan is byte-identical to the plain path
@@ -511,6 +523,12 @@ def minhash_lsh_pairs(
         ]
         if emit_counts else []
     )
+    if emit_est:
+        est = None
+        for k in range(n_hashes):
+            term = F.when(F.col(f"a.mh{k}") == F.col(f"b.mh{k}"), 1).otherwise(0)
+            est = term if est is None else est + term
+        extra = extra + [est.cast("bigint").alias("est_match")]
     out = None
     for bi in range(bands):
         for joined in _branch_joins(bi):

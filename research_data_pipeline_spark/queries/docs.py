@@ -4035,39 +4035,24 @@ def d59_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         md5_bucket(F.col("doc_id")) % 1000000 < _MHCAL_SAMPLE_PPM
     )
     # emit_counts fuses exact (inter, union) into the band verification
-    # itself — no second bitmask pass, no re-join of the doc sides
-    pairs = dd.minhash_lsh_pairs(
-        d, "doc_id", "text", threshold=0.0, emit_counts=True
-    ).select(
-        "i", "j",
-        F.expr(
-            "CAST(1000000 * n_inter div n_union AS BIGINT)"
-        ).alias("jaccard_ppm"),
-    )
-    scored = pairs
-    sig = dd.minhash_signatures(d, "doc_id", "text").localCheckpoint()
-    # the signature lookup sides broadcast below the same guard the pair
-    # generator uses; above it they stay keyed shuffles
-    if sig.count() > dd.MAX_BROADCAST_SIGNATURES:
-        F_broadcast = lambda x: x  # noqa: E731 — keyed join fallback
-    else:
-        F_broadcast = F.broadcast
-    sa = sig.select(
-        F.col("doc_id").alias("i"),
-        *[F.col(f"mh{k}").alias(f"a_mh{k}") for k in range(16)],
-    )
-    sb = sig.select(
-        F.col("doc_id").alias("j"),
-        *[F.col(f"mh{k}").alias(f"b_mh{k}") for k in range(16)],
-    )
-    est = None
-    for k in range(16):
-        term = F.when(F.col(f"a_mh{k}") == F.col(f"b_mh{k}"), 1).otherwise(0)
-        est = term if est is None else est + term
+    # itself — no second bitmask pass, no re-join of the doc sides —
+    # and emit_est rides the signature columns through the band joins so
+    # est_match needs no second signature pipeline and no per-pair
+    # signature lookup joins (optimization r14: the previous shape
+    # rebuilt minhash_signatures over the sample and joined both sides
+    # back on — a full tokenize+groupBy pass plus two joins, all for
+    # columns the band join already held)
     return (
-        scored.join(F_broadcast(sa), "i")
-        .join(F_broadcast(sb), "j")
-        .select(est.cast("bigint").alias("est_match"), "jaccard_ppm")
+        dd.minhash_lsh_pairs(
+            d, "doc_id", "text", threshold=0.0, emit_counts=True,
+            emit_est=True,
+        )
+        .select(
+            "est_match",
+            F.expr(
+                "CAST(1000000 * n_inter div n_union AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
         .groupBy("est_match")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_pairs"),

@@ -16,6 +16,36 @@ from ..graph.build import co_occurrence_edges, vertices_from
 from ..registry import REGISTRY
 from ..tables import load
 
+# ---------------------------------------------------------------------------
+# Shared co-supplier edge table (optimization r14). Twelve graph queries
+# plus q08/q16 derive from the IDENTICAL weighted co-occurrence edge set
+# over lineitem (item=l_orderkey, actor=l_suppkey) — only the threshold
+# applied on top differs (band structure in minhash terms: the thresholds
+# are post-aggregation filters, so no pushdown is lost by sharing). Each
+# inline rebuild costs the same 2 exchanges (collect_set per order,
+# (src,dst) aggregate); a production suite materializes the edge table
+# once per dataset. Session-scoped memo with the exact contract of
+# docs._lsh_pair_stream: keyed (applicationId, sf_dir), localCheckpoint-
+# materialized (lineage-free blocks, freed by the ContextCleaner when the
+# entry is dropped), stopped-session entries evicted on insert; bench.py
+# clears and rebuilds it under `shared` so the build cost is charged to
+# every run, never silently amortized away.
+_CO_EDGE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _co_edge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _CO_EDGE_CACHE.get(key)
+    if cached is None:
+        l = load(spark, sf_dir, "lineitem")
+        cached = co_occurrence_edges(
+            l, item_col="l_orderkey", actor_col="l_suppkey"
+        ).localCheckpoint()
+        for k in [k for k in _CO_EDGE_CACHE if k[0] != key[0]]:
+            del _CO_EDGE_CACHE[k]
+        _CO_EDGE_CACHE[key] = cached
+    return cached
+
 
 @REGISTRY.add(
     "g01_label_counts",
@@ -182,11 +212,10 @@ def g05_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     the component minimum is smaller than every other member, so its
     label passes the guard on every hop of any path.
     """
-    from ..graph.build import co_occurrence_edges, connected_components
+    from ..graph.build import connected_components
 
-    l = load(spark, sf_dir, "lineitem")
     s = load(spark, sf_dir, "supplier")
-    edges = co_occurrence_edges(l, item_col="l_orderkey", actor_col="l_suppkey").where(
+    edges = _co_edge_table(spark, sf_dir).where(
         F.col("n_shared_orders") >= _CC_MIN_SHARED
     )
     return (
@@ -258,11 +287,10 @@ def g06_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     strong co-supplier graph; isolated suppliers keep the base rank.
     Exact vs the DuckDB chained-CTE oracle because every arithmetic step
     is integer."""
-    l = load(spark, sf_dir, "lineitem")
     s = load(spark, sf_dir, "supplier")
-    edges = co_occurrence_edges(
-        l, item_col="l_orderkey", actor_col="l_suppkey"
-    ).where(F.col("n_shared_orders") >= _CC_MIN_SHARED).select("src", "dst")
+    edges = _co_edge_table(spark, sf_dir).where(
+        F.col("n_shared_orders") >= _CC_MIN_SHARED
+    ).select("src", "dst")
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     ed = edges.join(deg, "src").localCheckpoint()  # reused every iteration
 
@@ -332,16 +360,16 @@ _TRI_ORACLE = f"""
 def g07_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangles per supplier in the strong co-supplier graph (each
     triangle counted once via a < b < c wedge closing)."""
-    l = load(spark, sf_dir, "lineitem")
     s = load(spark, sf_dir, "supplier")
     e = (
-        co_occurrence_edges(l, item_col="l_orderkey", actor_col="l_suppkey")
+        _co_edge_table(spark, sf_dir)
         .where(
             (F.col("n_shared_orders") >= _CC_MIN_SHARED)
             & (F.col("src") < F.col("dst"))
         )
         .select("src", "dst")
-        .localCheckpoint()  # three-way self-join input, computed once
+        # three-way self-join input: a cheap filter over the memo's
+        # already-materialized blocks — no second checkpoint needed
     )
     ab, bc, ac = e.alias("ab"), e.alias("bc"), e.alias("ac")
     tri = ab.join(bc, F.col("ab.dst") == F.col("bc.src")).join(
@@ -399,11 +427,10 @@ _BFS_ORACLE = f"""
 def g08_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Minimum hop distance from supplier 1 over the ≥32-shared-orders
     co-supplier graph, capped at 4 hops."""
-    from ..graph.build import bfs_hops, co_occurrence_edges
+    from ..graph.build import bfs_hops
 
-    l = load(spark, sf_dir, "lineitem")
     s = load(spark, sf_dir, "supplier")
-    edges = co_occurrence_edges(l, item_col="l_orderkey", actor_col="l_suppkey").where(
+    edges = _co_edge_table(spark, sf_dir).where(
         F.col("n_shared_orders") >= _BFS_MIN_SHARED
     )
     return bfs_hops(
@@ -456,10 +483,9 @@ _KCORE_ORACLE = f"""
 def g09_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-core of the ≥32-shared-orders co-supplier graph: members with
     their within-core degree (graph/build.k_core iterative peeling)."""
-    from ..graph.build import co_occurrence_edges, k_core
+    from ..graph.build import k_core
 
-    l = load(spark, sf_dir, "lineitem")
-    edges = co_occurrence_edges(l, item_col="l_orderkey", actor_col="l_suppkey").where(
+    edges = _co_edge_table(spark, sf_dir).where(
         F.col("n_shared_orders") >= _KCORE_MIN_SHARED
     )
     return k_core(edges, k=_KCORE_K)
@@ -512,12 +538,12 @@ def g10_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node local clustering coefficient (ppm) on the strong
     co-supplier graph; degree from the directed edge list, triangles via
     g07's canonical a<b<c wedge closing."""
-    l = load(spark, sf_dir, "lineitem")
     e0 = (
-        co_occurrence_edges(l, item_col="l_orderkey", actor_col="l_suppkey")
+        _co_edge_table(spark, sf_dir)
         .where(F.col("n_shared_orders") >= _CC_MIN_SHARED)
         .select("src", "dst")
-        .localCheckpoint()  # feeds both the degree agg and 3 join aliases
+        # degree agg + 3 join aliases re-filter the memo's materialized
+        # blocks — cheaper than a second checkpoint copy
     )
     deg = e0.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("degree")
@@ -588,11 +614,10 @@ _WSP_ORACLE = f"""
 def g11_weighted_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Minimum integer path cost from supplier 1 over ≤4-hop walks in the
     strong co-supplier graph (graph/build.bounded_min_cost)."""
-    from ..graph.build import bounded_min_cost, co_occurrence_edges
+    from ..graph.build import bounded_min_cost
 
-    l = load(spark, sf_dir, "lineitem")
     edges = (
-        co_occurrence_edges(l, item_col="l_orderkey", actor_col="l_suppkey")
+        _co_edge_table(spark, sf_dir)
         .where(F.col("n_shared_orders") >= _WSP_MIN_SHARED)
         .select(
             "src",
@@ -734,15 +759,13 @@ _LP_ORACLE = (
 def g13_label_prop_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synchronous majority-LPA communities on the strong co-supplier
     graph: 3 deterministic rounds, tie → smallest label."""
-    from ..graph.build import co_occurrence_edges
-
-    l = load(spark, sf_dir, "lineitem")
     s = load(spark, sf_dir, "supplier")
     edges = (
-        co_occurrence_edges(l, item_col="l_orderkey", actor_col="l_suppkey")
+        _co_edge_table(spark, sf_dir)
         .where(F.col("n_shared_orders") >= _CC_MIN_SHARED)
         .select("src", "dst")
-        .localCheckpoint()  # reused every round
+        # reused every round as a filter over the memo's materialized
+        # blocks — no per-query checkpoint copy
     )
     labels = s.select(
         F.col("s_suppkey").alias("node"), F.col("s_suppkey").alias("label")
@@ -817,12 +840,11 @@ def g14_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Common-neighbor and resource-allocation link-prediction scores
     for non-adjacent supplier pairs in the strong co-supplier graph
     (≥2 shared neighbors; RA in exact integer ppm)."""
-    l = load(spark, sf_dir, "lineitem")
     e0 = (
-        co_occurrence_edges(l, item_col="l_orderkey", actor_col="l_suppkey")
+        _co_edge_table(spark, sf_dir)
         .where(F.col("n_shared_orders") >= _CC_MIN_SHARED)
         .select("src", "dst")
-        .localCheckpoint()  # wedge self-join + anti-join input, built once
+        # wedge self-join + anti-join input: filter over memo blocks
     )
     deg = e0.groupBy(F.col("src").alias("z")).agg(
         F.count(F.lit(1)).cast("bigint").alias("d")
@@ -900,9 +922,8 @@ _ASSORT_ORACLE = f"""
 def g15_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Newman degree assortativity of the strong co-supplier graph in
     exact-integer sufficient statistics (final r floored to µ-units)."""
-    l = load(spark, sf_dir, "lineitem")
     e0 = (
-        co_occurrence_edges(l, item_col="l_orderkey", actor_col="l_suppkey")
+        _co_edge_table(spark, sf_dir)
         .where(F.col("n_shared_orders") >= _CC_MIN_SHARED)
         .select("src", "dst")
     )
@@ -1005,13 +1026,10 @@ def g16_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-point personalized PageRank (3 iterations, damping 85/100)
     over the strong co-supplier graph, teleporting only to the seed set
     (every 20th supplier); integer-exact vs the chained-CTE oracle."""
-    from ..graph.build import co_occurrence_edges
-
-    l = load(spark, sf_dir, "lineitem")
     s = load(spark, sf_dir, "supplier")
-    edges = co_occurrence_edges(
-        l, item_col="l_orderkey", actor_col="l_suppkey"
-    ).where(F.col("n_shared_orders") >= _CC_MIN_SHARED).select("src", "dst")
+    edges = _co_edge_table(spark, sf_dir).where(
+        F.col("n_shared_orders") >= _CC_MIN_SHARED
+    ).select("src", "dst")
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     ed = edges.join(deg, "src").localCheckpoint()  # reused every iteration
 
@@ -1090,13 +1108,12 @@ _HC_ORACLE = f"""
 def g17_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Harmonic centrality (Σ 1e6 div hops, 3-hop ball) of every 20th
     supplier over the strong co-supplier graph via ONE multi-source BFS."""
-    from ..graph.build import co_occurrence_edges, multi_source_bfs
+    from ..graph.build import multi_source_bfs
 
-    l = load(spark, sf_dir, "lineitem")
     s = load(spark, sf_dir, "supplier")
-    edges = co_occurrence_edges(
-        l, item_col="l_orderkey", actor_col="l_suppkey"
-    ).where(F.col("n_shared_orders") >= _HC_MIN_SHARED).select("src", "dst")
+    edges = _co_edge_table(spark, sf_dir).where(
+        F.col("n_shared_orders") >= _HC_MIN_SHARED
+    ).select("src", "dst")
     seeds = s.where(F.col("s_suppkey") % _HC_SEED_MOD == 0).select(
         F.col("s_suppkey").alias("node")
     )

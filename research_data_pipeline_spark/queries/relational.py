@@ -346,24 +346,23 @@ def q08_cosupplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-hop distinct count without a self-join (SURVEY J6 + A5).
 
     Mirrors the reference's unique-coauthor stat (final_tables.py:148-150:
-    authors on my articles, minus me). Same two-shuffle shape as
-    ``graph.build.co_occurrence_edges``: collect_set per order (dedup +
-    grouping in one exchange), chained double explode generates the
-    co-supplier stream map-side, distinct-count per supplier — the
-    self-join formulation pays a third exchange for the same stream.
+    authors on my articles, minus me). Derived from the shared
+    co-supplier edge table (one row per distinct (src, dst) pair), so
+    the distinct count collapses to a per-src row count — one exchange
+    over the memo's blocks; the self-join formulation pays three
+    exchanges for the same number.
     """
-    l = load(spark, sf_dir, "lineitem")
-    per_order = (
-        l.select("l_orderkey", "l_suppkey")
-        .groupBy("l_orderkey")
-        .agg(F.collect_set("l_suppkey").alias("_s"))
-    )
+    from .graph_analytics import _co_edge_table
+
+    # the shared co-supplier edge table already holds one row per
+    # distinct (src, dst) pair, so the two-hop distinct count is a plain
+    # per-src row count over the memo's materialized blocks — the inline
+    # collect_set + double-explode derivation this replaces is exactly
+    # how the memo itself is built (graph.build.co_occurrence_edges)
     return (
-        per_order.select(F.explode("_s").alias("s_suppkey"), F.col("_s"))
-        .select("s_suppkey", F.explode("_s").alias("_co"))
-        .where(F.col("s_suppkey") != F.col("_co"))
-        .groupBy("s_suppkey")
-        .agg(F.countDistinct("_co").alias("n_cosuppliers"))
+        _co_edge_table(spark, sf_dir)
+        .groupBy(F.col("src").alias("s_suppkey"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_cosuppliers"))
     )
 
 
@@ -644,10 +643,9 @@ def q16_cosupplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     multiplicity is carried as an explicit weight column — the scalable
     representation of a multi-edge.
     """
-    from ..graph.build import co_occurrence_edges
+    from .graph_analytics import _co_edge_table
 
-    l = load(spark, sf_dir, "lineitem")
-    return co_occurrence_edges(l, item_col="l_orderkey", actor_col="l_suppkey").select(
+    return _co_edge_table(spark, sf_dir).select(
         "src", "dst", "n_shared_orders"
     )
 

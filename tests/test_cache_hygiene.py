@@ -85,3 +85,28 @@ def test_ivf_assign_table_shared_across_consumers(spark, sf_dir):
     assert t1 is t2, "assignment pass rebuilt within one session/dataset"
     assert len(docs._IVF_ASSIGN_CACHE) == 1
     assert _sql_cache_empty(spark)
+
+
+def test_co_edge_table_shared_and_row_identical(spark, sf_dir):
+    """g05-g17/q08/q16 read ONE materialized co-supplier edge table per
+    (session, dataset): single cache entry shared across consumers, SQL
+    cache manager stays empty (localCheckpoint, not .cache()), and the
+    memoized rows are exactly a fresh co_occurrence_edges build."""
+    from research_data_pipeline_spark.graph.build import co_occurrence_edges
+    from research_data_pipeline_spark.queries import graph_analytics as ga
+    from research_data_pipeline_spark.tables import load
+
+    ga._CO_EDGE_CACHE.clear()
+    spark.catalog.clearCache()
+    t1 = ga._co_edge_table(spark, sf_dir)
+    assert ga.g05_connected_components(spark, sf_dir).count() > 0
+    t2 = ga._co_edge_table(spark, sf_dir)
+    assert t1 is t2, "co-edge table rebuilt within one session/dataset"
+    assert len(ga._CO_EDGE_CACHE) == 1
+    assert _sql_cache_empty(spark)
+    fresh = co_occurrence_edges(
+        load(spark, sf_dir, "lineitem"),
+        item_col="l_orderkey",
+        actor_col="l_suppkey",
+    )
+    assert t1.exceptAll(fresh).isEmpty() and fresh.exceptAll(t1).isEmpty()
