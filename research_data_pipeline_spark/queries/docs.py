@@ -1151,18 +1151,27 @@ def d21_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle can see identical inputs."""
     from ..operators import incremental_dedup as inc
 
+    from ..io import fs
+
     d = load(spark, sf_dir, "documents")
     # ONE signature pass over the table, materialized, then split — the
     # in-plan analogue of the persisted store. Two separate
     # signature_table plans would scan + project the text twice, and the
     # 5 probe branches would re-run the corpus projection each (measured
-    # ~2x on d21 before the checkpoint). Repartitioned to one task wave
-    # before the checkpoint: the parquet scan's 128 file splits would
-    # otherwise ride into all 6 downstream consumers as 128 near-empty
-    # tasks each (measured ~25% of d21's wall at sf0.1).
+    # ~2x on d21 before the checkpoint). The checkpoint partition count
+    # is sized to the SOURCE (~64 MB of input per partition, floor 4),
+    # not the box: the signature table is a tiny fraction of its text,
+    # and every one of its partitions rides into all 6 probe consumers
+    # as a task each — defaultParallelism partitions of a 5k-row table
+    # meant 4 band branches × 32 near-empty tasks (measured: 32→4
+    # partitions cut the checkpoint 2.9→0.7 s and the match 2.3→1.1 s
+    # at sf0.1, identical rows). A 100 TB landing dir still fans out.
+    nparts = max(
+        4, -(-fs.size_bytes(spark, f"{sf_dir}/documents.parquet") // (64 << 20))
+    )
     sig_all = (
         inc.signature_table(d, "doc_id", "text")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .repartition(nparts)
         .localCheckpoint()
     )
     corpus_sig = sig_all.where(F.col("doc_id") % 5 != 0)
