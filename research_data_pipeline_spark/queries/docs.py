@@ -1939,12 +1939,21 @@ _BPE_ITER_ORACLE = _bpe_oracle(_BPE_ITERS)
 
 
 def _bpe_merge_round(
-    words: DataFrame, carry: tuple[str, ...] = ()
+    words: DataFrame, carry: tuple[str, ...] = (), checkpoint: bool = False
 ) -> tuple[DataFrame, DataFrame]:
     """One BPE round on a (s: array<string>, f: bigint) vocabulary table:
     returns (top1 pair DataFrame, merged vocabulary DataFrame). ``carry``
     names extra vocabulary columns (e.g. the source word) preserved
-    through the merge — they never reach the pair counts."""
+    through the merge — they never reach the pair counts.
+
+    ``checkpoint=True`` (the ITERATED callers, d32b/_bpe_enc_table) cuts
+    lineage per round with vocabulary-sized localCheckpoints: without it
+    every round's BroadcastExchange of top1 re-executes ALL earlier
+    rounds' merges from scratch — O(iters²) recomputation observed as 43
+    stages for 5 rounds (optimization r14). Single-round callers (d32)
+    keep the default and a byte-identical plan. Rows are unchanged
+    either way: top1 is a total order (n desc, lhs, rhs) and the merge
+    fold is deterministic."""
     starts = F.when(
         F.size("s") >= 2, F.sequence(F.lit(1), F.size("s") - 1)
     ).otherwise(F.array().cast("array<int>"))
@@ -1959,6 +1968,8 @@ def _bpe_merge_round(
         .orderBy(F.col("n").desc(), "lhs", "rhs")
         .limit(1)
     )
+    if checkpoint:
+        top1 = top1.localCheckpoint()  # 1 row; feeds the broadcast AND the caller's union
     j = words.crossJoin(F.broadcast(top1.select("lhs", "rhs")))
     # greedy left-to-right fold; F.get is the ANSI-safe last-element probe
     # (NULL on the empty accumulator, no out-of-bounds error)
@@ -1978,6 +1989,8 @@ def _bpe_merge_round(
         ).alias("s"),
         "f",
     )
+    if checkpoint:
+        merged = merged.localCheckpoint()  # vocabulary-sized
     return top1, merged
 
 
@@ -2001,7 +2014,7 @@ def d32b_bpe_training(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     steps = []
     for step in range(1, _BPE_ITERS + 1):
-        top1, words = _bpe_merge_round(words)
+        top1, words = _bpe_merge_round(words, checkpoint=True)
         steps.append(
             top1.select(
                 F.lit(step).cast("bigint").alias("step"),
@@ -2498,7 +2511,7 @@ def _bpe_enc_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             "f",
         )
         for _ in range(_BPE_ITERS):
-            _, words = _bpe_merge_round(words, carry=("t",))
+            _, words = _bpe_merge_round(words, carry=("t",), checkpoint=True)
         cached = words.select(
             "t", F.size("s").cast("bigint").alias("n_sym")
         ).localCheckpoint()
