@@ -15,6 +15,30 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _local_label_df(spark, rows: list[tuple], id_type: str) -> DataFrame:
+    """(node, label) DataFrame from driver-local pairs, Arrow-encoded.
+
+    ``createDataFrame`` over a plain Python list ships pickled Row objects
+    and pays a Python-worker pass on EVERY downstream job that evaluates
+    the relation (measured 1.4 s for a 5k-row broadcast build side at
+    sf0.1 — the single largest slice of the cluster-table build). A
+    pandas frame with explicit dtypes takes the Arrow path instead: the
+    data crosses once as Arrow batches and downstream evaluation is pure
+    JVM. Integral ids get exact int64/int32 dtypes; anything else falls
+    back to object columns with the same schema string as before.
+    """
+    import pandas as pd
+
+    dtype = {"bigint": "int64", "int": "int32", "smallint": "int16"}.get(
+        id_type
+    )
+    if dtype is not None:
+        pdf = pd.DataFrame(rows, columns=["node", "label"]).astype(dtype)
+    else:
+        pdf = pd.DataFrame(rows, columns=["node", "label"])
+    return spark.createDataFrame(pdf, schema=f"node {id_type}, label {id_type}")
+
+
 def co_occurrence_edges(
     df: DataFrame,
     item_col: str,
@@ -134,8 +158,18 @@ def connected_components(
     # and isolated vertices fall through the left join. 0 disables,
     # forcing the distributed path (the auto-selection tests use this;
     # billion-edge graphs never pass the guard).
-    n_edges = edges.count()
-    if driver_max_edges and n_edges <= driver_max_edges:
+    # one LIMIT-bounded pull decides the path AND delivers the fast path's
+    # input: on checkpointed blocks a limit+collect costs the same one job
+    # the old count() did, so the separate toPandas() job disappears; the
+    # over-limit case (real scale) pays a bounded ≤(max+1)-row pull and
+    # falls through to the distributed rounds unchanged
+    pdf = (
+        edges.limit(driver_max_edges + 1).toPandas()
+        if driver_max_edges
+        else None
+    )
+    if pdf is not None and len(pdf) <= driver_max_edges:
+        n_edges = len(pdf)
         from ..operators.decisions import record
 
         record(
@@ -157,7 +191,6 @@ def connected_components(
                 parent[x], x = root, parent[x]
             return root
 
-        pdf = edges.toPandas()
         srcs, dsts = pdf[src].tolist(), pdf[dst].tolist()
         for a, b in zip(srcs, dsts):
             ra, rb = find(a), find(b)
@@ -173,10 +206,8 @@ def connected_components(
         rows = [(node, comp_min[find(node)]) for node in touched]
         spark = vertices.sparkSession
         schema = vertices.select(F.col(id_col).alias("node")).schema
-        lbl = spark.createDataFrame(
-            rows,
-            f"node {schema['node'].dataType.simpleString()}, "
-            f"label {schema['node'].dataType.simpleString()}",
+        lbl = _local_label_df(
+            spark, rows, schema["node"].dataType.simpleString()
         )
         return (
             vertices.select(F.col(id_col).alias("node"))
@@ -615,8 +646,17 @@ def strongly_connected_components(
         .join(vset.select(F.col("node").alias(dst)), dst, "left_semi")
         .localCheckpoint()
     )
-    n_edges = edges.count()
-    if driver_max_edges and n_edges <= driver_max_edges:
+    # path decision + fast-path input in ONE bounded pull (see the
+    # identical move in connected_components): the separate count() job
+    # is gone on the driver path; the distributed path still counts the
+    # (checkpointed) edges for its stats
+    pdf = (
+        edges.limit(driver_max_edges + 1).toPandas()
+        if driver_max_edges
+        else None
+    )
+    if pdf is not None and len(pdf) <= driver_max_edges:
+        n_edges = len(pdf)
         from ..operators.decisions import record
 
         record(
@@ -628,7 +668,6 @@ def strongly_connected_components(
         if stats is not None:
             stats["algorithm"] = "driver_tarjan"
             stats["n_edges"] = n_edges
-        pdf = edges.toPandas()
         adj: dict = {}
         touched: set = set()
         for a, b in zip(pdf[src].tolist(), pdf[dst].tolist()):
@@ -689,9 +728,8 @@ def strongly_connected_components(
         id_type = vertices.select(F.col(id_col).alias("node")).schema[
             "node"
         ].dataType.simpleString()
-        lbl = spark.createDataFrame(
-            [(n, label[n]) for n in touched],
-            f"node {id_type}, label {id_type}",
+        lbl = _local_label_df(
+            spark, [(n, label[n]) for n in touched], id_type
         )
         return (
             vertices.select(F.col(id_col).alias("node"))
@@ -701,7 +739,7 @@ def strongly_connected_components(
 
     if stats is not None:
         stats["algorithm"] = "fwbw_coloring"
-        stats["n_edges"] = n_edges
+        stats["n_edges"] = edges.count()
     remaining = vertices.select(F.col(id_col).alias("node")).localCheckpoint()
     done = None
     for outer in range(max_outer):
