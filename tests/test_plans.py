@@ -69,8 +69,13 @@ def test_d06_no_duplicate_candidate_verification(spark, sf_dir):
         minhash_lsh_pairs(d, "doc_id", "text", materialize=False)
     )
     spark.catalog.clearCache()  # materialize=False leaves the caches live
-    assert "Union" in plan  # the per-band branches
-    assert "SortMergeJoin" not in plan  # all joins broadcast
+    # ONE fused candidate join over the exploded (band_idx, band_key)
+    # stream (r14): no per-band branch union, no post-verify dedup pass
+    # (the remaining joins are the dictionary vocab-encode join inlined
+    # on each self-join side, not candidate joins)
+    assert "Union" not in plan  # per-band branches are gone
+    assert "posexplode" in plan  # fused band-key explode feeds the join
+    assert "SortMergeJoin" not in plan  # join broadcasts under the guard
 
 
 def test_relational_queries_have_no_python_in_plan(spark, sf_dir):
