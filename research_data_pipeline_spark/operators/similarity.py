@@ -44,6 +44,17 @@ def _require_integral_id(df: DataFrame, id_col: str) -> None:
         )
 
 
+def _kernel_parts(sc, n: int) -> int:
+    """Partition count for an Arrow kernel pass over ``n`` vectors:
+    ≥512 vectors per task (the Python-worker roundtrip floor measured on
+    the Lloyd path), capped at the session's parallelism, floor 4. A
+    small corpus must not fan out to defaultParallelism near-empty
+    Python workers per pass; a large one still uses the full machine —
+    the same scale-adaptive rule ann_topk_ivf's refinement path and the
+    d21 signature checkpoint already use."""
+    return max(4, min(sc.defaultParallelism, -(-n // 512)))
+
+
 def _drop_null_vectors(df: DataFrame, vec_col: str) -> DataFrame:
     """A NULL embedding cannot participate in similarity: every matrix
     kernel would die on the inhomogeneous Arrow batch and every JVM fold
@@ -222,7 +233,7 @@ def cosine_pairs(
                 {"i": qids[r], "j": ids_all[c], "cosine": C[r, c]}
             )
 
-    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    n_parts = _kernel_parts(df.sparkSession.sparkContext, n)
     return (
         df.select(id_col, vec_col)
         .repartition(n_parts)
@@ -386,7 +397,7 @@ def ann_topk_bruteforce(
                 out["cosine"].extend(row[order])
             yield pd.DataFrame(out)
 
-    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    n_parts = _kernel_parts(df.sparkSession.sparkContext, n)
     return (
         df.select(id_col, vec_col)
         .repartition(n_parts)
@@ -640,20 +651,21 @@ def ann_topk_ivf(
             )
 
     schema = f"{id_col} bigint, _v array<double>, norm double, cell bigint, probes array<bigint>"
+    if n is None:
+        n = df.count()
     base = df.select(id_col, vec_col)
     if lloyd_iters <= 0:
-        # spread the scan for the kernel; the Lloyd path already sized
-        # and checkpointed its partitioning above — no extra exchange
+        # size the scan for the kernel (≥512 vectors/task, see
+        # _kernel_parts); the Lloyd path already sized and checkpointed
+        # its partitioning above — no extra exchange
         base = base.repartition(
-            df.sparkSession.sparkContext.defaultParallelism
+            _kernel_parts(df.sparkSession.sparkContext, n)
         )
     assigned = base.mapInPandas(assign, schema=schema).cache()
     # read twice: query side and member side
 
     from .decisions import record
 
-    if n is None:
-        n = df.count()
     record(
         "ann_topk_ivf",
         n=n,
@@ -818,6 +830,7 @@ def assign_cells(
     *,
     with_vec: bool = False,
     max_broadcast_centroids: int = MAX_BROADCAST_CENTROIDS,
+    n: int | None = None,
 ) -> DataFrame:
     """Assign every vector to its cosine-nearest deterministic seed
     centroid (the vectors with id < ``n_cells`` — the ``ann_topk_ivf``
@@ -900,7 +913,13 @@ def assign_cells(
                 out["norm"] = norms
             yield pd.DataFrame(out)
 
-    return df.select(id_col, vec_col).mapInPandas(
+    src = df.select(id_col, vec_col)
+    if n is not None:
+        # callers that know the vector count size the kernel pass
+        # (≥512 vectors/task — see _kernel_parts) instead of inheriting
+        # the scan's box-width partitioning
+        src = src.repartition(_kernel_parts(df.sparkSession.sparkContext, n))
+    return src.mapInPandas(
         kernel, schema=vec_schema if with_vec else base_schema
     )
 
@@ -1061,12 +1080,13 @@ def semantic_dedup(
     _require_integral_id(df, id_col)
     df = _drop_null_vectors(df, vec_col)
     df = drop_nan_vectors(df, vec_col)  # nanemb vector-domain contract
+    n = df.count() if n_cells is None else None
     if n_cells is None:
-        n_cells = max(16, -(-df.count() // target_cell_rows))
+        n_cells = max(16, -(-n // target_cell_rows))
     sides = (
         assign_cells(
             df, id_col, vec_col, n_cells, with_vec=True,
-            max_broadcast_centroids=max_broadcast_centroids,
+            max_broadcast_centroids=max_broadcast_centroids, n=n,
         )
         .select(F.col(id_col).alias("_id"), "_v", "norm", "cell")
         .localCheckpoint()  # consumed three times: two join sides + output
@@ -1230,6 +1250,14 @@ def pq_adc_topk(
         .select(F.col("vid").alias("query_id"), "lut")
     )
 
+    # the grouped code table is compact by design (m_sub small ints per
+    # vector), so AQE coalesces it to ONE post-shuffle partition locally
+    # and the ADC scan below — the O(n_queries · n) work of this operator
+    # — runs as a single task (measured 1.7 s serial at sf0.1). An
+    # explicit repartition pins scan parallelism; at scale the extra
+    # exchange moves the 8-32x-compressed code table once, noise next to
+    # the scan it feeds.
+    codes = codes.repartition(df.sparkSession.sparkContext.defaultParallelism)
     pairs = codes.join(
         F.broadcast(lutq), F.col("vid") != F.col("query_id")
     ).select(
@@ -1356,12 +1384,13 @@ def contrastive_pairs(
     _require_integral_id(df, id_col)
     df = _drop_null_vectors(df, vec_col)
     df = drop_nan_vectors(df, vec_col)  # nanemb vector-domain contract
+    n = df.count() if n_cells is None else None
     if n_cells is None:
-        n_cells = max(16, -(-df.count() // target_cell_rows))
+        n_cells = max(16, -(-n // target_cell_rows))
     assign = (
         assign_cells(
             df, id_col, vec_col, n_cells, with_vec=True,
-            max_broadcast_centroids=max_broadcast_centroids,
+            max_broadcast_centroids=max_broadcast_centroids, n=n,
         )
         .select(F.col(id_col).alias("vid"), "cell", "_v", "norm")
         .localCheckpoint()  # consumed twice: the two pair-join sides

@@ -4392,8 +4392,12 @@ def _seed_assign_with_cos(
     ``MAX_BROADCAST_CENTROIDS``, and above it the old docstring's "at
     100 TB that pull becomes a broadcast-join against a stored centroid
     table" remedy is now a REAL guard — assignment switches to the
-    block-partitioned centroid join, same plan downstream."""
-    return sim.assign_cells(e, "vec_id", "embedding", n_cells)
+    block-partitioned centroid join, same plan downstream.
+
+    The kernel pass is sized to the vector count (``n=`` → ≥512
+    vectors/task, similarity._kernel_parts): the one cheap count job
+    replaces defaultParallelism near-empty Python workers per pass."""
+    return sim.assign_cells(e, "vec_id", "embedding", n_cells, n=e.count())
 
 
 _IVF_BAL_ORACLE = f"""
