@@ -196,10 +196,10 @@ def match_against_corpus(
     map-side with no exchange at any corpus size.
 
     The batch signature table is materialized once up front
-    (``localCheckpoint``): it feeds the count, the fingerprint probe and
-    every band branch — 6 consumers — and re-running the 16-hash
-    projection per consumer sextuples the batch's signature cost
-    (measured 2x end-to-end on d21). Batch-sized state, bounded by the
+    (``localCheckpoint``): it feeds the count, the fused probe join and
+    the novel-doc left join, and re-running the 16-hash projection per
+    consumer multiplies the batch's signature cost (measured 2x
+    end-to-end on d21 with the pre-r14 6-consumer shape). Batch-sized state, bounded by the
     daily ingest. The CORPUS side is left lazy on purpose: when it comes
     from the parquet store a re-scan is a cheap column-pruned read, and
     materializing a corpus-sized table is exactly what the store exists
@@ -221,46 +221,113 @@ def match_against_corpus(
     def _maybe_b(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if bc else df
 
-    b_fp = batch_sig.select(
-        F.col(id_col).alias("_bid"), F.col("fingerprint").alias("_bfp")
-    )
-    exact = (
-        corpus_sig.join(_maybe_b(b_fp), corpus_sig["fingerprint"] == F.col("_bfp"))
-        .groupBy("_bid")
-        .agg(F.min(id_col).alias("_exact_id"))
-    )
+    # ONE exploded-key probe join for the fingerprint AND every near-dup
+    # candidate key (r14 optimization — the corpus store streams through
+    # exactly once instead of once per probe branch, 5 column-pruned
+    # corpus scans → 1):
+    #
+    # - Candidate keys are BAND COMBINATIONS, not single bands. Component
+    #   agreement ≥ min_agree allows at most (n_hashes - min_agree)
+    #   disagreeing components, and one disagreement breaks at most one
+    #   band — so every true near match collides EXACTLY on at least
+    #   g = bands - (n_hashes - min_agree) full bands, and keying on
+    #   size-g band subsets (C(bands, g) keys per row) is COMPLETE by the
+    #   same pigeonhole the module docstring proves for single bands.
+    #   The finer key is what kills the mega-bucket candidate mass: the
+    #   sf0.1 corpus puts ~46% of documents in one band-0 bucket (shared
+    #   boilerplate), and the single-band probe emitted ~n² candidates
+    #   there only for the agreement filter to reject them — measured as
+    #   a 2.2 s 16-task verification stage at sf0.1; a skeleton pair now
+    #   has to share g full bands (g·rows_per_band minhash components)
+    #   before it ever reaches the shuffle/broadcast.
+    # - The fingerprint probe rides the same join as key index
+    #   C(bands, g) with an xxhash64'd key, re-checked exactly on the
+    #   carried fingerprint strings post-join (a 2⁻⁶⁴ hash merge can
+    #   never fabricate an exact match).
+    # - First-match emission is an integer post-filter (combo c matches
+    #   ⟺ key equality; every earlier combo must have a differing band),
+    #   so each (batch, corpus) candidate still surfaces exactly once.
+    # - One groupBy then folds exact and near winners in the SAME pass.
+    from itertools import combinations
 
-    # near: per-band joins with first-match emission (band b requires all
-    # earlier bands to differ → each (batch, corpus) candidate surfaces
-    # from exactly one branch), verified by component agreement
-    b_cols = [F.col(id_col).alias("_bid")] + [
+    mis = max(0, n_hashes - min_agree)
+    g = max(1, bands - mis)
+    combos = list(combinations(range(bands), g))
+    n_combos = len(combos)
+
+    def _key_exprs(prefix: str) -> list:
+        return [
+            F.xxhash64(*[F.col(f"{prefix}band{b}") for b in combo])
+            for combo in combos
+        ] + [F.xxhash64(F.col(f"{prefix}fingerprint"))]
+
+    corp_expl = corpus_sig.select(
+        F.col(id_col).alias("_cid"),
+        F.col("fingerprint").alias("_cfp"),
+        *[F.col(f"mh{i}").alias(f"_c_mh{i}") for i in range(n_hashes)],
+        *[F.col(f"band{b}").alias(f"_c_band{b}") for b in range(bands)],
+        F.posexplode(F.array(*_key_exprs(""))).alias("_kidx", "_key"),
+    )
+    b_cols = [
+        F.col(id_col).alias("_bid"),
+        F.col("fingerprint").alias("_b_fingerprint"),
+    ] + [
         F.col(c).alias(f"_b_{c}")
         for c in batch_sig.columns
         if c.startswith(("mh", "band"))
     ]
-    b_side = batch_sig.select(*b_cols)
+    # key exprs reference the ORIGINAL column names (not the _b_ aliases
+    # defined in this same select — a lateral alias under a generator is
+    # unsupported); both frames carry the same source column names
+    batch_expl = batch_sig.select(
+        *b_cols,
+        F.posexplode(F.array(*_key_exprs(""))).alias("_bkidx", "_bkey"),
+    )
+    joined = corp_expl.join(
+        _maybe_b(batch_expl),
+        (F.col("_kidx") == F.col("_bkidx")) & (F.col("_key") == F.col("_bkey")),
+    )
+
     agree = None
     for i in range(n_hashes):
-        term = (F.col(f"mh{i}") == F.col(f"_b_mh{i}")).cast("int")
+        term = (F.col(f"_c_mh{i}") == F.col(f"_b_mh{i}")).cast("int")
         agree = term if agree is None else agree + term
-    near = None
-    for bi in range(bands):
-        cond = F.col(f"band{bi}") == F.col(f"_b_band{bi}")
-        for bj in range(bi):
-            cond &= F.col(f"band{bj}") != F.col(f"_b_band{bj}")
-        branch = (
-            corpus_sig.join(_maybe_b(b_side), cond)
-            .where(agree >= F.lit(min_agree))
-            .select("_bid", F.col(id_col).alias("_cid"))
-        )
-        near = branch if near is None else near.unionByName(branch)
-    near = near.groupBy("_bid").agg(F.min("_cid").alias("_near_id"))
 
+    def _combo_match(ci: int) -> F.Column:
+        c = None
+        for b in combos[ci]:
+            t = F.col(f"_c_band{b}") == F.col(f"_b_band{b}")
+            c = t if c is None else c & t
+        return c
+
+    is_exact = (F.col("_kidx") == n_combos) & (
+        F.col("_cfp") == F.col("_b_fingerprint")
+    )
+    near_first = None
+    for ci in range(n_combos):
+        t = F.col("_kidx") == F.lit(ci)
+        for cj in range(ci):
+            t = t & ~_combo_match(cj)
+        near_first = t if near_first is None else near_first | t
+    is_near = near_first & (agree >= F.lit(min_agree))
+
+    hits = (
+        joined.select(
+            "_bid",
+            "_cid",
+            is_exact.alias("_is_exact"),
+            is_near.alias("_is_near"),
+        )
+        .where(F.col("_is_exact") | F.col("_is_near"))
+        .groupBy("_bid")
+        .agg(
+            F.min(F.when(F.col("_is_exact"), F.col("_cid"))).alias("_exact_id"),
+            F.min(F.when(F.col("_is_near"), F.col("_cid"))).alias("_near_id"),
+        )
+    )
     out = (
         batch_sig.select(id_col)
-        .join(exact, batch_sig[id_col] == exact["_bid"], "left")
-        .drop("_bid")
-        .join(near, batch_sig[id_col] == near["_bid"], "left")
+        .join(hits, batch_sig[id_col] == hits["_bid"], "left")
         .drop("_bid")
     )
     matched = F.coalesce(F.col("_exact_id"), F.col("_near_id"))
