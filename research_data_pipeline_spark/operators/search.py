@@ -220,14 +220,26 @@ def bigram_nll(
         )
         * F.lit(SCALE)
     )
-    return (
-        occ.join(c2, ["w1", "w2"])
-        .join(c1, "w1")
+    # Fold the model into ONE per-(w1,w2) score table BEFORE touching the
+    # corpus-sized occ stream (r14): c2 ⋈ c1 ⋈ vocab are all
+    # vocabulary-bounded, so the corpus path pays a single (w1, w2) join
+    # instead of the previous (w1, w2) join followed by a second
+    # corpus-wide w1 join (HashPartitioning(w1,w2) does not satisfy a
+    # w1-keyed join, so that chain re-exchanged the whole joined stream
+    # when c1 was too big to broadcast). Every occ key exists in c2 and
+    # every c2.w1 in c1, so the inner joins keep identical rows and the
+    # per-position score is computed from the same (c2, c1, v) doubles.
+    score = (
+        c2.join(c1, "w1")
         .crossJoin(F.broadcast(vocab))
+        .select("w1", "w2", nll_pos_e6.alias("_nll_pos_e6"))
+    )
+    return (
+        occ.join(score, ["w1", "w2"])
         .groupBy(id_col)
         .agg(
             F.sum("n_occ").alias("n_bigrams"),
-            F.sum(F.col("n_occ") * nll_pos_e6).alias("nll_e6"),
+            F.sum(F.col("n_occ") * F.col("_nll_pos_e6")).alias("nll_e6"),
         )
         .select(
             id_col,
