@@ -109,9 +109,16 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q02_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3+-way inner join chain (SURVEY J3) with dimension broadcast.
 
-    Scale: nation/region/customer are dims → broadcast (no shuffle of the
-    fact); the only shuffle is the final 1-key aggregation. countDistinct
-    forces an expand, kept after the joins where rows are already pruned.
+    Scale: nation/region/customer are dims → broadcast (no shuffle past
+    the fact⋈fact step). Revenue is PRE-AGGREGATED per order before the
+    lineitem⋈orders join (r14, guide §2.3 aggregate-before-shuffle):
+    the join's orderkey exchange doubles as the aggregation exchange, the
+    per-nation ``countDistinct(o_orderkey)`` becomes a plain ``count``
+    (one row per order survives the pre-agg), and the expand +
+    lineitem-grain re-shuffle that countDistinct forced is gone — one
+    fact-sized exchange instead of two. Decimal sums are exact and
+    associative, so the two-stage sum is value-identical to the one-stage
+    sum the oracle computes.
 
     r14 nanmoney swap: revenue casts go through the loud ``money_dec``
     (oracle-matching NaN refusal; identical on clean corpora).
@@ -124,17 +131,19 @@ def q02_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region")
     one = F.lit(1).cast(D)
+    per_order = l.groupBy("l_orderkey").agg(
+        F.sum(money_dec("l_extendedprice") * (one - money_dec("l_discount")))
+        .alias("_rev")
+    )
     return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
+        per_order.join(o, per_order.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.sum(money_dec("l_extendedprice") * (one - money_dec("l_discount")))
-            .cast("double")
-            .alias("revenue"),
-            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.sum("_rev").cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
         )
     )
 
