@@ -55,6 +55,22 @@ def _kernel_parts(sc, n: int) -> int:
     return max(4, min(sc.defaultParallelism, -(-n // 512)))
 
 
+_PAIRS_PER_TASK = 1 << 18  # ~262k scored pairs amortize a worker roundtrip ~50×
+
+
+def _kernel_parts_pairs(sc, n_rows: int, n_cols: int) -> int:
+    """Partition count for a kernel whose per-row work is O(n_cols) — the
+    broadcast brute-force scans, where each task scores rows × all-vectors
+    pairs. Sizing by ROWS (``_kernel_parts``) undersizes these: 512 rows
+    of a 2k-vector corpus is ~1M pair scores ≈ 0.6 s of numpy per task
+    while most of the machine idles (r14, measured on d13b). Sizing by
+    PAIRS keeps each task ~50× the worker-roundtrip floor regardless of
+    corpus shape; capped at session parallelism, floor 4 as everywhere."""
+    return max(
+        4, min(sc.defaultParallelism, -(-(n_rows * n_cols) // _PAIRS_PER_TASK))
+    )
+
+
 def _drop_null_vectors(df: DataFrame, vec_col: str) -> DataFrame:
     """A NULL embedding cannot participate in similarity: every matrix
     kernel would die on the inhomogeneous Arrow batch and every JVM fold
@@ -152,12 +168,17 @@ MAX_BROADCAST_CENTROIDS = 100_000
 
 def _broadcast_matrix(df: DataFrame, id_col: str, vec_col: str):
     """Materialize (ids, matrix, norms) for the broadcast side of a
-    brute-force scan. Norms use the same left-fold order as the oracle."""
+    brute-force scan, rows sorted by id ASCENDING — the top-k kernel's
+    tie-break (cosine desc, id asc) then falls out of one stable argsort
+    over the whole batch instead of a per-query lexsort loop (r14).
+    Norms use the same left-fold order as the oracle."""
     rows = df.select(id_col, vec_col).collect()
     ids = np.fromiter((r[0] for r in rows), dtype=np.int64, count=len(rows))
     if not rows:  # empty corpus: np.array([]) is 1-dim and [:, k] dies
         return ids, np.empty((0, 0), dtype=np.float64), np.empty(0)
-    M = np.array([r[1] for r in rows], dtype=np.float64)
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    M = np.array([r[1] for r in rows], dtype=np.float64)[order]
     acc = M[:, 0] * M[:, 0]
     for k in range(1, M.shape[1]):
         acc = acc + M[:, k] * M[:, k]
@@ -233,7 +254,7 @@ def cosine_pairs(
                 {"i": qids[r], "j": ids_all[c], "cosine": C[r, c]}
             )
 
-    n_parts = _kernel_parts(df.sparkSession.sparkContext, n)
+    n_parts = _kernel_parts_pairs(df.sparkSession.sparkContext, n, n)
     return (
         df.select(id_col, vec_col)
         .repartition(n_parts)
@@ -384,20 +405,23 @@ def ann_topk_bruteforce(
             for kk in range(1, A.shape[1]):
                 acc = acc + A[:, kk] * A[:, kk]
             C = C / np.outer(np.sqrt(acc), norms)
-            out = {"query_id": [], "neighbor_id": [], "rank": [], "cosine": []}
-            for r in range(len(qids)):
-                row = C[r].copy()
-                self_mask = ids_all == qids[r]
-                row[self_mask] = -np.inf
-                # order: cosine desc, neighbor id asc (lexsort: last key primary)
-                order = np.lexsort((ids_all, -row))[:k]
-                out["query_id"].extend([qids[r]] * len(order))
-                out["neighbor_id"].extend(ids_all[order])
-                out["rank"].extend(range(1, len(order) + 1))
-                out["cosine"].extend(row[order])
-            yield pd.DataFrame(out)
+            C[qids[:, None] == ids_all[None, :]] = -np.inf  # mask self
+            # ids_all is sorted ascending (_broadcast_matrix), so a STABLE
+            # argsort of -C is exactly "cosine desc, neighbor id asc" —
+            # the whole batch's top-k in one vectorized pass (r14; the
+            # per-query lexsort loop was the kernel's Python hot spot)
+            order = np.argsort(-C, axis=1, kind="stable")[:, :k]
+            kk = order.shape[1]
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(qids, kk),
+                    "neighbor_id": ids_all[order].ravel(),
+                    "rank": np.tile(np.arange(1, kk + 1), len(qids)),
+                    "cosine": np.take_along_axis(C, order, axis=1).ravel(),
+                }
+            )
 
-    n_parts = _kernel_parts(df.sparkSession.sparkContext, n)
+    n_parts = _kernel_parts_pairs(df.sparkSession.sparkContext, n, n)
     return (
         df.select(id_col, vec_col)
         .repartition(n_parts)

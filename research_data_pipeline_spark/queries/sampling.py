@@ -673,17 +673,21 @@ def s12_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HLL_M = 64  # 6-bit bucket index, 2^6 registers
 
 
-def _hll_regs(ev: DataFrame) -> DataFrame:
+def _hll_regs(ud: DataFrame) -> DataFrame:
+    """Register table over the DISTINCT (day, user_id) table: bucket and
+    rank are pure functions of user_id, and MAX(rank) per (day, bucket)
+    is duplicate-insensitive — so hashing the deduplicated pairs computes
+    the identical registers while touching each (day, user) once (r14:
+    the raw-event form paid the md5/conv/bin chain once per EVENT row)."""
     h = F.conv(
         F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
     ).cast("bigint")
-    day = F.date_format(F.col("ts"), "yyyy-MM-dd")
     z = F.expr(f"h div {_HLL_M}")
     rank = F.when(z == 0, F.lit(55)).otherwise(
         F.lit(55) - F.length(F.bin(z))
     )
     return (
-        ev.select(day.alias("day"), h.alias("h"))
+        ud.select("day", h.alias("h"))
         .select(
             "day",
             (F.col("h") % _HLL_M).alias("bucket"),
@@ -753,17 +757,32 @@ def s13_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     denominator) plus the '__union__' row obtained by MERGING the 30
     daily register tables — bucketwise MAX, the shard-then-merge shape a
     daily 100 TB ingest uses; the oracle computes the union DIRECTLY
-    from raw rows, so hash equality proves the merge is lossless."""
+    from raw rows, so hash equality proves the merge is lossless.
+
+    One full-data pass (r14): the distinct (day, user_id) table is the
+    shared base — registers hash the deduplicated pairs (bucket/rank are
+    functions of user_id; MAX(rank) is duplicate-insensitive), the
+    per-day exact count is a plain count over it, and the union exact
+    count a distinct-user re-agg of it. The raw-event form ran three
+    full scans (register hash per event row + two countDistinct passes)
+    for identical values."""
     ev = load(spark, sf_dir, "events").select("ts", "user_id")
-    regs = _hll_regs(ev).localCheckpoint()  # read 2x: per-day + merge
+    ud = (
+        ev.select(
+            F.date_format(F.col("ts"), "yyyy-MM-dd").alias("day"), "user_id"
+        )
+        .distinct()
+        .localCheckpoint()  # read 3x: registers + both exact branches
+    )
+    regs = _hll_regs(ud).localCheckpoint()  # read 2x: per-day + merge
     per_day = _hll_row(regs, F.col("day"))
     merged = regs.groupBy("bucket").agg(F.max("m").alias("m"))
     union_row = _hll_row(merged, F.lit("__union__"))
     exact = (
-        ev.groupBy(F.date_format(F.col("ts"), "yyyy-MM-dd").alias("scope"))
-        .agg(F.countDistinct("user_id").cast("bigint").alias("n_exact_users"))
+        ud.groupBy(F.col("day").alias("scope"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_exact_users"))
         .unionByName(
-            ev.agg(
+            ud.agg(
                 F.countDistinct("user_id").cast("bigint").alias("n_exact_users")
             ).select(F.lit("__union__").alias("scope"), "n_exact_users")
         )
