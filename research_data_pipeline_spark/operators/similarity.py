@@ -1172,19 +1172,27 @@ def pq_adc_topk(
     and the ADC sum (integer addition, order-free) are exactly
     reproducible in any engine — no float-accumulation-order hazard.
 
-    Scale shape: the codebook side is ``n_codes`` rows (broadcast); the
-    encode pass is one broadcast join producing n·n_codes rows that
-    immediately collapse back to n via the per-subspace argmin aggregate
-    — the code table it emits is m_sub bytes-ish per vector, the 8-32x
-    compression that makes a 100 TB corpus scannable. The query LUTs are
-    one map-column row per query (n_codes × m_sub ints), broadcast
-    against the code table; the scan itself never touches the original
-    vectors. At real scale you compose this with the IVF cell pruning of
+    Scale shape (r14: both hot passes are Arrow kernels — the previous
+    interpreted ``F.aggregate`` folds were the operator's measured wall,
+    ~18 s of the 21 s sf0.1 task time; guide §4.2): the codebook side is
+    ``n_codes`` rows pulled once and broadcast into the ENCODE kernel,
+    which emits each vector's code (per-subspace argmin over
+    nano-floored integer distances) plus, for query rows, the full
+    distance LUT. The bounded LUT batch is then broadcast into the ADC
+    SCAN kernel, which scores the code table against every query in
+    numpy integer arithmetic and emits only its per-task top-k rows, so
+    the global rank window sees ≤ tasks·k rows per query instead of n.
+    The scan never touches the original vectors. Every per-subspace
+    squared-L2 accumulates dimension-by-dimension (numpy elementwise ops
+    don't fuse), reproducing the JVM/DuckDB left fold bit-for-bit before
+    the integer floor; the ADC sums are pure int64 adds — order-free. At
+    real scale you compose this with the IVF cell pruning of
     ``ann_topk_ivf`` (scan only probed cells); this operator is the
     in-cell ADC kernel. Mirrors FAISS IVFADC (Jegou et al., "Product
-    Quantization for Nearest Neighbor Search", TPAMI 2011) re-expressed
-    as DataFrame algebra.
+    Quantization for Nearest Neighbor Search", TPAMI 2011).
     """
+    import pandas as pd
+
     _require_integral_id(df, id_col)
     df = _drop_null_vectors(df, vec_col)
     # nanemb vector-domain contract: a NaN component makes every
@@ -1192,110 +1200,129 @@ def pq_adc_topk(
     # maps to 0 while DuckDB refuses the NaN→INT64 conversion loudly —
     # the d36 crash class; NaN vectors leave the domain on BOTH engines
     df = drop_nan_vectors(df, vec_col)
+    sc = df.sparkSession.sparkContext
     e = df.select(F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v"))
-    seeds = (
-        e.where(F.col("vid") < n_codes)
-        .select(F.col("vid").alias("cid"), F.col("v").alias("cv"))
+    # codebook: bounded by construction (vid < n_codes), ascending cid so
+    # argmin's first-minimum is the smaller-cid tie-break
+    seed_rows = sorted(
+        e.where(F.col("vid") < n_codes).collect(), key=lambda r: r["vid"]
     )
+    cids = np.fromiter((r["vid"] for r in seed_rows), dtype=np.int64,
+                       count=len(seed_rows))
+    C = (
+        np.array([r["v"] for r in seed_rows], dtype=np.float64)
+        if seed_rows else np.empty((0, 0), dtype=np.float64)
+    )
+    bc_seeds = sc.broadcast((cids, C))
+    n = e.count()  # sizes both kernel fan-outs (scale-adaptive, not the box)
+    nc_eff = len(seed_rows)
 
-    def subdist(m: int, width: Column) -> Column:
-        # left-fold squared L2 over subspace m in doubles, floored to
-        # integer nano-units — identical op order to the SQL oracle
-        a = F.slice("v", (F.lit(m) * width + 1).cast("int"), width.cast("int"))
-        b = F.slice("cv", (F.lit(m) * width + 1).cast("int"), width.cast("int"))
-        d = F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        return F.floor(d * F.lit(1000000000.0)).cast("bigint")
-
-    # the vector length must split evenly into m_sub subspaces: width
-    # truncates otherwise, so dims >= m_sub*width would silently never
-    # enter any subspace distance (e.g. 100-d with m_sub=8 drops 4 dims
-    # of signal). Fail loudly, in-plan (no extra validation pass).
-    width = (
-        F.when(
-            F.size("v") % F.lit(m_sub) == 0, F.size("v") / F.lit(m_sub)
-        )
-        .otherwise(
-            F.raise_error(
-                F.format_string(
-                    "pq_adc_topk: vector length %s is not divisible by "
-                    "m_sub=%s; trailing dimensions would be silently "
-                    "dropped — pick m_sub dividing the dimension",
-                    F.size("v").cast("string"),
-                    F.lit(m_sub).cast("string"),
+    def encode(batches):
+        cids_, C_ = bc_seeds.value
+        for pdf in batches:
+            if len(pdf) == 0 or len(C_) == 0:
+                continue  # empty corpus/codebook: no codes, no queries
+            lens = np.fromiter((len(v) for v in pdf["v"]), dtype=np.int64,
+                               count=len(pdf))
+            if ((lens % m_sub) != 0).any():
+                bad = int(lens[(lens % m_sub) != 0][0])
+                raise ValueError(
+                    f"pq_adc_topk: vector length {bad} is not divisible "
+                    f"by m_sub={m_sub}; trailing dimensions would be "
+                    "silently dropped — pick m_sub dividing the dimension"
                 )
-            ).cast("double")
-        )
-        .cast("bigint")
-    )
-    sub = e.join(F.broadcast(seeds)).select(
-        "vid",
-        "cid",
-        F.array(*[subdist(m, width) for m in range(m_sub)]).alias("subd"),
-    )
-
-    codes = sub.groupBy("vid").agg(
-        *[
-            F.min(
-                F.struct(
-                    F.element_at("subd", m + 1).alias("d"),
-                    F.col("cid").alias("cid"),
-                )
-            ).alias(f"c{m}")
-            for m in range(m_sub)
-        ]
-    ).select(
-        "vid", F.array(*[F.col(f"c{m}.cid") for m in range(m_sub)]).alias("code")
-    )
-
-    lutq = (
-        # the query BATCH must not scale with the corpus — an ADC scan is
-        # O(n_queries · n_codes_scanned), so tying queries to n makes the
-        # registered query quadratic at scale (measured: 2.7 s → 93 s at
-        # 10×). max_query_id pins a fixed deterministic batch, the real
-        # ANN-serving shape; pass None to rank every query_mod-th vector.
-        sub.where(
-            (F.col("vid") % query_mod == 0)
-            & (
-                F.lit(True)
-                if max_query_id is None
-                else F.col("vid") < max_query_id
+            A = np.array([list(v) for v in pdf["v"]], dtype=np.float64)
+            w = A.shape[1] // m_sub
+            # D[row, m, ci]: nano-floored subspace distances — the exact
+            # left-fold order of the oracle (dim-by-dim accumulation)
+            D = np.empty((len(A), m_sub, len(cids_)), dtype=np.int64)
+            for m in range(m_sub):
+                for ci in range(len(cids_)):
+                    acc = (A[:, m * w] - C_[ci, m * w]) ** 2
+                    for kk in range(1, w):
+                        d1 = (A[:, m * w + kk] - C_[ci, m * w + kk]) ** 2
+                        acc = acc + d1
+                    D[:, m, ci] = np.floor(acc * 1e9).astype(np.int64)
+            code = cids_[np.argmin(D, axis=2)]  # first min = smallest cid
+            qmask = (pdf["vid"].to_numpy(dtype=np.int64) % query_mod) == 0
+            if max_query_id is not None:
+                qmask &= pdf["vid"].to_numpy(dtype=np.int64) < max_query_id
+            # lut layout: [seed_index * m_sub + m], seed indices ascending
+            lut = [
+                D[r].T.ravel().tolist() if qmask[r] else None
+                for r in range(len(A))
+            ]
+            yield pd.DataFrame(
+                {"vid": pdf["vid"], "code": list(code), "lut": lut}
             )
-        )
-        .groupBy("vid")
-        .agg(
-            F.map_from_entries(
-                F.collect_list(F.struct(F.col("cid"), F.col("subd")))
-            ).alias("lut")
-        )
-        .select(F.col("vid").alias("query_id"), "lut")
-    )
 
-    # the grouped code table is compact by design (m_sub small ints per
-    # vector), so AQE coalesces it to ONE post-shuffle partition locally
-    # and the ADC scan below — the O(n_queries · n) work of this operator
-    # — runs as a single task (measured 1.7 s serial at sf0.1). An
-    # explicit repartition pins scan parallelism; at scale the extra
-    # exchange moves the 8-32x-compressed code table once, noise next to
-    # the scan it feeds.
-    codes = codes.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    pairs = codes.join(
-        F.broadcast(lutq), F.col("vid") != F.col("query_id")
-    ).select(
-        "query_id",
-        F.col("vid").alias("neighbor_id"),
-        F.aggregate(
-            F.sequence(F.lit(0), F.lit(m_sub - 1)),
-            F.lit(0).cast("bigint"),
-            lambda acc, mm: acc
-            + F.element_at(
-                F.element_at("lut", F.element_at("code", (mm + 1).cast("int"))),
-                (mm + 1).cast("int"),
-            ),
-        ).alias("adc_e9"),
+    enc = (
+        # per-row encode work is n_codes × d flops — size by the scored
+        # (row, code) pairs like the brute-force kernels
+        e.repartition(_kernel_parts_pairs(sc, n, max(1, nc_eff)))
+        .mapInPandas(
+            encode, schema="vid bigint, code array<bigint>, lut array<bigint>"
+        )
+        .localCheckpoint()  # one encode pass feeds the LUT pull + the scan
+    )
+    # the query BATCH must not scale with the corpus — an ADC scan is
+    # O(n_queries · n_codes_scanned), so tying queries to n makes the
+    # registered query quadratic at scale (measured: 2.7 s → 93 s at
+    # 10×). max_query_id pins a fixed deterministic batch, the real
+    # ANN-serving shape; pass None to rank every query_mod-th vector.
+    q_rows = sorted(
+        enc.where(F.col("lut").isNotNull()).select("vid", "lut").collect(),
+        key=lambda r: r["vid"],
+    )
+    qids = np.fromiter((r["vid"] for r in q_rows), dtype=np.int64,
+                       count=len(q_rows))
+    LUT = (
+        np.array([r["lut"] for r in q_rows], dtype=np.int64).reshape(
+            len(q_rows), nc_eff, m_sub
+        )
+        if q_rows else np.empty((0, nc_eff, m_sub), dtype=np.int64)
+    )
+    bc_lut = sc.broadcast((qids, LUT))
+    bc_cids = sc.broadcast(cids)
+
+    def adc_scan(batches):
+        qids_, LUT_ = bc_lut.value
+        cids_ = bc_cids.value
+        for pdf in batches:
+            if len(pdf) == 0 or len(qids_) == 0:
+                continue
+            nids = pdf["vid"].to_numpy(dtype=np.int64)
+            codes_m = np.array([list(c) for c in pdf["code"]], dtype=np.int64)
+            idx = np.searchsorted(cids_, codes_m)  # code value → seed index
+            adc = LUT_[:, idx[:, 0], 0]
+            for m in range(1, m_sub):
+                adc = adc + LUT_[:, idx[:, m], m]  # int64 adds: order-free
+            # per-task top-k per query (adc asc, nid asc): the global
+            # window then ranks ≤ tasks·k candidates, a superset of the
+            # true top-k by the standard partial-top-k argument
+            out_q, out_n, out_d = [], [], []
+            for qi in range(len(qids_)):
+                row = adc[qi]
+                sel = nids != qids_[qi]
+                nid_s, row_s = nids[sel], row[sel]
+                top = np.lexsort((nid_s, row_s))[:k]
+                out_q.append(np.full(len(top), qids_[qi], dtype=np.int64))
+                out_n.append(nid_s[top])
+                out_d.append(row_s[top])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "adc_e9": np.concatenate(out_d),
+                }
+            )
+
+    pairs = (
+        enc.select("vid", "code")
+        .repartition(_kernel_parts_pairs(sc, n, max(1, len(qids))))
+        .mapInPandas(
+            adc_scan, schema="query_id bigint, neighbor_id bigint, adc_e9 bigint"
+        )
     )
 
     w = W.partitionBy("query_id").orderBy(

@@ -199,15 +199,19 @@ def test_d34_quantization_is_shuffle_free(spark, sf_dir):
     assert "EvalPython" not in plan  # stays JVM-side, no UDF
 
 
-def test_d36_pq_adc_stays_jvm_and_broadcast(spark, sf_dir):
-    # the encode pass and the ADC scan must both ride broadcasts of the
-    # bounded sides (16-row codebook; query-batch LUTs) — a cartesian or
-    # a shuffled join here would re-materialize the n^2 pair space the
-    # PQ code table exists to avoid
+def test_d36_pq_adc_kernels_and_no_pair_join(spark, sf_dir):
+    # r14: the encode pass and the ADC scan are Arrow kernels over
+    # broadcasts of the bounded sides (16-row codebook; query-batch
+    # LUTs) — the previous interpreted F.aggregate folds were ~18 s of
+    # the operator's 21 s sf0.1 task time. No join may materialize the
+    # n·n_queries pair space: the scan emits per-task top-k rows only,
+    # so the plan must hold NO cartesian/nested-loop join and NO
+    # pickled-row Python evaluator (MapInPandas is the sanctioned node).
     plan = _plan(spark, sf_dir, "d36_pq_adc_topk")
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" in plan  # codes x broadcast(LUTs)
-    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "MapInPandas" in plan  # the ADC scan kernel
+    assert "BatchEvalPython" not in plan  # no pickled-row UDF path
 
 
 def test_e25_interval_join_is_equi_not_nested_loop(spark, sf_dir):
