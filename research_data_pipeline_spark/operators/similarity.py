@@ -468,14 +468,19 @@ def _ann_topk_blocked(
         rids = r["_rid"].to_numpy(dtype=np.int64)
         L, R = _np_mat(l["_lv"]), _np_mat(r["_rv"])
         C = _cosine_block(L, R) / np.outer(_fold_norms(L), _fold_norms(R))
+        # sort candidate columns by id so one stable argsort of -C is
+        # "cosine desc, id asc" for every query row at once (r14)
+        corder = np.argsort(rids, kind="stable")
+        rids = rids[corder]
+        C = C[:, corder]
+        C[lids[:, None] == rids[None, :]] = -np.inf  # mask self
+        order = np.argsort(-C, axis=1, kind="stable")[:, :k]
         for row in range(len(lids)):
-            s = C[row].copy()
-            s[rids == lids[row]] = -np.inf
-            order = np.lexsort((rids, -s))[:k]
-            order = order[np.isfinite(s[order])]
-            out["query_id"].extend([lids[row]] * len(order))
-            out["neighbor_id"].extend(rids[order])
-            out["cosine"].extend(s[order])
+            sel = order[row]
+            sel = sel[np.isfinite(C[row, sel])]
+            out["query_id"].extend([lids[row]] * len(sel))
+            out["neighbor_id"].extend(rids[sel])
+            out["cosine"].extend(C[row, sel])
         return pd.DataFrame(out)
 
     cand = (
@@ -658,20 +663,18 @@ def ann_topk_ivf(
                 acc = acc + A[:, kk] * A[:, kk]
             norms = np.sqrt(acc)
             S = _cosine_block(A, M) / np.outer(norms, cn)
-            out = []
-            for r in range(len(pdf)):
-                order = np.lexsort((ids_c, -S[r]))  # ccos desc, cid asc
-                out.append(
-                    (
-                        int(pdf[id_col].iloc[r]),
-                        list(map(float, A[r])),
-                        float(norms[r]),
-                        int(ids_c[order[0]]),
-                        [int(ids_c[o]) for o in order[:nprobe]],
-                    )
-                )
+            # ids_c is sorted ascending, so one STABLE argsort of -S is
+            # exactly "ccos desc, cid asc" for every row (r14: replaces
+            # the per-row lexsort + per-element list-building loop)
+            order = np.argsort(-S, axis=1, kind="stable")[:, :nprobe]
             yield pd.DataFrame(
-                out, columns=[id_col, "_v", "norm", "cell", "probes"]
+                {
+                    id_col: pdf[id_col].to_numpy(dtype=np.int64),
+                    "_v": list(A),
+                    "norm": norms,
+                    "cell": ids_c[order[:, 0]],
+                    "probes": list(ids_c[order]),
+                }
             )
 
     schema = f"{id_col} bigint, _v array<double>, norm double, cell bigint, probes array<bigint>"
@@ -767,6 +770,11 @@ def _ivf_broadcast_topk(assigned: DataFrame, id_col: str, k: int) -> DataFrame:
                 )
                 if len(cand) == 0:
                     continue
+                # candidate ids ascending, so a stable argsort of -S is
+                # "cosine desc, id asc" for every query row at once; the
+                # per-row work left is only the self-exclusion on the
+                # first k+1 entries (r14: replaces per-query lexsort)
+                cand = cand[np.argsort(ids_all[cand], kind="stable")]
                 Q = np.array(
                     [list(pdf["_v"].iloc[r]) for r in rws], dtype=np.float64
                 )
@@ -774,19 +782,18 @@ def _ivf_broadcast_topk(assigned: DataFrame, id_col: str, k: int) -> DataFrame:
                     (pdf["norm"].iloc[r] for r in rws), dtype=np.float64, count=len(rws)
                 )
                 S_all = _cosine_block(Q, Mm[cand]) / np.outer(qn, nn[cand])
+                order_all = np.argsort(-S_all, axis=1, kind="stable")[:, : k + 1]
                 for gi, r in enumerate(rws):
                     qid = int(pdf[id_col].iloc[r])
-                    keep = ids_all[cand] != qid
-                    if not keep.any():
+                    sel = order_all[gi]
+                    top = sel[ids_all[cand[sel]] != qid][:k]
+                    if len(top) == 0:
                         continue
-                    S = S_all[gi][keep]
-                    kcand = cand[keep]
-                    order = np.lexsort((ids_all[kcand], -S))[:k]
-                    out["query_id"].extend([qid] * len(order))
-                    out["neighbor_id"].extend(ids_all[kcand][order])
-                    out["cell"].extend(cc[kcand][order])
-                    out["rank"].extend(range(1, len(order) + 1))
-                    out["cosine"].extend(S[order])
+                    out["query_id"].extend([qid] * len(top))
+                    out["neighbor_id"].extend(ids_all[cand[top]])
+                    out["cell"].extend(cc[cand[top]])
+                    out["rank"].extend(range(1, len(top) + 1))
+                    out["cosine"].extend(S_all[gi][top])
             yield pd.DataFrame(out)
 
     return assigned.mapInPandas(
@@ -926,14 +933,17 @@ def assign_cells(
             _require_finite_matrix(A, "assign_cells")
             norms = _fold_norms(A)
             S = _cosine_block(A, M) / np.outer(norms, cn)
-            best = [np.lexsort((ids_c, -S[r]))[0] for r in range(len(pdf))]
+            # ids_c ascending → argmax's first-maximum IS the
+            # (ccos desc, cid asc) winner, whole batch at once (r14:
+            # replaces the per-row lexsort + per-element list building)
+            best = np.argmax(S, axis=1)
             out = {
                 id_col: pdf[id_col].astype("int64"),
-                "cell": [int(ids_c[b]) for b in best],
-                "ccos": [float(S[r][b]) for r, b in enumerate(best)],
+                "cell": ids_c[best],
+                "ccos": S[np.arange(len(S)), best],
             }
             if with_vec:
-                out["_v"] = [list(map(float, row)) for row in A]
+                out["_v"] = list(A)
                 out["norm"] = norms
             yield pd.DataFrame(out)
 
@@ -1031,12 +1041,15 @@ def _assign_cells_blocked(
         _require_finite_matrix(M, "assign_cells[blocked centroids]")
         cids = r["_cid"].to_numpy(dtype=np.int64)
         S = _cosine_block(A, M) / np.outer(_fold_norms(A), _fold_norms(M))
-        best = [np.lexsort((cids, -S[i]))[0] for i in range(len(l))]
+        # sort columns by cid so argmax's first-maximum is the exact
+        # (ccos desc, cid asc) winner for every row at once (r14)
+        corder = np.argsort(cids, kind="stable")
+        best = corder[np.argmax(S[:, corder], axis=1)]
         return pd.DataFrame(
             {
                 "_id": l["_id"].to_numpy(dtype=np.int64),
-                "_ccos": [float(S[i][b]) for i, b in enumerate(best)],
-                "_cid": [int(cids[b]) for b in best],
+                "_ccos": S[np.arange(len(S)), best],
+                "_cid": cids[best],
             }
         )
 
