@@ -109,6 +109,38 @@ def drop_nan_vectors(df: DataFrame, vec_col: str) -> DataFrame:
     )
 
 
+# DuckDB twin of drop_nonfinite_vectors below — the FULL component
+# contract (r15 nullemb widening): NULL components OR NaN components.
+NONFINITE_VECTOR_SQL = (
+    "(embedding IS NULL OR "
+    "len(list_filter(embedding, x -> x IS NULL OR isnan(x))) = 0)"
+)
+
+
+def drop_nonfinite_vectors(df: DataFrame, vec_col: str) -> DataFrame:
+    """Full vector-domain contract (nullemb, r15 — the widening of
+    ``drop_nan_vectors`` scheduled in registry.py's round-14-late
+    frontier): vectors containing a NULL component OR a NaN component
+    leave the similarity domain on BOTH engines at the loader. Spark's
+    ``isnan`` returns FALSE for NULL, so a NULL-component vector passes
+    the NaN-only filter; JVM folds then propagate NULL dots/cosines
+    (comparisons → unknown → rows silently filtered or ranks drift)
+    while the Arrow kernels see None → NaN in the float64 batch and die
+    on the loud finite guard — neither is the declared result. Measured
+    by ``scripts/probe_corpus.py nullemb`` at r14 HEAD: 9 silent
+    divergences (the five cosine rankers, d36, d40, d60, d73). NULL
+    vectors are NOT decided here — they keep each caller's existing
+    ``_drop_null_vectors`` / NULL-row semantics (the isNull disjunct
+    only stops the NULL-propagating ``exists`` from dropping NULL rows
+    as a side effect)."""
+    return df.where(
+        F.col(vec_col).isNull()
+        | ~F.exists(
+            vec_col, lambda x: x.isNull() | F.isnan(x.cast("double"))
+        )
+    )
+
+
 def _dot(a: Column, b: Column) -> Column:
     """Left-fold dot product in JVM expressions — exact but interpreted
     (~10µs/row: higher-order lambdas don't enter codegen). Use only for
@@ -1208,11 +1240,13 @@ def pq_adc_topk(
 
     _require_integral_id(df, id_col)
     df = _drop_null_vectors(df, vec_col)
-    # nanemb vector-domain contract: a NaN component makes every
-    # subspace distance NaN, which Spark's FLOOR(...)::BIGINT silently
-    # maps to 0 while DuckDB refuses the NaN→INT64 conversion loudly —
-    # the d36 crash class; NaN vectors leave the domain on BOTH engines
-    df = drop_nan_vectors(df, vec_col)
+    # full vector-domain contract (r15 widening): a NaN component makes
+    # every subspace distance NaN (Spark's FLOOR(...)::BIGINT silently
+    # maps it to 0 where DuckDB refuses loudly — the d36 crash class),
+    # and a NULL component slips past the NaN-only filter and poisons
+    # the BIGINT distance column to float64; both leave the domain on
+    # BOTH engines
+    df = drop_nonfinite_vectors(df, vec_col)
     sc = df.sparkSession.sparkContext
     e = df.select(F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v"))
     # codebook: bounded by construction (vid < n_codes), ascending cid so

@@ -365,13 +365,24 @@ _E_CTE = (
 # the vector domain on BOTH engines. `_E_CTE_FIN` is the finite-domain
 # variant of the shared embeddings CTE, adopted oracle-by-oracle as each
 # query's engine side takes the loader filter (r14: d26/d34/d36/d40/d13b
-# + the in-band d44/d63/d64/m18; r15 per the registry schedule: the five
-# cosine rankers d09/d10/d11/d13/d39 still read `_E_CTE`).
+# + the in-band d44/d63/d64/m18).
 _NANEMB_SQL = "len(list_filter(embedding, x -> isnan(x))) = 0"
 _E_CTE_FIN = _E_CTE + f" AND {_NANEMB_SQL}"
 
+# r15 widening (similarity.drop_nonfinite_vectors, the registry's
+# round-14-late nullemb frontier): vectors containing a NULL component
+# OR a NaN leave the domain — Spark's isnan is FALSE for NULL, so the
+# NaN-only fragment lets NULL-component vectors through, where they
+# silently poison JVM folds (NULL cosine → unknown comparisons) and
+# BIGINT output columns. Adopted r15 by the five cosine rankers
+# (d09/d10/d11/d13/d39 — their first domain fragment) and by
+# d36/d40/d60/d73 (widening their r14 NaN-only fragment); the six loud
+# sites (d26/d44/d63/d64/m18/d13b) widen in r16 per the schedule.
+_NULLEMB_SQL = "len(list_filter(embedding, x -> x IS NULL OR isnan(x))) = 0"
+_E_CTE_FIN2 = _E_CTE + f" AND {_NULLEMB_SQL}"
+
 _COS_PAIRS_ORACLE = f"""
-    WITH e AS ({_E_CTE})
+    WITH e AS ({_E_CTE_FIN2})
     SELECT a.vec_id AS i, b.vec_id AS j,
            {_DOT.format(a='a.v', b='b.v')} / (a.norm * b.norm) AS cosine
     FROM e a JOIN e b ON a.vec_id < b.vec_id
@@ -384,15 +395,20 @@ def d09_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cosine ≥ 0.4).
 
     Dot products are double left-folds — bit-identical across engines, so
-    the threshold cut is exact."""
-    e = load(spark, sf_dir, "embeddings")
+    the threshold cut is exact. Vectors with a NULL or NaN component
+    leave the domain on both engines (r15 nullemb contract — a NaN
+    cosine outranks every real value in Spark while DuckDB disagrees
+    silently; zero rows filtered on clean corpora)."""
+    e = sim.drop_nonfinite_vectors(
+        load(spark, sf_dir, "embeddings"), "embedding"
+    )
     return sim.cosine_pairs(e, "vec_id", "embedding", threshold=_COS_T)
 
 
 # ---------------------------------------------------------------------------
 _ANN_K = 5
 _ANN_ORACLE = f"""
-    WITH e AS ({_E_CTE}),
+    WITH e AS ({_E_CTE_FIN2}),
     pairs AS (
         SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
                {_DOT.format(a='a.v', b='b.v')} / (a.norm * b.norm) AS cosine
@@ -409,8 +425,12 @@ _ANN_ORACLE = f"""
 
 @REGISTRY.add("d10_ann_topk", _ANN_ORACLE, "similarity", "ann")
 def d10_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact top-5 cosine neighbors per vector (brute-force baseline)."""
-    e = load(spark, sf_dir, "embeddings")
+    """Exact top-5 cosine neighbors per vector (brute-force baseline).
+    NULL-or-NaN-component vectors leave the domain on both engines (r15
+    nullemb contract; zero rows filtered on clean corpora)."""
+    e = sim.drop_nonfinite_vectors(
+        load(spark, sf_dir, "embeddings"), "embedding"
+    )
     return sim.ann_topk_bruteforce(e, "vec_id", "embedding", k=_ANN_K)
 
 
@@ -422,7 +442,7 @@ _bucket_sql = " + ".join(
 _ANN_LSH_ORACLE = f"""
     WITH e AS (
         SELECT vec_id, v, norm, CAST({_bucket_sql} AS BIGINT) AS bucket
-        FROM ({_E_CTE})
+        FROM ({_E_CTE_FIN2})
     ), pairs AS (
         SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, a.bucket,
                {_DOT.format(a='a.v', b='b.v')} / (a.norm * b.norm) AS cosine
@@ -439,15 +459,19 @@ _ANN_LSH_ORACLE = f"""
 
 @REGISTRY.add("d11_ann_lsh", _ANN_LSH_ORACLE, "similarity", "ann", "lsh")
 def d11_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-LSH bucketed ANN (the scale path: bucket hash-join, no n²)."""
-    e = load(spark, sf_dir, "embeddings")
+    """Sign-LSH bucketed ANN (the scale path: bucket hash-join, no n²).
+    NULL-or-NaN-component vectors leave the domain on both engines (r15
+    nullemb contract; zero rows filtered on clean corpora)."""
+    e = sim.drop_nonfinite_vectors(
+        load(spark, sf_dir, "embeddings"), "embedding"
+    )
     return sim.ann_topk_lsh(e, "vec_id", "embedding", k=_LSH_K, n_planes=_LSH_PLANES)
 
 
 # ---------------------------------------------------------------------------
 _IVF_K, _IVF_CELLS, _IVF_NPROBE = 3, 16, 2
 _ANN_IVF_ORACLE = f"""
-    WITH e AS ({_E_CTE}),
+    WITH e AS ({_E_CTE_FIN2}),
     cents AS (SELECT vec_id AS cid, v AS cv, norm AS cn FROM e WHERE vec_id < {_IVF_CELLS}),
     scored AS (
         SELECT e.vec_id, c.cid, {_DOT.format(a='e.v', b='c.cv')} / (e.norm * c.cn) AS ccos
@@ -481,8 +505,12 @@ _ANN_IVF_ORACLE = f"""
 @REGISTRY.add("d13_ann_ivf", _ANN_IVF_ORACLE, "similarity", "ann", "ivf")
 def d13_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-partitioned ANN: nearest-of-16 deterministic seed centroids,
-    2-cell probe lists, exact cosine rank within probed cells."""
-    e = load(spark, sf_dir, "embeddings")
+    2-cell probe lists, exact cosine rank within probed cells.
+    NULL-or-NaN-component vectors leave the domain on both engines (r15
+    nullemb contract; zero rows filtered on clean corpora)."""
+    e = sim.drop_nonfinite_vectors(
+        load(spark, sf_dir, "embeddings"), "embedding"
+    )
     return sim.ann_topk_ivf(
         e, "vec_id", "embedding", k=_IVF_K, n_cells=_IVF_CELLS, nprobe=_IVF_NPROBE
     )
@@ -1445,7 +1473,7 @@ _RRF_C = 60
 _RRF_QVEC = 0
 _RRF_ORACLE = f"""
     WITH lex AS ({_search.bm25_topk_oracle(_BM25_TERMS, _RRF_K)}),
-    e AS (SELECT * FROM ({_E_CTE}) WHERE v IS NOT NULL),
+    e AS (SELECT * FROM ({_E_CTE_FIN2}) WHERE v IS NOT NULL),
     q AS (SELECT v AS qv, norm AS qn FROM e WHERE vec_id = {_RRF_QVEC}),
     dcos AS (
         SELECT e.vec_id AS id,
@@ -1491,8 +1519,17 @@ def d73_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id"), "rank"
     )
 
+    # r15 nullemb widening: a NULL component makes the dense leg's fold
+    # cosine NULL (row silently leaves the rank where the oracle keeps
+    # it) — NULL-or-NaN-component vectors leave the domain on both
+    # engines (zero rows filtered on clean corpora)
     e = sim.with_norm(
-        sim._drop_null_vectors(load(spark, sf_dir, "embeddings"), "embedding"),
+        sim.drop_nonfinite_vectors(
+            sim._drop_null_vectors(
+                load(spark, sf_dir, "embeddings"), "embedding"
+            ),
+            "embedding",
+        ),
         "embedding",
     )
     q = e.where(F.col("vec_id") == _RRF_QVEC).select(
@@ -2335,7 +2372,7 @@ _PQ_ORACLE = f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
                       len(embedding) // {_PQ_M} AS w
                FROM embeddings
-               WHERE embedding IS NOT NULL AND {_NANEMB_SQL}),
+               WHERE embedding IS NOT NULL AND {_NULLEMB_SQL}),
     seeds AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {_PQ_CODES}),
     sub AS (
         SELECT e.vec_id, s.cid, t.m, {_PQ_SUBD} AS d_e9
@@ -2558,7 +2595,7 @@ _MP_FLIPS = "[" + ", ".join(str(f) for f in [0] + [1 << p for p in range(_LSH_PL
 _ANN_MP_ORACLE = f"""
     WITH e AS (
         SELECT vec_id, v, norm, CAST({_bucket_sql} AS BIGINT) AS bucket
-        FROM ({_E_CTE})
+        FROM ({_E_CTE_FIN2})
     ), p AS (
         SELECT vec_id, v, norm, xor(bucket, t.f) AS bucket
         FROM e, UNNEST({_MP_FLIPS}) AS t(f)
@@ -2579,8 +2616,12 @@ _ANN_MP_ORACLE = f"""
 @REGISTRY.add("d39_ann_multiprobe_lsh", _ANN_MP_ORACLE, "similarity", "ann", "lsh")
 def d39_ann_multiprobe_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe sign-LSH top-3 (own bucket + 8 Hamming-1 probes).
-    See operators/similarity.ann_topk_multiprobe_lsh."""
-    e = load(spark, sf_dir, "embeddings")
+    See operators/similarity.ann_topk_multiprobe_lsh.
+    NULL-or-NaN-component vectors leave the domain on both engines (r15
+    nullemb contract; zero rows filtered on clean corpora)."""
+    e = sim.drop_nonfinite_vectors(
+        load(spark, sf_dir, "embeddings"), "embedding"
+    )
     return sim.ann_topk_multiprobe_lsh(
         e, "vec_id", "embedding", k=_MP_K, n_planes=_LSH_PLANES
     )
@@ -2621,7 +2662,7 @@ _JL_PROJ_SQL = ", ".join(
 )
 _JL_NORM2_SQL = " + ".join(f"p_{j} * p_{j}" for j in range(_JL_K))
 _JL_ORACLE = f"""
-    WITH e AS ({_E_CTE_FIN}),
+    WITH e AS ({_E_CTE_FIN2}),
     p AS (SELECT vec_id, norm, {_JL_PROJ_SQL} FROM e)
     SELECT vec_id, {", ".join(f"p_{j}" for j in range(_JL_K))},
            CAST(FLOOR(1000000.0 * (sqrt({_JL_NORM2_SQL}) / sqrt({_JL_K}.0))
@@ -2636,11 +2677,13 @@ def d40_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     projected components and the integer-ppm norm-preservation ratio."""
     # similarity-family contract: NULL vectors are dropped at the API
     # boundary (a NULL projection row is useless downstream) and
-    # NaN-containing vectors leave the domain on both engines (nanemb —
-    # a NaN component floods every projection AND floors to a silent
-    # BIGINT where the oracle refuses); matches _E_CTE_FIN's shared
-    # filter. Zero rows filtered on the driver corpora.
-    e = sim.drop_nan_vectors(
+    # NULL-or-NaN-component vectors leave the domain on both engines
+    # (r15 widening — a NaN component floods every projection AND floors
+    # to a silent BIGINT where the oracle refuses; a NULL component
+    # slipped past the NaN-only filter and poisoned the BIGINT ratio to
+    # float64); matches _E_CTE_FIN2's shared filter. Zero rows filtered
+    # on the driver corpora.
+    e = sim.drop_nonfinite_vectors(
         load(spark, sf_dir, "embeddings").where(
             F.col("embedding").isNotNull()
         ),
@@ -4097,7 +4140,7 @@ def d59_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 # left-fold dot (argmax ties break toward the smaller centroid id,
 # as in d13 — operator/oracle agreement on that is already proven).
 _INGEST_ORACLE = f"""
-    WITH e AS ({_E_CTE}),
+    WITH e AS ({_E_CTE_FIN2}),
     cents AS (SELECT vec_id AS cid, v AS cv, norm AS cn FROM e
               WHERE vec_id < {_IVF_CELLS}),
     scored AS (
@@ -4138,8 +4181,15 @@ def d60_incremental_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql.types import LongType, StructField, StructType
 
-    e = sim._drop_null_vectors(
-        load(spark, sf_dir, "embeddings"), "embedding"
+    # r15 nullemb widening: a NULL component passes isNotNull but turns
+    # the Arrow batch's float64 row into NaN — silent cell drift vs the
+    # oracle; NULL-or-NaN-component vectors leave the domain on both
+    # engines (zero rows filtered on clean corpora)
+    e = sim.drop_nonfinite_vectors(
+        sim._drop_null_vectors(
+            load(spark, sf_dir, "embeddings"), "embedding"
+        ),
+        "embedding",
     )
     crows = sorted(
         e.where(F.col("vec_id") < _IVF_CELLS)

@@ -167,6 +167,31 @@ _DEFAULT_COST_S = 0.45
 # per-round cap; a query green in only one round sorts before one green
 # in two, so older evidence gets refreshed once the gaps are closed.
 _GREEN_ROUNDS: dict[str, frozenset[str]] = {
+    "r14": frozenset({
+        "d03_quality_score", "d05_exact_dedup", "d12_pii_scrub",
+        "d13b_ivf_lloyd_recall", "d16_token_zipf", "d26_semantic_dedup",
+        "d33_tfidf_top_terms", "d34_sq8_quantization",
+        "d36_pq_adc_topk", "d40_random_projection",
+        "d44_contrastive_pairs", "d61_dup_ngram_coverage",
+        "d63_ivf_balance_audit", "d64_embedding_outliers",
+        "d71_cluster_conductance", "d72_cluster_merge_queue",
+        "d73_hybrid_rrf_fusion", "e03_sessionize", "e04_sliding_counts",
+        "e05_json_props", "e06_ewma_user_value", "e10_event_bursts",
+        "e20_rolling_dau", "g01_label_counts", "g03_high_volume_reach",
+        "g04_edge_counts", "g18_strongly_connected",
+        "m02_media_decode_stats", "m03_frame_sample",
+        "m18_cross_modal_pairs", "q01_pricing_summary",
+        "q02_revenue_by_nation", "q03_mode_priority",
+        "q04_top_order_per_customer", "q05_part_hindex",
+        "q06_customer_order_rank", "q07_semi_anti_customers",
+        "q10_running_revenue", "q12_string_normalize",
+        "q23_part_name_positions", "q24_cube_revenue",
+        "q25_regex_part_filter", "q29_grouping_sets",
+        "q34_range_frame_revenue", "q35_global_share_parts",
+        "q47_guarded_skew_join", "s01_hash_sample",
+        "s06_train_test_split", "s08_column_stats",
+        "s11_equiwidth_histogram"
+    }),
     "r01": frozenset({
         "d01_token_stats", "d02_lang_id", "d03_quality_score",
         "d04_fingerprint_dedup", "d05_exact_dedup", "d06_minhash_lsh",
@@ -485,42 +510,32 @@ _GREEN_ROUNDS: dict[str, frozenset[str]] = {
 # the ledger protocol. Round-14 additions land here commit-by-commit as
 # the r14 verdict tasks touch engine sources after a green row.)
 _REWRITTEN_SINCE_GREEN: set[str] = {
-    # r14 task 1 (the pre-scheduled money batch): the last 9
-    # engine-silent NaN→DECIMAL row-loss sites swap their inline casts
-    # for the loud money_dec / money_cents_decimal helpers
-    # (functions/core.py:106,132 — property-tested byte-identical to the
-    # inline idioms on non-NaN doubles). Provably output-identical on
-    # NaN-free corpora (the driver's); nanmoney probe now shows the
-    # refusal on BOTH engines instead of oracle-side only. q01 already
-    # sits in the r09 at-risk band, so the batch adds 8 net head rows.
-    "q01_pricing_summary",
-    "q02_revenue_by_nation",
-    "q10_running_revenue",
-    "q24_cube_revenue",
-    "q29_grouping_sets",
-    "q34_range_frame_revenue",
-    "q35_global_share_parts",
-    "q47_guarded_skew_join",
-    "s08_column_stats",
-    # r14 task 2 (the pre-scheduled nanemb batch, first half): the
-    # vector-domain contract — NaN-containing embeddings leave the
-    # similarity domain on BOTH engines (similarity.drop_nan_vectors +
-    # the _E_CTE_FIN / per-oracle WHERE fragments). Provably
-    # output-identical on NaN-free corpora (the driver's); the nanemb
-    # probe flips these five from silent-divergence/crash to
-    # value-exact. d63/d64/m18 take the same loader fragment but sit in
-    # the 34-name r09 at-risk band, so they re-verify without flags.
-    "d26_semantic_dedup",
-    "d34_sq8_quantization",
+    # (the 15 r14 flags — 9 money sites, 5 nanemb first-half sites, d44
+    # — all re-greened in CORRECTNESS_r14.json and were cleared at the
+    # r15 round start when that file was folded into _GREEN_ROUNDS.)
+    #
+    # r15 pre-scheduled batch (the round-14-late nullemb frontier below):
+    # the 5 cosine rankers take the FULL NULL-or-NaN component vector
+    # domain (similarity.drop_nonfinite_vectors + the _E_CTE_FIN2 oracle
+    # fragment) — until now they were the only remaining nanemb silent
+    # divergences. Provably output-identical on clean corpora (the
+    # driver's); the nanemb/nullemb probes flip them from silent ranking
+    # divergence to value-exact.
+    "d09_embedding_near_dups",
+    "d10_ann_topk",
+    "d11_ann_lsh",
+    "d13_ann_ivf",
+    "d39_ann_multiprobe_lsh",
+    # r15 batch, second group: the four sites where a NULL *component*
+    # (passing the r14 NaN-only filter) still silently corrupted output
+    # (d36/d40: BIGINT column poisoned to float64; d60: row count 1 vs
+    # 16; d73: rank drift) widen their r14 NaN-only loader fragment to
+    # the same full NULL-or-NaN contract. All four were newly green in
+    # r14, so each takes a flag.
     "d36_pq_adc_topk",
     "d40_random_projection",
-    "d13b_ivf_lloyd_recall",
-    # r14 task 4 (r13 verdict): contrastive_pairs' centroid assignment
-    # re-routed through the shared Arrow assign_cells kernel (was an
-    # interpreted JVM-fold broadcast nested-loop — the r13 verdict's one
-    # plan-level finding), plus the same vector-domain contract. Last
-    # green r13 → flag.
-    "d44_contrastive_pairs",
+    "d60_incremental_ann_ingest",
+    "d73_hybrid_rrf_fusion",
 }
 
 # Round-14 batches, LANDED (state at r14 HEAD):

@@ -396,6 +396,83 @@ def test_r14_nanemb_sites_unchanged_on_clean_data(spark, name):
     assert_parity(spec.fn(spark, sf), spec.oracle, sf, name)
 
 
+@pytest.fixture(scope="module")
+def nullemb_dir(spark, tmp_path_factory):
+    """The r14-late nullemb corpus shape (scripts/probe_corpus.py
+    nullemb): SQL NULL in component 0 of every 13th embedding vector —
+    passes the NaN-only filter (Spark's isnan(NULL) is FALSE), then
+    silently poisons JVM folds (NULL cosine → unknown comparisons) and
+    BIGINT output columns, or fires the Arrow kernels' loud guard."""
+    d = str(tmp_path_factory.mktemp("nullemb_tables"))
+    for t in TABLES:
+        df = spark.read.parquet(f"/root/testdata/sf0.001/{t}.parquet")
+        if t == "embeddings":
+            df = df.withColumn(
+                "embedding",
+                F.when(
+                    F.col("vec_id") % 13 == 0,
+                    F.expr(
+                        "concat(array(cast(NULL as float)), "
+                        "slice(embedding, 2, size(embedding) - 1))"
+                    ),
+                ).otherwise(F.col("embedding")),
+            )
+        df.write.parquet(f"{d}/{t}.parquet")
+    return d
+
+
+# The r15 batch (registry.py's round-14-late nullemb frontier): the five
+# cosine rankers take their FIRST vector-domain fragment (they were the
+# last nanemb silent divergences), and d36/d40/d60/d73 widen their r14
+# NaN-only fragment to the full NULL-or-NaN component contract.
+_R15_NULLEMB_SITES = [
+    "d09_embedding_near_dups", "d10_ann_topk", "d11_ann_lsh",
+    "d13_ann_ivf", "d39_ann_multiprobe_lsh",
+    "d36_pq_adc_topk", "d40_random_projection",
+    "d60_incremental_ann_ingest", "d73_hybrid_rrf_fusion",
+]
+
+
+@pytest.mark.parametrize("name", _R15_NULLEMB_SITES)
+def test_r15_nullemb_sites_stay_oracle_exact(spark, nullemb_dir, name):
+    """Full NULL-or-NaN component contract: these nine sites are
+    value-exact on a NULL-component-poisoned embedding corpus — they
+    were the nine silent divergences of the r14-late nullemb probe."""
+    from research_data_pipeline_spark.registry import all_specs
+
+    from .oracle import assert_parity
+
+    spec = all_specs()[name]
+    assert_parity(spec.fn(spark, nullemb_dir), spec.oracle, nullemb_dir, name)
+
+
+@pytest.mark.parametrize("name", _R15_NULLEMB_SITES)
+def test_r15_nullemb_sites_stay_oracle_exact_on_nanemb(spark, nanemb_dir, name):
+    """The same nine sites under the r13 nanemb corpus: the five cosine
+    rankers were nanemb's remaining silent divergences and are now
+    value-exact; the widened d36/d40/d60/d73 keep their r14 NaN
+    behavior."""
+    from research_data_pipeline_spark.registry import all_specs
+
+    from .oracle import assert_parity
+
+    spec = all_specs()[name]
+    assert_parity(spec.fn(spark, nanemb_dir), spec.oracle, nanemb_dir, name)
+
+
+@pytest.mark.parametrize("name", _R15_NULLEMB_SITES)
+def test_r15_nullemb_sites_unchanged_on_clean_data(spark, name):
+    """The never-matching NULL-or-NaN filter changes nothing on
+    contract-conforming data: full oracle parity at sf0.001."""
+    from research_data_pipeline_spark.registry import all_specs
+
+    from .oracle import assert_parity
+
+    spec = all_specs()[name]
+    sf = "/root/testdata/sf0.001"
+    assert_parity(spec.fn(spark, sf), spec.oracle, sf, name)
+
+
 def test_assign_kernel_raises_loudly_on_nan_vector(spark):
     """Kernel-side twin of the loader contract: a NaN component that
     reaches the shared assignment kernel raises a named error instead of
