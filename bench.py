@@ -112,16 +112,21 @@ def main() -> int:
     # map-side-combined groupBy per key, measured once per
     # session/dataset; the salting guards read the dict)
     from research_data_pipeline_spark.queries.relational import (
-        _SKEW_KEYS,
         _SKEW_STATS_CACHE,
-        _skew_stats,
+        _skew_stats_bulk,
+        _skew_store_path,
     )
 
+    # the durable skew store is rebuilt from scratch every run, exactly
+    # like the bucketed authorship store below: measurement cost is
+    # charged to this shared line each round, never amortized across runs
+    from research_data_pipeline_spark.io import fs as _fs0
+
+    _fs0.delete(spark, _skew_store_path(sf_dir))
     _SKEW_STATS_CACHE.clear()
     shared_ts["skew_stats"] = [time.time()]
     t0 = time.perf_counter()
-    for label, _, _ in _SKEW_KEYS:
-        _skew_stats(spark, sf_dir, label)
+    _skew_stats_bulk(spark, sf_dir)
     shared["skew_stats"] = round(time.perf_counter() - t0, 3)
     shared_ts["skew_stats"].append(time.time())
 
@@ -198,6 +203,7 @@ def main() -> int:
     # Intentional plan changes re-baseline automatically because this
     # file is overwritten below.
     regressions: dict[str, list[float]] = {}
+    prev: dict[str, float] = {}
     try:
         with open(full_path) as f:
             prev_doc = json.load(f)
@@ -268,6 +274,31 @@ def main() -> int:
     total = round(
         sum(t for t in timings.values() if t >= 0) + sum(shared.values()), 3
     )
+    # Round-over-round comparison computed IN-BENCH over the full
+    # per-query map (r14 verdict: the driver's PERF geomean came from the
+    # worst-5 overlap only — n_common was 1 of 228; emitting the full-map
+    # stats in the one-line JSON makes the round-over-round signal
+    # per-query-complete without growing the line past the stdout tail).
+    import math
+
+    common = [
+        (p, t)
+        for n, t in timings.items()
+        if t > 0 and (p := prev.get(n, -1.0)) > 0
+    ]
+    cmp_stats = {
+        "n_common": len(common),
+        "n_improved": sum(1 for p, t in common if t < p / 1.1),
+        "n_slower": sum(1 for p, t in common if t > 1.1 * p),
+        "geomean_speedup": (
+            round(
+                math.exp(sum(math.log(p / t) for p, t in common) / len(common)),
+                3,
+            )
+            if common
+            else None
+        ),
+    }
     failed = sorted(n for n, t in timings.items() if t < 0)
     worst5 = dict(
         sorted(
@@ -302,6 +333,7 @@ def main() -> int:
                 "n_queries": len(timings),
                 "n_failed": len(failed),
                 "n_regressed": len(regressions),
+                **cmp_stats,
                 "sf": sf,
             },
             separators=(",", ":"),

@@ -531,8 +531,13 @@ def bounded_min_cost(
     """
     e = edges.select(src, dst, cost_col).localCheckpoint()
     spark = edges.sparkSession
-    dist = spark.createDataFrame(
-        [(seed, 0)], schema="node bigint, min_cost bigint"
+    from ..tables import local_df
+
+    # LocalRelation seed (tables.local_df): the list-rows path plans a
+    # defaultParallelism-slice Python RDD, and this localCheckpoint then
+    # pays one Python-worker roundtrip per slice before the loop starts
+    dist = local_df(
+        spark, [(seed, 0)], "node bigint, min_cost bigint"
     ).localCheckpoint()
     for _ in range(max_hops):
         cand = dist.join(e, dist["node"] == e[src]).select(

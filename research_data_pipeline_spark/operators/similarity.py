@@ -307,12 +307,17 @@ def _block_pairs_df(spark, nb: int, symmetric: bool):
     """Tiny driver-side (bi, bj) tile list: bi ≤ bj for symmetric pair
     enumeration (each unordered block pair once), full grid for query ×
     candidate tiling."""
+    from ..tables import local_df
+
     pairs = [
         (bi, bj)
         for bi in range(nb)
         for bj in range(bi if symmetric else 0, nb)
     ]
-    return spark.createDataFrame(pairs, "bi bigint, bj bigint")
+    # LocalRelation (tables.local_df): the list-rows path would plan a
+    # defaultParallelism-slice Python RDD whose every action pays
+    # Python-worker roundtrips
+    return local_df(spark, pairs, "bi bigint, bj bigint")
 
 
 def _np_mat(series) -> np.ndarray:

@@ -3957,7 +3957,10 @@ def d57_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").cast("bigint").alias("total"),
         F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
     )
-    ks = d.sparkSession.createDataFrame([(k,) for k in _KS], "k int")
+    from ..tables import local_df
+
+    # LocalRelation, not a 32-slice Python RDD (tables.local_df)
+    ks = local_df(d.sparkSession, [(k,) for k in _KS], "k int")
     return (
         ks.crossJoin(F.broadcast(tot))
         .join(F.broadcast(ranked), F.col("r") <= F.col("k"), "left")

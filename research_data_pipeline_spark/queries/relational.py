@@ -2007,10 +2007,85 @@ def _skew_store_write(spark: SparkSession, sf_dir: str, stats: dict) -> None:
         [StructField("join_key", StringType(), False)]
         + [StructField(c, LongType(), True) for c in _SKEW_FIELDS]
     )
+    from ..tables import local_df
+
     rows = [(label, *vals) for label, vals in sorted(stats.items())]
-    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+    # Arrow-backed LocalRelation (tables.local_df): the list-of-rows
+    # createDataFrame path parallelizes into defaultParallelism
+    # Python-RDD slices, which coalesce(1) then computes SERIALLY — one
+    # Python-worker roundtrip per slice, ~5.5 s per 5-row store write on
+    # a 32-core session (measured r15); the LocalRelation write is ~0.1 s
+    local_df(spark, rows, schema).coalesce(1).write.mode(
         "overwrite"
     ).parquet(_skew_store_path(sf_dir))
+
+
+def _measure_skew(
+    spark: SparkSession, sf_dir: str, label: str
+) -> tuple[int | None, int | None, int | None, int | None]:
+    """One audited key's (n_rows, n_keys, max_key_rows, skew_ppm): one
+    map-side-combined groupBy + a 4-number scalar agg. Thread-safe (no
+    shared state) so the bulk path below can overlap the five
+    measurement jobs (guide §2.6 — independent jobs back-fill each
+    other's stragglers instead of paying five serial job round-trips)."""
+    _, col, table = next(x for x in _SKEW_KEYS if x[0] == label)
+    t = load(spark, sf_dir, table)
+    per_key = t.groupBy(F.col(col).alias("k")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    row = per_key.agg(
+        F.sum("c").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.max("c").cast("bigint").alias("max_key_rows"),
+        # DECIMAL(38,0)/HUGEINT intermediate: the triple product
+        # passes 2⁶³ at 100 TB hot-key scale (advisor r08); div
+        # stays exact on both engines.
+        F.expr(
+            "CAST(CAST(max(c) AS DECIMAL(38,0)) * count(*) * 1000000"
+            " div sum(c) AS BIGINT)"
+        ).alias("skew_ppm"),
+    ).first()
+    return tuple(
+        None if row is None or row[c] is None else int(row[c])
+        for c in _SKEW_FIELDS
+    )
+
+
+def _skew_stats_bulk(
+    spark: SparkSession, sf_dir: str, labels: list[str] | None = None
+) -> dict[str, tuple[int | None, int | None, int | None, int | None]]:
+    """Session-cached, store-backed skew stats for ``labels`` (default:
+    every audited key). Read order per key: session dict → parquet store
+    (one 5-row read, zero skew jobs) → measure and write through. The
+    measurement jobs for missing keys are submitted CONCURRENTLY from a
+    small thread pool (guide §2.6): they are independent aggregations
+    whose tails would otherwise leave the machine idle five times over
+    (cold-store rebuild measured 10.5 s serial → ~3 s overlapped at
+    sf0.1); the store write-through happens once, after all of them."""
+    labels = [x[0] for x in _SKEW_KEYS] if labels is None else labels
+    key = (spark.sparkContext.applicationId, sf_dir)
+    for k in [k for k in _SKEW_STATS_CACHE if k[0] != key[0]]:
+        del _SKEW_STATS_CACHE[k]
+    stats = _SKEW_STATS_CACHE.setdefault(key, {})
+    if any(lab not in stats for lab in labels):
+        # warm path: one 5-row parquet read, no skew jobs; dict entries
+        # (e.g. a planted test sentinel) always win over the store
+        for k2, v2 in _skew_store_read(spark, sf_dir).items():
+            stats.setdefault(k2, v2)
+    missing = [lab for lab in labels if lab not in stats]
+    if missing:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=len(missing)) as pool:
+            for lab, vals in zip(
+                missing,
+                pool.map(
+                    lambda lab: _measure_skew(spark, sf_dir, lab), missing
+                ),
+            ):
+                stats[lab] = vals
+        _skew_store_write(spark, sf_dir, stats)
+    return {lab: stats[lab] for lab in labels}
 
 
 def _skew_stats(
@@ -2018,43 +2093,9 @@ def _skew_stats(
 ) -> tuple[int | None, int | None, int | None, int | None]:
     """Measured (n_rows, n_keys, max_key_rows, skew_ppm) for one audited
     join key, cached per (session, dataset) AND persisted as a tiny
-    parquet next to the dataset (r10 verdict task 6). Read order: session
-    dict → parquet store (one 5-row read, zero skew jobs) → measure (one
-    map-side-combined groupBy + a 4-number scalar agg) and write through.
-    A second session on the same dataset therefore builds NO skew jobs."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    for k in [k for k in _SKEW_STATS_CACHE if k[0] != key[0]]:
-        del _SKEW_STATS_CACHE[k]
-    stats = _SKEW_STATS_CACHE.setdefault(key, {})
-    if label not in stats:
-        # warm path: one 5-row parquet read, no skew jobs; dict entries
-        # (e.g. a planted test sentinel) always win over the store
-        for k2, v2 in _skew_store_read(spark, sf_dir).items():
-            stats.setdefault(k2, v2)
-    if label not in stats:
-        _, col, table = next(x for x in _SKEW_KEYS if x[0] == label)
-        t = load(spark, sf_dir, table)
-        per_key = t.groupBy(F.col(col).alias("k")).agg(
-            F.count(F.lit(1)).alias("c")
-        )
-        row = per_key.agg(
-            F.sum("c").cast("bigint").alias("n_rows"),
-            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
-            F.max("c").cast("bigint").alias("max_key_rows"),
-            # DECIMAL(38,0)/HUGEINT intermediate: the triple product
-            # passes 2⁶³ at 100 TB hot-key scale (advisor r08); div
-            # stays exact on both engines.
-            F.expr(
-                "CAST(CAST(max(c) AS DECIMAL(38,0)) * count(*) * 1000000"
-                " div sum(c) AS BIGINT)"
-            ).alias("skew_ppm"),
-        ).first()
-        stats[label] = tuple(
-            None if row is None or row[c] is None else int(row[c])
-            for c in _SKEW_FIELDS
-        )
-        _skew_store_write(spark, sf_dir, stats)
-    return stats[label]
+    parquet next to the dataset (r10 verdict task 6). A second session
+    on the same dataset therefore builds NO skew jobs."""
+    return _skew_stats_bulk(spark, sf_dir, [label])[label]
 
 
 def _skew_ppm_for(spark: SparkSession, sf_dir: str, label: str) -> int:
@@ -2081,11 +2122,12 @@ def q43_join_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         StructField("max_key_rows", LongType(), True),
         StructField("skew_ppm", LongType(), True),
     ])
-    rows = [
-        (label, *_skew_stats(spark, sf_dir, label))
-        for label, _, _ in _SKEW_KEYS
-    ]
-    return spark.createDataFrame(rows, schema)
+    from ..tables import local_df
+
+    bulk = _skew_stats_bulk(spark, sf_dir)
+    rows = [(label, *bulk[label]) for label, _, _ in _SKEW_KEYS]
+    # LocalRelation, not a 32-slice Python RDD (see _skew_store_write)
+    return local_df(spark, rows, schema)
 
 
 # ---------------------------------------------------------------------------

