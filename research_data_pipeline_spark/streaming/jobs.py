@@ -24,6 +24,25 @@ from pyspark.sql import functions as F
 D = "decimal(12,4)"
 
 
+def _ephemeral_dir(prefix: str) -> str:
+    """Temp dir for a drain's EPHEMERAL streaming state — the checkpoint
+    and staged-source dirs that ``_run_stream_to_batch`` removes in its
+    ``finally``. Placed on tmpfs (/dev/shm) when available: the
+    micro-batch machinery writes the offset WAL, commit log and
+    state-store delta files once per batch, and those small-file
+    round-trips are the measured per-batch floor (~120 ms/batch on ext4
+    vs ~half that on tmpfs; e17 2.32 → 1.79 s, e23 2.88 → 2.22 s,
+    best-of-2 at sf0.1). Semantics-free for the drain harness because
+    the checkpoint is deleted on return by construction — a production
+    streaming job must point checkpointLocation at durable storage
+    instead, which is exactly the fault-tolerance contract this
+    harness's drained-batch result does not need."""
+    base = "/dev/shm"
+    if not (os.path.isdir(base) and os.access(base, os.W_OK)):
+        base = None
+    return tempfile.mkdtemp(prefix=prefix, dir=base)
+
+
 def tumbling_agg(df: DataFrame, window: str = "5 minutes") -> DataFrame:
     """Shared batch/streaming tumbling aggregation (exact decimal sums)."""
     return (
@@ -47,13 +66,33 @@ def watermarked_tumbling_agg(df: DataFrame, window: str = "5 minutes", late: str
     return tumbling_agg(df.withWatermark("ts", late), window)
 
 
-def _stream_state_partitions(spark: SparkSession, events_path: str) -> int:
+def _stream_state_partitions(
+    spark: SparkSession, events_path: str, commit_bound: bool = False
+) -> int:
     """Streaming state-store partitioning is FIXED at query start from
     spark.sql.shuffle.partitions — AQE never touches it. Size it to the
-    SOURCE, not the box: ~64 MB of input per state partition, clamped to
-    [2, session default]. A 100 TB landing dir keeps the session's full
-    parallelism; a small backfill doesn't pay hundreds of near-empty
-    state stores per micro-batch."""
+    SOURCE, not the box, clamped to [2, session default] so a 100 TB
+    landing dir keeps the session's full parallelism while a small
+    backfill doesn't pay hundreds of near-empty state stores per
+    micro-batch. Two operator classes want opposite sizing (r15 sweep at
+    sf0.1, best-of-2 per point):
+
+    - ``commit_bound=True`` — stream-stream joins, where every partition
+      carries FOUR state stores (two sides × keyToNumValues/
+      keyWithIndexToValue) re-committed every micro-batch including the
+      no-data watermark batches: ~64 MB of input per partition. The
+      sweep shows them DEGRADING with parallelism (e17: 2.0 s at 2
+      parts → 5.5 s at 32) because per-partition commit overhead
+      dominates their tiny per-row work.
+    - default — aggregations, dedup, session windows and the
+      Python-stateful operators, whose per-batch cost is per-row/per-key
+      COMPUTE (for applyInPandasWithState, a per-key pandas walk inside
+      one Python worker per partition): ~128 KB of input per partition,
+      so the walk actually parallelizes (e08 2.18 → 1.16 s, e38 4.40 →
+      3.35 s, e02 1.73 → 1.20 s) while the single-store commit stays
+      negligible. At production source sizes both rules clamp to the
+      session default, i.e. the cluster's configured shuffle
+      parallelism decides."""
     from ..io import fs
 
     default = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
@@ -61,13 +100,16 @@ def _stream_state_partitions(spark: SparkSession, events_path: str) -> int:
         nbytes = fs.size_bytes(spark, events_path)
     except Exception:
         return default
-    return max(2, min(default, -(-nbytes // (64 << 20))))
+    per_part = (64 << 20) if commit_bound else (128 << 10)
+    return max(2, min(default, -(-nbytes // per_part)))
 
 
 def _run_stream_to_batch(spark: SparkSession, events_path: str, transform,
                          output_mode: str,
                          sentinel: DataFrame | list[DataFrame] | None = None,
-                         reader_options: dict[str, str] | None = None) -> DataFrame:
+                         reader_options: dict[str, str] | None = None,
+                         commit_bound: bool = False,
+                         size_from: str | None = None) -> DataFrame:
     """Run ``transform(stream_df)`` as a real streaming query over the
     parquet file and return the drained result as a batch DataFrame.
 
@@ -92,8 +134,8 @@ def _run_stream_to_batch(spark: SparkSession, events_path: str, transform,
     schema = spark.read.parquet(events_path).schema
     # the streaming file source requires a directory; stage the single
     # parquet file into one (a real deployment points at a landing dir)
-    src_dir = tempfile.mkdtemp(prefix="rdp_stream_src_")
-    ckpt_dir = tempfile.mkdtemp(prefix="rdp_stream_ckpt_")
+    src_dir = _ephemeral_dir("rdp_stream_src_")
+    ckpt_dir = _ephemeral_dir("rdp_stream_ckpt_")
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         # absolutize: a relative source path would make the symlink
@@ -141,9 +183,15 @@ def _run_stream_to_batch(spark: SparkSession, events_path: str, transform,
             reader = reader.option(k, v)
         stream = normalize_nanos(reader.parquet(src_dir))
         name = f"stream_{uuid.uuid4().hex[:8]}"
+        # state partitions size from the full logical SOURCE: a caller
+        # that pre-stages a slice of it (scd2's half1) passes the
+        # original path via size_from so the per-key work still sees the
+        # stream's true volume, not the staged fraction's
         spark.conf.set(
             "spark.sql.shuffle.partitions",
-            str(_stream_state_partitions(spark, events_path)),
+            str(_stream_state_partitions(
+                spark, size_from or events_path, commit_bound
+            )),
         )
         q = (
             transform(stream)
@@ -661,7 +709,9 @@ def run_stream_stream_join_to_batch(spark: SparkSession, events_path: str) -> Da
             purchases.withWatermark("purchase_ts", "1 minute"),
         )
 
-    return _run_stream_to_batch(spark, events_path, transform, "append")
+    return _run_stream_to_batch(
+        spark, events_path, transform, "append", commit_bound=True
+    )
 
 
 def run_stream_to_partitioned_parquet(
@@ -679,8 +729,8 @@ def run_stream_to_partitioned_parquet(
 
     apply_runtime_confs(spark)
     schema = spark.read.parquet(events_path).schema
-    src_dir = tempfile.mkdtemp(prefix="rdp_stream_src_")
-    ckpt_dir = tempfile.mkdtemp(prefix="rdp_stream_ckpt_")
+    src_dir = _ephemeral_dir("rdp_stream_src_")
+    ckpt_dir = _ephemeral_dir("rdp_stream_ckpt_")
     try:
         staged = os.path.join(src_dir, os.path.basename(events_path))
         try:
@@ -738,8 +788,8 @@ def run_stream_upsert_to_jdbc(
 
     apply_runtime_confs(spark)
     schema = spark.read.parquet(events_path).schema
-    src_dir = tempfile.mkdtemp(prefix="rdp_stream_src_")
-    ckpt_dir = tempfile.mkdtemp(prefix="rdp_stream_ckpt_")
+    src_dir = _ephemeral_dir("rdp_stream_src_")
+    ckpt_dir = _ephemeral_dir("rdp_stream_ckpt_")
     try:
         staged = os.path.join(src_dir, os.path.basename(events_path))
         try:
@@ -821,7 +871,10 @@ def run_stream_stream_outer_join_to_batch(
     sent = base.withColumn("event_type", F.lit("click")).unionByName(
         base.withColumn("event_type", F.lit("purchase"))
     )
-    out = _run_stream_to_batch(spark, events_path, transform, "append", sentinel=sent)
+    out = _run_stream_to_batch(
+        spark, events_path, transform, "append", sentinel=sent,
+        commit_bound=True,
+    )
     return out.where(F.col("user_id") >= 0)
 
 
@@ -908,12 +961,23 @@ def run_stream_agg_merge_to_batch(
     from ..session import apply_runtime_confs
 
     apply_runtime_confs(spark)
-    src_dir = tempfile.mkdtemp(prefix="rdp_mv_src_")
-    ckpt_dir = tempfile.mkdtemp(prefix="rdp_mv_ckpt_")
+    src_dir = _ephemeral_dir("rdp_mv_src_")
+    ckpt_dir = _ephemeral_dir("rdp_mv_ckpt_")
     state_root = tempfile.mkdtemp(prefix="rdp_mv_state_")
     state_dir = os.path.join(state_root, "state")
     D = "decimal(12,4)"
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     try:
+        # size the per-batch partial aggregations and state re-agg to the
+        # SOURCE like every other drain (this runner is stateless at the
+        # engine level — foreachBatch — so the conf only shapes its batch
+        # shuffles; AQE is off inside streaming batches, so without this
+        # a 3-batch drain of a tiny backfill pays session-default-many
+        # near-empty shuffle partitions and state files per batch)
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(_stream_state_partitions(spark, events_path)),
+        )
         (
             spark.read.parquet(os.path.abspath(events_path))
             .select("user_id", "value")
@@ -963,6 +1027,7 @@ def run_stream_agg_merge_to_batch(
         )
         return out
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
         for d in (src_dir, ckpt_dir, state_root):
             shutil.rmtree(d, ignore_errors=True)
 
@@ -1104,7 +1169,7 @@ def run_scd2_stream_to_batch(spark: SparkSession, events_path: str,
         )
         .coalesce(1)
     )
-    stage = tempfile.mkdtemp(prefix="rdp_scd2_half1_")
+    stage = _ephemeral_dir("rdp_scd2_half1_")
     try:
         half1_path = os.path.join(stage, "half1")
         half1.write.parquet(half1_path)
@@ -1115,6 +1180,7 @@ def run_scd2_stream_to_batch(spark: SparkSession, events_path: str,
             "update",
             sentinel=[half2, flush],
             reader_options={"maxFilesPerTrigger": "1"},
+            size_from=events_path,
         )
     finally:
         shutil.rmtree(stage, ignore_errors=True)
