@@ -29,6 +29,12 @@ from ..functions.text import fingerprint, tokens
 # hash joins on the band value — same candidate set, one shuffle per band
 MAX_BROADCAST_SIGNATURES = 100_000
 
+# dictionary-vocabulary budget for the fused bitmask verification path —
+# a JIT budget, not a memory bound (see token_bitmasks): vocab ≤ 512
+# keeps the unrolled mask intersection inside HotSpot's huge-method
+# bytecode limit (n_words ≤ 8)
+MAX_DICTIONARY_VOCAB = 512
+
 
 def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact-text duplicate groups: md5(text) → canonical (min) id + count."""
@@ -76,7 +82,7 @@ def minhash_signatures(
 
 
 def token_bitmasks(df: DataFrame, id_col: str, text_col: str,
-                   max_vocab: int = 512) -> tuple[DataFrame, int] | None:
+                   max_vocab: int = MAX_DICTIONARY_VOCAB) -> tuple[DataFrame, int] | None:
     """Dictionary-encode each document's distinct-token SET as an array of
     64-bit mask words, or None when the vocabulary exceeds ``max_vocab``.
 
@@ -134,40 +140,44 @@ def token_bitmasks(df: DataFrame, id_col: str, text_col: str,
 
 
 def _dictionary_minhash_table(
-    df: DataFrame, id_col: str, text_col: str, n_hashes: int, max_vocab: int = 512
-) -> tuple[DataFrame, int, DataFrame] | None:
-    """Fused per-document (minhash signature, token bitmask) table for
-    dictionary-sized vocabularies, or None above ``max_vocab`` (the JIT
-    budget — see ``token_bitmasks``; over it the caller's int-id array
-    path is strictly faster because its generated code stays JITable).
+    tok: DataFrame, id_col: str, n_hashes: int, vocab: list[str]
+) -> tuple[DataFrame, int]:
+    """Fused per-document (minhash signature, token bitmask) table over a
+    driver-collected dictionary vocabulary (≤ the JIT budget — see
+    ``token_bitmasks``; over it the caller's int-id array path is
+    strictly faster because its generated code stays JITable).
 
-    The n_hashes md5 hash families are computed once per DISTINCT token on
-    the (tiny) broadcast vocabulary side instead of once per token
-    instance — identical min-hash values, but the md5 count drops from
-    O(instances × n_hashes) to O(vocab × n_hashes). Signature mins and
-    bitmask words then come out of ONE groupBy(doc) shuffle instead of the
-    two that separate ``minhash_signatures`` + ``token_bitmasks`` passes
-    would pay.
+    The n_hashes md5 hash families AND the bit ids are computed in
+    PYTHON on the (tiny) vocabulary — ``hashlib.md5`` IS SQL ``md5``, so
+    min-hash values are identical — and shipped as an Arrow-backed
+    LocalRelation broadcast into the encode join (r15: the previous
+    in-plan ``row_number`` window + per-token JVM md5 cost a
+    single-partition window and kept the vocabulary derivation lazy in
+    every consumer). Signature mins and bitmask words come out of ONE
+    groupBy(doc) shuffle. The returned table is LAZY and uncached — the
+    caller decides whether its consumption pattern needs a cache.
     """
-    from pyspark.sql import Window as W
+    import hashlib
 
-    # the explode is the expensive text scan; it feeds both the vocab
-    # probe (an eager count) and the encode join, so cache it
-    tok = _distinct_tokens(df, id_col, text_col).cache()
-    vocab = tok.select("token").distinct()
-    n_vocab = vocab.count()  # driver scalar, bounded by max_vocab probe
-    if n_vocab > max_vocab:
-        tok.unpersist()
-        return None
-    n_words = (n_vocab + 63) // 64
-    vocab_enc = vocab.select(
-        "token",
-        # single-partition by design: vocab bounded <= max_vocab (probe above)
-        (F.row_number().over(W.orderBy("token")) - 1).alias("tid"),
-        *[
-            F.md5(F.concat(F.lit(f"{i}:"), F.col("token"))).alias(f"h{i}")
-            for i in range(n_hashes)
-        ],
+    from ..tables import local_df
+
+    n_words = (len(vocab) + 63) // 64
+    rows = [
+        (
+            t,
+            tid,
+            *[
+                hashlib.md5(f"{i}:{t}".encode()).hexdigest()
+                for i in range(n_hashes)
+            ],
+        )
+        for tid, t in enumerate(sorted(vocab))
+    ]
+    vocab_enc = local_df(
+        tok.sparkSession,
+        rows,
+        "token string, tid int, "
+        + ", ".join(f"h{i} string" for i in range(n_hashes)),
     )
     with_tid = tok.join(F.broadcast(vocab_enc), "token")
     sig_aggs = [F.min(F.col(f"h{i}")).alias(f"mh{i}") for i in range(n_hashes)]
@@ -189,11 +199,8 @@ def _dictionary_minhash_table(
             *[F.col(f"mh{i}") for i in range(n_hashes)],
             F.array(*[F.col(f"w{w}") for w in range(n_words)]).alias("mask"),
         )
-        .cache()  # read by every band-join branch (stream + build sides)
     )
-    # tok's cache is returned so the caller can release it the moment the
-    # combined table is materialized (it is only an input to combined)
-    return combined, n_words, tok
+    return combined, n_words
 
 
 def _int_encode_is_lossless(tok: DataFrame, force_strings: bool = False) -> bool:
@@ -354,11 +361,44 @@ def minhash_lsh_pairs(
     from .decisions import record
 
     rows_per_band = n_hashes // bands
-    encoded = _dictionary_minhash_table(df, id_col, text_col, n_hashes)
-    combined, n_words, tok = encoded if encoded is not None else (None, 0, None)
-    if combined is not None:
+    tok = _distinct_tokens(df, id_col, text_col)
+    force_strings = verify_encoding == "strings"
+    # ONE probe job for every up-front decision (r15, guide §1.2/§2.4 —
+    # previously three serialized barrier jobs, each re-tokenizing the
+    # corpus: a vocabulary count behind a throwaway cache, the
+    # injectivity aggregation, and a signature count whose only real job
+    # was materializing that cache): vocabulary size decides the
+    # dictionary-vs-open verification path, countDistinct(xxhash64)
+    # proves the int-id encode lossless exactly as before (equal counts
+    # ⇔ injective on THIS corpus ⇔ intersect/union sizes preserved), and
+    # countDistinct(id) IS the signature-table row count — the same
+    # value the old sig.count() returned — for the broadcast and
+    # escalation guards.
+    n_vocab, n_hashed, n_docs = (
+        x or 0
+        for x in tok.agg(
+            F.countDistinct("token"),
+            F.countDistinct(F.xxhash64("token")),
+            F.countDistinct(id_col),
+        ).first()
+    )
+    int_ok = (not force_strings) and n_vocab == n_hashed
+    record(
+        "verify_token_encoding",
+        n_vocab=(-1 if force_strings else n_vocab),
+        path="int_ids" if int_ok else "strings",
+    )
+    if n_vocab <= MAX_DICTIONARY_VOCAB:
+        # dictionary path: the whole vocabulary is bounded, so collect it
+        # (one job, ≤ MAX_DICTIONARY_VOCAB rows) and encode hash families
+        # + bit ids driver-side — see _dictionary_minhash_table
+        vocab = [r[0] for r in tok.select("token").distinct().collect()]
+        combined, n_words = _dictionary_minhash_table(
+            tok, id_col, n_hashes, vocab
+        )
         sig = combined
     else:
+        combined, n_words = None, 0
         # Open vocabulary: the verification arrays are built in the SAME
         # groupBy as the signature (collect_list over the distinct-token
         # stream) and RIDE the band joins exactly like the bitmask
@@ -369,35 +409,18 @@ def minhash_lsh_pairs(
         # token array attached — measured at the 100× grid as a ~70 GB
         # exchange where this shape is megabytes per side. Tokens are
         # int-id-encoded (8-byte elements, ~1.9× faster intersects than
-        # strings) under an EXACT corpus-wide injectivity probe —
-        # countDistinct(token) == countDistinct(xxhash64(token)) proves
-        # the encode lossless on THIS corpus, so intersect/union sizes
-        # and every emitted (i, j, jaccard) are identical to the string
-        # fallback (``verify_encoding="strings"`` pins it).
-        tokd = _distinct_tokens(df, id_col, text_col)
-        elem = (
-            F.xxhash64("token")
-            if _int_encode_is_lossless(tokd, verify_encoding == "strings")
-            else F.col("token")
+        # strings) under the exact injectivity probe above
+        # (``verify_encoding="strings"`` pins the string fallback).
+        elem = F.xxhash64("token") if int_ok else F.col("token")
+        sig = tok.groupBy(id_col).agg(
+            *[
+                F.min(
+                    F.md5(F.concat(F.lit(f"{i}:"), F.col("token")))
+                ).alias(f"mh{i}")
+                for i in range(n_hashes)
+            ],
+            F.collect_list(elem).alias("tokens"),
         )
-        sig = (
-            tokd.groupBy(id_col)
-            .agg(
-                *[
-                    F.min(
-                        F.md5(F.concat(F.lit(f"{i}:"), F.col("token")))
-                    ).alias(f"mh{i}")
-                    for i in range(n_hashes)
-                ],
-                F.collect_list(elem).alias("tokens"),
-            )
-            .cache()
-        )
-    # the count is not wasted: it materializes the cache every band
-    # branch (stream + build side) reuses
-    n_docs = sig.count()
-    if tok is not None:
-        tok.unpersist()  # only fed the now-materialized signature table
     use_broadcast = n_docs <= MAX_BROADCAST_SIGNATURES
     record(
         "minhash_lsh_pairs",
@@ -409,7 +432,8 @@ def minhash_lsh_pairs(
     def _finish(out: DataFrame) -> DataFrame:
         if materialize:
             out = out.localCheckpoint()
-            sig.unpersist()
+            if not escalation:
+                sig.unpersist()
         return out
     band_cols = [
         F.xxhash64(
@@ -446,10 +470,15 @@ def minhash_lsh_pairs(
                 f"pop{b}", F.count(F.lit(1)).over(W.partitionBy(f"band{b}"))
             )
         # one row per doc; materialize so the per-band population windows
-        # run once, not once per branch, then the sig cache can go
+        # run once, not once per branch. The signature build runs INSIDE
+        # this single checkpoint job (r15: the old shape cached sig and
+        # paid a separate count job just to fill that cache, then threw
+        # it away here) — sig has exactly one consumer on this path.
         banded = banded.localCheckpoint()
-        sig.unpersist()
     else:
+        # two consumers (both self-join sides read the signature table):
+        # cache, materialized lazily by the first side; _finish releases
+        sig = sig.cache()
         banded = sig.select(F.col(id_col), *carry, *band_cols)
 
     # First-match band emission via ONE fused self-join (r14 optimization):
